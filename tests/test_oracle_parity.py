@@ -1,0 +1,50 @@
+"""t2 correctness gate: every registered relational query must match its
+DuckDB oracle at the test scale factor — the same comparison the driver
+runs (column names sorted, row-order-insensitive, value equality).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from tlmc_etl_spark.plans import QUERIES
+
+RELATIONAL = [n for n, q in QUERIES.items() if q.oracle is not None]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        if str(df[c].dtype).lower().startswith(("int", "uint")):
+            df[c] = df[c].astype("float64")
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = df[c].astype(str)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", RELATIONAL)
+def test_matches_oracle(name, spark, duck, sf_dir):
+    q = QUERIES[name]
+    got = q.fn(spark, sf_dir).toPandas()
+    want = duck.execute(q.oracle).fetchdf()
+    assert sorted(got.columns) == sorted(want.columns), "schema mismatch"
+    assert len(got) == len(want), f"row count {len(got)} != {len(want)}"
+    gn, wn = normalize(got), normalize(want)
+    for c in gn.columns:
+        a, b = gn[c], wn[c]
+        if a.dtype == "float64" or b.dtype == "float64":
+            aa = pd.to_numeric(a, errors="coerce")
+            bb = pd.to_numeric(b, errors="coerce")
+            ok = (aa.isna() & bb.isna()) | (abs(aa - bb) <= 1e-9)
+        else:
+            ok = (a.isna() & b.isna()) | (a == b)
+        assert ok.all(), f"col {c}: first mismatch row {(~ok).idxmax()}"
+
+
+def test_every_query_runs(spark, sf_dir):
+    for name, q in QUERIES.items():
+        df = q.fn(spark, sf_dir)
+        assert df.count() >= 0, name

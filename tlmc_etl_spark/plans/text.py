@@ -1,0 +1,280 @@
+"""Text-analysis / dedup query catalog over the `documents` table.
+
+These are the training-data-pipeline operators (exact dedup, n-gram Jaccard
+near-dup, token counting, quality scoring, fingerprinting, language
+heuristics) expressed as pure Spark column algebra wherever the semantics
+allow — regex work stays JVM-side (codegen'd), no Python in the hot path.
+MinHash/SimHash (hash-function-dependent, not oracle-expressible) live in
+operators/dedup.py and register as ext queries in plans/ext.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.plans.registry import query
+from tlmc_etl_spark.sources.tables import load_table
+
+
+@query(
+    "doc_exact_dedup",
+    oracle="""
+WITH hashed AS (
+  SELECT doc_id, md5(text) AS content_hash FROM documents
+), winners AS (
+  SELECT content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+  FROM hashed GROUP BY content_hash
+)
+SELECT h.doc_id, h.content_hash, w.keep_id, (h.doc_id != w.keep_id) AS is_duplicate
+FROM hashed h JOIN winners w USING (content_hash)
+""",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash; winner = min id per hash group.
+
+    Reference analogue: xxh128 content identity for cross-release dedup
+    (unextracted_snapshot.py:53); duplicate-id skip (CircleMetadataProcessor
+    .cs:20-90). Hash-groupBy: one shuffle on the 16-byte hash, winner via
+    min — the canonical exact-dedup plan for a 100 TB corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.md5("text").alias("content_hash"))
+    winners = hashed.groupBy("content_hash").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+    return hashed.join(winners, "content_hash").select(
+        "doc_id", "content_hash", "keep_id", (F.col("doc_id") != F.col("keep_id")).alias("is_duplicate")
+    )
+
+
+@query(
+    "doc_token_stats",
+    oracle="""
+SELECT doc_id,
+       n_chars,
+       len(regexp_extract_all(text, '[a-z0-9]+'))           AS n_words,
+       len(regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9 ]')) AS n_tokens,
+       round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+             / greatest(len(regexp_extract_all(text, '[a-z0-9]+')), 1), 4) AS avg_word_len
+FROM documents
+""",
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex tokens.
+
+    The regexes run JVM-side (`regexp_count`), vectorized by codegen — the
+    pattern a tokenizer-throughput pass over 100 TB of text needs.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.regexp_count("text", F.lit("[a-z0-9]+"))
+    n_tokens = F.regexp_count("text", F.lit("[a-z0-9]+|[^a-z0-9 ]"))
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        n_words.alias("n_words"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.length(F.regexp_replace("text", " ", "")).cast("double") / F.greatest(n_words, F.lit(1)), 4
+        ).alias("avg_word_len"),
+    )
+
+
+@query(
+    "doc_quality_score",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, lang, n_chars,
+         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+         len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS n_stop
+  FROM documents
+)
+SELECT doc_id, lang, n_words,
+       round(CAST(n_stop AS DOUBLE) / greatest(n_words, 1), 4) AS stopword_ratio,
+       round(least(CAST(n_chars AS DOUBLE) / 500.0, 1.0) * 0.5
+             + least(CAST(n_stop AS DOUBLE) / greatest(n_words, 1) * 10.0, 1.0) * 0.5, 4)
+         AS quality_score,
+       (n_words >= 20 AND n_stop > 0) AS passes_filter
+FROM m
+""",
+)
+def doc_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality scoring: length + stopword-ratio heuristics.
+
+    The reference's measured-heuristic pattern (classifier constants carry
+    their evaluation, disc_scanner.py:40-53) applied to corpus filtering:
+    score ∈ [0,1] from length saturation and stopword density, plus a hard
+    pass/fail gate — the C4/Gopher-style quality-filter shape.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.regexp_count("text", F.lit("[a-z0-9]+"))
+    n_stop = F.regexp_count("text", F.lit(r"\b(the|a|of|and|to|in|is)\b"))
+    m = docs.select("doc_id", "lang", "n_chars", n_words.alias("n_words"), n_stop.alias("n_stop"))
+    stop_ratio = F.col("n_stop").cast("double") / F.greatest(F.col("n_words"), F.lit(1))
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        F.round(stop_ratio, 4).alias("stopword_ratio"),
+        F.round(
+            F.least(F.col("n_chars").cast("double") / 500.0, F.lit(1.0)) * 0.5
+            + F.least(stop_ratio * 10.0, F.lit(1.0)) * 0.5,
+            4,
+        ).alias("quality_score"),
+        ((F.col("n_words") >= 20) & (F.col("n_stop") > 0)).alias("passes_filter"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       CAST(floor(n_chars / 100) AS INTEGER) AS len_bucket
+FROM documents
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized document fingerprint (whitespace-collapsed md5) + bucket.
+
+    Reference analogue: content-hash identity + cache keys
+    (unextracted_snapshot.py:47-60, AdvancedCache.py:13-14). Normalization
+    before hashing is what makes it a *document* fingerprint rather than a
+    byte fingerprint.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))).alias("fingerprint"),
+        F.floor(F.col("n_chars") / 100).cast("int").alias("len_bucket"),
+    )
+
+
+@query(
+    "doc_lang_heuristic",
+    oracle="""
+WITH m AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(text, '\\b(the|of|and|is|a)\\b'))   AS en_hits,
+         len(regexp_extract_all(text, '[a-z0-9]+'))                 AS n_words
+  FROM documents
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE WHEN CAST(en_hits AS DOUBLE) / greatest(n_words, 1) >= 0.05
+            THEN 'en' ELSE 'other' END AS predicted_lang,
+       round(CAST(en_hits AS DOUBLE) / greatest(n_words, 1), 4) AS en_density
+FROM m
+""",
+)
+def doc_lang_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: function-word density → predicted language.
+
+    An n-gram/stopword language detector expressed as pure regex counts.
+    (The synthetic corpus is English word-soup under every label, so the
+    interesting output is the density feature, not label recovery — the
+    plumbing is what a real fasttext-style UDF would slot into.)
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    en_hits = F.regexp_count("text", F.lit(r"\b(the|of|and|is|a)\b"))
+    n_words = F.regexp_count("text", F.lit("[a-z0-9]+"))
+    m = docs.select("doc_id", "lang", en_hits.alias("en_hits"), n_words.alias("n_words"))
+    density = F.col("en_hits").cast("double") / F.greatest(F.col("n_words"), F.lit(1))
+    return m.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(density >= 0.05, "en").otherwise("other").alias("predicted_lang"),
+        F.round(density, 4).alias("en_density"),
+    )
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS s
+    FROM words WHERE len(ws) >= 2
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.12
+""",
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-duplicate pairs (exact, inverted-index join).
+
+    The exact counterpart of MinHash dedup: shingle → inverted index →
+    pair-count → Jaccard ≥ threshold. The join is on the shingle value, so
+    cost scales with shingle document-frequency, not |docs|² — the same
+    reason LSH banding works. At 100 TB you'd cap df (drop shingles in >X%
+    of docs) and move to MinHash (operators/dedup.py); this exact variant is
+    the oracle-checkable baseline.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
+    bigrams = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+        ).alias("s"),
+    ).distinct()
+    sizes = bigrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = bigrams.alias("a")
+    b = bigrams.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jacc = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jacc >= 0.12)
+        .select("doc_a", "doc_b", "n_common", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "source_dedup_rollup",
+    oracle="""
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT md5(text)) AS n_unique,
+       count(*) - count(DISTINCT md5(text)) AS n_dupes,
+       round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+FROM documents
+GROUP BY source
+""",
+)
+def source_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus statistics with exact-distinct dedup counts.
+
+    The partial→final aggregation pattern (hls_runner.py:152-166 globbed
+    shard journals) as one declarative agg; count(distinct hash) is the
+    corpus-health metric a crawl pipeline tracks per source.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )

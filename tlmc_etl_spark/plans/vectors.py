@@ -1,0 +1,213 @@
+"""Vector / similarity-search query catalog over the `embeddings` table.
+
+The reference's similarity layer (SURVEY.md §3.2): pooled vectors → exact
+cosine top-K recall → chamfer rerank. Here the relational parts (norms,
+pooling, brute-force top-k) are pure DataFrame algebra with a DuckDB oracle;
+the hash/GPU-shaped parts (MinHash-LSH ANN, chamfer) live in operators/ and
+register as ext queries.
+
+Float determinism: every per-vector reduction folds the array **in element
+order with double accumulation** on both engines (Spark `aggregate` over the
+array vs an ordered correlated sum in DuckDB), so results agree to well below
+the rounding we emit (4-6 dp).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.plans.registry import query
+from tlmc_etl_spark.sources.tables import load_table
+
+
+def _l2_norm(col: str):
+    """JVM-side l2 norm of an array<float> column, double accumulation."""
+    return F.sqrt(F.aggregate(F.col(col), F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def _dot(a: str, b: str):
+    """JVM-side ordered dot product of two array<float> columns."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+SELECT vec_id, label, len(embedding) AS dim,
+       round(sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4)
+         AS l2_norm
+FROM embeddings
+""",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector l2 norm + dimension audit.
+
+    Reference: embeddings are L2-normalized on write (mert_batched_uuid.py:292)
+    and dimension-validated on load (TrackEmbeddingProcessor.cs:118-168); this
+    is that validation as a query. `F.aggregate` keeps the fold JVM-side.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id", "label", F.size("embedding").alias("dim"), F.round(_l2_norm("embedding"), 4).alias("l2_norm")
+    )
+
+
+@query(
+    "pooled_mean_by_label",
+    oracle="""
+WITH expanded AS (
+  SELECT label, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
+), mean_vec AS (
+  SELECT label, pos, avg(x) AS m FROM expanded GROUP BY label, pos
+), norms AS (
+  SELECT label, sqrt(sum(m * m)) AS nrm FROM mean_vec GROUP BY label
+)
+SELECT v.label, v.pos, round(v.m / n.nrm, 6) AS unit_mean
+FROM mean_vec v JOIN norms n USING (label)
+""",
+)
+def pooled_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped mean-pooling of vectors, renormalized to unit length.
+
+    Reference: pooled mean vector per track, masked mean renormalized
+    (Experimental/utils/utils.py:114-129, precompute_similar_groups.py:68-92);
+    two-level rollups chain this groupBy. posexplode→groupBy(label,pos) is
+    the distributed form: state per reducer is one running sum per (label,
+    position), never a gathered matrix.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    expanded = emb.select("label", F.posexplode("embedding").alias("pos0", "x")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("x")
+    )
+    mean_vec = expanded.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    norms = mean_vec.groupBy("label").agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm"))
+    return mean_vec.join(F.broadcast(norms), "label").select(
+        "label", "pos", F.round(F.col("m") / F.col("nrm"), 6).alias("unit_mean")
+    )
+
+
+@query(
+    "cosine_topk",
+    oracle="""
+WITH pairs AS (
+  SELECT q.vec_id AS anchor, c.vec_id AS neighbor,
+         round(
+           list_sum(list_transform(generate_series(1, len(q.embedding)),
+                    i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)))
+           / (sqrt(list_sum(list_transform(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS score
+  FROM embeddings q JOIN embeddings c ON q.vec_id < 20 AND q.vec_id != c.vec_id
+)
+SELECT anchor, neighbor, score, rnk AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor ORDER BY score DESC, neighbor ASC) AS rnk
+  FROM pairs
+) WHERE rnk <= 10
+""",
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-k neighbors per anchor (tiled matmul).
+
+    Reference: exact pooled-cosine top-K=500 per track via tiled matmul,
+    deliberately exact-over-ANN at catalog scale
+    (precompute_similar_tracks.py:116-126, SIMILARITY-PLAN.md:52-55).
+
+    Spark shape: the anchor matrix is tiny → shipped to every task in the
+    closure (the broadcast side of a broadcast nested-loop); candidates
+    stream through `mapInPandas`, each Arrow batch scored with ONE numpy
+    matmul — the vectorized path, ~100× the per-element fold. Per-anchor
+    top-k then goes through a partitioned window. At 100 TB: anchors chunk
+    into tiles, candidates stay partition-local — no shuffle until the
+    (tiny) scored top-k rows. Ranking uses the rounded score so tie order
+    is engine-stable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q_rows = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score_batches(batches):
+        for pdf in batches:
+            c_mat = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            c_ids = pdf["vec_id"].to_numpy()
+            dots = c_mat @ q_mat.T  # (batch, n_anchors)
+            c_norm = np.sqrt((c_mat * c_mat).sum(axis=1))
+            scores = dots / (c_norm[:, None] * q_norm[None, :])
+            n_c, n_q = scores.shape
+            yield pd.DataFrame(
+                {
+                    "anchor": np.repeat(q_ids[None, :], n_c, axis=0).ravel(),
+                    "neighbor": np.repeat(c_ids, n_q),
+                    "score": np.round(scores.ravel(), 6),
+                }
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score_batches, schema="anchor long, neighbor long, score double"
+    )
+    scored = scored.filter(F.col("anchor") != F.col("neighbor"))
+    w = W.partitionBy("anchor").orderBy(F.col("score").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("anchor", "neighbor", "score", "rank")
+    )
+
+
+@query(
+    "label_centroid_similarity",
+    oracle="""
+WITH expanded AS (
+  SELECT label, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
+), cent AS (
+  SELECT label, pos, avg(x) AS m FROM expanded GROUP BY label, pos
+), pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.m * b.m) AS dot,
+         sqrt(sum(a.m * a.m)) AS na, sqrt(sum(b.m * b.m)) AS nb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b, round(dot / (na * nb), 6) AS centroid_cosine
+FROM pairs
+""",
+)
+def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup: vectors → group centroids → all-pairs cosine.
+
+    Reference: two-level rollup track→album→circle centroids then group
+    similarity scores (precompute_similar_groups.py:120-154,195-235). The
+    centroid table is tiny after the rollup, so the pair join is a broadcast
+    self-join on position — the 'aggregate then compare groups' plan shape.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    expanded = emb.select("label", F.posexplode("embedding").alias("pos0", "x")).select(
+        "label", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("x")
+    )
+    cent = expanded.groupBy("label", "pos").agg(F.avg("x").alias("m"))
+    a = cent.select(F.col("label").alias("label_a"), "pos", F.col("m").alias("ma"))
+    b = cent.select(F.col("label").alias("label_b"), F.col("pos").alias("pos_b"), F.col("m").alias("mb"))
+    pairs = (
+        a.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ma") * F.col("mb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ma") * F.col("ma"))).alias("na"),
+            F.sqrt(F.sum(F.col("mb") * F.col("mb"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a", "label_b", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("centroid_cosine")
+    )
