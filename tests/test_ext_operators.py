@@ -1,0 +1,137 @@
+"""Differential/property tests for the ext operators — the engine's
+equivalent of the reference's GPU-vs-numpy gates
+(precompute_similar_tracks.py:158-193): an independent reference
+implementation recomputes each score and the engine must agree.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.operators.dedup import simhash_near_dupes
+from tlmc_etl_spark.operators.fuzzy import hungarian_match_join, similarity
+from tlmc_etl_spark.operators.vectors import chamfer_numpy
+from tlmc_etl_spark.plans import QUERIES
+
+
+@pytest.fixture(scope="module")
+def embeddings_np(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, label, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    ids = np.array([r[0] for r in rows])
+    labels = np.array([r[1] for r in rows])
+    M = np.array([r[2] for r in rows], dtype=np.float64)
+    return ids, labels, M
+
+
+def test_chamfer_matches_numpy_reference(spark, sf_dir, embeddings_np):
+    ids, labels, M = embeddings_np
+    got = {
+        (r["group_a"], r["group_b"]): r["chamfer"]
+        for r in QUERIES["chamfer_group_similarity"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(set(labels)) * (len(set(labels)) - 1) // 2
+    max_err = 0.0
+    for (a, b), engine_score in got.items():
+        ref = chamfer_numpy(M[labels == a], M[labels == b])
+        max_err = max(max_err, abs(engine_score - ref))
+    assert max_err < 5e-3  # the reference's own gate bound
+
+
+def test_chamfer_self_score_is_one(spark, sf_dir, embeddings_np):
+    ids, labels, M = embeddings_np
+    A = M[labels == 0]
+    assert abs(chamfer_numpy(A, A) - 1.0) < 1e-9
+
+
+def test_lsh_ann_recall_vs_exact(spark, sf_dir, embeddings_np):
+    ids, labels, M = embeddings_np
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sim = Mn @ Mn.T
+    np.fill_diagonal(sim, -np.inf)
+    approx = QUERIES["lsh_ann_topk"].fn(spark, sf_dir).collect()
+    by_anchor: dict[int, set[int]] = {}
+    for r in approx:
+        by_anchor.setdefault(r["anchor"], set()).add(r["neighbor"])
+        # returned scores must be the true cosine (scoring is exact; only
+        # the candidate set is approximate)
+        ai = np.where(ids == r["anchor"])[0][0]
+        ni = np.where(ids == r["neighbor"])[0][0]
+        assert abs(sim[ai, ni] - r["score"]) < 1e-5
+    recalls = []
+    for ai, anchor in enumerate(ids):
+        exact_top = set(ids[np.argsort(-sim[ai])[:10]].tolist())
+        got = by_anchor.get(anchor, set())
+        recalls.append(len(exact_top & got) / 10.0)
+    assert np.mean(recalls) > 0.15  # 4-plane single-table LSH floor
+
+
+def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
+    pairs = QUERIES["minhash_lsh_dedup"].fn(spark, sf_dir).collect()
+    assert len(pairs) > 0
+    con = duckdb.connect()
+    texts = dict(
+        con.execute(f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet'").fetchall()
+    )
+
+    def bigrams(t):
+        w = t.split(" ")
+        return {f"{w[i]} {w[i+1]}" for i in range(len(w) - 1)}
+
+    errs = []
+    for r in pairs[:300]:
+        a, b = bigrams(texts[r["id_a"]]), bigrams(texts[r["id_b"]])
+        exact = len(a & b) / len(a | b)
+        errs.append(abs(r["est_jaccard"] - exact))
+    # 64-hash MinHash has σ≈sqrt(J(1-J)/64)≲0.06; candidates are LSH-biased
+    # so allow a generous band but require convergence on average
+    assert np.mean(errs) < 0.08
+    assert np.max(errs) < 0.3
+
+
+def test_simhash_identical_docs_collide(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma delta epsilon zeta"),
+            (3, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dupes(df, "doc_id", "text", 64).collect()}
+    assert got[(1, 2)] == 0
+
+
+def test_hungarian_join_matches_perturbed_twins(spark):
+    left = spark.createDataFrame(
+        [(1, "a1", "silver moon waltz"), (1, "a2", "crimson night march"), (1, "a3", "emerald dawn hymn")],
+        "grp long, pid string, title string",
+    )
+    right = spark.createDataFrame(
+        [(1, "b2", "CRIMSON NIGHT MARCH!!"), (1, "b3", "emerald  dawn hymn"), (1, "b1", "silver moon waltz (inst)")],
+        "grp long, pid string, title string",
+    )
+    rows = hungarian_match_join(left, right, "grp", "pid", "title", "pid", "title").collect()
+    matches = {r["left_id"]: r["right_id"] for r in rows}
+    assert matches == {"a1": "b1", "a2": "b2", "a3": "b3"}
+    assert all(r["accepted"] for r in rows)
+
+
+def test_hungarian_join_rejects_unrelated_group(spark):
+    left = spark.createDataFrame([(9, "a1", "abcdefgh"), (9, "a2", "ijklmnop")], "grp long, pid string, title string")
+    right = spark.createDataFrame([(9, "b1", "qrstuvwx"), (9, "b2", "yz012345")], "grp long, pid string, title string")
+    rows = hungarian_match_join(left, right, "grp", "pid", "title", "pid", "title").collect()
+    assert rows and not any(r["accepted"] for r in rows)
+
+
+def test_similarity_is_symmetric_and_bounded():
+    assert similarity("Silver Moon", "silver moon") == 100.0
+    a, b = "abc def", "zzz qqq"
+    assert similarity(a, b) == similarity(b, a)
+    assert 0.0 <= similarity(a, b) < 50.0

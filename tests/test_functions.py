@@ -1,0 +1,97 @@
+"""Unit + property tests for the scalar function library."""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from tlmc_etl_spark.functions.text import (
+    extract_brackets,
+    match_key,
+    parse_track_filename,
+    remove_brackets,
+    typeid_decode,
+    typeid_encode,
+)
+
+
+class TestExtractBrackets:
+    def test_basic(self):
+        assert extract_brackets("2011.05.08 [ABC-123] Title [C80]") == ["ABC-123", "C80"]
+
+    def test_nested_stays_in_outer(self):
+        assert extract_brackets("[a [b] c] d") == ["a [b] c"]
+
+    def test_mixed_bracket_kinds(self):
+        assert extract_brackets("(one) [two] 【three】") == ["one", "two", "three"]
+
+    def test_unterminated_skipped(self):
+        assert extract_brackets("[open (never") == []
+        assert extract_brackets("[ok] [open") == ["ok"]
+
+    def test_none_and_empty(self):
+        assert extract_brackets(None) == []
+        assert extract_brackets("") == []
+
+    @given(st.text(alphabet="ab[]() ", max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def test_never_raises_and_contents_are_substrings(self, s):
+        for frag in extract_brackets(s):
+            assert frag in s
+
+
+class TestRemoveBrackets:
+    def test_basic(self):
+        assert remove_brackets("2011.05.08 [ABC-123] Title [C80]") == "2011.05.08  Title"
+
+    def test_unbalanced_kept(self):
+        assert remove_brackets("a [b") == "a [b"
+
+    @given(st.text(alphabet="xy[]（） ", max_size=40))
+    @settings(max_examples=200, deadline=None)
+    def test_never_raises(self, s):
+        remove_brackets(s)
+
+
+class TestMatchKey:
+    def test_width_and_case_fold(self):
+        assert match_key("ＲＯＭＡＪＩ Ver.") == match_key("romaji ver")
+
+    def test_strips_punct(self):
+        assert match_key("Silver  Moon!! (inst)") == "silvermooninst"
+
+    def test_cjk_preserved(self):
+        assert match_key("東方 Project") == "東方project"
+
+
+class TestTypeId:
+    def test_roundtrip(self):
+        for _ in range(50):
+            u = uuid.uuid4().hex
+            prefix, back = typeid_decode(typeid_encode(u, "trk"))
+            assert prefix == "trk" and back == u
+
+    def test_format(self):
+        t = typeid_encode("0" * 32, "rel")
+        assert t == "rel_" + "0" * 26
+
+    def test_rejects_bad_input(self):
+        with pytest.raises(ValueError):
+            typeid_encode("xyz")
+
+
+class TestParseTrackFilename:
+    def test_canonical_and_fallback(self, spark):
+        df = spark.createDataFrame(
+            [("(07) [Alice] Wonder Story.flac",), ("07 no brackets.mp3",)], "fname string"
+        )
+        rows = df.select(parse_track_filename("fname").alias("p")).collect()
+        good, bad = rows[0]["p"], rows[1]["p"]
+        assert good["track_no"] == 7
+        assert good["artist"] == "Alice"
+        assert good["title"] == "Wonder Story"
+        assert good["ext"] == "flac"
+        assert bad["track_no"] is None and bad["artist"] is None

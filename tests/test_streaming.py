@@ -1,0 +1,121 @@
+"""Streaming-layer tests: journal-resume idempotence (the reference's
+core incremental contract) and Structured Streaming window semantics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.streaming.journal import load_journal, pending_work, run_incremental
+from tlmc_etl_spark.streaming.windows import (
+    read_event_stream,
+    run_available_now,
+    windowed_type_counts,
+)
+
+
+@pytest.fixture()
+def worklist(spark, sf_dir):
+    from tlmc_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(F.col("event_id").cast("string").alias("item_id"), "value")
+
+
+def _process(df):
+    return df.withColumn("out_value", F.round(F.col("value") * 2, 4))
+
+
+class TestJournalResume:
+    def test_rerun_is_idempotent(self, spark, worklist, tmp_path):
+        out, jr = str(tmp_path / "out"), str(tmp_path / "journal")
+        n1 = run_incremental(spark, worklist, _process, out, jr)
+        assert n1 == worklist.count()
+        n2 = run_incremental(spark, worklist, _process, out, jr)
+        assert n2 == 0
+        # exactly one output row per item despite two runs
+        got = spark.read.parquet(out)
+        assert got.count() == n1
+        assert got.select("item_id").distinct().count() == n1
+
+    def test_resume_processes_only_remainder(self, spark, worklist, tmp_path):
+        out, jr = str(tmp_path / "out"), str(tmp_path / "journal")
+        half = worklist.filter(F.col("item_id").cast("long") % 2 == 0)
+        n1 = run_incremental(spark, half, _process, out, jr)
+        n2 = run_incremental(spark, worklist, _process, out, jr)
+        assert n1 + n2 == worklist.count()
+        # the second run touched only the odd half
+        assert n2 == worklist.count() - half.count()
+
+    def test_pending_is_anti_join(self, spark, worklist, tmp_path):
+        jr = str(tmp_path / "journal")
+        worklist.limit(100).select("item_id").write.parquet(jr)
+        pend = pending_work(worklist, load_journal(spark, jr))
+        assert pend.count() == worklist.count() - 100
+
+
+class TestStructuredStreaming:
+    def _write_chunk(self, rows, path, name):
+        os.makedirs(path, exist_ok=True)
+        with open(os.path.join(path, name), "w") as f:
+            for r in rows:
+                f.write(
+                    json.dumps(
+                        {
+                            "event_id": r[0],
+                            "ts": r[1].isoformat(sep=" "),
+                            "user_id": r[2],
+                            "event_type": r[3],
+                            "value": r[4],
+                        }
+                    )
+                    + "\n"
+                )
+
+    def test_windowed_counts_match_batch_and_resume(self, spark, sf_dir, tmp_path):
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT event_id, ts, user_id, event_type, value FROM '{sf_dir}/events.parquet' ORDER BY ts"
+        ).fetchall()
+        cut = len(rows) // 2
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        cp = str(tmp_path / "cp")
+
+        # run 1: first half of the stream
+        self._write_chunk(rows[:cut], in_dir, "chunk0.jsonl")
+        agg = windowed_type_counts(read_event_stream(spark, in_dir), "1 hour", "30 minutes")
+        run_available_now(agg, out_dir, cp)
+        first = spark.read.parquet(out_dir).collect()
+        assert len(first) > 0
+
+        # run 2: rest arrives; AvailableNow drains only the delta
+        self._write_chunk(rows[cut:], in_dir, "chunk1.jsonl")
+        agg2 = windowed_type_counts(read_event_stream(spark, in_dir), "1 hour", "30 minutes")
+        run_available_now(agg2, out_dir, cp)
+        got = spark.read.parquet(out_dir)
+
+        # no duplicate windows across the two incremental runs
+        assert (
+            got.groupBy("window_start", "event_type").count().filter("count > 1").count() == 0
+        )
+
+        # every emitted (finalized) window must equal the batch computation
+        batch = (
+            spark.createDataFrame(
+                [(r[0], r[1], r[2], r[3], r[4]) for r in rows],
+                "event_id long, ts timestamp, user_id long, event_type string, value double",
+            )
+            .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_batch"))
+            .select(F.col("win.start").alias("window_start"), "event_type", "n_batch")
+        )
+        joined = got.join(batch, ["window_start", "event_type"], "left")
+        mismatched = joined.filter(
+            F.col("n_batch").isNull() | (F.col("n_events") != F.col("n_batch"))
+        )
+        assert mismatched.count() == 0

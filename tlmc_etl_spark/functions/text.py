@@ -1,0 +1,162 @@
+"""Deterministic scalar functions the reference implements in imperative
+Python — here as small unit-tested pure functions wrapped as UDFs only
+where Spark's expression language genuinely can't express them
+(SURVEY.md §7.3: balanced-bracket parsing is a stack parser, not a regex).
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Balanced-bracket parsing (info_scanner_ph2.py:73-103): outer bracket
+# contents with skip-unterminated recovery. Not regex-expressible.
+# ---------------------------------------------------------------------------
+
+BRACKET_PAIRS = {"[": "]", "(": ")", "{": "}", "【": "】", "（": "）"}
+CLOSERS = set(BRACKET_PAIRS.values())
+
+
+def extract_brackets(s: str | None) -> list[str]:
+    """Return the contents of every top-level bracket group, in order.
+
+    Nested groups stay inside their outer group's content; an unterminated
+    opener is skipped (recovery mirrors the reference's tolerance of
+    malformed directory names).
+    """
+    if s is None:
+        return []
+    out: list[str] = []
+    stack: list[tuple[str, int]] = []  # (expected closer, content start)
+    for i, ch in enumerate(s):
+        if ch in BRACKET_PAIRS:
+            stack.append((BRACKET_PAIRS[ch], i + 1))
+        elif ch in CLOSERS and stack:
+            closer, start = stack[-1]
+            if ch == closer:
+                stack.pop()
+                if not stack:  # only top-level groups are emitted
+                    out.append(s[start:i])
+    return out
+
+
+def remove_brackets(s: str | None) -> str:
+    """The string with every balanced top-level bracket group removed."""
+    if s is None:
+        return ""
+    drops: list[tuple[int, int]] = []
+    stack: list[int] = []
+    closer_for: dict[int, str] = {}
+    for i, ch in enumerate(s):
+        if ch in BRACKET_PAIRS:
+            stack.append(i)
+            closer_for[i] = BRACKET_PAIRS[ch]
+        elif ch in CLOSERS and stack:
+            if ch == closer_for[stack[-1]]:
+                start = stack.pop()
+                if not stack:
+                    drops.append((start, i))
+    keep = []
+    pos = 0
+    for a, b in drops:
+        keep.append(s[pos:a])
+        pos = b + 1
+    keep.append(s[pos:])
+    return "".join(keep).strip()
+
+
+extract_brackets_udf = F.udf(extract_brackets, T.ArrayType(T.StringType()))
+remove_brackets_udf = F.udf(remove_brackets, T.StringType())
+
+
+# ---------------------------------------------------------------------------
+# Unicode match key (song_info_matcher.py:100-107) — pinned to NFKC
+# (SURVEY.md §7.4-2). Same function operators/fuzzy.py uses driver-side.
+# ---------------------------------------------------------------------------
+
+
+def match_key(s: str | None) -> str:
+    if s is None:
+        return ""
+    s = unicodedata.normalize("NFKC", s).lower()
+    return "".join(ch for ch in s if ch.isalnum())
+
+
+match_key_udf = F.udf(match_key, T.StringType())
+
+
+# ---------------------------------------------------------------------------
+# Canonical track filename (info_scanner_ph2.py:26-50):
+#   "(NN) [Artist] Title.ext"  — regex-expressible, kept as column exprs so
+# the parse stays inside whole-stage codegen.
+# ---------------------------------------------------------------------------
+
+TRACK_FILENAME_RE = r"^\((\d{2})\) \[([^\]]+)\] (.+)\.([A-Za-z0-9]+)$"
+
+
+def parse_track_filename(col):
+    """Struct(track_no int, artist, title, ext) or nulls when non-canonical."""
+    c = F.col(col) if isinstance(col, str) else col
+    matched = c.rlike(TRACK_FILENAME_RE)
+    return F.struct(
+        F.when(matched, F.regexp_extract(c, TRACK_FILENAME_RE, 1).cast("int")).alias("track_no"),
+        F.when(matched, F.regexp_extract(c, TRACK_FILENAME_RE, 2)).alias("artist"),
+        F.when(matched, F.regexp_extract(c, TRACK_FILENAME_RE, 3)).alias("title"),
+        F.when(matched, F.lower(F.regexp_extract(c, TRACK_FILENAME_RE, 4))).alias("ext"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TypeID encoding (api_client.py:27-48): uuid → Crockford-base32 with a
+# type prefix ("trk_01h4..."). Deterministic string function.
+# ---------------------------------------------------------------------------
+
+_CROCKFORD = "0123456789abcdefghjkmnpqrstvwxyz"
+
+
+def typeid_encode(uuid_hex: str | None, prefix: str = "trk") -> str | None:
+    """Encode a 32-char uuid hex string as `{prefix}_{26 base32 chars}`.
+
+    The 128-bit value is left-padded to 130 bits (2 zero bits) and emitted
+    as 26 Crockford-base32 characters, most significant first — the
+    standard TypeID wire format the reference's backend routes bind.
+    """
+    if uuid_hex is None:
+        return None
+    h = uuid_hex.replace("-", "")
+    if len(h) != 32:
+        raise ValueError(f"not a uuid hex string: {uuid_hex!r}")
+    n = int(h, 16)
+    chars = []
+    for shift in range(125, -1, -5):
+        chars.append(_CROCKFORD[(n >> shift) & 0x1F])
+    return f"{prefix}_{''.join(chars)}"
+
+
+def typeid_decode(type_id: str) -> tuple[str, str]:
+    """Inverse of typeid_encode → (prefix, uuid_hex)."""
+    prefix, _, body = type_id.rpartition("_")
+    if len(body) != 26:
+        raise ValueError(f"not a typeid: {type_id!r}")
+    n = 0
+    for ch in body:
+        n = (n << 5) | _CROCKFORD.index(ch)
+    return prefix, f"{n:032x}"
+
+
+def typeid_udf(prefix: str):
+    return F.udf(lambda h: typeid_encode(h, prefix), T.StringType())
+
+
+# ---------------------------------------------------------------------------
+# Deterministic ids (SURVEY.md §7.4-1): xxhash64 of the natural key instead
+# of uuid7, so reruns and oracles agree. Column-level, JVM-side.
+# ---------------------------------------------------------------------------
+
+
+def stable_id(*cols) -> F.Column:
+    """Hex id from the natural key — deterministic across runs/executors."""
+    return F.lower(F.hex(F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in cols])))

@@ -1,0 +1,184 @@
+"""Near-duplicate detection operators: MinHash+LSH and SimHash.
+
+These are the scale path for corpus dedup — the exact shingle-join
+(plans/text.py::ngram_jaccard_pairs) is the oracle-checkable baseline but
+its inverted-index join scales with shingle document frequency; banding
+bounds the candidate set instead.
+
+Everything hash-heavy stays JVM-side: shingling via split/transform,
+per-permutation min-hashes as `xxhash64(seed, shingle)` min-aggregates,
+band keys as hashes over signature slices. No Python in the hot path; the
+only Python is plan construction.
+
+Verified by property/differential tests (tests/test_dedup.py): MinHash
+similarity estimates converge to exact Jaccard; LSH candidates recall
+high-similarity pairs; SimHash hamming distance orders like cosine of
+term-frequency vectors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def word_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Distinct word-bigram shingles per document (id, shingle)."""
+    ws = df.select(id_col, F.split(F.col(text_col), " ").alias("ws")).filter(F.size("ws") >= 2)
+    return ws.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("shingle"),
+    ).distinct()
+
+
+def minhash_signatures(shingles: DataFrame, id_col: str, n_hashes: int = 64) -> DataFrame:
+    """One row per id with `sig` array<long> of n_hashes min-hashes.
+
+    Each permutation h_i is xxhash64 seeded by the permutation index —
+    deterministic cluster-wide (SURVEY.md §4: deterministic routing). The
+    group state is n_hashes running minima: map-side combinable, O(1) per
+    shingle, so this is one scan + one small shuffle at any corpus size.
+    """
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(n_hashes)
+    ]
+    sigs = shingles.groupBy(id_col).agg(*mins)
+    return sigs.select(id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, n_bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded-LSH candidate pairs (id_a < id_b), deduplicated across bands.
+
+    Signature sliced into bands; a pair is a candidate if any band hashes
+    equal. The band join key is (band_idx, hash(slice)) so the self-join is
+    an equi-join Catalyst shuffles on the band key — candidate generation
+    cost follows bucket sizes, never |docs|².
+    """
+    assert n_bands * rows_per_band <= 1024
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> xxhash64(b, slice(sig, b * {rows_per_band} + 1, {rows_per_band})))"
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_estimate(sigs: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Estimated Jaccard per candidate pair = fraction of agreeing hashes."""
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(agree / F.size("sig_a"), 4).alias("est_jaccard"),
+        )
+    )
+
+
+def minhash_near_dupes(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end MinHash-LSH near-dup pipeline: shingle → sign → band →
+    candidate pairs → estimate ≥ threshold. Mirrors the reference's
+    two-stage recall→verify shape (SIMILARITY-PLAN.md): cheap candidate
+    generation, then scoring only candidates.
+    """
+    rows = n_hashes // n_bands
+    sh = word_bigrams(df, id_col, text_col)
+    sigs = minhash_signatures(sh, id_col, n_hashes)
+    pairs = lsh_candidate_pairs(sigs, id_col, n_bands, rows)
+    est = minhash_estimate(sigs, pairs, id_col)
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """SimHash fingerprint per document from term-frequency-weighted word
+    hashes; returns (id, simhash bigint).
+
+    Each word hashes once (xxhash64); each bit contributes +tf when set,
+    −tf when clear; fingerprint bit = sign of the sum. The per-bit sums are
+    64 map-side-combinable aggregates — one scan, one tiny shuffle.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
+    hashed = tf.withColumn("h", F.xxhash64("w"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
+                -F.col("tf")
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    fp = F.expr(
+        " + ".join(f"IF(b{i} > 0, shiftleft(1L, {i}), 0L)" for i in range(bits))
+    )
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dupes(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 12
+) -> DataFrame:
+    """SimHash near-dup pairs within a hamming radius, banded for scale.
+
+    The fingerprint splits into 4×16-bit chunks; any pair within hamming
+    distance 3 shares at least one exact chunk (pigeonhole), so the
+    candidate join is an equi-join on (chunk_idx, chunk_value). Wider radii
+    trade recall; exact hamming is then computed on candidates only via
+    bit_count(xor).
+    """
+    fps = simhash_fingerprints(df, id_col, text_col)
+    chunks = fps.select(
+        F.col(id_col),
+        "simhash",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, 3), c -> cast(shiftright(simhash, c * 16) & 65535 as long))"
+            )
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val")
+    cands = (
+        a.join(b, ["chunk_idx", "chunk_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cands.select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,109 @@
+"""Multimodal column operators: opaque binary payloads with typed metadata,
+decoded/feature-extracted through Arrow-batched pandas UDFs.
+
+This is the engine's version of the reference's media stages (ffprobe /
+ffmpeg / MERT inference, SURVEY.md §2.10): media rides the DataFrame as a
+`binary` column plus a metadata struct; per-file work happens inside
+`mapInPandas` so one task batches many files (the reference's
+one-process-four-rungs fusion, hls_assignment.py:109-169, is exactly this
+batching argument).
+
+The actual codec calls are STUBBED — this container has no image/audio
+libraries — behind `decode_payload`, which raises NotImplementedError for
+real media kinds and provides a deterministic fake for kind="synthetic"
+so the Spark-side plumbing (schema, batch shape, partitioning) is fully
+testable. Swapping in a real decoder changes ONLY decode_payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video|synthetic
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("source_path", T.StringType()),
+                    T.StructField("content_type", T.StringType()),
+                    T.StructField("size_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def decode_payload(kind: str, payload: bytes) -> np.ndarray:
+    """Decode a media payload to a feature vector.
+
+    STUB: real decoders (PIL/ffmpeg/torchaudio) are not present in this
+    environment. kind="synthetic" produces a deterministic fake feature
+    (bytes → hash → unit vector) so plumbing is testable end-to-end; any
+    real kind raises until a codec is wired in.
+    """
+    if kind != "synthetic":
+        raise NotImplementedError(
+            f"no codec for kind={kind!r} in this environment; "
+            "plug a real decoder into decode_payload()"
+        )
+    digest = hashlib.sha256(payload or b"").digest()
+    raw = np.frombuffer(digest[:FEATURE_DIM * 2], dtype=np.uint16).astype(np.float64)
+    v = raw - raw.mean()
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
+    """media table → (media_id, kind, n_bytes, feature array<double>).
+
+    One `mapInPandas` pass: each Arrow batch decodes its files in-process.
+    At 100 TB the media table is bucketed by media_id so tasks stream
+    payloads partition-locally; `batch_hint` maps to
+    spark.sql.execution.arrow.maxRecordsPerBatch in a real deployment
+    (VRAM/latency budget per batch — mert_batched_uuid.py:360-372's
+    batch-size sweep is this constant).
+    """
+
+    def run(batches):
+        for pdf in batches:
+            feats = [decode_payload(k, p) for k, p in zip(pdf["kind"], pdf["payload"])]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": [len(p) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": [f.tolist() for f in feats],
+                }
+            )
+
+    return media.mapInPandas(
+        run, schema="media_id string, kind string, n_bytes long, feature array<double>"
+    )
+
+
+def synthetic_media_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a media table from the documents fixture: payload = utf-8 text
+    bytes, kind=synthetic — the stand-in corpus for plumbing tests."""
+    return docs.select(
+        F.concat(F.lit("doc-"), F.col("doc_id")).alias("media_id"),
+        F.lit("synthetic").alias("kind"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.concat(F.lit("mem://documents/"), F.col("doc_id")).alias("source_path"),
+            F.lit("text/plain").alias("content_type"),
+            F.length("text").cast("long").alias("size_bytes"),
+        ).alias("meta"),
+    )

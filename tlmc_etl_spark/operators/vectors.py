@@ -1,0 +1,156 @@
+"""Vector ext operators: chamfer (late-interaction) group scoring and
+random-hyperplane LSH approximate top-k.
+
+These are the engine's counterparts of the reference's GPU similarity
+stages; here they are Arrow-batched pandas UDFs (the container has no GPU),
+with the same numerics so the differential gates from the reference apply
+(max-abs-error / symmetry / top-k-overlap, precompute_similar_tracks.py:
+158-193).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def chamfer_numpy(A: np.ndarray, B: np.ndarray) -> float:
+    """Symmetric chamfer (mean-of-max cosine) between two chunk sets.
+
+    Reference formula: mean over A-chunks of max cosine against B, averaged
+    with the transpose direction (rerank.py:47-116). Inputs are row-wise
+    vectors; normalization is applied here so callers can pass raw chunks.
+    """
+    An = A / np.linalg.norm(A, axis=1, keepdims=True)
+    Bn = B / np.linalg.norm(B, axis=1, keepdims=True)
+    sim = An @ Bn.T
+    return float((sim.max(axis=1).mean() + sim.max(axis=0).mean()) / 2.0)
+
+
+def chamfer_group_scores(emb: DataFrame, group_col: str, vec_col: str) -> DataFrame:
+    """All-pairs symmetric chamfer between groups of vectors.
+
+    Plan shape: groups are first gathered to (group, matrix) rows via
+    collect_list — acceptable because each group's chunk set is bounded
+    (the reference caps/pads at 96 chunks per track,
+    precompute_similar_tracks.py:84-92; the cap is the scale contract).
+    Pairs are then formed by a self cross-join on the (tiny) per-group rows
+    and scored in an Arrow-batched pandas UDF with one matmul per pair —
+    the two-stage recall→rerank shape assumes the pair list is already
+    pruned to top-K candidates at 100 TB.
+    """
+    gathered = emb.groupBy(group_col).agg(F.collect_list(vec_col).alias("vecs"))
+    a = gathered.select(F.col(group_col).alias("group_a"), F.col("vecs").alias("vecs_a"))
+    b = gathered.select(F.col(group_col).alias("group_b"), F.col("vecs").alias("vecs_b"))
+    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+
+    def score(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in row["vecs_a"]])
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in row["vecs_b"]])
+                out.append((row["group_a"], row["group_b"], round(chamfer_numpy(A, B), 6)))
+            yield pd.DataFrame(out, columns=["group_a", "group_b", "chamfer"])
+
+    return pairs.mapInPandas(score, schema="group_a int, group_b int, chamfer double")
+
+
+def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    """Deterministic random hyperplanes for sign-LSH (seeded, so every
+    executor and every run derives identical buckets)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def lsh_bucket_ids(emb: DataFrame, vec_col: str, planes: np.ndarray) -> DataFrame:
+    """Append a `bucket` column = sign-bit key under the hyperplanes.
+
+    Computed in an Arrow batch with one matmul; the planes matrix rides the
+    task closure (tiny). Equivalent to BucketedRandomProjectionLSH's single
+    hash table but with a deterministic seed and an explicit key column the
+    rest of the plan can shuffle on.
+    """
+    cols = emb.columns
+
+    def bucketize(batches):
+        for pdf in batches:
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (M @ planes.T) > 0
+            keys = np.zeros(len(pdf), dtype=np.int64)
+            for i in range(planes.shape[0]):
+                keys |= bits[:, i].astype(np.int64) << i
+            pdf = pdf.copy()
+            pdf["bucket"] = keys
+            yield pdf
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in emb.schema.fields)
+    return emb.mapInPandas(bucketize, schema=f"{schema}, bucket long")
+
+
+def lsh_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_planes: int = 4,
+    seed: int = 42,
+    multi_probe: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the same LSH
+    bucket (plus one-bit-flip probe buckets), then exact cosine + a
+    per-anchor window rank.
+
+    The bucket equi-join replaces the |n|² cross join with Σ bucket²;
+    multi-probe explodes each anchor into 1+n_planes probe keys — a union
+    of equi-joins, never a cross join, so cost stays Σ bucket² × (1+p).
+    Recall against exact brute force is property-tested
+    (tests/test_ext_operators.py); only the candidate set is approximate —
+    scores of returned pairs are exact cosine.
+    """
+    planes = make_hyperplanes(_dim_of(emb, vec_col), n_planes, seed)
+    bucketed = lsh_bucket_ids(emb.select(id_col, vec_col), vec_col, planes)
+    a = bucketed.select(F.col(id_col).alias("anchor"), F.col(vec_col).alias("va"), "bucket")
+    if multi_probe:
+        flips = F.array(*([F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]))
+        a = a.select("anchor", "va", F.explode(flips).alias("bucket"))
+    b = bucketed.select(F.col(id_col).alias("neighbor"), F.col(vec_col).alias("vb"), "bucket")
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("anchor") != F.col("neighbor"))
+        .select("anchor", "va", "neighbor", "vb")
+        .dropDuplicates(["anchor", "neighbor"])
+    )
+
+    def score(batches):
+        for pdf in batches:
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            cos = (A * B).sum(axis=1) / (
+                np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+            )
+            yield pd.DataFrame(
+                {
+                    "anchor": pdf["anchor"].to_numpy(),
+                    "neighbor": pdf["neighbor"].to_numpy(),
+                    "score": np.round(cos, 6),
+                }
+            )
+
+    scored = pairs.mapInPandas(score, schema="anchor long, neighbor long, score double")
+    w = W.partitionBy("anchor").orderBy(F.col("score").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("anchor", "neighbor", "score", "rank")
+    )
+
+
+def _dim_of(emb: DataFrame, vec_col: str) -> int:
+    first = emb.select(F.size(vec_col).alias("d")).first()
+    return int(first["d"])

@@ -1,0 +1,87 @@
+"""Structured Streaming operators: file-source micro-batch ingestion with
+event-time windows, watermarked late-data handling, and session windows.
+
+The reference has no true stream runtime (SURVEY.md §2.9) — its journals
+are incremental batch — but the rebuilt engine exposes the genuine
+streaming path so the same aggregations run on unbounded input:
+`Trigger.AvailableNow` drains whatever files exist and checkpoints, which
+is exactly the journal-resume contract (new files = pending work,
+checkpoint = completed journal) with Spark managing the bookkeeping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """JSONL file source — the streaming twin of the journal reader
+    (extract.py:47-61): each new file is a micro-batch of appended lines."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 16)  # backpressure, hls_runner.py:104-141 analogue
+        .json(input_dir)
+    )
+
+
+def windowed_type_counts(events: DataFrame, window: str = "1 hour", late: str = "30 minutes") -> DataFrame:
+    """Tumbling event-time counts per event_type with a watermark.
+
+    The watermark bounds state exactly like the reference bounds its
+    publish queue — without it, 100 TB of stream state never ages out.
+    """
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", window).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "1 hour", late: str = "30 minutes") -> DataFrame:
+    """True session windows (gap-close semantics) per user — the streaming
+    equivalent of plans/incremental.py::sessionize_events."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
+    """Drain all available input into parquet and stop — incremental batch
+    over a streaming plan; rerunning after new files arrive processes only
+    the delta (checkpoint = completed journal)."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
