@@ -44,7 +44,12 @@ def test_matches_oracle(name, spark, duck, sf_dir):
         assert ok.all(), f"col {c}: first mismatch row {(~ok).idxmax()}"
 
 
-def test_every_query_runs(spark, sf_dir):
-    for name, q in QUERIES.items():
-        df = q.fn(spark, sf_dir)
-        assert df.count() >= 0, name
+EXT = [n for n, q in QUERIES.items() if q.oracle is None]
+
+
+@pytest.mark.parametrize("name", EXT)
+def test_ext_query_runs(name, spark, sf_dir):
+    # relational queries are exercised by the parity test above; ext
+    # queries get their semantics checked in test_ext_operators.py — this
+    # is just the smoke gate that each stays runnable from the catalog
+    assert QUERIES[name].fn(spark, sf_dir).count() >= 0

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from tlmc_etl_spark.operators.dedup import minhash_near_dupes, simhash_near_dupes
 from tlmc_etl_spark.operators.fuzzy import hungarian_match_join
+from tlmc_etl_spark.operators.mirror import lcp_pairing, mirror_dedup
 from tlmc_etl_spark.operators.vectors import chamfer_group_scores, lsh_topk
 from tlmc_etl_spark.plans.registry import query
 from tlmc_etl_spark.sources.tables import load_table
@@ -77,3 +78,41 @@ def fuzzy_hungarian_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hungarian_match_join(
         left, right, "grp", "pid", "title", "pid", "title", accept_fraction=0.8
     ).orderBy("grp", "left_id")
+
+
+@query("mirror_duration_dedup")
+def mirror_duration_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duration-multiset mirror dedup: drop directories whose track
+    durations greedily match an earlier directory within ±8 s on ≥85% of
+    tracks (disc_duration_guard.py:50-57,92-112,137-148).
+
+    Mirrors are synthesized: each order's lineitems appear as 'Disc 1',
+    again jittered +0.4 s as 'Disc 1 (mp3)' (a re-encode), and shifted
+    +500 s as 'Bonus' (not a mirror).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
+    base = li.select(
+        F.col("l_orderkey").alias("album"),
+        (F.col("l_quantity") * 10).alias("dur"),
+    )
+    d1 = base.select("album", F.lit("Disc 1").alias("dirname"), "dur")
+    d1m = base.select("album", F.lit("Disc 1 (mp3)").alias("dirname"), (F.col("dur") + 0.4).alias("dur"))
+    bonus = base.select("album", F.lit("Bonus").alias("dirname"), (F.col("dur") + 500).alias("dur"))
+    tracks = d1.unionByName(d1m).unionByName(bonus)
+    return mirror_dedup(tracks, "album", "dirname", "dur").orderBy("grp", "dirname")
+
+
+@query("lcp_pairing_join")
+def lcp_pairing_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-common-prefix 1:1 pairing (cue ↔ audio,
+    Shared/utils.py:159-189), grouped per customer."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    left = orders.select(
+        F.col("o_custkey").alias("grp"),
+        F.concat(F.lit("order "), F.col("o_orderkey"), F.lit(".cue")).alias("name"),
+    )
+    right = orders.select(
+        F.col("o_custkey").alias("grp"),
+        F.concat(F.lit("order "), F.col("o_orderkey"), F.lit(".flac")).alias("name"),
+    )
+    return lcp_pairing(left, right, "grp", "name", "name").orderBy("grp", "left_name")
