@@ -1,0 +1,274 @@
+"""The metadata pipeline: file manifest + probe results → catalog gold
+tables, as ONE composed DataFrame program.
+
+This is the reference's batch lifecycle (SURVEY.md §3.1 — disc_scanner →
+info_scanner ph1/ph2/ph3 → id_assign_and_merge) re-expressed as the
+medallion flow of SURVEY.md §7.1/7.2 slice 0+3: every stage below is a
+pure DataFrame→DataFrame function, so the whole pipeline is a single
+Catalyst plan per output table — no intermediate JSON artifacts, no OS
+process boundaries, resumable by construction (outputs are deterministic
+functions of inputs; ids are xxhash64 of natural keys, not uuid7, per
+SURVEY.md §7.4-1).
+
+Human-in-the-loop stages become `needs_review` flag columns joined back in
+(SURVEY.md §7.4-3), never blocking prompts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.functions.text import (
+    extract_brackets_udf,
+    parse_track_filename,
+    remove_brackets_udf,
+    stable_id,
+)
+from tlmc_etl_spark.operators.windows import gap_fill_numbers
+from tlmc_etl_spark.sources.manifest import AUDIO_EXTS
+
+# --------------------------------------------------------------------------
+# Stage 1 — disc classification (disc_scanner.py:40-149 rule families)
+# --------------------------------------------------------------------------
+
+DISC_INDEX_RE = r"(?i)^(?:disc|disk|cd|dvd)[-._ ]*([0-9]+)$"
+BARE_INDEX_RE = r"^([0-9]{1,2})$"
+BONUS_RE = r"(?i)(bonus|extra|omake|offvocal|off vocal|instrumental)"
+ASSET_DIR_RE = r"(?i)^(scans?|artwork|booklet|bk|jacket)$"
+VETO_RE = r"(?i)(stems?|daw|project files?|sessions?)"
+
+
+def classify_dirs(manifest: DataFrame) -> DataFrame:
+    """Per (album, rel_dir): ordered first-match classification.
+
+    Pure CASE-WHEN-rlike cascade (whole-stage codegen; the reference
+    measured 97.65% on this rule order — veto > asset > disc-index >
+    bonus > bare-index > unknown)."""
+    dirs = manifest.select("circle_dir", "album_dir", "rel_dir").distinct()
+    d = F.coalesce(F.col("rel_dir"), F.lit(""))
+    return dirs.select(
+        "circle_dir",
+        "album_dir",
+        "rel_dir",
+        F.when(d == "", "main")
+        .when(d.rlike(VETO_RE), "veto")
+        .when(d.rlike(ASSET_DIR_RE), "asset_dir")
+        .when(d.rlike(DISC_INDEX_RE), "disc_index")
+        .when(d.rlike(BONUS_RE), "bonus")
+        .when(d.rlike(BARE_INDEX_RE), "bare_index")
+        .otherwise("unknown")
+        .alias("dir_class"),
+        F.when(d.rlike(DISC_INDEX_RE), F.regexp_extract(d, DISC_INDEX_RE, 1).cast("int"))
+        .when(d.rlike(BARE_INDEX_RE), F.regexp_extract(d, BARE_INDEX_RE, 1).cast("int"))
+        .alias("parsed_disc_no"),
+    )
+
+
+def resolve_disc_numbers(classified: DataFrame) -> DataFrame:
+    """Disc-number resolution (disc_auto_classify.py:102-147): parsed
+    indexes win; remaining audio dirs fill gaps by sorted position; albums
+    whose resolved set is not contiguous 1..N get a review flag."""
+    audio_dirs = classified.filter(
+        F.col("dir_class").isin("main", "disc_index", "bare_index", "bonus", "unknown")
+    )
+    with_number = gap_fill_numbers(
+        audio_dirs.withColumn("has_parsed", F.col("parsed_disc_no").isNotNull()).withColumn(
+            "parsed_or_zero", F.coalesce("parsed_disc_no", F.lit(0))
+        ),
+        group_cols=["circle_dir", "album_dir"],
+        number_col="parsed_or_zero",
+        valid_col="has_parsed",
+        order_cols=["rel_dir"],
+        out_col="disc_number",
+    ).drop("has_parsed", "parsed_or_zero")
+    # contiguity audit: resolved numbers must be exactly 1..N
+    audit = with_number.groupBy("circle_dir", "album_dir").agg(
+        (
+            (F.min("disc_number") == 1)
+            & (F.max("disc_number") == F.count(F.lit(1)))
+            & (F.countDistinct("disc_number") == F.count(F.lit(1)))
+        ).alias("discs_contiguous")
+    )
+    return with_number.join(audit, ["circle_dir", "album_dir"], "left")
+
+
+# --------------------------------------------------------------------------
+# Stage 2 — track parse + probe join (info_scanner ph1/ph2)
+# --------------------------------------------------------------------------
+
+
+def parse_tracks(manifest: DataFrame, probe: DataFrame) -> DataFrame:
+    """Audio rows → parsed metadata, probe-tag coalesce, review flags.
+
+    Probe join is LEFT (a missing/unreadable probe is a review flag, not a
+    failure — 40/164k in the reference corpus, info_scanner_ph2.py:138-170).
+    Precedence: filename parse, then probe tags, then basename fallback
+    (info_scanner_ph3.py:50-57).
+    """
+    audio = manifest.filter(F.lower(F.col("ext")).isin(AUDIO_EXTS))
+    parsed = audio.withColumn("fp", parse_track_filename("filename"))
+    j = parsed.join(probe, "path", "left")
+    tag_no = F.regexp_extract(F.col("tags.track"), r"^(\d+)", 1).cast("int")
+    return j.select(
+        "path",
+        "circle_dir",
+        "album_dir",
+        "rel_dir",
+        "filename",
+        F.coalesce(F.col("fp.track_no"), tag_no).alias("track_no_raw"),
+        F.coalesce(
+            F.col("fp.title"),
+            F.col("tags.title"),
+            remove_brackets_udf(F.regexp_replace("filename", r"\.[A-Za-z0-9]+$", "")),
+        ).alias("title"),
+        F.coalesce(F.col("fp.artist"), F.col("tags.artist")).alias("artist"),
+        F.col("duration_s"),
+        F.col("duration_s").isNull().alias("probe_missing"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stage 3 — album-level extraction + majority vote (info_scanner_ph2)
+# --------------------------------------------------------------------------
+
+ALBUM_DATE_RE = r"^(\d{4})\.(\d{2}|xx)\.(\d{2}|xx)"
+CATALOG_RE = r"^[A-Z]+-[0-9]{2,}$"
+CONVENTION_RE = r"^(?:C|RTS|M3-)[0-9]{1,3}$"
+
+
+def vote_albums(tracks: DataFrame) -> DataFrame:
+    """Album dimension: date from the directory name (wildcard-tolerant),
+    catalog/convention from bracket tokens, artist by majority vote over
+    track artists (mode with value-ascending tie break)."""
+    albums = tracks.select("circle_dir", "album_dir").distinct()
+    toks = albums.withColumn("brackets", extract_brackets_udf("album_dir"))
+    year = F.regexp_extract("album_dir", ALBUM_DATE_RE, 1)
+    month = F.regexp_extract("album_dir", ALBUM_DATE_RE, 2)
+    day = F.regexp_extract("album_dir", ALBUM_DATE_RE, 3)
+    info = toks.select(
+        "circle_dir",
+        "album_dir",
+        F.when(year == "", None).otherwise(year).cast("int").alias("release_year"),
+        F.when((month == "") | (month == "xx"), None).otherwise(month).cast("int").alias("release_month"),
+        F.when((day == "") | (day == "xx"), None).otherwise(day).cast("int").alias("release_day"),
+        F.filter(F.col("brackets"), lambda b: b.rlike(CATALOG_RE)).getItem(0).alias("catalog_number"),
+        F.filter(F.col("brackets"), lambda b: b.rlike(CONVENTION_RE)).getItem(0).alias("convention"),
+        remove_brackets_udf(F.regexp_replace("album_dir", ALBUM_DATE_RE, "")).alias("album_name"),
+    )
+    artist_counts = (
+        tracks.filter(F.col("artist").isNotNull())
+        .groupBy("circle_dir", "album_dir", "artist")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("circle_dir", "album_dir").orderBy(F.col("cnt").desc(), F.col("artist").asc())
+    mode_artist = (
+        artist_counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("circle_dir", "album_dir", F.col("artist").alias("album_artist"))
+    )
+    return info.join(mode_artist, ["circle_dir", "album_dir"], "left")
+
+
+# --------------------------------------------------------------------------
+# Stage 4 — renumber + ids + gold assembly (info_scanner_ph3 +
+# id_assign_and_merge)
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class CatalogTables:
+    release: DataFrame
+    disc: DataFrame
+    track: DataFrame
+
+
+def build_catalog(manifest: DataFrame, probe: DataFrame) -> CatalogTables:
+    """Full pipeline composition → gold release/disc/track tables."""
+    discs = resolve_disc_numbers(classify_dirs(manifest))
+    tracks = parse_tracks(manifest, probe)
+    albums = vote_albums(tracks)
+
+    # attach disc numbers (left join on the directory identity)
+    t_discs = tracks.join(
+        discs.select("circle_dir", "album_dir", "rel_dir", "disc_number", "discs_contiguous"),
+        ["circle_dir", "album_dir", "rel_dir"],
+        "left",
+    ).withColumn("disc_number", F.coalesce("disc_number", F.lit(1)))
+
+    # gap-fill track numbers per disc, basename order
+    numbered = gap_fill_numbers(
+        t_discs.withColumn(
+            "valid_no", F.col("track_no_raw").isNotNull() & (F.col("track_no_raw") > 0)
+        ).withColumn("no_or_zero", F.coalesce("track_no_raw", F.lit(0))),
+        group_cols=["circle_dir", "album_dir", "disc_number"],
+        number_col="no_or_zero",
+        valid_col="valid_no",
+        order_cols=["filename"],
+        out_col="track_number",
+    ).drop("valid_no", "no_or_zero")
+
+    release_id = stable_id("circle_dir", "album_dir")
+    track_rows = numbered.select(
+        stable_id("path").alias("track_id"),
+        release_id.alias("release_id"),
+        "disc_number",
+        "track_number",
+        "title",
+        "artist",
+        "path",
+        "probe_missing",
+        F.col("duration_s"),
+    )
+
+    release_rows = (
+        albums.join(
+            numbered.groupBy("circle_dir", "album_dir").agg(
+                F.countDistinct("disc_number").alias("disc_count"),
+                F.count(F.lit(1)).alias("track_count"),
+                F.bool_or(F.col("probe_missing")).alias("any_probe_missing"),
+                F.bool_and(F.coalesce(F.col("discs_contiguous"), F.lit(True))).alias("discs_ok"),
+            ),
+            ["circle_dir", "album_dir"],
+        )
+        .select(
+            stable_id("circle_dir", "album_dir").alias("release_id"),
+            stable_id("circle_dir").alias("circle_id"),
+            "circle_dir",
+            "album_dir",
+            F.col("album_name"),
+            "release_year",
+            "release_month",
+            "release_day",
+            "catalog_number",
+            "convention",
+            "album_artist",
+            "disc_count",
+            "track_count",
+            F.array_compact(
+                F.array(
+                    F.when(F.col("any_probe_missing"), F.lit("probe_missing")),
+                    F.when(~F.col("discs_ok"), F.lit("discs_not_contiguous")),
+                    F.when(F.col("release_year").isNull(), F.lit("no_release_date")),
+                )
+            ).alias("needs_review_reasons"),
+        )
+    )
+
+    disc_rows = (
+        numbered.groupBy("circle_dir", "album_dir", "disc_number")
+        .agg(F.count(F.lit(1)).alias("track_count"), F.round(F.sum("duration_s"), 3).alias("total_duration_s"))
+        .select(
+            stable_id("circle_dir", "album_dir", "disc_number").alias("disc_id"),
+            stable_id("circle_dir", "album_dir").alias("release_id"),
+            "disc_number",
+            "track_count",
+            "total_duration_s",
+        )
+    )
+
+    return CatalogTables(release=release_rows, disc=disc_rows, track=track_rows)

@@ -116,3 +116,19 @@ def lcp_pairing_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("order "), F.col("o_orderkey"), F.lit(".flac")).alias("name"),
     )
     return lcp_pairing(left, right, "grp", "name", "name").orderBy("grp", "left_name")
+
+
+@query("metadata_catalog_release")
+def metadata_catalog_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full metadata pipeline (SURVEY.md §3.1 lifecycle) end-to-end on
+    the deterministic synthetic manifest: disc classification → filename/
+    probe parse → album majority vote → gap-fill renumber → stable ids →
+    the gold `release` dimension. Rows-only check here; invariants are
+    property-tested in tests/test_metadata_pipeline.py.
+    """
+    from tlmc_etl_spark.pipelines.metadata import build_catalog
+    from tlmc_etl_spark.sources.synthetic import dataframes
+
+    manifest, probe = dataframes(spark, seed=42, n_albums=24)
+    cat = build_catalog(manifest, probe)
+    return cat.release.orderBy("release_id")

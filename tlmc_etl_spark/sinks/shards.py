@@ -1,0 +1,104 @@
+"""Sharded sinks with per-shard resume and the similar_track CSV format.
+
+Reference: similarity results are written as 10k-anchor CSV shards via
+tmp+rename with per-shard resume — a crashed run re-emits only missing
+shards (precompute_similar_tracks.py:244-275); the DB load consumes shards
+with header exactly `anchor_id,neighbor_id,rank,score`
+(SimilarTrackProcessor.cs:62-67).
+
+Spark mapping: a shard is a hash partition of the anchor key; resume =
+skip shard ids already present in the output directory (an anti-join on
+the completed shard list, same contract as streaming/journal.py). Writes
+go through Spark's job-commit protocol, which is the tmp+rename pattern
+per task — readers never observe partial shards.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SIMILAR_TRACK_COLS = ["anchor_id", "neighbor_id", "rank", "score"]
+
+
+def assign_shard(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+    """Deterministic shard id from the anchor key (xxhash64 — stable
+    across executors/runs, the blake2b%N analogue, hls_runner.py:53-66)."""
+    return df.withColumn("shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)))
+
+
+def existing_shards(out_dir: str) -> set[int]:
+    if not os.path.isdir(out_dir):
+        return set()
+    found = set()
+    for name in os.listdir(out_dir):
+        if name.startswith("shard="):
+            try:
+                found.add(int(name.split("=", 1)[1]))
+            except ValueError:
+                continue
+    return found
+
+
+def write_shards_resumable(
+    df: DataFrame, key_col: str, out_dir: str, n_shards: int, fmt: str = "csv"
+) -> list[int]:
+    """Write df as `shard=K/` partitions, skipping shards already present.
+
+    Returns the shard ids written this run. Equivalent semantics to the
+    reference's per-shard resume: a rerun after a partial failure emits
+    only the missing shards. Each shard directory appears atomically
+    (job-commit rename), so 'present' implies 'complete'.
+    """
+    sharded = assign_shard(df, key_col, n_shards)
+    done = existing_shards(out_dir)
+    todo = sorted(set(range(n_shards)) - done)
+    if not todo:
+        return []
+    pending = sharded.filter(F.col("shard").isin([int(s) for s in todo]))
+    writer = pending.repartition("shard").write.partitionBy("shard").mode("append")
+    if fmt == "csv":
+        writer.option("header", True).csv(out_dir)
+    else:
+        writer.parquet(out_dir)
+    return todo
+
+
+def write_similar_track_shards(
+    ranked: DataFrame, out_dir: str, n_shards: int = 16
+) -> list[int]:
+    """similar_track shard sink: columns pinned to the loader contract
+    (anchor_id,neighbor_id,rank,score — SimilarTrackProcessor.cs:62-67),
+    rows ordered (anchor, rank) within each shard."""
+    cols = ranked.select(
+        F.col("anchor").cast("string").alias("anchor_id"),
+        F.col("neighbor").cast("string").alias("neighbor_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.col("score").cast("double").alias("score"),
+    )
+    ordered = cols.sortWithinPartitions("anchor_id", "rank")
+    return write_shards_resumable(ordered, "anchor_id", out_dir, n_shards, fmt="csv")
+
+
+def read_similar_track_shards(spark: SparkSession, out_dir: str) -> DataFrame:
+    return spark.read.option("header", True).csv(out_dir)
+
+
+def atomic_overwrite_parquet(df: DataFrame, out_dir: str) -> None:
+    """All-or-nothing artifact replacement (cue_scanner.py:134-144 tmp +
+    os.replace): write beside, swap, drop old. A reader holding the old
+    path keeps a consistent snapshot; the swap is a directory rename."""
+    tmp = out_dir.rstrip("/") + ".__tmp__"
+    old = out_dir.rstrip("/") + ".__old__"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)
+    df.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(out_dir):
+        os.rename(out_dir, old)
+        os.rename(tmp, out_dir)
+        shutil.rmtree(old)
+    else:
+        os.rename(tmp, out_dir)
