@@ -135,3 +135,23 @@ def test_similarity_is_symmetric_and_bounded():
     a, b = "abc def", "zzz qqq"
     assert similarity(a, b) == similarity(b, a)
     assert 0.0 <= similarity(a, b) < 50.0
+
+
+def test_ivf_ann_recall_vs_exact(spark, sf_dir, embeddings_np):
+    ids, labels, M = embeddings_np
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sim = Mn @ Mn.T
+    np.fill_diagonal(sim, -np.inf)
+    approx = QUERIES["ivf_ann_topk"].fn(spark, sf_dir).collect()
+    by_anchor: dict[int, set[int]] = {}
+    for r in approx:
+        by_anchor.setdefault(r["anchor"], set()).add(r["neighbor"])
+        ai = np.where(ids == r["anchor"])[0][0]
+        ni = np.where(ids == r["neighbor"])[0][0]
+        assert abs(sim[ai, ni] - r["score"]) < 1e-5  # scores are exact cosine
+    recalls = []
+    for ai, anchor in enumerate(ids):
+        exact_top = set(ids[np.argsort(-sim[ai])[:10]].tolist())
+        recalls.append(len(exact_top & by_anchor.get(anchor, set())) / 10.0)
+    # probing 4/16 cells of a clustered space recovers most true neighbors
+    assert np.mean(recalls) > 0.5

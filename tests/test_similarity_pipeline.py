@@ -1,0 +1,106 @@
+"""Two-stage similarity pipeline: differential test against a pure-numpy
+implementation of the same recall→rerank (the reference's GPU-vs-numpy
+gate pattern), plus structural invariants."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.operators.vectors import chamfer_numpy
+from tlmc_etl_spark.pipelines.similarity import (
+    pooled_unit_mean,
+    two_stage_similar_tracks,
+)
+
+N_TRACKS = 50
+K_RECALL = 15
+K_FINAL = 5
+
+
+@pytest.fixture(scope="module")
+def chunked(spark, sf_dir):
+    """Chunked fixture: pseudo-track = vec_id % N_TRACKS, its chunks = the
+    member vectors (ragged, ~10 chunks per track)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    df = emb.select(
+        (F.col("vec_id") % N_TRACKS).alias("track"), "vec_id", F.col("embedding").alias("vec")
+    )
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def numpy_ref(sf_dir):
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    groups: dict[int, list] = {}
+    for vid, v in rows:
+        groups.setdefault(vid % N_TRACKS, []).append((vid, np.array(v, dtype=np.float64)))
+    chunk_sets = {t: np.stack([v for _, v in sorted(g)]) for t, g in groups.items()}
+    pooled = {}
+    for t, M in chunk_sets.items():
+        m = M.mean(axis=0)
+        pooled[t] = m / np.linalg.norm(m)
+    return chunk_sets, pooled
+
+
+@pytest.fixture(scope="module")
+def result(spark, chunked):
+    out = two_stage_similar_tracks(chunked, "track", "vec", K_RECALL, K_FINAL).collect()
+    return out
+
+
+class TestStructure:
+    def test_dense_ranks_per_anchor(self, result):
+        by_anchor: dict[int, list[int]] = {}
+        for r in result:
+            by_anchor.setdefault(r["anchor"], []).append(r["rank"])
+        assert len(by_anchor) == N_TRACKS
+        for ranks in by_anchor.values():
+            assert sorted(ranks) == list(range(1, K_FINAL + 1))
+
+    def test_scores_descend_with_rank(self, result):
+        by_anchor: dict[int, list] = {}
+        for r in result:
+            by_anchor.setdefault(r["anchor"], []).append((r["rank"], r["score"]))
+        for pairs in by_anchor.values():
+            ordered = [s for _, s in sorted(pairs)]
+            assert all(a >= b for a, b in zip(ordered, ordered[1:]))
+
+    def test_no_self_pairs(self, result):
+        assert all(r["anchor"] != r["neighbor"] for r in result)
+
+
+class TestDifferential:
+    def test_pooled_matches_numpy(self, spark, chunked, numpy_ref):
+        _, pooled_ref = numpy_ref
+        got = {r["track"]: np.array(r["pooled"]) for r in pooled_unit_mean(chunked, "track", "vec").collect()}
+        for t, v in pooled_ref.items():
+            assert np.abs(got[t] - v).max() < 1e-9
+
+    def test_rerank_scores_match_numpy(self, result, numpy_ref):
+        chunk_sets, _ = numpy_ref
+        for r in result:
+            ref = chamfer_numpy(chunk_sets[r["anchor"]], chunk_sets[r["neighbor"]])
+            assert abs(r["score"] - ref) < 5e-3  # the reference's gate bound
+
+    def test_top1_agrees_with_full_numpy_two_stage(self, result, numpy_ref):
+        chunk_sets, pooled = numpy_ref
+        ids = sorted(pooled)
+        P = np.stack([pooled[t] for t in ids])
+        top1_engine = {r["anchor"]: r["neighbor"] for r in result if r["rank"] == 1}
+        agree = 0
+        for i, t in enumerate(ids):
+            sims = P @ P[i]
+            order = [ids[j] for j in np.argsort(-sims, kind="stable") if ids[j] != t][:K_RECALL]
+            scored = sorted(
+                ((chamfer_numpy(chunk_sets[t], chunk_sets[c]), -c) for c in order), reverse=True
+            )
+            if top1_engine[t] == -scored[0][1]:
+                agree += 1
+        assert agree >= int(0.9 * len(ids))  # ties at 6dp rounding may flip order

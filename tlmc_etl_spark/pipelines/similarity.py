@@ -1,0 +1,143 @@
+"""Two-stage similarity pipeline: pooled recall → chamfer rerank → ranked
+neighbor table (→ similar_track shards).
+
+This is the reference's similarity lifecycle (SURVEY.md §3.2,
+SIMILARITY-PLAN.md): brute-force late interaction over the full catalog is
+~190 PFLOP ≈ 3 weeks, so a cheap exact-cosine recall stage prunes to K
+candidates per anchor and the expensive chamfer score runs only on those —
+a broadcast-then-refine join plan.
+
+Spark shapes:
+ - pooling: posexplode → groupBy(track, position) mean → renormalize.
+   Reducer state is one running sum per (track, position) — never a
+   gathered matrix.
+ - recall: the pooled matrix is collected and shipped to tasks (at
+   reference scale 164k×1024 fp32 ≈ 640 MB — broadcastable; beyond that,
+   tile anchors or switch to operators/vectors.lsh_topk), candidates
+   stream through mapInPandas, one matmul per Arrow batch.
+ - rerank: chunk sets gathered per track with a hard cap (the reference
+   pads/subsamples at 96 chunks, precompute_similar_tracks.py:84-92 — the
+   cap IS the scale contract), pairs scored in applyInPandas.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.operators.vectors import chamfer_numpy
+
+
+def pooled_unit_mean(chunks: DataFrame, track_col: str, vec_col: str) -> DataFrame:
+    """Per-track mean of chunk vectors, renormalized to unit length
+    (utils/utils.py:114-129). Output: (track, pooled array<double>)."""
+    expanded = chunks.select(
+        F.col(track_col).alias("track"), F.posexplode(vec_col).alias("pos", "x")
+    ).select("track", "pos", F.col("x").cast("double").alias("x"))
+    mean_vec = expanded.groupBy("track", "pos").agg(F.avg("x").alias("m"))
+    gathered = (
+        mean_vec.groupBy("track")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select("track", F.expr("transform(pm, s -> s.m)").alias("pooled"))
+    )
+    return gathered.select("track", _normalized("pooled").alias("pooled"))
+
+
+def _normalized(col: str):
+    norm = F.sqrt(F.aggregate(F.col(col), F.lit(0.0), lambda a, x: a + x * x))
+    return F.transform(F.col(col), lambda x: x / norm)
+
+
+def cosine_recall(pooled: DataFrame, k: int) -> DataFrame:
+    """Exact cosine top-k over the pooled table (tiled matmul; pooled
+    vectors are unit-norm so cosine = dot). Output (anchor, neighbor,
+    recall_score)."""
+    rows = pooled.collect()
+    ids = np.array([r["track"] for r in rows], dtype=np.int64)
+    M = np.array([r["pooled"] for r in rows], dtype=np.float64)
+    spark = pooled.sparkSession
+    bc = spark.sparkContext.broadcast((ids, M))
+
+    def score(batches):
+        c_ids, C = bc.value
+        for pdf in batches:
+            A = np.array(pdf["pooled"].tolist(), dtype=np.float64)
+            a_ids = pdf["track"].to_numpy()
+            sims = A @ C.T
+            for i in range(len(a_ids)):
+                row = sims[i]
+                order = np.argsort(-row, kind="stable")
+                out_n, out_s = [], []
+                for j in order:
+                    if c_ids[j] != a_ids[i]:
+                        out_n.append(c_ids[j])
+                        out_s.append(row[j])
+                    if len(out_n) == k:
+                        break
+                yield pd.DataFrame(
+                    {
+                        "anchor": np.full(len(out_n), a_ids[i]),
+                        "neighbor": np.array(out_n, dtype=np.int64),
+                        "recall_score": np.round(np.array(out_s), 6),
+                    }
+                )
+
+    return pooled.mapInPandas(score, schema="anchor long, neighbor long, recall_score double")
+
+
+def gather_chunks(chunks: DataFrame, track_col: str, vec_col: str, cap: int = 96) -> DataFrame:
+    """(track, chunk matrix as array<array<double>>), capped at `cap`
+    chunks per track in chunk order — the pad/subsample contract."""
+    w = W.partitionBy(track_col).orderBy(F.monotonically_increasing_id())
+    capped = (
+        chunks.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+    return capped.groupBy(F.col(track_col).alias("track")).agg(
+        F.collect_list(F.col(vec_col).cast("array<double>")).alias("chunk_set")
+    )
+
+
+def chamfer_rerank(recall: DataFrame, chunk_sets: DataFrame, k_final: int) -> DataFrame:
+    """Score recall pairs with symmetric chamfer over chunk sets, keep the
+    per-anchor top k_final with dense 1-based ranks."""
+    a_side = chunk_sets.select(F.col("track").alias("anchor"), F.col("chunk_set").alias("ca"))
+    b_side = chunk_sets.select(F.col("track").alias("neighbor"), F.col("chunk_set").alias("cb"))
+    pairs = recall.join(a_side, "anchor").join(b_side, "neighbor")
+
+    def score(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in row["ca"]])
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in row["cb"]])
+                out.append((row["anchor"], row["neighbor"], round(chamfer_numpy(A, B), 6)))
+            yield pd.DataFrame(out, columns=["anchor", "neighbor", "score"])
+
+    scored = pairs.mapInPandas(score, schema="anchor long, neighbor long, score double")
+    w = W.partitionBy("anchor").orderBy(F.col("score").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_final)
+        .select("anchor", "neighbor", "rank", "score")
+    )
+
+
+def two_stage_similar_tracks(
+    chunks: DataFrame,
+    track_col: str,
+    vec_col: str,
+    k_recall: int = 20,
+    k_final: int = 5,
+    chunk_cap: int = 96,
+) -> DataFrame:
+    """recall→rerank composition; output feeds
+    sinks/shards.write_similar_track_shards unchanged."""
+    pooled = pooled_unit_mean(chunks, track_col, vec_col)
+    recall = cosine_recall(pooled, k_recall)
+    sets = gather_chunks(chunks, track_col, vec_col, chunk_cap)
+    return chamfer_rerank(recall, sets, k_final)

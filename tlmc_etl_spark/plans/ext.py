@@ -132,3 +132,31 @@ def metadata_catalog_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest, probe = dataframes(spark, seed=42, n_albums=24)
     cat = build_catalog(manifest, probe)
     return cat.release.orderBy("release_id")
+
+
+@query("ivf_ann_topk")
+def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 cosine neighbors (k-means coarse quantizer,
+    4-cell probe) — the faiss-IVF shape reduced to Spark-native joins
+    (faiss_index_builder.py:10-23)."""
+    from tlmc_etl_spark.operators.vectors import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, "vec_id", "embedding", k=10, n_centroids=16, n_probe=4).orderBy(
+        "anchor", "rank"
+    )
+
+
+@query("two_stage_similarity")
+def two_stage_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full recall→rerank similarity pipeline (SURVEY.md §3.2):
+    pseudo-tracks = vec_id % 50 with member vectors as chunks; pooled
+    cosine recall K=15, chamfer rerank to top-5 — differentially tested in
+    tests/test_similarity_pipeline.py."""
+    from tlmc_etl_spark.pipelines.similarity import two_stage_similar_tracks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    chunks = emb.select((F.col("vec_id") % 50).alias("track"), F.col("embedding").alias("vec"))
+    return two_stage_similar_tracks(chunks, "track", "vec", k_recall=15, k_final=5).orderBy(
+        "anchor", "rank"
+    )
