@@ -60,7 +60,9 @@ def decode_payload(kind: str, payload: bytes) -> np.ndarray:
             "plug a real decoder into decode_payload()"
         )
     digest = hashlib.sha256(payload or b"").digest()
-    raw = np.frombuffer(digest[:FEATURE_DIM * 2], dtype=np.uint16).astype(np.float64)
+    # '<u2' pins little-endian so the feature is platform-independent (and
+    # reproducible by the SQL oracle's byte arithmetic).
+    raw = np.frombuffer(digest[: FEATURE_DIM * 2], dtype="<u2").astype(np.float64)
     v = raw - raw.mean()
     n = np.linalg.norm(v)
     return v / n if n > 0 else v

@@ -1,6 +1,14 @@
 """Query catalog. Importing this package registers every plan."""
 
-from tlmc_etl_spark.plans import ext, incremental, relational, relational2, text, vectors  # noqa: F401
+from tlmc_etl_spark.plans import (  # noqa: F401
+    ext,
+    incremental,
+    multimodal,
+    relational,
+    relational2,
+    text,
+    vectors,
+)
 from tlmc_etl_spark.plans.registry import QUERIES, all_oracles, all_queries
 
 __all__ = ["QUERIES", "all_queries", "all_oracles"]

@@ -166,6 +166,66 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_near_dup",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS s
+  FROM e a JOIN e b ON a.vec_id < b.vec_id
+)
+SELECT keep_id, dup_id, round(s, 6) AS score
+FROM pairs WHERE s >= 0.35
+""",
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: all (a<b) pairs whose cosine
+    clears the threshold; `keep_id` is the lower id (the dedup winner rule).
+
+    The training-data near-dup primitive: exact all-pairs over a broadcast
+    matrix, one numpy matmul per Arrow batch — candidates never shuffle, and
+    only above-threshold pairs (a sparse result) leave the task. At 100 TB
+    the same operator runs after an LSH/IVF candidate generator
+    (minhash_lsh_dedup / ivf_ann_topk) instead of the dense cross product;
+    the scoring kernel is unchanged. Threshold boundary is 2.9e-5 away from
+    the nearest pair at sf0.01, far above float fold-order noise.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    nrm = np.sqrt((M * M).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ids, M, nrm))
+
+    def near_pairs(batches):
+        c_ids, C, c_nrm = bc.value
+        for pdf in batches:
+            A = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            a_nrm = np.sqrt((A * A).sum(axis=1))
+            a_ids = pdf["vec_id"].to_numpy()
+            sims = (A @ C.T) / (a_nrm[:, None] * c_nrm[None, :])
+            ai, ci = np.nonzero((sims >= 0.35) & (a_ids[:, None] < c_ids[None, :]))
+            yield pd.DataFrame(
+                {
+                    "keep_id": a_ids[ai],
+                    "dup_id": c_ids[ci],
+                    "score": np.round(sims[ai, ci], 6),
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        near_pairs, schema="keep_id long, dup_id long, score double"
+    )
+
+
+@query(
     "label_centroid_similarity",
     oracle="""
 WITH expanded AS (
