@@ -527,38 +527,64 @@ def gap_fill_numbering(spark: SparkSession, sf_dir: str) -> DataFrame:
     collision-proof by construction (info_scanner_ph3.py:42-84). Here
     'invalid' is simulated as l_quantity < 10.
 
-    Spark shape: the candidate pool is generated per group with
-    `sequence+explode` (bounded by max_valid+n_total so it always contains
-    enough free slots), free slots found by anti-join, and k-th invalid row
-    matched to k-th free slot by row_number — fully distributed, no UDF.
+    Spark shape: ONE shuffle (groupBy orderkey, partial-agg combined), then
+    the whole gap-fill runs inside JVM higher-order array expressions per
+    group — `sequence` builds a candidate pool bounded by max_valid+n_total,
+    `array_except` (order-preserving) yields free slots, `array_sort` orders
+    the needy rows, indexed `transform` zips k-th needy row with k-th free
+    slot — no windows, no joins, no UDFs. Groups are disc-sized (≤ tens of
+    rows), so per-group arrays are trivially small at any corpus scale.
     """
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
-    base = li.withColumn("is_valid", F.col("l_quantity") >= 10)
-    valid = base.filter("is_valid").select(
-        "l_orderkey", "l_partkey", "l_linenumber", F.col("l_linenumber").alias("track_number")
+    base = li.select(
+        "l_orderkey",
+        F.struct("l_partkey", "l_linenumber", (F.col("l_quantity") >= 10).alias("is_valid")).alias("row"),
     )
-    w_need = W.partitionBy("l_orderkey").orderBy("l_partkey", "l_linenumber")
-    invalid_ranked = (
-        base.filter(~F.col("is_valid"))
-        .withColumn("need_rank", F.row_number().over(w_need))
-        .select("l_orderkey", "l_partkey", "l_linenumber", "need_rank")
+    grouped = base.groupBy("l_orderkey").agg(F.collect_list("row").alias("rows"))
+    cmp_rows = (
+        # struct comparison orders by (l_partkey, l_linenumber) — basename order
+        lambda a, b: F.when(a["l_partkey"] < b["l_partkey"], -1)
+        .when(a["l_partkey"] > b["l_partkey"], 1)
+        .when(a["l_linenumber"] < b["l_linenumber"], -1)
+        .when(a["l_linenumber"] > b["l_linenumber"], 1)
+        .otherwise(0)
     )
-    bounds = base.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.max(F.when(F.col("is_valid"), F.col("l_linenumber")).otherwise(0)).alias("max_valid"),
+    assembled = (
+        grouped.withColumn("valid", F.filter("rows", lambda r: r["is_valid"]))
+        .withColumn("taken", F.transform("valid", lambda r: r["l_linenumber"]))
+        .withColumn("needy", F.array_sort(F.filter("rows", lambda r: ~r["is_valid"]), cmp_rows))
+        .withColumn(
+            "free",
+            F.array_except(
+                F.sequence(F.lit(1), F.size("rows") + F.coalesce(F.array_max("taken"), F.lit(0))),
+                F.col("taken"),
+            ),
+        )
+        .withColumn(
+            "out",
+            F.concat(
+                F.transform(
+                    "valid",
+                    lambda r: F.struct(
+                        r["l_partkey"].alias("l_partkey"),
+                        r["l_linenumber"].alias("l_linenumber"),
+                        r["l_linenumber"].cast("long").alias("track_number"),
+                    ),
+                ),
+                F.transform(
+                    "needy",
+                    lambda r, i: F.struct(
+                        r["l_partkey"].alias("l_partkey"),
+                        r["l_linenumber"].alias("l_linenumber"),
+                        F.get("free", i).cast("long").alias("track_number"),
+                    ),
+                ),
+            ),
+        )
     )
-    pool = bounds.select(
-        "l_orderkey", F.explode(F.sequence(F.lit(1), F.col("max_valid") + F.col("n_total"))).alias("cand")
+    return assembled.select("l_orderkey", F.explode("out").alias("r")).select(
+        "l_orderkey", F.col("r.l_partkey"), F.col("r.l_linenumber"), F.col("r.track_number")
     )
-    free = pool.join(
-        valid.select("l_orderkey", F.col("track_number").alias("cand")),
-        ["l_orderkey", "cand"],
-        "left_anti",
-    ).withColumn("need_rank", F.row_number().over(W.partitionBy("l_orderkey").orderBy("cand")))
-    filled = invalid_ranked.join(free, ["l_orderkey", "need_rank"]).select(
-        "l_orderkey", "l_partkey", "l_linenumber", F.col("cand").alias("track_number")
-    )
-    return valid.unionByName(filled)
 
 
 # --------------------------------------------------------------------------
