@@ -415,3 +415,114 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
     )
+
+
+@query(
+    "stem_collision_rename",
+    oracle="""
+WITH stems AS (
+  SELECT p_partkey, split_part(p_name, ' ', 2) AS stem, p_type,
+         count(*) OVER (PARTITION BY split_part(p_name, ' ', 2)) AS n_stem
+  FROM part
+)
+SELECT p_partkey, stem, n_stem,
+       CASE WHEN n_stem > 1 THEN stem || ' [' || p_type || ']' ELSE stem END AS out_dir
+FROM stems
+""",
+)
+def stem_collision_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-path collision dedup: same-stem outputs get a
+    discriminator-suffixed directory.
+
+    Reference: 204 `x.flac`/`x.mp3` same-stem pairs get ` [ext]`-suffixed
+    HLS dirs, detected by a count over the stem (hls_assignment.py:213-246).
+    Window count + conditional rename — no shuffle beyond the one window
+    exchange, and the rename is a pure projection.
+    """
+    part = load_table(spark, sf_dir, "part")
+    stems = part.select(
+        "p_partkey",
+        F.split("p_name", " ").getItem(1).alias("stem"),
+        "p_type",
+    ).withColumn("n_stem", F.count(F.lit(1)).over(W.partitionBy("stem")))
+    return stems.select(
+        "p_partkey",
+        "stem",
+        "n_stem",
+        F.when(
+            F.col("n_stem") > 1, F.concat(F.col("stem"), F.lit(" ["), F.col("p_type"), F.lit("]"))
+        )
+        .otherwise(F.col("stem"))
+        .alias("out_dir"),
+    )
+
+
+@query(
+    "hls_ladder_worklist",
+    oracle="""
+WITH tracks AS (
+  SELECT o_orderkey, 'tracks/' || o_orderkey || '.flac' AS src,
+         round(least(least(-14.0 - (-1 * o_totalprice / 10000.0), -1.0), 12.0), 4) AS gain_db
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderkey, t.ord AS ordinal, t.br AS bitrate_k, src, gain_db,
+       'media/' || o_orderkey || '/' || t.br || 'k.m4s' AS dst,
+       'ffmpeg -i ' || src || ' -af volume=' || gain_db || 'dB -b:a ' || t.br || 'k '
+         || 'media/' || o_orderkey || '/' || t.br || 'k.m4s' AS cmd
+FROM tracks, LATERAL (SELECT unnest([128, 192, 256, 320]) AS br,
+                             unnest([0, 1, 2, 3]) AS ord) t
+""",
+)
+def hls_ladder_worklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transcode-worklist synthesis: per track × 4-rung bitrate ladder →
+    ordinal, destination path, gain-corrected command string.
+
+    Reference: the HLS assignment stage synthesizes one ffmpeg command per
+    track covering all 4 rungs with the measured gain folded in
+    (hls_assignment.py:109-169); ordinals ride posexplode
+    (AlbumTrackMetadataProcessor.cs:126-139). Pure projection + posexplode —
+    embarrassingly parallel at any scale, no shuffle at all.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    tracks = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        "o_orderkey",
+        F.concat(F.lit("tracks/"), F.col("o_orderkey"), F.lit(".flac")).alias("src"),
+        F.round(
+            F.least(
+                F.least(
+                    F.lit(-14.0) - (F.col("o_totalprice") * -1 / 10000.0), F.lit(-1.0)
+                ),
+                F.lit(12.0),
+            ),
+            4,
+        ).alias("gain_db"),
+    )
+    ladder = tracks.select(
+        "o_orderkey",
+        "src",
+        "gain_db",
+        F.posexplode(F.array(F.lit(128), F.lit(192), F.lit(256), F.lit(320))).alias(
+            "ordinal", "bitrate_k"
+        ),
+    )
+    dst = F.concat(
+        F.lit("media/"), F.col("o_orderkey"), F.lit("/"), F.col("bitrate_k"), F.lit("k.m4s")
+    )
+    return ladder.select(
+        "o_orderkey",
+        "ordinal",
+        "bitrate_k",
+        "src",
+        "gain_db",
+        dst.alias("dst"),
+        F.concat(
+            F.lit("ffmpeg -i "),
+            F.col("src"),
+            F.lit(" -af volume="),
+            F.col("gain_db"),
+            F.lit("dB -b:a "),
+            F.col("bitrate_k"),
+            F.lit("k "),
+            dst,
+        ).alias("cmd"),
+    )

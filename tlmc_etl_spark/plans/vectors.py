@@ -271,3 +271,51 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "label_a", "label_b", F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("centroid_cosine")
     )
+
+
+@query(
+    "kde_bandwidth_calibration",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), pairs AS (
+  SELECT a.label,
+         1.0 - list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
+             / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS d
+  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT label, count(*) AS n_pairs,
+       round(median(d), 6) AS median_dist,
+       round(1.0 / median(d), 6) AS gamma
+FROM pairs GROUP BY label
+""",
+)
+def kde_bandwidth_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RBF bandwidth calibration: γ = 1 / median pairwise cosine distance,
+    per group — over member pairs, not global pairs.
+
+    Reference: the KDE group-similarity score calibrates its kernel width
+    from the median cosine distance of anchor-vs-own-candidate member pairs
+    (precompute_similar_groups.py:156-194) because a global median would
+    over-smooth. Exact `median` (Spark 3.4+) matches DuckDB's interpolated
+    median; the pair join shuffles on the group key only, and per-group pair
+    counts are quadratic in member count — at scale, sample members per
+    group before pairing (the reference subsamples at 96 the same way).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))).select(
+        "label",
+        (
+            F.lit(1.0)
+            - _dot("va", "vb") / (_l2_norm("va") * _l2_norm("vb"))
+        ).alias("d"),
+    )
+    return pairs.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.median("d"), 6).alias("median_dist"),
+        F.round(F.lit(1.0) / F.median("d"), 6).alias("gamma"),
+    )
