@@ -119,3 +119,68 @@ class TestStructuredStreaming:
             F.col("n_batch").isNull() | (F.col("n_events") != F.col("n_batch"))
         )
         assert mismatched.count() == 0
+
+
+class TestStatefulOperator:
+    """applyInPandasWithState: keyed state must accumulate across
+    micro-batches and survive a query restart (checkpoint-backed), ending
+    equal to the batch groupBy over the full input."""
+
+    def _write_chunk(self, rows, path, name):
+        TestStructuredStreaming._write_chunk(self, rows, path, name)
+
+    def test_state_survives_restart_and_matches_batch(self, spark, sf_dir, tmp_path):
+        from tlmc_etl_spark.streaming.stateful import track_progress_state
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT event_id, ts, user_id, event_type, value FROM '{sf_dir}/events.parquet' ORDER BY ts"
+        ).fetchall()
+        cut = len(rows) // 2
+        in_dir, out_dir, cp = (str(tmp_path / d) for d in ("in", "out", "cp"))
+
+        for i, chunk in enumerate((rows[:cut], rows[cut:])):
+            self._write_chunk(chunk, in_dir, f"chunk{i}.jsonl")
+            stream = track_progress_state(read_event_stream(spark, in_dir))
+            (
+                stream.writeStream.format("parquet")
+                .outputMode("append")
+                .option("path", out_dir)
+                .option("checkpointLocation", cp)
+                .trigger(availableNow=True)
+                .start()
+                .awaitTermination()
+            )
+
+        from pyspark.sql import Window
+
+        got = spark.read.parquet(out_dir)
+        # last emitted row per user = final state; must equal batch totals
+        latest = (
+            got.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+                ),
+            )
+            .filter("rn = 1")
+            .select("user_id", "n_events", "total_value", "status")
+        )
+        batch = (
+            spark.createDataFrame(
+                [(r[2], r[4]) for r in rows], "user_id long, value double"
+            )
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_batch"), F.round(F.sum("value"), 4).alias("v_batch"))
+        )
+        j = latest.join(batch, "user_id", "full")
+        bad = j.filter(
+            F.col("n_events").isNull()
+            | F.col("n_batch").isNull()
+            | (F.col("n_events") != F.col("n_batch"))
+            | (F.abs(F.col("total_value") - F.col("v_batch")) > 1e-6)
+        )
+        assert bad.count() == 0
+        # status law: DONE iff n_events >= 50
+        assert latest.filter((F.col("n_events") >= 50) & (F.col("status") != "DONE")).count() == 0
+        assert latest.filter((F.col("n_events") < 50) & (F.col("status") != "PENDING")).count() == 0
