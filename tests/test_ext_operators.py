@@ -155,3 +155,26 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir, embeddings_np):
         recalls.append(len(exact_top & by_anchor.get(anchor, set())) / 10.0)
     # probing 4/16 cells of a clustered space recovers most true neighbors
     assert np.mean(recalls) > 0.5
+
+
+class TestTokenSetMatch:
+    def test_reorder_invariance_and_bounds(self):
+        from tlmc_etl_spark.operators.fuzzy import token_set_ratio
+
+        assert token_set_ratio("small ring", "ring small") == 100.0
+        assert token_set_ratio("Red Widget", "widget red") == 100.0
+        assert token_set_ratio("abc", "abc") == 100.0
+        a, b = "blue bolt", "green gear"
+        assert token_set_ratio(a, b) == token_set_ratio(b, a)
+        assert 0.0 <= token_set_ratio(a, b) < 90.0
+
+    def test_query_matches_reversed_names_exactly(self, spark, sf_dir):
+        got = QUERIES["token_set_match"].fn(spark, sf_dir).collect()
+        assert len(got) > 0
+        for r in got:
+            # every reversed name must match its own part at score 100
+            if r["left_id"] == r["right_id"]:
+                assert r["score"] == 100.0
+        # each left id appears at most once (first-above-threshold contract)
+        ids = [r["left_id"] for r in got]
+        assert len(ids) == len(set(ids))

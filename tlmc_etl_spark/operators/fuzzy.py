@@ -105,3 +105,68 @@ def hungarian_match_join(
         "grp long, left_id string, right_id string, score double, group_total double, accepted boolean"
     )
     return both.groupBy("grp").applyInPandas(solve, schema=out_schema)
+
+
+def tokens(s: str) -> list[str]:
+    """Normalized token multiset-as-set for token-set matching."""
+    norm = unicodedata.normalize("NFKC", s).lower()
+    return sorted({t for t in "".join(ch if ch.isalnum() else " " for ch in norm).split() if t})
+
+
+def token_set_ratio(a: str, b: str) -> float:
+    """Order-insensitive token-set similarity in [0,100].
+
+    The fuzz.token_set_ratio shape (ThdbAlbumScraper/thdb_album_scraper.py:17-21
+    matches album names at > 90): compare sorted-token intersection against
+    each side's full sorted-token string and the two full strings against
+    each other; the max forgives word reorders and one-sided extra tokens.
+    Implemented on stdlib difflib so the engine carries no fuzz dependency.
+    """
+    ta, tb = set(tokens(a)), set(tokens(b))
+    inter = " ".join(sorted(ta & tb))
+    full_a = " ".join(sorted(ta))
+    full_b = " ".join(sorted(tb))
+    cands = []
+    for x, y in ((inter, full_a), (inter, full_b), (full_a, full_b)):
+        if x or y:
+            cands.append(SequenceMatcher(None, x, y).ratio())
+    return 100.0 * (max(cands) if cands else 1.0)
+
+
+def token_set_match_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    left_name: str,
+    right_id: str,
+    right_name: str,
+    threshold: float = 90.0,
+) -> DataFrame:
+    """First-above-threshold fuzzy name match, blocked to stay scalable.
+
+    Candidate generation is an equi-join on a cheap blocking key (any shared
+    normalized token) — at 100 TB this is the difference between |L|×|R| and
+    Σ per-token bucket products, the same pruning idea as LSH banding. The
+    expensive ratio runs only on blocked candidates; winners are the
+    lowest-id match above threshold per left row (deterministic).
+    """
+    from pyspark.sql import Window as W
+
+    tok_udf = F.udf(tokens, "array<string>")
+    ratio_udf = F.udf(token_set_ratio, "double")
+    l = left.select(
+        F.col(left_id).alias("left_id"), F.col(left_name).alias("left_name")
+    ).withColumn("tok", F.explode(tok_udf("left_name")))
+    r = right.select(
+        F.col(right_id).alias("right_id"), F.col(right_name).alias("right_name")
+    ).withColumn("tok", F.explode(tok_udf("right_name")))
+    cands = l.join(r, "tok").drop("tok").dropDuplicates(["left_id", "right_id"])
+    scored = cands.withColumn("score", F.round(ratio_udf("left_name", "right_name"), 4)).filter(
+        F.col("score") > threshold
+    )
+    w = W.partitionBy("left_id").orderBy(F.col("score").desc(), F.col("right_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("left_id", "left_name", "right_id", "right_name", "score")
+    )

@@ -160,3 +160,24 @@ def two_stage_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_stage_similar_tracks(chunks, "track", "vec", k_recall=15, k_final=5).orderBy(
         "anchor", "rank"
     )
+
+
+@query("token_set_match")
+def token_set_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set fuzzy match (fuzz.token_set_ratio > 90 analogue,
+    thdb_album_scraper.py:17-21): word-reordered part names matched back to
+    the catalog through a token-blocked candidate join — order-insensitive
+    similarity finds them at score 100 without a dense cross product."""
+    from tlmc_etl_spark.operators.fuzzy import token_set_match_join
+
+    part = load_table(spark, sf_dir, "part")
+    # alternate-source spellings: words reversed, a deterministic sample
+    alt = part.filter(F.col("p_partkey") % 7 == 0).select(
+        F.col("p_partkey").alias("alt_key"),
+        F.concat(
+            F.split("p_name", " ").getItem(1), F.lit(" "), F.split("p_name", " ").getItem(0)
+        ).alias("alt_name"),
+    )
+    return token_set_match_join(
+        alt, part, "alt_key", "alt_name", "p_partkey", "p_name", threshold=90.0
+    ).orderBy("left_id", "right_id")
