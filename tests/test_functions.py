@@ -95,3 +95,73 @@ class TestParseTrackFilename:
         assert good["title"] == "Wonder Story"
         assert good["ext"] == "flac"
         assert bad["track_no"] is None and bad["artist"] is None
+
+
+class TestCueParser:
+    CUE = '''REM GENRE Doujin
+TITLE "Album Title"
+PERFORMER "Circle Name"
+FILE "CDImage.flac" WAVE
+  TRACK 01 AUDIO
+    TITLE "Opening"
+    INDEX 01 00:00:00
+  TRACK 02 AUDIO
+    TITLE "Second Song"
+    PERFORMER "Guest"
+    INDEX 00 03:40:00
+    INDEX 01 03:42:50
+  TRACK 03 AUDIO
+    INDEX 01 07:00:74
+'''
+
+    def test_parse_cue_rows(self):
+        from tlmc_etl_spark.functions.media import parse_cue
+
+        rows = parse_cue(self.CUE)
+        assert [r["track_number"] for r in rows] == [1, 2, 3]
+        assert rows[0]["file_path"] == "CDImage.flac"
+        assert rows[0]["title"] == "Opening"
+        assert rows[0]["performer"] == "Circle Name"  # inherited
+        assert rows[1]["performer"] == "Guest"  # overridden
+        assert rows[2]["title"] == "Album Title"  # sheet fallback
+        # INDEX 01 only; 03:42:50 = (3*60+42)*75+50 frames
+        assert rows[1]["index01_frames"] == (3 * 60 + 42) * 75 + 50
+        assert rows[1]["start_seconds"] == round(rows[1]["index01_frames"] / 75.0, 6)
+        assert rows[2]["index01_frames"] == (7 * 60) * 75 + 74
+
+    def test_parse_cue_degenerate(self):
+        from tlmc_etl_spark.functions.media import parse_cue
+
+        assert parse_cue(None) == []
+        assert parse_cue("") == []
+        assert parse_cue("garbage\nlines\n") == []
+
+    def test_cue_udf_explodes_to_tracks(self, spark):
+        from pyspark.sql import functions as F
+
+        from tlmc_etl_spark.functions.media import cue_tracks_udf
+
+        df = spark.createDataFrame([("a1", self.CUE), ("a2", None)], "album string, cue string")
+        out = (
+            df.select("album", F.explode(cue_tracks_udf()("cue")).alias("t"))
+            .select("album", "t.track_number", "t.start_seconds")
+            .collect()
+        )
+        assert len(out) == 3 and all(r["album"] == "a1" for r in out)
+
+
+class TestStreaminfoFastPath:
+    def test_duration_roundtrip(self):
+        from tlmc_etl_spark.functions.media import make_flac_header, streaminfo_duration
+
+        hdr = make_flac_header(44100, 44100 * 225)
+        assert streaminfo_duration(hdr) == 225.0
+        hdr2 = make_flac_header(48000, 48000 * 61 + 24000)
+        assert streaminfo_duration(hdr2) == 61.5
+
+    def test_non_flac_falls_through(self):
+        from tlmc_etl_spark.functions.media import streaminfo_duration
+
+        assert streaminfo_duration(None) is None
+        assert streaminfo_duration(b"ID3\x04" + bytes(100)) is None
+        assert streaminfo_duration(b"fLa") is None

@@ -8,6 +8,7 @@ strategy the reference uses for its GPU kernels (SURVEY.md §5.2).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tlmc_etl_spark.operators.dedup import minhash_near_dupes, simhash_near_dupes
@@ -181,3 +182,74 @@ def token_set_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_set_match_join(
         alt, part, "alt_key", "alt_name", "p_partkey", "p_name", threshold=90.0
     ).orderBy("left_id", "right_id")
+
+
+@query(
+    "cue_split_plan",
+    oracle="""
+WITH tracks AS (
+  SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS dur_s,
+         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS track_number,
+         CAST(coalesce(sum(CAST(l_quantity AS INTEGER))
+                 OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_s
+  FROM lineitem WHERE l_orderkey % 50 = 0
+)
+SELECT l_orderkey, track_number, 'Track ' || l_linenumber AS title,
+       round(start_s * 1.0, 6) AS start_seconds
+FROM tracks
+""",
+)
+def cue_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cue-sheet round-trip: synthesize a cue document per order (tracks =
+    lineitems, durations = quantities), parse it back with the pure-Python
+    cue parser (functions/media.py — the CueSharp.cs:203-262 replacement),
+    explode to track rows.
+
+    The oracle computes the same rows relationally (window prefix-sum),
+    so the parser's TRACK/INDEX/timing arithmetic is value-checked against
+    ground truth that never went through the text format. The parse is one
+    UDF call per document batched by Arrow — at scale, cue files are tiny
+    text blobs riding the manifest table.
+    """
+    from tlmc_etl_spark.functions.media import cue_tracks_udf
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 50 == 0)
+        .select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("int").alias("dur_s"))
+    )
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    timed = li.withColumn(
+        "start_s", F.coalesce(F.sum("dur_s").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0))
+    )
+    frames = F.col("start_s") * 75
+    block = F.concat(
+        F.lit("  TRACK "),
+        F.lpad((F.row_number().over(w)).cast("string"), 2, "0"),
+        F.lit(" AUDIO\n    TITLE \"Track "),
+        F.col("l_linenumber"),
+        F.lit("\"\n    INDEX 01 "),
+        F.lpad((frames / (75 * 60)).cast("int").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad(((frames / 75) % 60).cast("int").cast("string"), 2, "0"),
+        F.lit(":"),
+        F.lpad((frames % 75).cast("string"), 2, "0"),
+    )
+    # collect_list order is nondeterministic pre-shuffle → sort blocks first
+    docs = timed.withColumn("blk", block).groupBy("l_orderkey").agg(
+        F.concat(
+            F.lit('FILE "CDImage.flac" WAVE\n'),
+            F.array_join(
+                F.expr("transform(array_sort(collect_list(struct(l_linenumber, blk))), s -> s.blk)"),
+                "\n",
+            ),
+        ).alias("cue")
+    )
+    parsed = docs.select("l_orderkey", F.explode(cue_tracks_udf()("cue")).alias("t"))
+    return parsed.select(
+        "l_orderkey",
+        F.col("t.track_number").alias("track_number"),
+        F.col("t.title").alias("title"),
+        F.round(F.col("t.start_seconds"), 6).alias("start_seconds"),
+    )
