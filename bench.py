@@ -17,6 +17,7 @@ from tlmc_etl_spark.plans import QUERIES
 from tlmc_etl_spark.session import get_spark
 
 HEADLINE = [
+    # §2.11 relational core
     "pricing_summary",
     "mode_vote",
     "three_way_enrich",
@@ -25,9 +26,17 @@ HEADLINE = [
     "dedup_keep_winner",
     "delta_detect",
     "sessionize_events",
-    "doc_exact_dedup",
-    "cosine_topk",
     "rank_merge_full_outer",
+    "hls_ladder_worklist",
+    # training-data pipeline ops
+    "doc_exact_dedup",
+    "minhash_lsh_dedup",
+    "embedding_near_dup",
+    "multimodal_features",
+    # similarity pipeline
+    "cosine_topk",
+    "two_stage_similarity",
+    "kde_bandwidth_calibration",
 ]
 
 

@@ -36,16 +36,45 @@ def word_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     ).distinct()
 
 
-def minhash_signatures(shingles: DataFrame, id_col: str, n_hashes: int = 64) -> DataFrame:
+def word_bigram_hashes(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Word-bigram shingles per document as 64-bit hashes (id, sh).
+
+    The cheap-shingle path behind MinHash: each word hashes once, a bigram
+    hash is xxhash64 over the two word hashes — no bigram string is ever
+    materialized, and rows stay (id, long). No distinct either: min-hash
+    aggregation is idempotent under duplicate shingles, so deduplicating
+    here would only add a full shuffle of the shingle set.
+    """
+    ws = df.select(
+        id_col,
+        F.expr(f"transform(split({text_col}, ' '), w -> xxhash64(w))").alias("hs"),
+    ).filter(F.size("hs") >= 2)
+    return ws.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(hs) - 1),"
+                " i -> xxhash64(element_at(hs, i), element_at(hs, i + 1)))"
+            )
+        ).alias("sh"),
+    )
+
+
+def minhash_signatures(
+    shingles: DataFrame, id_col: str, n_hashes: int = 64, shingle_col: str = "sh"
+) -> DataFrame:
     """One row per id with `sig` array<long> of n_hashes min-hashes.
 
     Each permutation h_i is xxhash64 seeded by the permutation index —
     deterministic cluster-wide (SURVEY.md §4: deterministic routing). The
-    group state is n_hashes running minima: map-side combinable, O(1) per
-    shingle, so this is one scan + one small shuffle at any corpus size.
+    permutations hash the 8-byte shingle hash, not the shingle text, so
+    each input row costs n_hashes fixed-width hashes. The group state is
+    n_hashes running minima: map-side combinable, O(1) per shingle, so
+    this is one scan + one small shuffle at any corpus size.
     """
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("shingle"))).alias(f"h{i}") for i in range(n_hashes)
+        F.min(F.xxhash64(F.lit(i), F.col(shingle_col))).alias(f"h{i}")
+        for i in range(n_hashes)
     ]
     sigs = shingles.groupBy(id_col).agg(*mins)
     return sigs.select(id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
@@ -113,8 +142,12 @@ def minhash_near_dupes(
     generation, then scoring only candidates.
     """
     rows = n_hashes // n_bands
-    sh = word_bigrams(df, id_col, text_col)
-    sigs = minhash_signatures(sh, id_col, n_hashes)
+    sh = word_bigram_hashes(df, id_col, text_col)
+    # Signatures feed both the band self-join and the estimate join (four
+    # scans of the same tiny table: n_docs × n_hashes longs). Persist so
+    # the shingle scan + min-aggregation runs once; at cluster scale this
+    # is the table you'd checkpoint to storage between the two stages.
+    sigs = minhash_signatures(sh, id_col, n_hashes).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands, rows)
     est = minhash_estimate(sigs, pairs, id_col)
     return est.filter(F.col("est_jaccard") >= threshold)
@@ -124,19 +157,19 @@ def simhash_fingerprints(df: DataFrame, id_col: str, text_col: str, bits: int = 
     """SimHash fingerprint per document from term-frequency-weighted word
     hashes; returns (id, simhash bigint).
 
-    Each word hashes once (xxhash64); each bit contributes +tf when set,
-    −tf when clear; fingerprint bit = sign of the sum. The per-bit sums are
-    64 map-side-combinable aggregates — one scan, one tiny shuffle.
+    Each word occurrence hashes once (xxhash64) and contributes ±1 per
+    bit; summing per occurrence IS the tf weighting, so no intermediate
+    (id, word) tf aggregation — one scan, one shuffle, 64 map-side-
+    combinable sums.
     """
     words = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
     ).filter(F.col("w") != "")
-    tf = words.groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("tf"))
-    hashed = tf.withColumn("h", F.xxhash64("w"))
+    hashed = words.select(id_col, F.xxhash64("w").alias("h"))
     bit_sums = [
         F.sum(
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf")).otherwise(
-                -F.col("tf")
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
             )
         ).alias(f"b{i}")
         for i in range(bits)
@@ -158,8 +191,15 @@ def simhash_near_dupes(
     candidate join is an equi-join on (chunk_idx, chunk_value). Wider radii
     trade recall; exact hamming is then computed on candidates only via
     bit_count(xor).
+
+    A pair sharing k chunks would surface k times; instead of a distinct
+    shuffle over the candidate set, each pair is kept only from its FIRST
+    matching chunk — a pure filter (both fingerprints are in the joined
+    row), so candidate dedup costs zero shuffle.
     """
-    fps = simhash_fingerprints(df, id_col, text_col)
+    # Both sides of the chunk self-join read the fingerprints (n_docs × 1
+    # long) — persist so the word scan + 64 bit-sum aggregates run once.
+    fps = simhash_fingerprints(df, id_col, text_col).persist()
     chunks = fps.select(
         F.col(id_col),
         "simhash",
@@ -171,11 +211,15 @@ def simhash_near_dupes(
     )
     a = chunks.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "chunk_idx", "chunk_val")
     b = chunks.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "chunk_idx", "chunk_val")
+    first_match = F.expr(
+        "array_position(transform(sequence(0, 3),"
+        " c -> (shiftright(sh_a, c * 16) & 65535) = (shiftright(sh_b, c * 16) & 65535)),"
+        " true) - 1"
+    )
     cands = (
         a.join(b, ["chunk_idx", "chunk_val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+        .filter(F.col("chunk_idx") == first_match)
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
