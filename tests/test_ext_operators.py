@@ -168,6 +168,34 @@ class TestTokenSetMatch:
         assert token_set_ratio(a, b) == token_set_ratio(b, a)
         assert 0.0 <= token_set_ratio(a, b) < 90.0
 
+    def test_join_scores_match_python_reference(self, spark):
+        from tlmc_etl_spark.operators.fuzzy import token_set_match_join, token_set_ratio
+
+        left = spark.createDataFrame(
+            [
+                (1, "spring peru powder"),
+                (2, "powder peru spring lavender"),
+                (3, "khaki rose"),
+                (4, "rose khaki blush extra words beyond"),
+            ],
+            "id long, name string",
+        )
+        right = spark.createDataFrame(
+            [
+                (10, "peru powder spring"),
+                (11, "spring lavender peru powder drab"),
+                (12, "rose khaki"),
+                (13, "unrelated colorless items"),
+            ],
+            "id long, name string",
+        )
+        got = token_set_match_join(left, right, "id", "name", "id", "name", threshold=60.0)
+        for r in got.collect():
+            # the JVM-decomposed score (length-bound prune + subset shortcut
+            # + prebuilt-string matcher) must equal the Python reference
+            ref = round(token_set_ratio(r["left_name"], r["right_name"]), 4)
+            assert r["score"] == ref
+
     def test_query_matches_reversed_names_exactly(self, spark, sf_dir):
         got = QUERIES["token_set_match"].fn(spark, sf_dir).collect()
         assert len(got) > 0

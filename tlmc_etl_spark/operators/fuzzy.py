@@ -82,9 +82,21 @@ def hungarian_match_join(
             return pd.DataFrame(
                 columns=["grp", "left_id", "right_id", "score", "group_total", "accepted"]
             )
-        S = np.array(
-            [[similarity(lt, rt) for rt in R["title"]] for lt in L["title"]], dtype=np.float64
-        )
+        # Normalize each title ONCE (not per pair — that would be O(n²)
+        # NFKC passes), and reuse one SequenceMatcher per right key so its
+        # seq2 index is built once per column instead of once per cell.
+        lk = [match_key(t) for t in L["title"]]
+        rk = [match_key(t) for t in R["title"]]
+        S = np.empty((len(lk), len(rk)), dtype=np.float64)
+        sm = SequenceMatcher()
+        for j, b in enumerate(rk):
+            sm.set_seq2(b)
+            for i, a in enumerate(lk):
+                if a == b:
+                    S[i, j] = 100.0
+                else:
+                    sm.set_seq1(a)
+                    S[i, j] = 100.0 * sm.ratio()
         rows, cols = linear_sum_assignment(-S)  # maximize similarity
         scores = S[rows, cols]
         n = min(len(L), len(R))
@@ -133,6 +145,28 @@ def token_set_ratio(a: str, b: str) -> float:
     return 100.0 * (max(cands) if cands else 1.0)
 
 
+def _ratio3(inter: str, full_a: str, full_b: str) -> float:
+    """token_set_ratio core on pre-built sorted-token strings: max difflib
+    ratio over (inter,full_a), (inter,full_b), (full_a,full_b).
+
+    The subset shortcut lives HERE, not in a when() column: Spark extracts
+    Python UDFs out of conditional expressions and evaluates them for every
+    row, so a JVM-side branch would not actually skip the call.
+    """
+    if inter == full_a or inter == full_b:
+        return 100.0
+    sm = SequenceMatcher(None, "", full_a)
+    sm.set_seq1(inter)
+    best = sm.ratio()
+    sm.set_seq2(full_b)
+    r = sm.ratio()
+    if r > best:
+        best = r
+    sm.set_seq1(full_a)
+    r = sm.ratio()
+    return 100.0 * max(best, r)
+
+
 def token_set_match_join(
     left: DataFrame,
     right: DataFrame,
@@ -146,24 +180,88 @@ def token_set_match_join(
 
     Candidate generation is an equi-join on a cheap blocking key (any shared
     normalized token) — at 100 TB this is the difference between |L|×|R| and
-    Σ per-token bucket products, the same pruning idea as LSH banding. The
-    expensive ratio runs only on blocked candidates; winners are the
-    lowest-id match above threshold per left row (deterministic).
+    Σ per-token bucket products, the same pruning idea as LSH banding.
+
+    The expensive Python ratio runs only on candidates that survive three
+    JVM-side cuts, in pruning-power order:
+      1. pair dedup for free: a pair sharing k tokens surfaces k times, but
+         only the copy joined on the SMALLEST shared token is kept — a pure
+         filter, no distinct shuffle;
+      2. difflib's real_quick_ratio length bound (ratio ≤ 2·min(la,lb)/
+         (la+lb)) for the two (inter, full) comparisons — kills pairs whose
+         shared tokens are a small fraction of either name;
+      3. difflib's quick_ratio bound (ratio ≤ 2·common-char-multiset/
+         (la+lb)) for the (full_a, full_b) comparison — the length bound is
+         useless there when both names are similar length, but the char
+         bound isn't fooled.
+    Each name is tokenized once per ROW (not per pair); the pair scorer
+    only ever sees pre-built sorted-token strings and early-returns 100 for
+    subset token sets (byte-identical compared pair). Winners are the
+    best-score, lowest-id match above threshold per left row (deterministic).
     """
     from pyspark.sql import Window as W
 
     tok_udf = F.udf(tokens, "array<string>")
-    ratio_udf = F.udf(token_set_ratio, "double")
-    l = left.select(
-        F.col(left_id).alias("left_id"), F.col(left_name).alias("left_name")
-    ).withColumn("tok", F.explode(tok_udf("left_name")))
-    r = right.select(
-        F.col(right_id).alias("right_id"), F.col(right_name).alias("right_name")
-    ).withColumn("tok", F.explode(tok_udf("right_name")))
-    cands = l.join(r, "tok").drop("tok").dropDuplicates(["left_id", "right_id"])
-    scored = cands.withColumn("score", F.round(ratio_udf("left_name", "right_name"), 4)).filter(
-        F.col("score") > threshold
+    ratio3_udf = F.udf(_ratio3, "double")
+    # Round-robin repartition both exploded sides: a small parquet input is
+    # one scan partition, and a broadcast join would otherwise run the whole
+    # candidate expansion + scoring in that ONE task. The shuffles are tiny
+    # (pre-expansion row counts); the join stage gets every core.
+    n_part = left.sparkSession.sparkContext.defaultParallelism
+    l = (
+        left.select(
+            F.col(left_id).alias("left_id"),
+            F.col(left_name).alias("left_name"),
+            tok_udf(left_name).alias("toks_a"),
+        )
+        .withColumn("tok", F.explode("toks_a"))
+        .repartition(n_part)
     )
+    r = (
+        right.select(
+            F.col(right_id).alias("right_id"),
+            F.col(right_name).alias("right_name"),
+            tok_udf(right_name).alias("toks_b"),
+        )
+        .withColumn("tok", F.explode("toks_b"))
+        .repartition(n_part)
+    )
+    inter_arr = F.array_intersect("toks_a", "toks_b")  # both sorted → sorted
+    cands = (
+        l.join(r, "tok")
+        .filter(F.col("tok") == F.element_at(inter_arr, 1))
+        .select(
+            "left_id",
+            "left_name",
+            "right_id",
+            "right_name",
+            F.length(F.array_join(inter_arr, " ")).alias("li"),
+            F.array_join(inter_arr, " ").alias("inter"),
+            F.array_join("toks_a", " ").alias("full_a"),
+            F.array_join("toks_b", " ").alias("full_b"),
+        )
+        .withColumn("la", F.length("full_a"))
+        .withColumn("lb", F.length("full_b"))
+    )
+    # Upper bounds on each matcher pair; a candidate survives iff the max
+    # bound clears the threshold. The two inter-vs-full bounds are pure
+    # length arithmetic; the full-vs-full bound counts the common character
+    # multiset (difflib quick_ratio), a few dozen JVM char compares per row.
+    common_chars = F.expr(
+        "aggregate(array_distinct(split(full_a, '')), 0, (acc, c) ->"
+        " acc + int(least(size(filter(split(full_a, ''), x -> x = c)),"
+        " size(filter(split(full_b, ''), x -> x = c)))))"
+    )
+    t = threshold / 100.0
+    survives = (
+        (2.0 * F.col("li") / (F.col("li") + F.col("la")) > t)
+        | (2.0 * F.col("li") / (F.col("li") + F.col("lb")) > t)
+        | (2.0 * common_chars / (F.col("la") + F.col("lb")) > t)
+    )
+    pruned = cands.filter(survives)
+    scored = pruned.withColumn(
+        "score", F.round(ratio3_udf("inter", "full_a", "full_b"), 4)
+    ).filter(F.col("score") > threshold)
     w = W.partitionBy("left_id").orderBy(F.col("score").desc(), F.col("right_id").asc())
     return (
         scored.withColumn("rn", F.row_number().over(w))
