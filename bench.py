@@ -71,17 +71,55 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
+
+    # BASELINE.md's BENCH target: the relational suite within 2x of the
+    # equivalent DuckDB wall time on the same machine. Measure that DuckDB
+    # wall here (same oracle SQL, same parquet, best of 2) so every
+    # BENCH_r{N}.json carries the ratio it is graded on.
+    duckdb_wall, matched_wall = None, None
+    try:
+        import duckdb
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "__spark_entry__", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__spark_entry__.py")
         )
-    )
+        entry_mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(entry_mod)
+        oracles = entry_mod.oracle_sql()
+        con = duckdb.connect()
+        for t in (
+            "region nation customer supplier part orders lineitem events documents embeddings"
+        ).split():
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        matched = [n for n in names if n in oracles]
+        dd = 0.0
+        for name in matched:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                con.execute(oracles[name]).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            dd += best
+        duckdb_wall = round(dd, 3)
+        matched_wall = round(sum(times[n] for n in matched), 3)
+    except Exception:
+        pass
+
+    out = {
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    if duckdb_wall is not None:
+        out["duckdb_wall"] = duckdb_wall
+        out["spark_matched_wall"] = matched_wall
+        out["spark_over_duckdb"] = round(matched_wall / duckdb_wall, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
