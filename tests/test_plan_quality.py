@@ -82,3 +82,16 @@ class TestCodegen:
         df.collect()
         executed = df._jdf.queryExecution().executedPlan().toString()
         assert "*(" in executed, f"{name}: no WholeStageCodegen stage in executed plan"
+
+
+class TestParallelismConfig:
+    def test_aqe_does_not_starve_cpu_heavy_python_stages(self, spark):
+        # AQE partition coalescing is byte-based: with the default 1 MiB
+        # minPartitionSize, a few hundred KB of shuffle feeding a pandas-UDF
+        # stage collapses to ONE task (measured 8x slowdown on the Hungarian
+        # match at sf0.1). The session must keep bytes/parallelism as the
+        # coalesce target instead.
+        assert spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize") == "1b"
+        assert (
+            spark.conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst") == "true"
+        )
