@@ -137,7 +137,11 @@ def two_stage_similar_tracks(
 ) -> DataFrame:
     """recall→rerank composition; output feeds
     sinks/shards.write_similar_track_shards unchanged."""
-    pooled = pooled_unit_mean(chunks, track_col, vec_col)
+    # The pooled table feeds cosine_recall twice: once collected to build
+    # the broadcast candidate matrix, once as the distributed anchor input.
+    # Persist it (n_tracks rows — tiny at any corpus scale) so the
+    # explode+aggregate pooling subtree runs once, not twice.
+    pooled = pooled_unit_mean(chunks, track_col, vec_col).persist()
     recall = cosine_recall(pooled, k_recall)
     sets = gather_chunks(chunks, track_col, vec_col, chunk_cap)
     return chamfer_rerank(recall, sets, k_final)
