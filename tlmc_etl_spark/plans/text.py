@@ -227,12 +227,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
+    # The shingle table feeds three consumers (both self-join sides and the
+    # per-doc sizes); persist so the explode+distinct shuffle runs once.
     bigrams = ws.select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
         ).alias("s"),
-    ).distinct()
+    ).distinct().persist()
     sizes = bigrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = bigrams.alias("a")
     b = bigrams.alias("b")
