@@ -280,3 +280,48 @@ def source_dedup_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count(F.lit(1)) - F.countDistinct(F.md5("text"))).alias("n_dupes"),
         F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
     )
+
+
+@query(
+    "doc_repetition_ratio",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1]) AS bg
+  FROM ws WHERE len(w) >= 2
+)
+SELECT doc_id,
+       len(bg) AS n_bigrams,
+       len(list_distinct(bg)) AS n_distinct,
+       round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4) AS repetition
+FROM grams
+ORDER BY doc_id
+""",
+)
+def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-bigram fraction per document — the within-document
+    repetition signal training-data quality filters threshold on (the
+    Gopher/RefinedWeb "repetition" family; boilerplate and looping
+    generations score high).
+
+    Pure per-row column algebra: the bigram list, its distinct form, and
+    the ratio all evaluate inside one codegen'd projection — no explode, no
+    shuffle, so the operator scans a 100 TB corpus at parquet-read speed
+    with full predicate/column pruning upstream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    bg = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"
+    )
+    grams = docs.filter(F.size(F.split("text", " ")) >= 2).select("doc_id", bg.alias("bg"))
+    return grams.select(
+        "doc_id",
+        F.size("bg").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct("bg")).cast("double") / F.size("bg"), 4
+        ).alias("repetition"),
+    ).orderBy("doc_id")
