@@ -206,3 +206,33 @@ class TestTokenSetMatch:
         # each left id appears at most once (first-above-threshold contract)
         ids = [r["left_id"] for r in got]
         assert len(ids) == len(set(ids))
+
+
+class TestConnectedComponents:
+    def test_min_label_components_on_known_graph(self, spark):
+        from tlmc_etl_spark.operators.graph import connected_components
+
+        nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "id long")
+        # components: {1,2,3,4} (chain), {5,6,7} (triangle), singletons 8,9,10
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (7, 5)], "a long, b long"
+        )
+        got = {
+            r["id"]: r["component"]
+            for r in connected_components(nodes, edges, "id", "a", "b").collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9, 10: 10}
+
+    def test_cluster_query_invariants(self, spark, sf_dir):
+        rows = QUERIES["doc_dedup_clusters"].fn(spark, sf_dir).collect()
+        by_doc = {r["doc_id"]: r for r in rows}
+        # every doc assigned exactly once; representative is the min id of
+        # its own cluster; cluster id is always <= member id (min-label)
+        assert len(by_doc) == len(rows)
+        clusters: dict[int, list[int]] = {}
+        for r in rows:
+            assert r["cluster_id"] <= r["doc_id"]
+            clusters.setdefault(r["cluster_id"], []).append(r["doc_id"])
+        for cid, members in clusters.items():
+            assert min(members) == cid
+            assert by_doc[cid]["is_representative"]

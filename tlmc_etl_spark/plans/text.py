@@ -325,3 +325,64 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.size(F.array_distinct("bg")).cast("double") / F.size("bg"), 4
         ).alias("repetition"),
     ).orderBy("doc_id")
+
+
+@query(
+    "doc_dedup_clusters",
+    oracle="""
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), shingles AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS s
+    FROM words WHERE len(ws) >= 2
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+), pairs AS (
+  SELECT i.doc_a, i.doc_b
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+  WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.12
+), edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION ALL
+  SELECT doc_b AS a, doc_a AS b FROM pairs
+), cc AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, cc.label FROM cc JOIN edges e ON cc.node = e.a
+)
+SELECT node AS doc_id,
+       min(label) AS cluster_id,
+       (min(label) = node) AS is_representative
+FROM cc GROUP BY node ORDER BY doc_id
+""",
+)
+def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate clusters: Jaccard-pair graph → connected components →
+    one representative (min doc_id) per cluster — the collapse step that
+    turns pairwise near-dup evidence into a keep/drop decision for a
+    training corpus.
+
+    Components run as iterative min-label propagation
+    (operators/graph.py); the oracle computes the same closure with a
+    recursive CTE, so cluster assignment is value-checked end to end.
+    """
+    from tlmc_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(docs, pairs, "doc_id", "doc_a", "doc_b")
+    return comp.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("doc_id")).alias("is_representative"),
+    ).orderBy("doc_id")
