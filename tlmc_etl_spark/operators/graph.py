@@ -40,8 +40,16 @@ def connected_components(
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
-    labels = nodes.select(F.col(id_col).alias("a"), F.col(id_col).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    # Only edge-endpoint nodes can ever change labels — iterate on that
+    # (typically tiny) active subgraph and union the untouched singletons
+    # back at the end, so per-round cost follows |edges|, not |corpus|.
+    # The endpoint set is checkpointed because it outlives sym's cache: the
+    # returned DataFrame is lazy, and a post-unpersist consumer of sym
+    # would silently recompute the whole upstream pair pipeline.
+    endpoints = sym.select("a").distinct().localCheckpoint(eager=True)
+    all_ids = nodes.select(F.col(id_col).alias("a"))
+    active = all_ids.join(endpoints, "a", "left_semi")
+    labels = active.select("a", F.col("a").alias("label")).localCheckpoint(eager=True)
     for _ in range(max_iter):
         nbr = sym.join(labels, "a").select(F.col("b").alias("a"), "label")
         new = (
@@ -56,5 +64,10 @@ def connected_components(
         labels = new
         if changed == 0:
             break
+    singletons = all_ids.join(endpoints, "a", "left_anti").select(
+        "a", F.col("a").alias("label")
+    )
     sym.unpersist()
-    return labels.select(F.col("a").alias(id_col), F.col("label").alias("component"))
+    return labels.unionByName(singletons).select(
+        F.col("a").alias(id_col), F.col("label").alias("component")
+    )
