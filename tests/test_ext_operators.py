@@ -236,3 +236,29 @@ class TestConnectedComponents:
         for cid, members in clusters.items():
             assert min(members) == cid
             assert by_doc[cid]["is_representative"]
+
+    def test_minhash_clusters_consistent_with_their_pairs(self, spark, sf_dir):
+        from tlmc_etl_spark.operators.dedup import minhash_near_dupes
+        from tlmc_etl_spark.sources.tables import load_table
+
+        clusters = {
+            r["doc_id"]: r["cluster_id"]
+            for r in QUERIES["minhash_dedup_clusters"].fn(spark, sf_dir).collect()
+        }
+        docs = load_table(spark, sf_dir, "documents")
+        pairs = minhash_near_dupes(
+            docs, "doc_id", "text", n_hashes=64, n_bands=32, threshold=0.12
+        ).collect()
+        # the composition contract: every generated pair's endpoints share a
+        # cluster, every doc is assigned, labels are min-of-component
+        # (estimator ACCURACY is gated separately by the estimate tests —
+        # threshold-adjacent pairs legitimately differ from exact Jaccard)
+        assert len(clusters) == docs.count()
+        for r in pairs:
+            assert clusters[r["id_a"]] == clusters[r["id_b"]]
+        members: dict[int, list[int]] = {}
+        for d, c in clusters.items():
+            assert c <= d
+            members.setdefault(c, []).append(d)
+        for c, ms in members.items():
+            assert min(ms) == c

@@ -253,3 +253,29 @@ def cue_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.title").alias("title"),
         F.round(F.col("t.start_seconds"), 6).alias("start_seconds"),
     )
+
+
+@query("minhash_dedup_clusters")
+def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup clustering: MinHash-LSH pairs → connected
+    components → representative per cluster.
+
+    The 100 TB counterpart of doc_dedup_clusters (which builds the same
+    clusters from exact n-gram Jaccard pairs and carries the recursive-CTE
+    oracle): pair generation is LSH-banded instead of an inverted-index
+    self-join, the collapse is identical. Differentially covered by the
+    doc_dedup_clusters oracle plus the MinHash estimate gates.
+    """
+    from tlmc_etl_spark.operators.graph import connected_components
+    from tlmc_etl_spark.sources.tables import load_table as _lt
+
+    docs = _lt(spark, sf_dir, "documents")
+    pairs = minhash_near_dupes(
+        docs, "doc_id", "text", n_hashes=64, n_bands=32, threshold=0.12
+    ).select("id_a", "id_b")
+    comp = connected_components(docs, pairs, "doc_id", "id_a", "id_b")
+    return comp.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("doc_id")).alias("is_representative"),
+    ).orderBy("doc_id")
