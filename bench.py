@@ -31,6 +31,7 @@ HEADLINE = [
     # training-data pipeline ops
     "doc_exact_dedup",
     "minhash_lsh_dedup",
+    "doc_dedup_clusters",
     "embedding_near_dup",
     "multimodal_features",
     # similarity pipeline
