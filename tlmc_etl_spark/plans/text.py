@@ -386,3 +386,63 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("component") == F.col("doc_id")).alias("is_representative"),
     ).orderBy("doc_id")
+
+
+@query(
+    "doc_redact_pii",
+    oracle=r"""
+WITH enriched AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 11 = 0
+              THEN text || ' contact user' || doc_id || '@example.com via https://example.org/doc/' || doc_id
+              ELSE text END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, 'https?://[^ ]+')) AS n_urls,
+       regexp_replace(
+         regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+         'https?://[^ ]+', '<URL>', 'g') AS redacted
+FROM enriched
+ORDER BY doc_id
+""",
+)
+def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: count and redact emails/URLs per document — the
+    corpus-prep step every training-data pipeline runs before anything else
+    touches the text.
+
+    Patterns are pinned to the regex subset Java and RE2-family engines
+    interpret identically, so the redaction is oracle-checkable; the
+    deterministic enrichment (every 11th doc gains one email + one URL)
+    gives the operator real matches to scrub in the synthetic corpus. Pure
+    codegen'd regexp_replace/regexp_count — one scan, no shuffle, full
+    pushdown upstream.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    email = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+    url = r"https?://[^ ]+"
+    enriched = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id"),
+                F.lit("@example.com via https://example.org/doc/"),
+                F.col("doc_id"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return enriched.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(email)).alias("n_emails"),
+        F.regexp_count("text", F.lit(url)).alias("n_urls"),
+        F.regexp_replace(
+            F.regexp_replace("text", email, "<EMAIL>"), url, "<URL>"
+        ).alias("redacted"),
+    ).orderBy("doc_id")
