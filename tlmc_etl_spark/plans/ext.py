@@ -132,7 +132,13 @@ def metadata_catalog_release(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     manifest, probe = dataframes(spark, seed=42, n_albums=24)
     cat = build_catalog(manifest, probe)
-    return cat.release.orderBy("release_id")
+    # Driver canonicalizer hashes scalar cells only — flatten the
+    # array<string> review-reason column to a '|'-joined string.
+    return (
+        cat.release.withColumn(
+            "needs_review_reasons", F.concat_ws("|", F.col("needs_review_reasons"))
+        ).orderBy("release_id")
+    )
 
 
 @query("ivf_ann_topk")

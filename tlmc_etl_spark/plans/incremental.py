@@ -168,8 +168,8 @@ WITH g AS (
   FROM events
 ), s AS (
   SELECT event_id, user_id,
-         sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+         CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
   FROM g
 )
 SELECT user_id, session_no, count(*) AS n_events
