@@ -33,6 +33,7 @@ HEADLINE = [
     "minhash_lsh_dedup",
     "doc_dedup_clusters",
     "embedding_near_dup",
+    "embedding_near_dup_lsh",
     "multimodal_features",
     # similarity pipeline
     "cosine_topk",

@@ -157,6 +157,27 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir, embeddings_np):
     assert np.mean(recalls) > 0.5
 
 
+def test_lsh_near_dup_recall_and_exactness_vs_all_pairs(spark, sf_dir):
+    exact = {
+        (r["keep_id"], r["dup_id"]): r["score"]
+        for r in QUERIES["embedding_near_dup"].fn(spark, sf_dir).collect()
+    }
+    approx = QUERIES["embedding_near_dup_lsh"].fn(spark, sf_dir).collect()
+    got = {}
+    for r in approx:
+        key = (r["keep_id"], r["dup_id"])
+        assert key not in got, f"pair {key} emitted twice (cross-table dedup broken)"
+        got[key] = r["score"]
+    # precision is 1.0 by construction (scoring is exact, same threshold)
+    for key, s in got.items():
+        assert key in exact
+        assert abs(s - exact[key]) < 1e-9
+    # OR-amplified recall gate — the production-form contract
+    assert exact, "oracle produced no pairs; recall gate is vacuous"
+    recall = len(got) / len(exact)
+    assert recall >= 0.95, f"recall {recall:.3f} < 0.95"
+
+
 class TestTokenSetMatch:
     def test_reorder_invariance_and_bounds(self):
         from tlmc_etl_spark.operators.fuzzy import token_set_ratio

@@ -89,6 +89,19 @@ class TestDifferential:
             ref = chamfer_numpy(chunk_sets[r["anchor"]], chunk_sets[r["neighbor"]])
             assert abs(r["score"] - ref) < 5e-3  # the reference's gate bound
 
+    def test_results_stable_under_repartition(self, spark, chunked):
+        """Determinism contract: the chunk cap must select the same chunks
+        no matter the partition layout (SURVEY §7.4-1). Run with a binding
+        cap (4 < ~10 chunks/track) under two different layouts."""
+        outs = []
+        for n_parts in (3, 7):
+            df = chunked.repartition(n_parts)
+            rows = two_stage_similar_tracks(
+                df, "track", "vec", K_RECALL, K_FINAL, chunk_cap=4, chunk_order_col="vec_id"
+            ).collect()
+            outs.append(sorted((r["anchor"], r["rank"], r["neighbor"], r["score"]) for r in rows))
+        assert outs[0] == outs[1]
+
     def test_top1_agrees_with_full_numpy_two_stage(self, result, numpy_ref):
         chunk_sets, pooled = numpy_ref
         ids = sorted(pooled)

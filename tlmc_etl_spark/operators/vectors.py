@@ -129,6 +129,144 @@ def lsh_topk(
     return _exact_cosine_topk(pairs, k)
 
 
+def lsh_near_dup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding near-duplicate pairs at scale: multi-table sign-LSH
+    candidate generation → exact cosine scoring → threshold filter.
+
+    The production form of the near-dup primitive. A single 4-plane table
+    with radius-1 probing catches a threshold-boundary pair (cos=0.35,
+    per-plane agreement p≈0.614) with probability ≈0.50 — not enough. OR-
+    amplification over `n_tables` independent tables drives the worst-pair
+    miss rate to (1-0.50)^L ≈ 1.6% at L=6, so recall vs the exact all-pairs
+    form is property-gated ≥0.95 (tests/test_ext_operators.py). Scores of
+    emitted pairs are exact cosine — only the candidate set is approximate.
+    The exact all-pairs query (plans/vectors.embedding_near_dup) is the
+    small-sf differential oracle.
+
+    Plan shape — never a cross join, never a driver collect:
+     - one Arrow matmul computes all L keys per vector (array<bigint>);
+     - probe side explodes to L×(1+planes) (table, key) rows, candidate
+       side to L (table, key) rows; candidates meet via an equi-join on
+       (table, key). Only (id, keys) ride the explosion — vectors join
+       back AFTER pair dedup, so the 30× blowup ships ~60 bytes/row, not
+       the embedding payload;
+     - cross-table dedup costs NO extra shuffle: both key arrays ride the
+       join, and a pair is emitted only from the FIRST table where their
+       keys are within Hamming distance 1 (the radius-1 ball is symmetric
+       under XOR, each vector has one key per table, and an anchor's probe
+       keys within a table are distinct — so "first matching table" is
+       well-defined and unique per pair).
+
+    Threshold regime note: at loose thresholds (≲0.5 cosine — barely above
+    the random-pair band for 64-dim data) no LSH family separates well and
+    the candidate set approaches all pairs; the exact blocked form is then
+    cheaper at small n. The operator's asymptotic win is at genuine
+    near-dup thresholds (≥0.8), where finer buckets (n_planes 8+) make the
+    candidate fraction tiny while OR-amplification holds recall.
+    """
+    dim = _dim_of(emb, vec_col)
+    all_planes = make_hyperplanes(dim, n_planes * n_tables, seed)
+
+    def keys_of(batches):
+        for pdf in batches:
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (M @ all_planes.T) > 0  # (n, L*b)
+            keys = np.zeros((len(pdf), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                for i in range(n_planes):
+                    keys[:, t] |= bits[:, t * n_planes + i].astype(np.int64) << i
+            out = pdf[[id_col, vec_col]].copy()
+            out["keys"] = [k.tolist() for k in keys]
+            yield out
+
+    vt = emb.schema[vec_col].dataType.simpleString()
+    # Round-robin repartition before the candidate expansion: a small
+    # parquet input is one scan partition, and a broadcast join would
+    # otherwise run the whole probe explosion + join in that ONE task.
+    n_part = emb.sparkSession.sparkContext.defaultParallelism
+    keyed = _with_unit_norm(
+        emb.select(id_col, vec_col).repartition(n_part).mapInPandas(
+            keys_of, schema=f"{id_col} long, {vec_col} {vt}, keys array<bigint>"
+        ),
+        vec_col,
+    )
+
+    # probe side: (table, probe_key) for every table × (own + 1-bit flips)
+    probe_entries = F.flatten(
+        F.transform(
+            F.col("keys"),
+            lambda key, t: F.transform(
+                F.array(*([F.lit(0)] + [F.lit(1 << i) for i in range(n_planes)])),
+                lambda flip: F.struct(t.alias("t"), key.bitwiseXOR(flip).alias("key")),
+            ),
+        )
+    )
+    keyed = keyed.persist()
+    a = keyed.select(
+        F.col(id_col).alias("anchor"),
+        F.col("keys").alias("keys_a"),
+        F.explode(probe_entries).alias("tk"),
+    ).select("anchor", "keys_a", F.col("tk.t").alias("t"), F.col("tk.key").alias("key"))
+    own_entries = F.transform(
+        F.col("keys"), lambda key, t: F.struct(t.alias("t"), key.alias("key"))
+    )
+    b = keyed.select(
+        F.col(id_col).alias("neighbor"),
+        F.col("keys").alias("keys_b"),
+        F.explode(own_entries).alias("tk"),
+    ).select("neighbor", "keys_b", F.col("tk.t").alias("t"), F.col("tk.key").alias("key"))
+
+    # first-matching-table filter: no earlier table already paired these two
+    earlier_match = F.exists(
+        F.zip_with(
+            F.slice(F.col("keys_a"), F.lit(1), F.col("t")),
+            F.slice(F.col("keys_b"), F.lit(1), F.col("t")),
+            lambda x, y: F.bit_count(x.bitwiseXOR(y)) <= F.lit(1),
+        ),
+        lambda m: m,
+    )
+    id_pairs = (
+        a.join(b, ["t", "key"])
+        .filter(F.col("anchor") < F.col("neighbor"))
+        .filter(~earlier_match)
+        .select("anchor", "neighbor")
+    )
+
+    va = keyed.select(
+        F.col(id_col).alias("anchor"), F.col(vec_col).alias("va"), F.col("nrm").alias("na")
+    )
+    vb = keyed.select(
+        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb")
+    )
+    pairs = id_pairs.join(va, "anchor").join(vb, "neighbor")
+
+    def score(batches):
+        for pdf in batches:
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            cos = (A * B).sum(axis=1) / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "keep_id": pdf["anchor"].to_numpy()[keep],
+                    "dup_id": pdf["neighbor"].to_numpy()[keep],
+                    "score": np.round(cos[keep], 6),
+                }
+            )
+
+    return pairs.select("anchor", "va", "na", "neighbor", "vb", "nb").mapInPandas(
+        score, schema="keep_id long, dup_id long, score double"
+    )
+
+
 def _dim_of(emb: DataFrame, vec_col: str) -> int:
     first = emb.select(F.size(vec_col).alias("d")).first()
     return int(first["d"])
@@ -209,6 +347,7 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     seed: int = 42,
+    train_cap: int = 100_000,
 ) -> DataFrame:
     """IVF approximate cosine top-k: coarse k-means quantizer, candidates
     restricted to the anchor's n_probe nearest cells.
@@ -218,8 +357,19 @@ def ivf_topk(
     core: cell assignment is a broadcast matmul, the candidate join is an
     equi-join on cell id — Σ cell² × probe work instead of |n|². Scores on
     candidates are exact cosine; only the candidate set is approximate.
+
+    The quantizer trains on a bounded driver-side sample: rows ordered by
+    xxhash64(id) (a deterministic, layout-independent pseudo-shuffle) and
+    truncated to `train_cap` — a distributed take-ordered, so the driver
+    never materializes more than the cap no matter the corpus size.
+    Clustering cost is independent of corpus size; only centroids broadcast.
     """
-    rows = emb.select(id_col, vec_col).collect()
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_cap)
+        .collect()
+    )
     M = np.array([r[vec_col] for r in rows], dtype=np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     C = kmeans_centroids(Mn, n_centroids, seed=seed)

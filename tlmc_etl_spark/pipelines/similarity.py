@@ -51,47 +51,93 @@ def _normalized(col: str):
     return F.transform(F.col(col), lambda x: x / norm)
 
 
-def cosine_recall(pooled: DataFrame, k: int) -> DataFrame:
+def cosine_recall(pooled: DataFrame, k: int, tile_rows: int = 200_000) -> DataFrame:
     """Exact cosine top-k over the pooled table (tiled matmul; pooled
     vectors are unit-norm so cosine = dot). Output (anchor, neighbor,
-    recall_score)."""
-    rows = pooled.collect()
-    ids = np.array([r["track"] for r in rows], dtype=np.int64)
-    M = np.array([r["pooled"] for r in rows], dtype=np.float64)
+    recall_score).
+
+    Scale shape: the CANDIDATE side is processed in hash tiles of at most
+    `tile_rows` rows — each tile is collected, broadcast, and scored
+    against the streaming anchor side for a per-tile top-k; a final
+    per-anchor window merges the partials. The driver never holds more
+    than one tile, so memory is bounded by `tile_rows × dim`, not corpus
+    size (the round-1 single-collect form broke at the reference's 640 MB
+    pooled table). Tie-breaks are (rounded score desc, neighbor asc) both
+    in-tile and in the merge window, so output is layout-independent.
+    """
+    import math
+
+    n = pooled.count()
+    n_tiles = max(1, math.ceil(n / tile_rows))
     spark = pooled.sparkSession
-    bc = spark.sparkContext.broadcast((ids, M))
 
-    def score(batches):
-        c_ids, C = bc.value
-        for pdf in batches:
-            A = np.array(pdf["pooled"].tolist(), dtype=np.float64)
-            a_ids = pdf["track"].to_numpy()
-            sims = A @ C.T
-            for i in range(len(a_ids)):
-                row = sims[i]
-                order = np.argsort(-row, kind="stable")
-                out_n, out_s = [], []
-                for j in order:
-                    if c_ids[j] != a_ids[i]:
-                        out_n.append(c_ids[j])
-                        out_s.append(row[j])
-                    if len(out_n) == k:
-                        break
-                yield pd.DataFrame(
-                    {
-                        "anchor": np.full(len(out_n), a_ids[i]),
-                        "neighbor": np.array(out_n, dtype=np.int64),
-                        "recall_score": np.round(np.array(out_s), 6),
-                    }
-                )
+    partials = []
+    for t in range(n_tiles):
+        tile = (
+            pooled.filter(F.pmod(F.xxhash64("track"), F.lit(n_tiles)) == t)
+            if n_tiles > 1
+            else pooled
+        )
+        rows = tile.collect()
+        if not rows:
+            continue
+        ids = np.array([r["track"] for r in rows], dtype=np.int64)
+        M = np.array([r["pooled"] for r in rows], dtype=np.float64)
+        bc = spark.sparkContext.broadcast((ids, M))
 
-    return pooled.mapInPandas(score, schema="anchor long, neighbor long, recall_score double")
+        def score(batches, _bc=bc):
+            c_ids, C = _bc.value
+            for pdf in batches:
+                A = np.array(pdf["pooled"].tolist(), dtype=np.float64)
+                a_ids = pdf["track"].to_numpy()
+                sims = np.round(A @ C.T, 6)
+                for i in range(len(a_ids)):
+                    row = sims[i]
+                    mask = c_ids != a_ids[i]
+                    cand_ids = c_ids[mask]
+                    cand_s = row[mask]
+                    order = np.lexsort((cand_ids, -cand_s))[:k]
+                    yield pd.DataFrame(
+                        {
+                            "anchor": np.full(len(order), a_ids[i]),
+                            "neighbor": cand_ids[order],
+                            "recall_score": cand_s[order],
+                        }
+                    )
+
+        partials.append(
+            pooled.mapInPandas(score, schema="anchor long, neighbor long, recall_score double")
+        )
+
+    from functools import reduce
+
+    union = reduce(DataFrame.unionByName, partials)
+    w = W.partitionBy("anchor").orderBy(F.col("recall_score").desc(), F.col("neighbor").asc())
+    return (
+        union.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
-def gather_chunks(chunks: DataFrame, track_col: str, vec_col: str, cap: int = 96) -> DataFrame:
+def gather_chunks(
+    chunks: DataFrame,
+    track_col: str,
+    vec_col: str,
+    cap: int = 96,
+    order_col: str | None = None,
+) -> DataFrame:
     """(track, chunk matrix as array<array<double>>), capped at `cap`
-    chunks per track in chunk order — the pad/subsample contract."""
-    w = W.partitionBy(track_col).orderBy(F.monotonically_increasing_id())
+    chunks per track — the pad/subsample contract.
+
+    Which chunks survive the cap is decided by `order_col` (an explicit,
+    stable per-chunk index — pass the source row id / chunk ordinal).
+    Without one, the fallback orders by xxhash64 of the vector content —
+    still layout-independent, unlike a monotonically_increasing_id, which
+    depends on partition layout and made rerank scores drift across
+    repartitions (the engine's determinism rule forbids that)."""
+    order = F.col(order_col) if order_col else F.xxhash64(F.col(vec_col))
+    w = W.partitionBy(track_col).orderBy(order)
     capped = (
         chunks.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
@@ -134,14 +180,15 @@ def two_stage_similar_tracks(
     k_recall: int = 20,
     k_final: int = 5,
     chunk_cap: int = 96,
+    chunk_order_col: str | None = None,
 ) -> DataFrame:
     """recall→rerank composition; output feeds
     sinks/shards.write_similar_track_shards unchanged."""
-    # The pooled table feeds cosine_recall twice: once collected to build
-    # the broadcast candidate matrix, once as the distributed anchor input.
-    # Persist it (n_tracks rows — tiny at any corpus scale) so the
-    # explode+aggregate pooling subtree runs once, not twice.
+    # The pooled table feeds cosine_recall several times: the count, each
+    # candidate tile collect, and the distributed anchor input. Persist it
+    # (n_tracks rows — tiny at any corpus scale) so the explode+aggregate
+    # pooling subtree runs once.
     pooled = pooled_unit_mean(chunks, track_col, vec_col).persist()
     recall = cosine_recall(pooled, k_recall)
-    sets = gather_chunks(chunks, track_col, vec_col, chunk_cap)
+    sets = gather_chunks(chunks, track_col, vec_col, chunk_cap, order_col=chunk_order_col)
     return chamfer_rerank(recall, sets, k_final)

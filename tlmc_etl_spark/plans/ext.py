@@ -57,6 +57,21 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, "vec_id", "embedding", k=10, n_planes=4).orderBy("anchor", "rank")
 
 
+@query("embedding_near_dup_lsh")
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-form embedding near-dup: LSH candidate generation → exact
+    cosine ≥ threshold. Same contract as the exact `embedding_near_dup`
+    (its small-sf differential oracle) but the pair set comes from a
+    Hamming-radius-1 bucket join, so it is fully distributed — recall vs
+    exact is property-gated ≥0.95 (tests/test_ext_operators.py)."""
+    from tlmc_etl_spark.operators.vectors import lsh_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup(emb, "vec_id", "embedding", threshold=0.35, n_planes=4).orderBy(
+        "keep_id", "dup_id"
+    )
+
+
 @query("fuzzy_hungarian_match")
 def fuzzy_hungarian_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Globally-optimal 1:1 fuzzy title match per group (Hungarian).
@@ -163,10 +178,12 @@ def two_stage_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tlmc_etl_spark.pipelines.similarity import two_stage_similar_tracks
 
     emb = load_table(spark, sf_dir, "embeddings")
-    chunks = emb.select((F.col("vec_id") % 50).alias("track"), F.col("embedding").alias("vec"))
-    return two_stage_similar_tracks(chunks, "track", "vec", k_recall=15, k_final=5).orderBy(
-        "anchor", "rank"
+    chunks = emb.select(
+        (F.col("vec_id") % 50).alias("track"), "vec_id", F.col("embedding").alias("vec")
     )
+    return two_stage_similar_tracks(
+        chunks, "track", "vec", k_recall=15, k_final=5, chunk_order_col="vec_id"
+    ).orderBy("anchor", "rank")
 
 
 @query("token_set_match")

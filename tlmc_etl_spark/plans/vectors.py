@@ -186,12 +186,12 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a<b) pairs whose cosine
     clears the threshold; `keep_id` is the lower id (the dedup winner rule).
 
-    The training-data near-dup primitive: exact all-pairs over a broadcast
-    matrix, one numpy matmul per Arrow batch — candidates never shuffle, and
-    only above-threshold pairs (a sparse result) leave the task. At 100 TB
-    the same operator runs after an LSH/IVF candidate generator
-    (minhash_lsh_dedup / ivf_ann_topk) instead of the dense cross product;
-    the scoring kernel is unchanged. Threshold boundary is 2.9e-5 away from
+    This exact all-pairs form is the SMALL-SF DIFFERENTIAL ORACLE: it
+    broadcasts the full matrix and scores one numpy matmul per Arrow batch,
+    so it is only valid where the table fits the driver. The production
+    scale path is `embedding_near_dup_lsh` (plans/ext.py) — LSH candidate
+    generation → the same exact scoring kernel — property-gated to ≥0.95
+    recall against this query. Threshold boundary is 2.9e-5 away from
     the nearest pair at sf0.01, far above float fold-order noise.
     """
     import numpy as np
