@@ -48,6 +48,46 @@ def chamfer_group_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chamfer_group_scores(emb, "label", "embedding").orderBy("group_a", "group_b")
 
 
+@query("group_three_score_similarity")
+def group_three_score_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-score group similarity (raw / dup-masked style / KDE kernel
+    mean) between label groups — full parity with
+    precompute_similar_groups.py:195-235, numpy-differentially gated
+    (tests/test_group_similarity.py).
+
+    Duplicate recordings are planted deterministically: every 5th vector is
+    copied verbatim into the next label group, so (l, l+1) pairs share
+    identical members — score_raw saturates on them while score_style
+    masks them out (the re-release demotion the style flavor exists for).
+    """
+    from tlmc_etl_spark.operators.group_similarity import three_score_group_similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("label", "vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 5 == 0).select(
+        ((F.col("label") + 1) % 10).alias("label"),
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+    )
+    members = base.unionByName(planted)
+    return three_score_group_similarity(
+        members, "label", "embedding", order_col="vec_id", dup_thresh=0.9985
+    ).orderBy("group_a", "group_b")
+
+
+@query("chunk_idf_weights")
+def chunk_idf_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-IDF weights: generic chunks (high mean cosine vs a corpus
+    background sample) down-weighted per track via a sigmoid z-score —
+    rerank.py:169-197's estimate_chunk_weights as a distributed plan.
+    Feeds the weighted chamfer rerank (weighted_chamfer_numpy)."""
+    from tlmc_etl_spark.operators.group_similarity import chunk_idf_weights
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    chunks = emb.select("vec_id", (F.col("vec_id") % 50).alias("track"), "embedding")
+    return chunk_idf_weights(chunks, "vec_id", "track", "embedding").orderBy("id")
+
+
 @query("lsh_ann_topk")
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 cosine neighbors via sign-LSH buckets — the
