@@ -139,6 +139,44 @@ class TestThreeScore:
         assert outs[0] == outs[1]
 
 
+class TestBridgeRollup:
+    def test_collab_release_contributes_to_both_circles(self, spark, sf_dir):
+        """Removing the collab arm of the bridge must change the scores of
+        pairs involving the collab's second circle — i.e. a shared release
+        provably feeds more than one rollup."""
+        import duckdb as _dd
+
+        con = _dd.connect()
+        con.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+        )
+        full_sql = QUERIES["bridge_rollup_centroid_similarity"].oracle
+        single_sql = full_sql.replace(
+            "UNION ALL\n  SELECT release, (release + 1) % 7 AS circle FROM rels WHERE release % 10 = 0",
+            "",
+        )
+        full = {tuple(r[:2]): r[2] for r in con.execute(full_sql).fetchall()}
+        single = {tuple(r[:2]): r[2] for r in con.execute(single_sql).fetchall()}
+        assert full.keys() == single.keys()
+        assert any(abs(full[k] - single[k]) > 1e-6 for k in full), (
+            "collab bridge rows had no effect — the rollup is not many-to-many"
+        )
+
+    def test_engine_matches_oracle(self, spark, sf_dir, duck):
+        got = sorted(
+            tuple(r)
+            for r in QUERIES["bridge_rollup_centroid_similarity"].fn(spark, sf_dir).collect()
+        )
+        ref = sorted(
+            tuple(r)
+            for r in duck.execute(QUERIES["bridge_rollup_centroid_similarity"].oracle).fetchall()
+        )
+        assert len(got) == len(ref) == 21  # C(7,2)
+        for g, r in zip(got, ref):
+            assert g[:2] == r[:2]
+            assert abs(g[2] - r[2]) < 2e-6
+
+
 class TestChunkIDF:
     def test_weights_match_numpy(self, spark, sf_dir):
         con = duckdb.connect()

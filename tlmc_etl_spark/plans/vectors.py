@@ -274,6 +274,97 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bridge_rollup_centroid_similarity",
+    oracle="""
+WITH tr AS (
+  SELECT vec_id, vec_id % 50 AS release, embedding FROM embeddings
+), expanded AS (
+  SELECT release, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS x
+  FROM tr, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
+), rel_mean AS (
+  SELECT release, pos, avg(x) AS m FROM expanded GROUP BY release, pos
+), rel_norm AS (
+  SELECT release, sqrt(sum(m * m)) AS nrm FROM rel_mean GROUP BY release
+), rel_cent AS (
+  SELECT r.release, r.pos, r.m / n.nrm AS c
+  FROM rel_mean r JOIN rel_norm n USING (release)
+), rels AS (
+  SELECT DISTINCT release FROM tr
+), bridge AS (
+  SELECT release, release % 7 AS circle FROM rels
+  UNION ALL
+  SELECT release, (release + 1) % 7 AS circle FROM rels WHERE release % 10 = 0
+), circ_mean AS (
+  SELECT b.circle, rc.pos, avg(rc.c) AS m
+  FROM bridge b JOIN rel_cent rc USING (release)
+  GROUP BY b.circle, rc.pos
+), circ_norm AS (
+  SELECT circle, sqrt(sum(m * m)) AS nrm FROM circ_mean GROUP BY circle
+), circ_cent AS (
+  SELECT c.circle, c.pos, c.m / n.nrm AS u
+  FROM circ_mean c JOIN circ_norm n USING (circle)
+)
+SELECT a.circle AS circle_a, b.circle AS circle_b,
+       round(sum(a.u * b.u), 6) AS centroid_cosine
+FROM circ_cent a JOIN circ_cent b ON a.pos = b.pos AND a.circle < b.circle
+GROUP BY a.circle, b.circle
+""",
+)
+def bridge_rollup_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Many-to-many hierarchical rollup: track vectors → release centroids
+    → circle centroids via a MEMBERSHIP BRIDGE, then all-pairs cosine.
+
+    Reference: a release linked to two circles contributes its centroid to
+    BOTH (build_groups over track_release/release_circle exports,
+    precompute_similar_groups.py:120-154 and the module docstring's collab
+    note). Here release = vec_id % 50; the bridge owns each release at
+    circle release%7, and every 10th release is a collab also owned by
+    circle (release+1)%7 — so shared releases provably feed two rollups
+    (tests/test_group_similarity.py gates the collab effect directly).
+
+    Plan shape: both rollup levels are posexplode → groupBy(key, pos)
+    means with renormalization — reducer state is one running sum per
+    (key, position), never a gathered matrix; the bridge is a tiny
+    broadcast; the final pair join is a broadcast self-join on position
+    over the 7-row centroid table.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    tr = emb.select((F.col("vec_id") % 50).alias("release"), "embedding")
+    expanded = tr.select("release", F.posexplode("embedding").alias("pos0", "x")).select(
+        "release", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("x")
+    )
+    rel_mean = expanded.groupBy("release", "pos").agg(F.avg("x").alias("m"))
+    rel_norm = rel_mean.groupBy("release").agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm"))
+    rel_cent = rel_mean.join(F.broadcast(rel_norm), "release").select(
+        "release", "pos", (F.col("m") / F.col("nrm")).alias("c")
+    )
+    rels = tr.select("release").distinct()
+    bridge = rels.select("release", (F.col("release") % 7).alias("circle")).unionByName(
+        rels.filter(F.col("release") % 10 == 0).select(
+            "release", ((F.col("release") + 1) % 7).alias("circle")
+        )
+    )
+    circ_mean = (
+        rel_cent.join(F.broadcast(bridge), "release")
+        .groupBy("circle", "pos")
+        .agg(F.avg("c").alias("m"))
+    )
+    circ_norm = circ_mean.groupBy("circle").agg(
+        F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm")
+    )
+    circ_cent = circ_mean.join(F.broadcast(circ_norm), "circle").select(
+        "circle", "pos", (F.col("m") / F.col("nrm")).alias("u")
+    )
+    a = circ_cent.select(F.col("circle").alias("circle_a"), "pos", F.col("u").alias("ua"))
+    b = circ_cent.select(F.col("circle").alias("circle_b"), F.col("pos").alias("pos_b"), F.col("u").alias("ub"))
+    return (
+        a.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("circle_a") < F.col("circle_b")))
+        .groupBy("circle_a", "circle_b")
+        .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 6).alias("centroid_cosine"))
+    )
+
+
+@query(
     "kde_bandwidth_calibration",
     oracle="""
 WITH e AS (
