@@ -318,6 +318,133 @@ def cue_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "wiki_template_explode",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS page, o_orderkey % 7 AS s1, o_orderkey % 5 + 1 AS n1,
+         lpad(CAST(o_orderkey % 15 AS VARCHAR), 3, '0') AS r1,
+         o_orderkey % 3 AS s2, 'X' || CAST(o_orderkey % 9 AS VARCHAR) AS r2
+  FROM orders WHERE o_orderkey % 40 = 0
+)
+SELECT page, 'src' || CAST(s1 AS VARCHAR) AS template, CAST(n1 AS INTEGER) AS ordinal,
+       r1 AS track_ref, ltrim(r1, '0') AS track_ref_norm
+FROM o
+UNION ALL
+SELECT page, 'src' || CAST(s2 AS VARCHAR) AS template, 2 AS ordinal,
+       r2 AS track_ref, ltrim(r2, '0') AS track_ref_norm
+FROM o
+""",
+)
+def wiki_template_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wiki `{{template|n|index}}` reference extraction round-trip.
+
+    Synthesizes each page's "original" string from order columns — two
+    well-formed template segments, plus (page%4==0) a malformed comma part
+    with a stray char (must drop silently, the reference's per-segment
+    failure policy) and (page%4==1) an HTML comment part (must yield
+    nothing) — then parses it back with the bracket-aware splitter +
+    template regex (functions/wikitext.py; original_track_discovery.py:
+    32-47, original_track_map.py:43-97) and explodes to reference rows.
+    The oracle reconstructs the expected rows relationally from the same
+    columns, so the parser is value-checked against ground truth that
+    never went through the text format. Index normalization = leading-zero
+    trim (original_track_map.py:209-211).
+    """
+    from tlmc_etl_spark.functions.wikitext import template_refs_udf
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    text = F.concat(
+        F.lit("{{src"), (F.col("o_orderkey") % 7).cast("string"),
+        F.lit("|"), (F.col("o_orderkey") % 5 + 1).cast("string"),
+        F.lit("|"), F.lpad((F.col("o_orderkey") % 15).cast("string"), 3, "0"),
+        F.lit("}}{{src"), (F.col("o_orderkey") % 3).cast("string"),
+        F.lit("|2|X"), (F.col("o_orderkey") % 9).cast("string"), F.lit("}}"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(",bad<part"))
+        .when(F.col("o_orderkey") % 4 == 1, F.lit(",<!--note-->"))
+        .otherwise(F.lit("")),
+    )
+    parsed = o.select(
+        F.col("o_orderkey").alias("page"), F.explode(template_refs_udf()(text)).alias("t")
+    )
+    return parsed.select(
+        "page",
+        F.col("t.template").alias("template"),
+        F.col("t.ordinal").alias("ordinal"),
+        F.col("t.track_ref").alias("track_ref"),
+        F.regexp_replace(F.col("t.track_ref"), "^0+", "").alias("track_ref_norm"),
+    )
+
+
+@query(
+    "lyrics_sections_explode",
+    oracle="""
+WITH o AS (
+  SELECT o_orderkey AS page, CAST(o_orderkey AS VARCHAR) AS k
+  FROM orders WHERE o_orderkey % 50 = 0
+), plain AS (SELECT page, k FROM o WHERE page % 3 != 0),
+tab AS (SELECT page, k FROM o WHERE page % 3 = 0)
+SELECT page, CAST(NULL AS VARCHAR) AS section, 0 AS ti_index,
+       '00:01.00' AS ts, 'ja' AS lang, 'ja A ' || k AS text FROM plain
+UNION ALL
+SELECT page, NULL, 0, '00:01.00', 'en', 'en A ' || k FROM plain
+UNION ALL
+SELECT page, NULL, 1, '00:02.00', 'ja', 'ja B ' || k || chr(10) || 'ja B2 ' || k FROM plain
+UNION ALL
+SELECT page, NULL, 3, '<line-0>', 'ja', 'ja C ' || k FROM plain
+UNION ALL
+SELECT page, 'Tab A', 0, '00:01.00', 'ja', 'ja TA ' || k FROM tab
+UNION ALL
+SELECT page, 'Tab B', 0, '<line-0>', 'ja', 'ja TB ' || k FROM tab
+UNION ALL
+SELECT page, 'Tab B', 0, '<line-0>', 'en', 'en TB ' || k FROM tab
+""",
+)
+def lyrics_sections_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lyrics page → (section, time-instant, language, text) UDTF.
+
+    Synthesizes a deterministic wiki lyrics page per order — non-tabber
+    pages exercise timestamped groups, duplicate-language concatenation,
+    sep= markers (an empty group that still consumes an index slot) and
+    synthesized `<line-N>` untimed groups; every 3rd page wraps two
+    sections in a <tabber> with `|-|` separators and `Title=` headers —
+    then parses it back (functions/wikitext.py; lyrics_scraper.py:174-308)
+    and explodes. The oracle reconstructs expected rows from the same
+    columns without ever seeing the markup.
+    """
+    from tlmc_etl_spark.functions.wikitext import lyrics_rows_udf
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 50 == 0)
+    k = F.col("o_orderkey").cast("string")
+    nl = F.lit("\n")
+    plain_page = F.concat(
+        F.lit("{{歌词信息|语言=ja}}\nlyrics=\ntime=00:01.00\nja=ja A "), k,
+        nl, F.lit("en=en A "), k,
+        nl, F.lit("time=00:02.00\nja=ja B "), k,
+        nl, F.lit("ja=ja B2 "), k,
+        nl, F.lit("sep=03:00.00\nja=ja C "), k,
+        nl, F.lit("==\nignored tail"),
+    )
+    tab_page = F.concat(
+        F.lit("<tabber>\nTab A=\nlyrics=\ntime=00:01.00\nja=ja TA "), k,
+        nl, F.lit("|-|\nTab B=\nlyrics=\nja=ja TB "), k,
+        nl, F.lit("en=en TB "), k,
+        nl, F.lit("==\n</tabber>"),
+    )
+    src = F.when(F.col("o_orderkey") % 3 == 0, tab_page).otherwise(plain_page)
+    parsed = o.select(
+        F.col("o_orderkey").alias("page"), F.explode(lyrics_rows_udf()(src)).alias("r")
+    )
+    return parsed.select(
+        "page",
+        F.col("r.section").alias("section"),
+        F.col("r.ti_index").alias("ti_index"),
+        F.col("r.ts").alias("ts"),
+        F.col("r.lang").alias("lang"),
+        F.col("r.text").alias("text"),
+    )
+
+
 @query("minhash_dedup_clusters")
 def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup clustering: MinHash-LSH pairs → connected
