@@ -255,6 +255,92 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ngram_jaccard_capped",
+    oracle="""
+WITH shingles AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> ws[i] || ' ' || ws[i + 1])) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    WHERE len(ws) >= 2
+  )
+), n_docs AS (
+  SELECT count(DISTINCT doc_id) AS nd FROM shingles
+), cold AS (
+  SELECT sh.doc_id, sh.s
+  FROM shingles sh
+  JOIN (SELECT s, count(*) AS df FROM shingles GROUP BY s) d ON sh.s = d.s
+  CROSS JOIN n_docs
+  WHERE d.df <= greatest(5, CAST(floor(0.01 * nd) AS BIGINT))
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM cold GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, i.n_common,
+       round(CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common), 4) AS jaccard
+FROM inter i
+JOIN sizes sa ON i.doc_a = sa.doc_id
+JOIN sizes sb ON i.doc_b = sb.doc_id
+WHERE CAST(i.n_common AS DOUBLE) / (sa.n + sb.n - i.n_common) >= 0.12
+""",
+)
+def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact bigram Jaccard with a document-frequency cap on the shingle
+    vocabulary — the reference-scale guard the plain exact variant only
+    documents.
+
+    A stop-phrase shingle present in a large fraction of the corpus makes
+    the inverted-index self-join quadratic in that df (one hot key =
+    df² candidate rows). The guard drops shingles with df >
+    max(5, 1% of docs) from the VOCABULARY, so both intersection and
+    set sizes are computed over the capped vocabulary — a well-defined
+    semantic the SQL oracle replicates exactly, and the standard
+    stop-shingle treatment for near-dup mining. Join cost is then bounded
+    by Σ min(df, cap)² instead of Σ df². The df side is one extra
+    aggregate over the (already persisted) shingle table; the cap scalar
+    broadcasts.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
+    shingles = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+        ).alias("s"),
+    ).distinct().persist()
+    n_docs = shingles.select(F.countDistinct("doc_id").alias("nd"))
+    df_tbl = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    cap = F.greatest(F.lit(5), F.floor(0.01 * F.col("nd")).cast("bigint"))
+    cold = (
+        shingles.join(df_tbl, "s")
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("df") <= cap)
+        .select("doc_id", "s")
+        .persist()
+    )
+    sizes = cold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = cold.alias("a")
+    b = cold.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jacc = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jacc >= 0.12)
+        .select("doc_a", "doc_b", "n_common", F.round(jacc, 4).alias("jaccard"))
+    )
+
+
+@query(
     "source_dedup_rollup",
     oracle="""
 SELECT source,
