@@ -100,3 +100,46 @@ class TestAtomicOverwrite:
         assert spark.read.parquet(out).count() == 3
         assert not os.path.isdir(out + ".__tmp__")
         assert not os.path.isdir(out + ".__old__")
+
+
+class TestBinaryEmbeddingIO:
+    def test_roundtrip_bytes_exact(self, spark, tmp_path):
+        import numpy as np
+
+        from tlmc_etl_spark.sinks.binvec import write_embedding_bins
+        from tlmc_etl_spark.sources.binvec import read_embedding_bins, uuid_of_int
+
+        df = spark.createDataFrame(
+            [(7, [1.5, -2.25, 0.125]), (8, [0.0, 3.75, -1.0])],
+            "vec_id long, embedding array<float>",
+        )
+        out = str(tmp_path / "bins")
+        manifest = write_embedding_bins(df, out, "vec_id", "embedding").collect()
+        assert {m["track_uuid"] for m in manifest} == {uuid_of_int(7), uuid_of_int(8)}
+        # raw bytes are little-endian float32, no header
+        raw = np.fromfile(os.path.join(out, uuid_of_int(7) + ".bin"), dtype="<f4")
+        assert raw.tolist() == [1.5, -2.25, 0.125]
+        back = {
+            r["track_int"]: r["embedding"]
+            for r in read_embedding_bins(spark, out, 3).filter("valid").collect()
+        }
+        assert back[7] == [1.5, -2.25, 0.125]
+        assert back[8] == [0.0, 3.75, -1.0]
+
+    def test_skip_classes_flagged_not_dropped(self, spark, tmp_path):
+        import numpy as np
+
+        from tlmc_etl_spark.sources.binvec import read_embedding_bins, uuid_of_int
+
+        out = tmp_path / "bins"
+        out.mkdir()
+        np.array([1.0, 2.0], dtype="<f4").tofile(str(out / (uuid_of_int(1) + ".bin")))
+        np.array([1.0, 2.0, 3.0], dtype="<f4").tofile(str(out / (uuid_of_int(2) + ".bin")))
+        np.array([9.0], dtype="<f4").tofile(str(out / "not-a-uuid.bin"))
+        rows = {r["track_uuid"]: r for r in read_embedding_bins(spark, str(out), 2).collect()}
+        assert rows[uuid_of_int(1)]["valid"]
+        assert not rows[uuid_of_int(2)]["valid"]
+        assert rows[uuid_of_int(2)]["reason"] == "wrong_dims"
+        assert rows[uuid_of_int(2)]["n_floats"] == 3
+        assert not rows["not-a-uuid"]["valid"]
+        assert rows["not-a-uuid"]["reason"] == "bad_filename"

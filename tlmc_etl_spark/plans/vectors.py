@@ -274,6 +274,97 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "binvec_roundtrip",
+    oracle="""
+SELECT vec_id, len(embedding) AS dim,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 4) AS checksum
+FROM embeddings
+""",
+)
+def binvec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`{uuid}.bin` float32 IO round-trip with per-file validation.
+
+    Writes every embedding as a raw little-endian float32 file named by a
+    deterministic uuid (sinks/binvec.py), plants one non-uuid filename and
+    one wrong-dimension file, then reads the directory back through the
+    distributed `binaryFile` + Arrow-decode source (sources/binvec.py —
+    TrackEmbeddingProcessor.cs:118-168's load semantics: bad names and
+    truncated files fail their own row only). The oracle is the embeddings
+    table itself — valid rows must reproduce ids, dimensions and value
+    checksums exactly; the two planted files must be flagged out.
+    """
+    import os
+    import shutil
+
+    import numpy as np
+
+    from tlmc_etl_spark.sinks.binvec import write_embedding_bins, write_manifest
+    from tlmc_etl_spark.sources.binvec import read_embedding_bins
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first()["d"]
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch",
+        f"binvec_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    out_dir = os.path.abspath(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    n = write_embedding_bins(emb, out_dir, "vec_id", "embedding").count()
+    write_manifest(out_dir, dim, n)
+    # the two skip classes the loader must survive
+    np.zeros(4, dtype="<f4").tofile(os.path.join(out_dir, "notauuid.bin"))
+    np.zeros(dim + 1, dtype="<f4").tofile(
+        os.path.join(out_dir, "00000000-0000-0000-0000-3b9ac9ff0000.bin")
+    )
+    back = read_embedding_bins(spark, out_dir, expected_dims=dim)
+    return back.filter(F.col("valid")).select(
+        F.col("track_int").alias("vec_id"),
+        F.col("n_floats").alias("dim"),
+        F.round(
+            F.aggregate(F.col("embedding"), F.lit(0.0), lambda a, x: a + x.cast("double")), 4
+        ).alias("checksum"),
+    )
+
+
+@query(
+    "pooled_meanmax_export",
+    oracle="""
+WITH expanded AS (
+  SELECT vec_id % 50 AS track, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS x
+  FROM embeddings, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
+), agg AS (
+  SELECT track, pos, avg(x) AS mean_x, max(x) AS max_x FROM expanded GROUP BY track, pos
+), dims AS (SELECT max(pos) AS d FROM agg)
+SELECT track, pos, round(mean_x, 6) AS x FROM agg
+UNION ALL
+SELECT track, pos + d AS pos, round(max_x, 6) AS x FROM agg CROSS JOIN dims
+""",
+)
+def pooled_meanmax_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mean+max pooled export vector: concat(mean over chunks, max over
+    chunks), fp accumulation, NO renormalization — exactly utils.pool's
+    contract as exported by export_pooled_from_store.py (mean dims then
+    max dims in one 2d vector; positions dim+1..2dim are the max half).
+    Emitted positionally so the SQL oracle checks every element; the .bin
+    serialization of the same rows is covered by binvec_roundtrip and the
+    sink unit tests.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    expanded = emb.select(
+        (F.col("vec_id") % 50).alias("track"), F.posexplode("embedding").alias("pos0", "x")
+    ).select("track", (F.col("pos0") + 1).alias("pos"), F.col("x").cast("double").alias("x"))
+    agg = expanded.groupBy("track", "pos").agg(
+        F.avg("x").alias("mean_x"), F.max("x").alias("max_x")
+    )
+    dims = agg.select(F.max("pos").alias("d"))
+    mean_half = agg.select("track", "pos", F.round("mean_x", 6).alias("x"))
+    max_half = agg.crossJoin(F.broadcast(dims)).select(
+        "track", (F.col("pos") + F.col("d")).alias("pos"), F.round("max_x", 6).alias("x")
+    )
+    return mean_half.unionByName(max_half)
+
+
+@query(
     "bridge_rollup_centroid_similarity",
     oracle="""
 WITH tr AS (
