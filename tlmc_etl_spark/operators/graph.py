@@ -4,10 +4,12 @@ SimHash/exact-Jaccard pairs → clusters → keep one representative per
 cluster).
 
 Spark shape: iterative min-label propagation (the Pregel/small-star idea
-reduced to DataFrame ops). Each round a node adopts the smallest label among
-itself and its neighbors; convergence in diameter(G) rounds; the final label
-IS the smallest node id in the component, which makes results deterministic
-and oracle-checkable (a recursive CTE computes the same closure in SQL).
+reduced to DataFrame ops) with path halving. Each round a node adopts the
+smallest label among itself and its neighbors, then labels compress one
+pointer-jump (label := label-of-label), so convergence needs
+O(log diameter) rounds instead of O(diameter); the final label IS the
+smallest node id in the component, which makes results deterministic and
+oracle-checkable (a recursive CTE computes the same closure in SQL).
 
 Reference analogue: the artist deduplicator collapses alias groups onto one
 preferred id (artist_deduplicator.py:30-73) — same collapse, generalized to
@@ -30,44 +32,68 @@ def connected_components(
 ) -> DataFrame:
     """(id, component) for every node; component = min node id reachable.
 
-    Each iteration is one join + one map-side-combinable min aggregation
-    over the (symmetrized) edge list — at 100 TB scale that is the standard
-    label-propagation round, and `localCheckpoint` cuts the growing lineage
-    so the plan stays bounded (on a cluster, a checkpoint dir or persisted
-    intermediate table plays this role). Iterations are bounded by the
-    component diameter, not the corpus size; near-dup graphs are
-    shallow-diameter in practice.
+    Per-round cost follows |edges|, not |corpus|: only edge-endpoint nodes
+    can ever change labels, so the loop runs on that active subgraph and
+    unions the untouched singletons back at the end. Three latency levers
+    keep rounds cheap on small-to-mid graphs and scale-correct on huge
+    ones:
+     - the active tables repartition to a size-derived partition count
+       (a 2k-node graph should not pay 32-task shuffles per round);
+     - the convergence signal rides the label aggregation itself (the
+       previous label is carried through the min-agg, so "changed" is a
+       filter-count on the checkpointed result — no extra join);
+     - one pointer-jump per round (label := label of label) gives the
+       log-diameter round count.
+    `localCheckpoint` cuts the growing lineage each round (on a cluster, a
+    checkpoint dir or persisted intermediate table plays this role).
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
-    # Only edge-endpoint nodes can ever change labels — iterate on that
-    # (typically tiny) active subgraph and union the untouched singletons
-    # back at the end, so per-round cost follows |edges|, not |corpus|.
     # The endpoint set is checkpointed because it outlives sym's cache: the
     # returned DataFrame is lazy, and a post-unpersist consumer of sym
     # would silently recompute the whole upstream pair pipeline.
     endpoints = sym.select("a").distinct().localCheckpoint(eager=True)
+    n_active = endpoints.count()
+    sc = edges.sparkSession.sparkContext
+    n_parts = max(2, min(sc.defaultParallelism, n_active // 50_000 + 2))
+
     all_ids = nodes.select(F.col(id_col).alias("a"))
     active = all_ids.join(endpoints, "a", "left_semi")
-    labels = active.select("a", F.col("a").alias("label")).localCheckpoint(eager=True)
+    sym_p = sym.repartition(n_parts, "a").persist()
+    labels = (
+        active.select("a", F.col("a").alias("label"))
+        .repartition(n_parts, "a")
+        .localCheckpoint(eager=True)
+    )
     for _ in range(max_iter):
-        nbr = sym.join(labels, "a").select(F.col("b").alias("a"), "label")
-        new = (
-            labels.union(nbr).groupBy("a").agg(F.min("label").alias("label"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "a")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+        nbr = sym_p.join(labels, "a").select(
+            F.col("b").alias("a"), "label", F.lit(None).cast("long").alias("old")
         )
-        labels = new
+        own = labels.select("a", "label", F.col("label").alias("old"))
+        new = (
+            own.unionByName(nbr)
+            .groupBy("a")
+            .agg(F.min("label").alias("label"), F.max("old").alias("old"))
+            .localCheckpoint(eager=True)
+        )
+        changed = new.filter(F.col("label") != F.col("old")).count()
+        merged = new.select("a", "label")
         if changed == 0:
+            labels = merged
             break
+        # path halving: label := label(label) — the label is itself an
+        # active node id, so the self-join resolves every pointer one hop
+        lbl_of = merged.select(F.col("a").alias("l_a"), F.col("label").alias("l_label"))
+        labels = (
+            merged.join(lbl_of, merged["label"] == lbl_of["l_a"])
+            .select("a", F.col("l_label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
     singletons = all_ids.join(endpoints, "a", "left_anti").select(
         "a", F.col("a").alias("label")
     )
     sym.unpersist()
+    sym_p.unpersist()
     return labels.unionByName(singletons).select(
         F.col("a").alias(id_col), F.col("label").alias("component")
     )

