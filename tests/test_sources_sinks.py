@@ -143,3 +143,37 @@ class TestBinaryEmbeddingIO:
         assert rows[uuid_of_int(2)]["n_floats"] == 3
         assert not rows["not-a-uuid"]["valid"]
         assert rows["not-a-uuid"]["reason"] == "bad_filename"
+
+
+class TestCopyBinarySink:
+    def test_files_decode_back_exactly(self, spark, tmp_path):
+        from tlmc_etl_spark.sinks.copybin import decode_copy_binary, write_copy_shards
+
+        df = spark.createDataFrame(
+            [(10, "O", 1.5, "note 10"), (20, "F", -2.25, None), (37, "P", 0.0, "note 37")],
+            "k bigint, status string, price double, note string",
+        )
+        out = str(tmp_path / "copy")
+        stats = {r["shard"]: r for r in write_copy_shards(df, out, "k", n_shards=4).collect()}
+        types = ["bigint", "string", "double", "string"]
+        got = []
+        for s, st in stats.items():
+            path = os.path.join(out, f"shard_{s:03d}.copy")
+            data = open(path, "rb").read()
+            assert len(data) == st["file_bytes"]  # writer stats match disk
+            got.extend(decode_copy_binary(data, types))
+        assert sorted(got) == sorted(
+            [(10, "O", 1.5, "note 10"), (20, "F", -2.25, None), (37, "P", 0.0, "note 37")],
+            key=lambda r: r[0],
+        )
+
+    def test_shard_routing_matches_hash_convention(self, spark, tmp_path):
+        from tlmc_etl_spark.sinks.copybin import decode_copy_binary, write_copy_shards
+
+        df = spark.createDataFrame([(i, float(i)) for i in range(50)], "k bigint, v double")
+        out = str(tmp_path / "copy")
+        write_copy_shards(df, out, "k", n_shards=8).collect()
+        for fname in os.listdir(out):
+            s = int(fname.split("_")[1].split(".")[0])
+            for k, _ in decode_copy_binary(open(os.path.join(out, fname), "rb").read(), ["bigint", "double"]):
+                assert (k * 2654435761) % 4294967296 % 8 == s

@@ -196,3 +196,62 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
     )
     return s.groupBy("user_id", "session_no").agg(F.count(F.lit(1)).alias("n_events"))
+
+
+@query(
+    "copy_binary_export",
+    oracle="""
+WITH rows AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CASE WHEN o_orderkey % 30 = 0 THEN NULL
+              ELSE 'note ' || CAST(o_orderkey AS VARCHAR) END AS note,
+         (o_orderkey * 2654435761) % 4294967296 % 8 AS shard
+  FROM orders WHERE o_orderkey % 10 = 0
+), sized AS (
+  SELECT shard,
+         2 + (4 + 8) + (4 + strlen(o_orderstatus)) + (4 + 8)
+           + (CASE WHEN note IS NULL THEN 4 ELSE 4 + strlen(note) END) AS row_bytes
+  FROM rows
+)
+SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_rows,
+       sum(row_bytes) AS payload_bytes,
+       19 + sum(row_bytes) + 2 AS file_bytes
+FROM sized GROUP BY shard
+""",
+)
+def copy_binary_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COPY BINARY bulk-export: hash-sharded PostgreSQL binary-COPY files
+    written by the real sink, value-checked by framing arithmetic.
+
+    The sink (sinks/copybin.py) writes the documented COPY wire format —
+    19-byte header, per-row int16 field count + int32 length-prefixed
+    big-endian fields (NULL = length -1), int16 -1 trailer — one file per
+    multiplicative-hash shard (SimilarTrackProcessor.cs:39-92's load path,
+    minus the live connection this environment lacks). The returned stats
+    come from the writer itself (actual encoded byte counts), while the
+    oracle recomputes them as pure SQL arithmetic over the same rows — so
+    any framing drift (wrong width, missed NULL, wrong shard) hash-fails.
+    Byte-level decode parity is unit-tested separately.
+    """
+    import os
+    import shutil
+
+    from tlmc_etl_spark.sinks.copybin import write_copy_shards
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    rows = orders.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 30 != 0,
+            F.concat(F.lit("note "), F.col("o_orderkey").cast("string")),
+        ).alias("note"),
+    )
+    out_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch",
+        f"copybin_{os.path.basename(sf_dir.rstrip('/'))}",
+    )
+    out_dir = os.path.abspath(out_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return write_copy_shards(rows, out_dir, "o_orderkey", n_shards=8).orderBy("shard")
