@@ -30,6 +30,9 @@ HEADLINE = [
     "hls_ladder_worklist",
     # training-data pipeline ops
     "doc_exact_dedup",
+    "doc_chunking",
+    "corpus_mix_sample",
+    "benchmark_contamination",
     "minhash_lsh_dedup",
     "doc_dedup_clusters",
     "embedding_near_dup",

@@ -546,3 +546,149 @@ def doc_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", email, "<EMAIL>"), url, "<URL>"
         ).alias("redacted"),
     ).orderBy("doc_id")
+
+
+@query(
+    "doc_chunking",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents WHERE doc_id % 5 = 0
+), spans AS (
+  SELECT doc_id, w, len(w) AS n,
+         unnest(generate_series(0, CAST(ceil(greatest(0, len(w) - 64) / 48.0) AS BIGINT))) AS i
+  FROM ws
+)
+SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       CAST(least(64, n - i * 48) AS INTEGER) AS n_words,
+       array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text
+FROM spans
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking: 64-word windows, stride 48
+    (16-word overlap), with ordinals — the context-window packing step a
+    pretraining pipeline runs between cleaning and tokenization.
+
+    Chunk count is 1 + ceil(max(0, n-64)/48) so every word is covered and
+    the last window may be short. Pure JVM array algebra: split once,
+    posexplode a sequence of window ordinals, slice per ordinal — no UDF,
+    no shuffle (the explode is row-local), full predicate pushdown
+    upstream. At 100 TB this is the canonical map-only stage.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 5 == 0)
+    ws = docs.select("doc_id", F.split("text", " ").alias("w")).withColumn(
+        "n", F.size("w")
+    )
+    spans = ws.select(
+        "doc_id",
+        "w",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.greatest(F.lit(0), F.col("n") - 64) / F.lit(48.0)).cast("bigint"),
+            )
+        ).alias("i"),
+    )
+    return spans.select(
+        "doc_id",
+        F.col("i").cast("int").alias("chunk_idx"),
+        F.least(F.lit(64), F.col("n") - F.col("i") * 48).cast("int").alias("n_words"),
+        F.array_join(F.slice("w", F.col("i") * 48 + 1, 64), " ").alias("chunk_text"),
+    )
+
+
+@query(
+    "corpus_mix_sample",
+    oracle="""
+WITH rated AS (
+  SELECT doc_id, source, n_chars,
+         CASE source WHEN 'web' THEN 0.25 WHEN 'news' THEN 0.6
+                     WHEN 'books' THEN 0.9 ELSE 0.45 END AS rate,
+         ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, source, n_chars, round(rate, 2) AS rate
+FROM rated WHERE u < rate
+""",
+)
+def corpus_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mixture sampling — the data-mixing step
+    that reweights corpus sources (web down-sampled, books up-weighted)
+    before training.
+
+    The keep decision is a multiplicative hash of the doc id mapped to
+    [0,1) against the source's rate: reproducible across runs, engines
+    and partitionings (no RNG state), trivially map-only, and exactly
+    SQL-expressible — the same portable-hash convention as
+    hash_shard_assign. At 100 TB: one scan, no shuffle, rates broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("source") == "web", 0.25)
+        .when(F.col("source") == "news", 0.6)
+        .when(F.col("source") == "books", 0.9)
+        .otherwise(0.45)
+    )
+    u = ((F.col("doc_id") * F.lit(2654435761)) % F.lit(4294967296)) / F.lit(4294967296.0)
+    return (
+        docs.select("doc_id", "source", "n_chars", rate.alias("rate"), u.alias("u"))
+        .filter(F.col("u") < F.col("rate"))
+        .select("doc_id", "source", "n_chars", F.round("rate", 2).alias("rate"))
+    )
+
+
+@query(
+    "benchmark_contamination",
+    oracle="""
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), grams AS (
+  SELECT DISTINCT doc_id, g FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(w) - 4),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
+    FROM ws WHERE len(w) >= 5
+  )
+), bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 31 = 0),
+corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 31 != 0)
+SELECT c.doc_id, b.bench_id, count(*) AS n_shared
+FROM corpus c JOIN bench b ON c.g = b.g
+GROUP BY c.doc_id, b.bench_id
+HAVING count(*) >= 3
+""",
+)
+def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥3 distinct
+    5-gram spans with a held-out benchmark set (every 31st doc stands in
+    for the benchmark) — the overlap check run before any training corpus
+    ships.
+
+    Plan shape: distinct 5-grams per side, then an equi-join on the gram
+    (an inverted-index probe, cost Σ df_corpus × df_bench per gram — the
+    benchmark side is tiny so the join is effectively a semi-probe), then
+    a pair-count with a HAVING floor. 5-grams are rare enough that no
+    df-cap is needed; if a corpus had degenerate hot 5-grams the
+    ngram_jaccard_capped guard applies verbatim.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 5)
+    grams = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', element_at(w, i), "
+                "element_at(w, i+1), element_at(w, i+2), element_at(w, i+3), element_at(w, i+4)))"
+            )
+        ).alias("g"),
+    ).distinct()
+    bench = grams.filter(F.col("doc_id") % 31 == 0).select(
+        F.col("doc_id").alias("bench_id"), "g"
+    )
+    corpus = grams.filter(F.col("doc_id") % 31 != 0)
+    return (
+        corpus.join(bench, "g")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
