@@ -95,3 +95,37 @@ class TestParallelismConfig:
         assert (
             spark.conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst") == "true"
         )
+
+
+class TestMapOnlyStages:
+    @pytest.mark.parametrize("name", ["doc_chunking", "corpus_mix_sample"])
+    def test_no_shuffle_at_all(self, spark, sf_dir, name):
+        # both are contract-map-only: chunking is a row-local explode,
+        # mixing is a hash filter — a shuffle here is a plan regression
+        plan = plan_of(spark, sf_dir, name, mode="simple")
+        assert "Exchange" not in plan, f"{name}: map-only contract violated"
+
+    def test_corpus_mix_prunes_text_column(self, spark, sf_dir):
+        # the sampler never looks at the document body; reading it would
+        # multiply scan bytes by ~100x at corpus scale
+        plan = plan_of(spark, sf_dir, "corpus_mix_sample")
+        read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+        assert "text" not in read_schema
+
+
+class TestRollupAndManifestPlans:
+    def test_bridge_rollup_broadcasts_bridge_and_norms(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "bridge_rollup_centroid_similarity")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+    def test_mpd_manifest_single_shuffle_per_fold(self, spark, sf_dir):
+        # window prefix-sum and the grouped folds share the l_orderkey
+        # partitioning — Spark must reuse it, not re-shuffle per aggregate
+        plan = plan_of(spark, sf_dir, "dash_mpd_manifest", mode="simple")
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= 2, f"manifest assembly should reuse the order partitioning, saw {n} shuffles"
+
+    def test_contamination_bench_side_broadcasts(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "benchmark_contamination")
+        assert "Broadcast" in plan, "tiny benchmark gram side must broadcast"

@@ -449,7 +449,7 @@ def bridge_rollup_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataF
     a = circ_cent.select(F.col("circle").alias("circle_a"), "pos", F.col("u").alias("ua"))
     b = circ_cent.select(F.col("circle").alias("circle_b"), F.col("pos").alias("pos_b"), F.col("u").alias("ub"))
     return (
-        a.join(b, (F.col("pos") == F.col("pos_b")) & (F.col("circle_a") < F.col("circle_b")))
+        a.join(F.broadcast(b), (F.col("pos") == F.col("pos_b")) & (F.col("circle_a") < F.col("circle_b")))
         .groupBy("circle_a", "circle_b")
         .agg(F.round(F.sum(F.col("ua") * F.col("ub")), 6).alias("centroid_cosine"))
     )
