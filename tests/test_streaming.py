@@ -184,3 +184,46 @@ class TestStatefulOperator:
         # status law: DONE iff n_events >= 50
         assert latest.filter((F.col("n_events") >= 50) & (F.col("status") != "DONE")).count() == 0
         assert latest.filter((F.col("n_events") < 50) & (F.col("status") != "PENDING")).count() == 0
+
+
+class TestBackpressure:
+    def test_max_files_per_trigger_bounds_batches(self, spark, tmp_path):
+        import json as _json
+
+        from tlmc_etl_spark.streaming.windows import read_event_stream
+
+        src = tmp_path / "in"
+        src.mkdir()
+        for i in range(6):
+            with open(src / f"part-{i}.json", "w") as f:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": i,
+                            "ts": "2026-01-01T00:00:00",
+                            "user_id": 1,
+                            "event_type": "view",
+                            "value": 1.0,
+                        }
+                    )
+                    + "\n"
+                )
+        batches = []
+        stream = read_event_stream(spark, str(src), max_files_per_trigger=2)
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(lambda df, _id: batches.append(df.count()))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # 6 files at 2 files/trigger -> 3 micro-batches of 2 rows each
+        assert batches == [2, 2, 2]
+
+    def test_rate_source_schema(self, spark):
+        from tlmc_etl_spark.streaming.windows import throttled_rate_source
+
+        df = throttled_rate_source(spark, rows_per_second=10)
+        assert df.isStreaming
+        assert set(df.columns) == {"timestamp", "value"}

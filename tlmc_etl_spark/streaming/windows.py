@@ -26,13 +26,38 @@ EVENT_SCHEMA = T.StructType(
 )
 
 
-def read_event_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int = 16,
+    max_bytes_per_trigger: str | None = None,
+) -> DataFrame:
     """JSONL file source — the streaming twin of the journal reader
-    (extract.py:47-61): each new file is a micro-batch of appended lines."""
+    (extract.py:47-61): each new file is a micro-batch of appended lines.
+
+    Backpressure is admission control at the source: `maxFilesPerTrigger`
+    bounds a micro-batch by file count (the hls_runner.py:104-141 worklist
+    chunking analogue) and `maxBytesPerTrigger` by input bytes — the knob
+    that matters when file sizes are skewed. Both cap state growth and
+    per-batch latency instead of letting one huge backlog drain as one
+    giant batch. Gated by tests/test_streaming.py::TestBackpressure."""
+    reader = spark.readStream.schema(EVENT_SCHEMA).option(
+        "maxFilesPerTrigger", max_files_per_trigger
+    )
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", max_bytes_per_trigger)
+    return reader.json(input_dir)
+
+
+def throttled_rate_source(spark: SparkSession, rows_per_second: int = 100) -> DataFrame:
+    """Rate-limited synthetic source: Spark's `rate` source emits
+    (timestamp, value) at a capped rows/second — the engine's stand-in for
+    upstream API rate limiting (the reference throttles its scrapers
+    client-side; in a stream runtime the cap lives at the source)."""
     return (
-        spark.readStream.schema(EVENT_SCHEMA)
-        .option("maxFilesPerTrigger", 16)  # backpressure, hls_runner.py:104-141 analogue
-        .json(input_dir)
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
     )
 
 
