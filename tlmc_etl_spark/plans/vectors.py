@@ -274,6 +274,74 @@ def label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_quantize_int8",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0 AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qv
+  FROM scaled
+)
+SELECT vec_id, round(scale, 8) AS scale,
+       CAST(list_max(list_transform(qv, x -> abs(x))) AS INTEGER) AS max_q,
+       round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+             i -> (v[i] / scale - qv[i]) * (v[i] / scale - qv[i]))) / len(v)), 6) AS rmse_steps
+FROM q
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization with a reconstruction audit.
+
+    The storage/serving compression step a 100 TB vector corpus runs
+    before indexing (4× smaller than float32, dot products stay usable):
+    scale = max|x|/127 per vector, q = round(x/scale) ∈ [-127, 127],
+    and the query emits the per-vector RMS error in quantization-step
+    units (multiply by `scale` for the absolute figure) so the quality
+    regression is a monitored number, not an assumption. Step units keep
+    the error formula cancellation-free — (v − q·scale)² subtracts two
+    nearly-equal products and amplifies engine-level FMA/rounding
+    differences past any sane rounding, while (v/scale − q)² is built
+    from bit-identical operations on both engines. Pure JVM
+    higher-order array algebra — one scan, no shuffle, no UDF; both
+    engines fold the arrays in element order so the oracle matches to
+    8 dp. `max_q` ≤ 127 is the range invariant (also unit-gated).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    e = emb.select("vec_id", v.alias("v"))
+    scale = (
+        F.greatest(
+            F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))), F.lit(1e-12)
+        )
+        / 127.0
+    )
+    scaled = e.select("vec_id", "v", scale.alias("scale"))
+    qv = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int"))
+    q = scaled.select("vec_id", "v", "scale", qv.alias("qv"))
+    err2 = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("qv"),
+            lambda x, qx: (x / F.col("scale") - qx) * (x / F.col("scale") - qx),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return q.select(
+        "vec_id",
+        F.round("scale", 8).alias("scale"),
+        F.array_max(F.transform(F.col("qv"), lambda x: F.abs(x))).cast("int").alias("max_q"),
+        F.round(F.sqrt(err2 / F.size("v")), 6).alias("rmse_steps"),
+    )
+
+
+@query(
     "binvec_roundtrip",
     oracle="""
 SELECT vec_id, len(embedding) AS dim,
