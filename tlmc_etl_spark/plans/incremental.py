@@ -216,7 +216,7 @@ WITH rows AS (
 SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_rows,
        sum(row_bytes) AS payload_bytes,
        19 + sum(row_bytes) + 2 AS file_bytes
-FROM sized GROUP BY shard
+FROM sized GROUP BY shard ORDER BY shard
 """,
 )
 def copy_binary_export(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -285,13 +285,14 @@ WITH e AS (
   FROM e
 ), q AS (
   SELECT vec_id, v, scale,
-         list_transform(v, x -> CAST(round(x / scale) AS INTEGER)) AS qv
+         list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qv
   FROM scaled
 )
-SELECT vec_id, round(scale, 8) AS scale,
+SELECT vec_id, floor(scale * 100000000 + 0.5) / 100000000 AS scale,
        CAST(list_max(list_transform(qv, x -> abs(x))) AS INTEGER) AS max_q,
-       round(sqrt(list_sum(list_transform(generate_series(1, len(v)),
-             i -> (v[i] / scale - qv[i]) * (v[i] / scale - qv[i]))) / len(v)), 6) AS rmse_steps
+       floor(sqrt(list_sum(list_transform(generate_series(1, len(v)),
+             i -> (v[i] / scale - qv[i]) * (v[i] / scale - qv[i]))) / len(v))
+             * 10000 + 0.5) / 10000 AS rmse_steps
 FROM q
 """,
 )
@@ -307,10 +308,16 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     the error formula cancellation-free — (v − q·scale)² subtracts two
     nearly-equal products and amplifies engine-level FMA/rounding
     differences past any sane rounding, while (v/scale − q)² is built
-    from bit-identical operations on both engines. Pure JVM
-    higher-order array algebra — one scan, no shuffle, no UDF; both
-    engines fold the arrays in element order so the oracle matches to
-    8 dp. `max_q` ≤ 127 is the range invariant (also unit-gated).
+    from bit-identical operations on both engines. Every rounding —
+    the quantizer itself and the emitted decimals — is expressed as
+    floor(x·10^k + 0.5)/10^k on BOTH engines: Spark's round() goes
+    through decimal-string HALF_UP while DuckDB rounds the binary
+    double, so borderline halves diverge between the builtins; the
+    explicit floor form is the same IEEE op everywhere. rmse_steps is
+    emitted at 4 dp so summation-order ulps can't straddle a rounding
+    boundary. Pure JVM higher-order array algebra — one scan, no
+    shuffle, no UDF. `max_q` ≤ 127 is the range invariant (also
+    unit-gated).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -322,7 +329,9 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 127.0
     )
     scaled = e.select("vec_id", "v", scale.alias("scale"))
-    qv = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")).cast("int"))
+    qv = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+    )
     q = scaled.select("vec_id", "v", "scale", qv.alias("qv"))
     err2 = F.aggregate(
         F.zip_with(
@@ -333,11 +342,20 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    return q.select(
+    # NB: rmse must see the RAW scale. Rounding `scale` in the same select
+    # would shadow it for the rmse expression via lateral-column-alias
+    # resolution (the r2 parity bug: err2 silently used the 8-dp scale).
+    out = q.select(
         "vec_id",
-        F.round("scale", 8).alias("scale"),
+        "scale",
         F.array_max(F.transform(F.col("qv"), lambda x: F.abs(x))).cast("int").alias("max_q"),
-        F.round(F.sqrt(err2 / F.size("v")), 6).alias("rmse_steps"),
+        (F.floor(F.sqrt(err2 / F.size("v")) * 1e4 + F.lit(0.5)) / 1e4).alias("rmse_steps"),
+    )
+    return out.select(
+        "vec_id",
+        (F.floor(F.col("scale") * 1e8 + F.lit(0.5)) / 1e8).alias("scale"),
+        "max_q",
+        "rmse_steps",
     )
 
 
