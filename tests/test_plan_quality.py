@@ -85,16 +85,28 @@ class TestCodegen:
 
 
 class TestParallelismConfig:
-    def test_aqe_does_not_starve_cpu_heavy_python_stages(self, spark):
-        # AQE partition coalescing is byte-based: with the default 1 MiB
-        # minPartitionSize, a few hundred KB of shuffle feeding a pandas-UDF
-        # stage collapses to ONE task (measured 8x slowdown on the Hungarian
-        # match at sf0.1). The session must keep bytes/parallelism as the
-        # coalesce target instead.
-        assert spark.conf.get("spark.sql.adaptive.coalescePartitions.minPartitionSize") == "1b"
-        assert (
-            spark.conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst") == "true"
-        )
+    def test_aqe_coalescing_stays_default_session_wide(self, spark):
+        # The r2 session-wide minPartitionSize=1b/parallelismFirst override
+        # fanned EVERY tiny shuffle to 32+ tasks and regressed the pure-JVM
+        # relational suite 2-4x at sf0.1. The session must keep Spark's
+        # byte-based defaults; CPU-heavy Python stages opt out per-plan.
+        assert spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m"
+        ) != "1b"
+        assert spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false"
+        ) != "true"
+
+    @pytest.mark.parametrize(
+        "name", ["fuzzy_hungarian_match", "mirror_duration_dedup", "lcp_pairing_join"]
+    )
+    def test_python_group_stages_pin_parallelism(self, spark, sf_dir, name):
+        # CPU-bound applyInPandas over a byte-tiny shuffle: the plan must
+        # carry a user-specified repartition (REPARTITION_BY_NUM), which AQE
+        # never coalesces — otherwise the stage collapses to one task
+        # (measured 8x slowdown on the Hungarian match at sf0.1).
+        plan = plan_of(spark, sf_dir, name, mode="simple")
+        assert "REPARTITION_BY_NUM" in plan, f"{name}: Python stage lost its fanout"
 
 
 class TestMapOnlyStages:

@@ -144,10 +144,13 @@ def minhash_near_dupes(
     rows = n_hashes // n_bands
     sh = word_bigram_hashes(df, id_col, text_col)
     # Signatures feed both the band self-join and the estimate join (four
-    # scans of the same tiny table: n_docs × n_hashes longs). Persist so
-    # the shingle scan + min-aggregation runs once; at cluster scale this
-    # is the table you'd checkpoint to storage between the two stages.
-    sigs = minhash_signatures(sh, id_col, n_hashes).persist()
+    # scans of the same tiny table: n_docs × n_hashes longs). Materialize
+    # once via localCheckpoint — same reuse as a cache, but the blocks are
+    # reference-counted and freed when the result is dropped, so a long
+    # session doesn't accumulate pinned tables (persist would need a
+    # caller-side unpersist the lazy return value can't allow). At cluster
+    # scale this is the table you'd checkpoint to storage between stages.
+    sigs = minhash_signatures(sh, id_col, n_hashes).localCheckpoint(eager=True)
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands, rows)
     est = minhash_estimate(sigs, pairs, id_col)
     return est.filter(F.col("est_jaccard") >= threshold)
@@ -198,8 +201,9 @@ def simhash_near_dupes(
     row), so candidate dedup costs zero shuffle.
     """
     # Both sides of the chunk self-join read the fingerprints (n_docs × 1
-    # long) — persist so the word scan + 64 bit-sum aggregates run once.
-    fps = simhash_fingerprints(df, id_col, text_col).persist()
+    # long) — materialize so the word scan + 64 bit-sum aggregates run
+    # once (localCheckpoint, not persist: blocks free with the result).
+    fps = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=True)
     chunks = fps.select(
         F.col(id_col),
         "simhash",

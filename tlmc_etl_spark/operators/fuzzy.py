@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tlmc_etl_spark.operators.assignment import linear_sum_assignment
+from tlmc_etl_spark.tuning import fanout
 
 
 def match_key(s: str) -> str:
@@ -116,7 +117,10 @@ def hungarian_match_join(
     out_schema = (
         "grp long, left_id string, right_id string, score double, group_total double, accepted boolean"
     )
-    return both.groupBy("grp").applyInPandas(solve, schema=out_schema)
+    # CPU-bound stage (O(n^2) difflib + LAP per group) over a byte-tiny
+    # shuffle: pin full parallelism with an AQE-exempt repartition on the
+    # group key (the groupBy reuses the partitioning — one exchange total).
+    return fanout(both, "grp").groupBy("grp").applyInPandas(solve, schema=out_schema)
 
 
 def tokens(s: str) -> list[str]:

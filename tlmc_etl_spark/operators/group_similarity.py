@@ -36,6 +36,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from tlmc_etl_spark.tuning import fanout
+
 
 # ---------------------------------------------------------------- numpy core
 
@@ -201,7 +203,10 @@ def three_score_group_similarity(
     gathered = gather_group_members(members, group_col, vec_col, order_col, pad)
     a = gathered.select(F.col("group").alias("group_a"), F.col("vecs").alias("vecs_a"))
     b = gathered.select(F.col("group").alias("group_b"), F.col("vecs").alias("vecs_b"))
-    pairs = a.join(b, F.col("group_a") < F.col("group_b")).persist()
+    # localCheckpoint, not persist: pairs feeds gamma calibration AND the
+    # returned scorer; checkpoint blocks free with the result instead of
+    # pinning driver/executor storage for the session.
+    pairs = a.join(b, F.col("group_a") < F.col("group_b")).localCheckpoint(eager=True)
 
     if gamma is None:
         gamma = calibrate_pair_gamma(pairs)
@@ -221,7 +226,10 @@ def three_score_group_similarity(
                 out, columns=["group_a", "group_b", "score_raw", "score_style", "score_kde"]
             )
 
-    return pairs.mapInPandas(
+    # The checkpointed pairs may sit in very few partitions (AQE coalesced
+    # the join); each pair costs a pad²·dim kernel in Python, so fan the
+    # scorer out with an AQE-exempt repartition.
+    return fanout(pairs).mapInPandas(
         score,
         schema="group_a int, group_b int, score_raw double, score_style double, score_kde double",
     ).withColumn("kde_gamma", F.round(F.lit(g), 4))

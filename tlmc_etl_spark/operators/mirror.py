@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tlmc_etl_spark.tuning import fanout
+
 
 def durations_mirror(a: list[float], b: list[float], tol: float = 8.0, frac: float = 0.85) -> bool:
     """Greedy multiset match: each duration in the smaller set consumes the
@@ -81,7 +83,9 @@ def mirror_dedup(
             out.append((grp, d, len(durs[d]), src is not None, src))
         return pd.DataFrame(out, columns=["grp", "dirname", "n_tracks", "is_mirror", "mirror_of"])
 
-    return slim.groupBy("grp").applyInPandas(
+    # O(dirs²·tracks) Python per group over a tiny shuffle — AQE-exempt
+    # fan-out on the group key so the stage keeps every core.
+    return fanout(slim, "grp").groupBy("grp").applyInPandas(
         solve, schema="grp long, dirname string, n_tracks long, is_mirror boolean, mirror_of string"
     )
 
@@ -130,6 +134,8 @@ def lcp_pairing(
             out.append((grp, a, b, score))
         return pd.DataFrame(out, columns=["grp", "left_name", "right_name", "prefix_len"])
 
-    return both.groupBy("grp").applyInPandas(
+    # O(|L|·|R|) prefix scans per group in Python — same fan-out rationale
+    # as mirror_dedup.
+    return fanout(both, "grp").groupBy("grp").applyInPandas(
         solve, schema="grp long, left_name string, right_name string, prefix_len int"
     )

@@ -209,7 +209,10 @@ def lsh_near_dup(
             ),
         )
     )
-    keyed = keyed.persist()
+    # localCheckpoint rather than persist: keyed feeds four scans of the
+    # returned lazy plan, and checkpoint blocks are GC-freed with the
+    # result instead of pinning the cache for the session's lifetime.
+    keyed = keyed.localCheckpoint(eager=True)
     a = keyed.select(
         F.col(id_col).alias("anchor"),
         F.col("keys").alias("keys_a"),

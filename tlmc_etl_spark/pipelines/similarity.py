@@ -29,6 +29,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tlmc_etl_spark.operators.vectors import chamfer_numpy
+from tlmc_etl_spark.tuning import fanout
 
 
 def pooled_unit_mean(chunks: DataFrame, track_col: str, vec_col: str) -> DataFrame:
@@ -105,12 +106,20 @@ def cosine_recall(pooled: DataFrame, k: int, tile_rows: int = 200_000) -> DataFr
                         }
                     )
 
-        partials.append(
-            pooled.mapInPandas(score, schema="anchor long, neighbor long, recall_score double")
-        )
+        # Materialize the tile's top-k eagerly (n_anchors × k rows — small)
+        # so the tile broadcast can be destroyed immediately; otherwise
+        # every tile's (ids, matrix) copy stays pinned on driver and disk
+        # until the session dies, and a long pipeline accumulates them.
+        part = pooled.mapInPandas(
+            score, schema="anchor long, neighbor long, recall_score double"
+        ).localCheckpoint(eager=True)
+        bc.destroy()
+        partials.append(part)
 
     from functools import reduce
 
+    if not partials:
+        return spark.createDataFrame([], "anchor long, neighbor long, recall_score double")
     union = reduce(DataFrame.unionByName, partials)
     w = W.partitionBy("anchor").orderBy(F.col("recall_score").desc(), F.col("neighbor").asc())
     return (
@@ -164,7 +173,10 @@ def chamfer_rerank(recall: DataFrame, chunk_sets: DataFrame, k_final: int) -> Da
                 out.append((row["anchor"], row["neighbor"], round(chamfer_numpy(A, B), 6)))
             yield pd.DataFrame(out, columns=["anchor", "neighbor", "score"])
 
-    scored = pairs.mapInPandas(score, schema="anchor long, neighbor long, score double")
+    # Each pair costs a cap²·dim matmul in Python; the joined pairs table
+    # is small in bytes, so pin full parallelism with an AQE-exempt
+    # round-robin before the scorer.
+    scored = fanout(pairs).mapInPandas(score, schema="anchor long, neighbor long, score double")
     w = W.partitionBy("anchor").orderBy(F.col("score").desc(), F.col("neighbor").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -190,5 +202,9 @@ def two_stage_similar_tracks(
     # pooling subtree runs once.
     pooled = pooled_unit_mean(chunks, track_col, vec_col).persist()
     recall = cosine_recall(pooled, k_recall)
+    # cosine_recall consumes pooled eagerly (count, tile collects, and the
+    # per-tile top-k partials are localCheckpointed) — nothing downstream
+    # reads it, so release the cache now rather than leaking it.
+    pooled.unpersist()
     sets = gather_chunks(chunks, track_col, vec_col, chunk_cap, order_col=chunk_order_col)
     return chamfer_rerank(recall, sets, k_final)

@@ -228,13 +228,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
     # The shingle table feeds three consumers (both self-join sides and the
-    # per-doc sizes); persist so the explode+distinct shuffle runs once.
+    # per-doc sizes); localCheckpoint so the explode+distinct shuffle runs
+    # once and the blocks free with the result (a persist here would pin
+    # the table until someone unpersists — which the lazy return forbids).
     bigrams = ws.select(
         "doc_id",
         F.explode(
             F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
         ).alias("s"),
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     sizes = bigrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = bigrams.alias("a")
     b = bigrams.alias("b")
@@ -310,7 +312,7 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
         ).alias("s"),
-    ).distinct().persist()
+    ).distinct().localCheckpoint(eager=True)
     n_docs = shingles.select(F.countDistinct("doc_id").alias("nd"))
     df_tbl = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     cap = F.greatest(F.lit(5), F.floor(0.01 * F.col("nd")).cast("bigint"))
@@ -319,7 +321,7 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") <= cap)
         .select("doc_id", "s")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sizes = cold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = cold.alias("a")
@@ -398,11 +400,17 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     with full predicate/column pruning upstream.
     """
     docs = load_table(spark, sf_dir, "documents")
-    bg = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat(element_at(split(text, ' '), i), ' ', element_at(split(text, ' '), i + 1)))"
+    # Project the split ONCE: higher-order lambdas get no subexpression
+    # elimination, so split(text) inlined in the transform body would
+    # re-tokenize per element — O(words²) per row.
+    words = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 2
     )
-    grams = docs.filter(F.size(F.split("text", " ")) >= 2).select("doc_id", bg.alias("bg"))
+    bg = F.expr(
+        "transform(sequence(1, size(ws) - 1),"
+        " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+    )
+    grams = words.select("doc_id", bg.alias("bg"))
     return grams.select(
         "doc_id",
         F.size("bg").alias("n_bigrams"),

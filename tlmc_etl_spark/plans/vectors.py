@@ -544,9 +544,13 @@ def bridge_rollup_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataF
 @query(
     "kde_bandwidth_calibration",
     oracle="""
-WITH e AS (
-  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+WITH capped AS (
+  SELECT vec_id, label, embedding,
+         row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn
   FROM embeddings
+), e AS (
+  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM capped WHERE rn <= 96
 ), pairs AS (
   SELECT a.label,
          1.0 - list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * b.v[i]))
@@ -568,13 +572,24 @@ def kde_bandwidth_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the median cosine distance of anchor-vs-own-candidate member pairs
     (precompute_similar_groups.py:156-194) because a global median would
     over-smooth. Exact `median` (Spark 3.4+) matches DuckDB's interpolated
-    median; the pair join shuffles on the group key only, and per-group pair
-    counts are quadratic in member count — at scale, sample members per
-    group before pairing (the reference subsamples at 96 the same way).
+    median; the pair join shuffles on the group key only.
+
+    The pair join is quadratic in member count, so members are CAPPED at
+    96 per label (row_number by vec_id — deterministic, layout-free)
+    before pairing, the same subsample bound the reference applies before
+    its quadratic pair work (precompute_similar_tracks.py:84-92). The cap
+    is in the oracle too: both engines calibrate on identical pairs, and
+    a hot label costs at most 96·95/2 pairs instead of members².
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb"))
+    cw = W.partitionBy("label").orderBy("vec_id")
+    capped = (
+        emb.withColumn("__rn", F.row_number().over(cw))
+        .filter(F.col("__rn") <= 96)
+        .drop("__rn")
+    )
+    a = capped.select(F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("va"))
+    b = capped.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb"))
     pairs = a.join(b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))).select(
         "label",
         (

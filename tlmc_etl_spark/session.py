@@ -21,13 +21,12 @@ def get_spark(app_name: str = "tlmc-etl-spark") -> SparkSession:
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # AQE coalescing is byte-based and blind to CPU cost: a few hundred
-        # KB of shuffle feeding a pandas-UDF stage would collapse to ONE
-        # task (measured 8x slowdown on the Hungarian match). minPartitionSize
-        # 1b + parallelismFirst makes AQE target bytes/parallelism instead of
-        # the 1 MiB floor, so small-but-CPU-heavy stages keep every core.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1b")
+        # Default AQE coalescing everywhere: pure-JVM shuffles SHOULD fold
+        # tiny partitions into few tasks (the r2 session-wide
+        # minPartitionSize=1b override fanned every small shuffle to 32+
+        # tasks and regressed the relational suite 2-4x at sf0.1).
+        # CPU-heavy Python stages opt out per-plan via tuning.fanout(),
+        # whose user-specified repartition count AQE never coalesces.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.session.timeZone", "UTC")

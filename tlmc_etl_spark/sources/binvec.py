@@ -53,11 +53,17 @@ def read_embedding_bins(spark: SparkSession, dir_path: str, expected_dims: int) 
                 except ValueError:
                     out.append((stem, None, None, 0, False, "bad_filename"))
                     continue
+                # uuid ints are 128-bit; only surface the int form when it
+                # fits a signed long (the synthetic-uuid case) — a genuine
+                # random uuid would overflow the Arrow long conversion and
+                # take the whole batch down with it, breaking the
+                # "fails its own row, never the batch" contract.
+                u_int = u.int if u.int < (1 << 63) else None
                 vec = np.frombuffer(content, dtype="<f4")
                 if len(vec) != expected_dims:
-                    out.append((stem, u.int, None, len(vec), False, "wrong_dims"))
+                    out.append((stem, u_int, None, len(vec), False, "wrong_dims"))
                     continue
-                out.append((stem, u.int, vec.tolist(), len(vec), True, None))
+                out.append((stem, u_int, vec.tolist(), len(vec), True, None))
             yield pd.DataFrame(
                 out,
                 columns=["track_uuid", "track_int", "embedding", "n_floats", "valid", "reason"],

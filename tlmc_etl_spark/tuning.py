@@ -1,0 +1,34 @@
+"""Plan-embedded parallelism hints for Python-CPU stages.
+
+AQE's partition coalescing is byte-based and blind to CPU cost: a few
+hundred KB of shuffle feeding a pandas-UDF stage collapses to one task
+under the default 1 MiB advisory floor (measured 8x slowdown on the
+Hungarian match at sf0.1). Round 2 fixed that with a session-wide
+`coalescePartitions.minPartitionSize=1b` + `parallelismFirst=true`, which
+un-coalesced EVERY tiny shuffle and regressed the pure-JVM relational
+suite 2-4x (scheduling overhead exceeded the work at sf0.1).
+
+The scoped fix lives in the plan, not the session: Spark exempts
+user-specified repartition counts (ShuffleOrigin REPARTITION_BY_NUM) from
+AQE coalescing, so `fanout(df, keys)` immediately before a heavy
+`applyInPandas`/`mapInPandas` pins that one exchange at full parallelism
+while every relational shuffle keeps normal AQE behavior. When keys match
+the downstream groupBy, Catalyst reuses the hash partitioning and no
+second exchange is added.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fanout(df: DataFrame, *cols: str, parts: int | None = None) -> DataFrame:
+    """Repartition with an explicit (AQE-coalesce-exempt) partition count.
+
+    Use directly before a CPU-bound Python stage whose shuffle input is
+    small in bytes but expensive per row. With `cols`, hash-partitions on
+    them (a following groupBy on the same keys adds no exchange); without,
+    round-robins rows across tasks.
+    """
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
