@@ -37,6 +37,7 @@ HEADLINE = [
     "doc_dedup_clusters",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
+    "embedding_near_dup_lsh_hi",
     "multimodal_features",
     # similarity pipeline
     "cosine_topk",

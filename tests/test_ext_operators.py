@@ -178,6 +178,34 @@ def test_lsh_near_dup_recall_and_exactness_vs_all_pairs(spark, sf_dir):
     assert recall >= 0.95, f"recall {recall:.3f} < 0.95"
 
 
+def test_lsh_near_dup_hi_threshold_recall_on_planted_dups(spark, sf_dir):
+    # the 0.9-threshold design regime: exact reference recomputed in numpy
+    # over the SAME planted corpus the query builds
+    from tlmc_etl_spark.plans.ext import _plant_near_dups
+    from tlmc_etl_spark.sources.tables import load_table
+
+    corpus = _plant_near_dups(load_table(spark, sf_dir, "embeddings"))
+    rows = corpus.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    S = Mn @ Mn.T
+    iu, ju = np.nonzero((S >= 0.9) & (ids[:, None] < ids[None, :]))
+    exact = {(int(ids[i]), int(ids[j])): S[i, j] for i, j in zip(iu, ju)}
+    assert exact, "planting produced no >=0.9 pairs; regime test is vacuous"
+
+    got = {}
+    for r in QUERIES["embedding_near_dup_lsh_hi"].fn(spark, sf_dir).collect():
+        key = (r["keep_id"], r["dup_id"])
+        assert key not in got, f"pair {key} emitted twice"
+        got[key] = r["score"]
+    for key, s in got.items():
+        assert key in exact, f"false positive {key} (scoring must be exact)"
+        assert abs(s - exact[key]) < 1e-5
+    recall = len(got) / len(exact)
+    assert recall >= 0.95, f"hi-threshold recall {recall:.3f} < 0.95"
+
+
 class TestTokenSetMatch:
     def test_reorder_invariance_and_bounds(self):
         from tlmc_etl_spark.operators.fuzzy import token_set_ratio

@@ -108,6 +108,14 @@ class TestParallelismConfig:
         plan = plan_of(spark, sf_dir, name, mode="simple")
         assert "REPARTITION_BY_NUM" in plan, f"{name}: Python stage lost its fanout"
 
+    def test_chamfer_group_pairs_are_pruned_not_crossed(self, spark, sf_dir):
+        # the registered chamfer query must score recall candidates via
+        # equi-joins; an all-pairs group_a < group_b join would show up as
+        # a nested-loop join and explode quadratically at corpus scale
+        plan = plan_of(spark, sf_dir, "chamfer_group_similarity", mode="simple")
+        assert "NestedLoopJoin" not in plan, "chamfer pair list must come from recall"
+        assert "CartesianProduct" not in plan
+
 
 class TestMapOnlyStages:
     @pytest.mark.parametrize("name", ["doc_chunking", "corpus_mix_sample"])

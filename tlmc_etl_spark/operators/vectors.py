@@ -16,6 +16,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from tlmc_etl_spark.tuning import fanout
+
 
 def chamfer_numpy(A: np.ndarray, B: np.ndarray) -> float:
     """Symmetric chamfer (mean-of-max cosine) between two chunk sets.
@@ -30,22 +32,72 @@ def chamfer_numpy(A: np.ndarray, B: np.ndarray) -> float:
     return float((sim.max(axis=1).mean() + sim.max(axis=0).mean()) / 2.0)
 
 
-def chamfer_group_scores(emb: DataFrame, group_col: str, vec_col: str) -> DataFrame:
-    """All-pairs symmetric chamfer between groups of vectors.
+def centroid_topk_pairs(
+    emb: DataFrame, group_col: str, vec_col: str, k: int = 16
+) -> DataFrame:
+    """Recall stage for group-level scoring: candidate (group_a < group_b)
+    pairs whose CENTROID cosine ranks top-k from either side.
+
+    This is the pruning contract the expensive pair scorers require at
+    scale (precompute_similar_groups.py:195-235 reranks candidates, never
+    all pairs): centroids collapse each group to one row, the pair cosine
+    is an equi-join on vector position over that tiny rollup, and each
+    group keeps its k best neighbors — so downstream pair work is
+    n_groups·k, not n_groups². No gathered matrices, no cross join.
+    """
+    expanded = emb.select(
+        F.col(group_col).alias("g"), F.posexplode(vec_col).alias("pos", "x")
+    ).select("g", "pos", F.col("x").cast("double").alias("x"))
+    cent = expanded.groupBy("g", "pos").agg(F.avg("x").alias("m"))
+    a = cent.select(F.col("g").alias("ga"), "pos", F.col("m").alias("ma"))
+    b = cent.select(F.col("g").alias("gb"), F.col("pos").alias("pos_b"), F.col("m").alias("mb"))
+    cos = (
+        a.join(F.broadcast(b), (F.col("pos") == F.col("pos_b")) & (F.col("ga") != F.col("gb")))
+        .groupBy("ga", "gb")
+        .agg(
+            (
+                F.sum(F.col("ma") * F.col("mb"))
+                / (
+                    F.sqrt(F.sum(F.col("ma") * F.col("ma")))
+                    * F.sqrt(F.sum(F.col("mb") * F.col("mb")))
+                )
+            ).alias("c")
+        )
+    )
+    w = W.partitionBy("ga").orderBy(F.col("c").desc(), F.col("gb").asc())
+    kept = cos.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    return (
+        kept.select(
+            F.least("ga", "gb").alias("group_a"), F.greatest("ga", "gb").alias("group_b")
+        )
+        .distinct()
+    )
+
+
+def chamfer_group_scores(
+    emb: DataFrame, group_col: str, vec_col: str, candidates: DataFrame | None = None
+) -> DataFrame:
+    """Symmetric chamfer between groups of vectors, over a candidate pair
+    list.
 
     Plan shape: groups are first gathered to (group, matrix) rows via
     collect_list — acceptable because each group's chunk set is bounded
     (the reference caps/pads at 96 chunks per track,
     precompute_similar_tracks.py:84-92; the cap is the scale contract).
-    Pairs are then formed by a self cross-join on the (tiny) per-group rows
-    and scored in an Arrow-batched pandas UDF with one matmul per pair —
-    the two-stage recall→rerank shape assumes the pair list is already
-    pruned to top-K candidates at 100 TB.
+    `candidates` (group_a, group_b) selects which pairs are scored — pass
+    a recall stage's output (centroid_topk_pairs) so pair work is
+    n_groups·k; the matrices attach by two equi-joins, never a cross
+    join. candidates=None falls back to all a<b pairs — the exhaustive
+    small-sf differential-oracle form ONLY (a nested-loop over groups at
+    scale).
     """
     gathered = emb.groupBy(group_col).agg(F.collect_list(vec_col).alias("vecs"))
     a = gathered.select(F.col(group_col).alias("group_a"), F.col("vecs").alias("vecs_a"))
     b = gathered.select(F.col(group_col).alias("group_b"), F.col("vecs").alias("vecs_b"))
-    pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    if candidates is None:
+        pairs = a.join(b, F.col("group_a") < F.col("group_b"))
+    else:
+        pairs = candidates.join(a, "group_a").join(b, "group_b")
 
     def score(batches):
         for pdf in batches:
@@ -56,7 +108,11 @@ def chamfer_group_scores(emb: DataFrame, group_col: str, vec_col: str) -> DataFr
                 out.append((row["group_a"], row["group_b"], round(chamfer_numpy(A, B), 6)))
             yield pd.DataFrame(out, columns=["group_a", "group_b", "chamfer"])
 
-    return pairs.mapInPandas(score, schema="group_a int, group_b int, chamfer double")
+    # Per-pair cap²·dim matmuls in Python over byte-tiny rows: AQE-exempt
+    # fan-out so the scorer keeps every core.
+    return fanout(pairs).mapInPandas(
+        score, schema="group_a int, group_b int, chamfer double"
+    )
 
 
 def make_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

