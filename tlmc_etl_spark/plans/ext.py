@@ -7,6 +7,8 @@ strategy the reference uses for its GPU kernels (SURVEY.md §5.2).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -231,26 +233,211 @@ def lcp_pairing_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lcp_pairing(left, right, "grp", "name", "name").orderBy("grp", "left_name")
 
 
-@query("metadata_catalog_release")
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "metadata",
+)
+
+# The flagship's DuckDB oracle: the §3.1 lifecycle re-derived as pure CTEs
+# over the SAME committed fixture parquet the Spark query reads
+# (tools/gen_fixtures.py materializes sources/synthetic.generate(42, 24) —
+# deterministic, so the files are reproducible). Stage mapping:
+# classified = disc_scanner rule cascade; d_* = gap-fill disc numbering
+# (info_scanner_ph3's free-slot algorithm, expressed as pool/anti-join/
+# row_number — the same rewrite the Spark operator uses); tracks = ph1/ph2
+# filename parse + probe coalesce; n_* = per-disc track gap-fill;
+# info/mode_artist = ph2 album vote; rel_agg = the release rollup.
+_METADATA_RELEASE_ORACLE = rf"""
+WITH manifest AS (
+  SELECT * FROM read_parquet('{_FIXTURE_DIR}/manifest.parquet')
+), probe AS (
+  SELECT * FROM read_parquet('{_FIXTURE_DIR}/probe.parquet')
+), dirs AS (
+  SELECT DISTINCT circle_dir, album_dir, rel_dir FROM manifest
+), classified AS (
+  SELECT circle_dir, album_dir, rel_dir,
+    CASE
+      WHEN coalesce(rel_dir,'') = '' THEN 'main'
+      WHEN regexp_matches(coalesce(rel_dir,''), '(?i)(stems?|daw|project files?|sessions?)') THEN 'veto'
+      WHEN regexp_matches(coalesce(rel_dir,''), '(?i)^(scans?|artwork|booklet|bk|jacket)$') THEN 'asset_dir'
+      WHEN regexp_matches(coalesce(rel_dir,''), '(?i)^(?:disc|disk|cd|dvd)[-._ ]*([0-9]+)$') THEN 'disc_index'
+      WHEN regexp_matches(coalesce(rel_dir,''), '(?i)(bonus|extra|omake|offvocal|off vocal|instrumental)') THEN 'bonus'
+      WHEN regexp_matches(coalesce(rel_dir,''), '^([0-9]{{1,2}})$') THEN 'bare_index'
+      ELSE 'unknown' END AS dir_class,
+    CASE
+      WHEN regexp_matches(coalesce(rel_dir,''), '(?i)^(?:disc|disk|cd|dvd)[-._ ]*([0-9]+)$')
+        THEN CAST(regexp_extract(coalesce(rel_dir,''), '(?i)^(?:disc|disk|cd|dvd)[-._ ]*([0-9]+)$', 1) AS INTEGER)
+      WHEN regexp_matches(coalesce(rel_dir,''), '^([0-9]{{1,2}})$')
+        THEN CAST(regexp_extract(coalesce(rel_dir,''), '^([0-9]{{1,2}})$', 1) AS INTEGER)
+      END AS parsed_disc_no
+  FROM dirs
+), audio_dirs AS (
+  SELECT * FROM classified WHERE dir_class IN ('main','disc_index','bare_index','bonus','unknown')
+), d_valid AS (
+  SELECT circle_dir, album_dir, rel_dir, parsed_disc_no AS disc_number
+  FROM audio_dirs WHERE parsed_disc_no IS NOT NULL
+), d_invalid AS (
+  SELECT circle_dir, album_dir, rel_dir,
+         row_number() OVER (PARTITION BY circle_dir, album_dir ORDER BY rel_dir NULLS FIRST) AS need_rank
+  FROM audio_dirs WHERE parsed_disc_no IS NULL
+), d_bounds AS (
+  SELECT circle_dir, album_dir, count(*) AS n_total,
+         max(coalesce(parsed_disc_no, 0)) AS max_valid
+  FROM audio_dirs GROUP BY 1, 2
+), d_pool AS (
+  SELECT circle_dir, album_dir, unnest(generate_series(1, max_valid + n_total)) AS cand
+  FROM d_bounds
+), d_free AS (
+  SELECT p.circle_dir, p.album_dir, p.cand,
+         row_number() OVER (PARTITION BY p.circle_dir, p.album_dir ORDER BY p.cand) AS need_rank
+  FROM d_pool p ANTI JOIN d_valid v
+    ON p.circle_dir = v.circle_dir AND p.album_dir = v.album_dir AND p.cand = v.disc_number
+), d_filled AS (
+  SELECT i.circle_dir, i.album_dir, i.rel_dir, f.cand AS disc_number
+  FROM d_invalid i JOIN d_free f
+    ON i.circle_dir = f.circle_dir AND i.album_dir = f.album_dir AND i.need_rank = f.need_rank
+), discs AS (
+  SELECT * FROM d_valid UNION ALL SELECT * FROM d_filled
+), d_audit AS (
+  SELECT circle_dir, album_dir,
+         (min(disc_number) = 1 AND max(disc_number) = count(*)
+          AND count(DISTINCT disc_number) = count(*)) AS discs_contiguous
+  FROM discs GROUP BY 1, 2
+), audio AS (
+  SELECT * FROM manifest WHERE lower(ext) IN ('flac','mp3','wav','wv','m4a')
+), parsed AS (
+  SELECT m.*,
+    CASE WHEN regexp_matches(filename, '^\((\d{{2}})\) \[([^\]]+)\] (.+)\.([A-Za-z0-9]+)$')
+         THEN CAST(regexp_extract(filename, '^\((\d{{2}})\) \[([^\]]+)\] (.+)\.([A-Za-z0-9]+)$', 1) AS INTEGER) END AS fp_no,
+    CASE WHEN regexp_matches(filename, '^\((\d{{2}})\) \[([^\]]+)\] (.+)\.([A-Za-z0-9]+)$')
+         THEN regexp_extract(filename, '^\((\d{{2}})\) \[([^\]]+)\] (.+)\.([A-Za-z0-9]+)$', 2) END AS fp_artist,
+    CASE WHEN regexp_matches(filename, '^\((\d{{2}})\) \[([^\]]+)\] (.+)\.([A-Za-z0-9]+)$')
+         THEN regexp_extract(filename, '^\((\d{{2}})\) \[([^\]]+)\] (.+)\.([A-Za-z0-9]+)$', 3) END AS fp_title
+  FROM audio m
+), tracks AS (
+  SELECT p.path, p.circle_dir, p.album_dir, p.rel_dir, p.filename,
+    coalesce(p.fp_no, CAST(nullif(regexp_extract(pr.tags.track, '^(\d+)', 1), '') AS INTEGER)) AS track_no_raw,
+    coalesce(p.fp_title, pr.tags.title,
+             trim(regexp_replace(regexp_replace(p.filename, '\.[A-Za-z0-9]+$', ''), '\[[^\]]*\]', '', 'g'))) AS title,
+    coalesce(p.fp_artist, pr.tags.artist) AS artist,
+    pr.duration_s,
+    pr.duration_s IS NULL AS probe_missing
+  FROM parsed p LEFT JOIN probe pr ON p.path = pr.path
+), t_discs AS (
+  SELECT t.*, coalesce(d.disc_number, 1) AS disc_number, a.discs_contiguous
+  FROM tracks t
+  LEFT JOIN discs d ON t.circle_dir = d.circle_dir AND t.album_dir = d.album_dir AND t.rel_dir = d.rel_dir
+  LEFT JOIN d_audit a ON t.circle_dir = a.circle_dir AND t.album_dir = a.album_dir AND d.disc_number IS NOT NULL
+), n_valid AS (
+  SELECT *, track_no_raw AS track_number FROM t_discs
+  WHERE track_no_raw IS NOT NULL AND track_no_raw > 0
+), n_invalid AS (
+  SELECT *, row_number() OVER (PARTITION BY circle_dir, album_dir, disc_number ORDER BY filename) AS need_rank
+  FROM t_discs WHERE NOT (track_no_raw IS NOT NULL AND track_no_raw > 0)
+), n_bounds AS (
+  SELECT circle_dir, album_dir, disc_number, count(*) AS n_total,
+         max(CASE WHEN track_no_raw IS NOT NULL AND track_no_raw > 0 THEN track_no_raw ELSE 0 END) AS max_valid
+  FROM t_discs GROUP BY 1, 2, 3
+), n_pool AS (
+  SELECT circle_dir, album_dir, disc_number, unnest(generate_series(1, max_valid + n_total)) AS cand
+  FROM n_bounds
+), n_free AS (
+  SELECT p.circle_dir, p.album_dir, p.disc_number, p.cand,
+         row_number() OVER (PARTITION BY p.circle_dir, p.album_dir, p.disc_number ORDER BY p.cand) AS need_rank
+  FROM n_pool p ANTI JOIN n_valid v
+    ON p.circle_dir = v.circle_dir AND p.album_dir = v.album_dir
+   AND p.disc_number = v.disc_number AND p.cand = v.track_number
+), n_filled AS (
+  SELECT i.* EXCLUDE (need_rank), f.cand AS track_number
+  FROM n_invalid i JOIN n_free f
+    ON i.circle_dir = f.circle_dir AND i.album_dir = f.album_dir
+   AND i.disc_number = f.disc_number AND i.need_rank = f.need_rank
+), numbered AS (
+  SELECT * FROM n_valid UNION ALL BY NAME SELECT * FROM n_filled
+), albums AS (
+  SELECT DISTINCT circle_dir, album_dir FROM tracks
+), info AS (
+  SELECT circle_dir, album_dir,
+    CAST(nullif(regexp_extract(album_dir, '^(\d{{4}})\.(\d{{2}}|xx)\.(\d{{2}}|xx)', 1), '') AS INTEGER) AS release_year,
+    CAST(nullif(nullif(regexp_extract(album_dir, '^(\d{{4}})\.(\d{{2}}|xx)\.(\d{{2}}|xx)', 2), ''), 'xx') AS INTEGER) AS release_month,
+    CAST(nullif(nullif(regexp_extract(album_dir, '^(\d{{4}})\.(\d{{2}}|xx)\.(\d{{2}}|xx)', 3), ''), 'xx') AS INTEGER) AS release_day,
+    list_filter(regexp_extract_all(album_dir, '\[([^\]]*)\]', 1), x -> regexp_matches(x, '^[A-Z]+-[0-9]{{2,}}$'))[1] AS catalog_number,
+    list_filter(regexp_extract_all(album_dir, '\[([^\]]*)\]', 1), x -> regexp_matches(x, '^(?:C|RTS|M3-)[0-9]{{1,3}}$'))[1] AS convention,
+    trim(regexp_replace(regexp_replace(album_dir, '^(\d{{4}})\.(\d{{2}}|xx)\.(\d{{2}}|xx)', ''), '\[[^\]]*\]', '', 'g')) AS album_name
+  FROM albums
+), artist_counts AS (
+  SELECT circle_dir, album_dir, artist, count(*) AS cnt
+  FROM tracks WHERE artist IS NOT NULL GROUP BY 1, 2, 3
+), mode_artist AS (
+  SELECT circle_dir, album_dir, artist AS album_artist
+  FROM (SELECT *, row_number() OVER (PARTITION BY circle_dir, album_dir ORDER BY cnt DESC, artist ASC) AS rn
+        FROM artist_counts) WHERE rn = 1
+), rel_agg AS (
+  SELECT circle_dir, album_dir,
+         count(DISTINCT disc_number) AS disc_count,
+         count(*) AS track_count,
+         bool_or(probe_missing) AS any_probe_missing,
+         bool_and(coalesce(discs_contiguous, TRUE)) AS discs_ok
+  FROM numbered GROUP BY 1, 2
+)
+SELECT i.circle_dir, i.album_dir, i.album_name,
+       i.release_year, i.release_month, i.release_day,
+       i.catalog_number, i.convention, m.album_artist,
+       r.disc_count, r.track_count,
+       concat_ws('|',
+         CASE WHEN r.any_probe_missing THEN 'probe_missing' END,
+         CASE WHEN NOT r.discs_ok THEN 'discs_not_contiguous' END,
+         CASE WHEN i.release_year IS NULL THEN 'no_release_date' END) AS needs_review_reasons
+FROM info i
+LEFT JOIN mode_artist m ON i.circle_dir = m.circle_dir AND i.album_dir = m.album_dir
+JOIN rel_agg r ON i.circle_dir = r.circle_dir AND i.album_dir = r.album_dir
+"""
+
+
+@query("metadata_catalog_release", oracle=_METADATA_RELEASE_ORACLE)
 def metadata_catalog_release(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full metadata pipeline (SURVEY.md §3.1 lifecycle) end-to-end on
-    the deterministic synthetic manifest: disc classification → filename/
-    probe parse → album majority vote → gap-fill renumber → stable ids →
-    the gold `release` dimension. Rows-only check here; invariants are
-    property-tested in tests/test_metadata_pipeline.py.
+    """The full metadata pipeline (SURVEY.md §3.1 lifecycle) end-to-end:
+    disc classification → filename/probe parse → album majority vote →
+    gap-fill renumber → the gold `release` dimension, VALUE-checked
+    against an independent DuckDB CTE re-derivation over the same
+    committed fixture parquet (fixtures/metadata/, generated by
+    tools/gen_fixtures.py from the deterministic synthetic source).
+
+    The projection exposes every release value column keyed by the
+    natural key (circle_dir, album_dir). The xxhash64 surrogate ids are
+    deliberately NOT in the oracle-compared projection — the hash is
+    engine-native (DuckDB has no xxhash64) and its determinism/stability
+    is unit-tested separately; every value the ids are derived FROM is
+    compared here. Pipeline invariants (id stability, disc contiguity,
+    renumber bijection) are additionally property-tested in
+    tests/test_metadata_pipeline.py.
+
+    Reference semantics: info_scanner_ph2.py:296-326 (album vote),
+    info_scanner_ph3.py:42-84 (gap-fill), id_assign_and_merge.py:74-118
+    (id assembly), disc_scanner.py:40-149 (dir cascade).
     """
     from tlmc_etl_spark.pipelines.metadata import build_catalog
-    from tlmc_etl_spark.sources.synthetic import dataframes
 
-    manifest, probe = dataframes(spark, seed=42, n_albums=24)
+    manifest = spark.read.parquet(os.path.join(_FIXTURE_DIR, "manifest.parquet"))
+    probe = spark.read.parquet(os.path.join(_FIXTURE_DIR, "probe.parquet"))
     cat = build_catalog(manifest, probe)
     # Driver canonicalizer hashes scalar cells only — flatten the
     # array<string> review-reason column to a '|'-joined string.
-    return (
-        cat.release.withColumn(
-            "needs_review_reasons", F.concat_ws("|", F.col("needs_review_reasons"))
-        ).orderBy("release_id")
-    )
+    return cat.release.select(
+        "circle_dir",
+        "album_dir",
+        "album_name",
+        "release_year",
+        "release_month",
+        "release_day",
+        "catalog_number",
+        "convention",
+        "album_artist",
+        "disc_count",
+        "track_count",
+        F.concat_ws("|", F.col("needs_review_reasons")).alias("needs_review_reasons"),
+    ).orderBy("circle_dir", "album_dir")
 
 
 @query("ivf_ann_topk")
