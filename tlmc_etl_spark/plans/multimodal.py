@@ -61,3 +61,84 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "media_id", "n_bytes", F.posexplode("feature").alias("pos", "f0")
     ).select("media_id", "n_bytes", "pos", F.round("f0", 6).alias("f"))
+
+
+_PROBE_ORACLE = """
+SELECT 'order_' || o_orderkey || '.flac' AS fname,
+       CASE WHEN o_orderkey % 300 = 0 THEN NULL
+            ELSE round((1000 + o_orderkey % 5000) / 1000.0, 6) END AS duration_s,
+       CASE WHEN o_orderkey % 300 = 0 THEN NULL ELSE 'flac' END AS codec,
+       o_orderkey % 300 <> 0 AS ok,
+       CASE WHEN o_orderkey % 300 = 0 THEN 'exit_1' END AS reason
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+
+@query("subprocess_probe_scan", oracle=_PROBE_ORACLE)
+def subprocess_probe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Process-UDF probe, executed for REAL: deterministic media files are
+    written distributedly, then probed by an actual child process per file
+    (tools/fake_ffprobe — the ffprobe interface with content-driven
+    failure modes) through operators/process.probe_media_paths.
+
+    Every 3rd sampled order plants a corrupt file, so the driver-visible
+    result includes bad-exit rows isolated per the binvec contract. The
+    oracle re-derives duration/codec/ok from the same size arithmetic the
+    writer used — any drift in spawn/parse/framing hash-fails. Reference:
+    info_scanner_ph1.py:550-616 (ffprobe spawn + JSON parse + journal).
+    """
+    import os
+    import shutil
+    import sys
+
+    import pandas as pd
+
+    from tlmc_etl_spark.operators.process import probe_media_paths
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out_dir = os.path.join(
+        repo_root, ".scratch", f"probe_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    spec = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey", (F.col("o_orderkey") % 300 == 0).alias("corrupt"))
+    )
+
+    def write_files(batches):
+        for pdf in batches:
+            paths = []
+            for k, corrupt in zip(pdf["o_orderkey"], pdf["corrupt"]):
+                p = os.path.join(out_dir, f"order_{k}.flac")
+                body = (
+                    b"CORRUPT" + b"x" * 100
+                    if corrupt
+                    else b"x" * (1000 + int(k) % 5000)
+                )
+                with open(p, "wb") as fh:
+                    fh.write(body)
+                paths.append(p)
+            yield pd.DataFrame({"path": paths})
+
+    # localCheckpoint materializes the writes BEFORE any probe spawns —
+    # the write stage is a side-effecting task, not lazy plan text.
+    files = spec.mapInPandas(write_files, schema="path string").localCheckpoint(
+        eager=True
+    )
+    probed = probe_media_paths(
+        files,
+        probe_cmd=[sys.executable, os.path.join(repo_root, "tools", "fake_ffprobe")],
+        timeout_s=30.0,
+    )
+    return probed.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        F.round("duration_s", 6).alias("duration_s"),
+        "codec",
+        "ok",
+        "reason",
+    ).orderBy("fname")
