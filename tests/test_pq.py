@@ -1,0 +1,97 @@
+"""Differential gates for product quantization — lossy by design, so the
+gates check internal consistency exactly (ADC table arithmetic must equal
+decode-then-dot), and quality statistically against honest floors for the
+synthetic corpus (random-ish 64-dim data is PQ's worst case: no cluster
+structure to exploit; recall floors are ~100x the random baseline, not
+the 0.9s a clustered real corpus would show).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_reconstruction,
+    pq_train_codebooks,
+)
+from tlmc_etl_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def np_corpus(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    M = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    return ids, M / np.linalg.norm(M, axis=1, keepdims=True)
+
+
+def test_encode_is_deterministic_and_in_range(spark, emb):
+    cb = pq_train_codebooks(emb, "vec_id", "embedding", m=8, k=16)
+    a = {r["vec_id"]: r["codes"] for r in pq_encode(emb, "vec_id", "embedding", cb).collect()}
+    b = {r["vec_id"]: r["codes"] for r in pq_encode(emb, "vec_id", "embedding", cb).collect()}
+    assert a == b, "same codebooks must encode identically across runs"
+    for codes in a.values():
+        assert len(codes) == 8
+        assert all(0 <= c < 16 for c in codes)
+
+
+def test_adc_score_equals_decode_then_dot(spark, emb, np_corpus):
+    # the ADC lookup-table path is an EXACT rewrite of dot(anchor,
+    # decode(codes)) — any drift is a real bug, not quantization loss
+    ids, Mn = np_corpus
+    cb = pq_train_codebooks(emb, "vec_id", "embedding", m=8, k=16)
+    codes = {r["vec_id"]: np.array(r["codes"]) for r in pq_encode(emb, "vec_id", "embedding", cb).collect()}
+    got = pq_adc_topk(emb, "vec_id", "embedding", k_neighbors=5, n_anchors=5).collect()
+    assert got, "no ADC rows produced"
+    m, k, ds = cb.shape
+    for r in got:
+        q = Mn[np.where(ids == r["anchor"])[0][0]]
+        decoded = np.concatenate([cb[s][codes[r["neighbor"]][s]] for s in range(m)])
+        assert abs(r["adc_score"] - float(q @ decoded)) < 1e-5, (
+            f"ADC table path diverged from decode-then-dot on {r}"
+        )
+
+
+def test_reconstruction_quality_floor_and_improves_with_k(spark, emb):
+    cb16 = pq_train_codebooks(emb, "vec_id", "embedding", m=8, k=16)
+    cb64 = pq_train_codebooks(emb, "vec_id", "embedding", m=8, k=64)
+    r16 = pq_reconstruction(emb, "vec_id", "embedding", cb16).agg(
+        F.mean("recon_cosine").alias("m")
+    ).first()["m"]
+    r64 = pq_reconstruction(emb, "vec_id", "embedding", cb64).agg(
+        F.mean("recon_cosine").alias("m")
+    ).first()["m"]
+    assert r16 > 0.5, f"mean reconstruction cosine {r16:.3f} below floor"
+    assert r64 > r16, "larger codebooks must reconstruct better"
+
+
+def test_adc_recall_beats_random_by_two_orders(spark, emb, np_corpus):
+    ids, Mn = np_corpus
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -np.inf)
+    topk = pq_adc_topk(emb, "vec_id", "embedding", k_neighbors=10, n_anchors=20).collect()
+    by_anchor: dict[int, set[int]] = {}
+    for r in topk:
+        by_anchor.setdefault(r["anchor"], set()).add(r["neighbor"])
+    recalls = []
+    for a, got in by_anchor.items():
+        ai = np.where(ids == a)[0][0]
+        exact = set(ids[np.argsort(-S[ai])[:10]].tolist())
+        recalls.append(len(exact & got) / 10.0)
+    mean_recall = float(np.mean(recalls))
+    random_baseline = 10.0 / len(ids)
+    assert mean_recall > 0.15, f"ADC recall {mean_recall:.3f} below floor"
+    assert mean_recall > 5 * random_baseline, (
+        f"ADC recall {mean_recall:.3f} not clearly above random "
+        f"({random_baseline:.3f} at n={len(ids)})"
+    )

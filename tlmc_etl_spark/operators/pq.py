@@ -1,0 +1,205 @@
+"""Product quantization: subspace codebooks, compact codes, ADC scoring.
+
+The reference's serving index is OPQ64,IVF16384,PQ64x8 — vectors stored
+as per-subspace centroid ids and scored by Asymmetric Distance
+Computation (faiss_index_builder.py:10-23). This module is that
+compression story as Spark-native pieces (the int8 scalar quantizer in
+plans/vectors.py is the simpler sibling):
+
+ - `pq_train_codebooks`: per-subspace k-means on a bounded deterministic
+   sample (same take-ordered cap as IVF training — driver cost is
+   independent of corpus size; only the (m × k × d/m) codebook tensor,
+   a few KB, ever broadcasts).
+ - `pq_encode`: vectors → m small ints, one argmin matmul per subspace
+   per Arrow batch. A 64-dim float32 vector (256 B) becomes 8 code
+   bytes — the 32× compression that lets a 100 TB corpus's index live
+   in executor memory.
+ - `pq_adc_scores`: queries keep full precision; candidates are scored
+   from their codes via per-query lookup tables (ADC) — m table reads
+   per pair instead of a d-element dot product, and the decoded corpus
+   never materializes.
+
+Quantization is lossy by design; tests gate reconstruction cosine and
+ADC-vs-exact ranking agreement differentially (the reference gates its
+GPU kernels the same way, precompute_similar_tracks.py:158-193).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _subspace_kmeans(X: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Plain L2 k-means for one subspace (numpy, deterministic seed)."""
+    rng = np.random.default_rng(seed)
+    k = min(k, len(X))
+    C = X[rng.choice(len(X), size=k, replace=False)].copy()
+    for _ in range(iters):
+        # ||x-c||^2 = |x|^2 - 2 x.c + |c|^2 ; |x|^2 constant per row
+        d = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
+        assign = np.argmin(d, axis=1)
+        for c in range(k):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C
+
+
+def pq_train_codebooks(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 8,
+    k: int = 16,
+    seed: int = 42,
+    train_cap: int = 100_000,
+) -> np.ndarray:
+    """(m, k, d/m) codebook tensor from a deterministic bounded sample.
+
+    Vectors are unit-normalized before training (the corpus is scored by
+    cosine, so codebooks should tile the unit sphere's subspace
+    projections, not raw magnitudes). Sample = take-ordered by
+    xxhash64(id) capped at `train_cap`, the same layout-independent
+    bound ivf_topk trains under.
+    """
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(train_cap)
+        .collect()
+    )
+    M = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    M = M / np.linalg.norm(M, axis=1, keepdims=True)
+    d = M.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    return np.stack(
+        [_subspace_kmeans(M[:, i * ds : (i + 1) * ds], k, seed + i) for i in range(m)]
+    )
+
+
+def pq_encode(
+    emb: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """(id, codes array<int>): nearest centroid id per subspace.
+
+    One argmin matmul per subspace per Arrow batch; the codebook tensor
+    rides a broadcast. Encoding normalizes like training did.
+    """
+    m, k, ds = codebooks.shape
+    bc = emb.sparkSession.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        cb = bc.value
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                Xs = V[:, s * ds : (s + 1) * ds]
+                C = cb[s]
+                d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [c.tolist() for c in codes]}
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<int>"
+    )
+
+
+def pq_reconstruction(
+    emb: DataFrame, id_col: str, vec_col: str, codebooks: np.ndarray
+) -> DataFrame:
+    """(id, recon_cosine): cosine between each unit vector and its PQ
+    decode — the per-row lossiness audit (the monitored number a lossy
+    index ships with, like the int8 quantizer's rmse_steps)."""
+    m, k, ds = codebooks.shape
+    bc = emb.sparkSession.sparkContext.broadcast(codebooks)
+
+    def recon(batches):
+        cb = bc.value
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            R = np.empty_like(V)
+            for s in range(m):
+                Xs = V[:, s * ds : (s + 1) * ds]
+                C = cb[s]
+                d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
+                R[:, s * ds : (s + 1) * ds] = C[np.argmin(d2, axis=1)]
+            Rn = R / np.clip(np.linalg.norm(R, axis=1, keepdims=True), 1e-12, None)
+            cos = (V * Rn).sum(axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col], "recon_cosine": np.round(cos, 6)})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        recon, schema=f"{id_col} long, recon_cosine double"
+    )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_neighbors: int = 10,
+    m: int = 8,
+    n_codes: int = 16,
+    n_anchors: int = 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k by ADC: anchors (id < n_anchors) keep full
+    precision, every candidate is scored from its m-byte code.
+
+    Per anchor the codebook collapses to an (m × k) lookup table of
+    subspace dot products; a candidate's score is m table reads — the
+    serving arithmetic of a PQ index. The scoring pass is map-only over
+    the codes table (anchors' tables broadcast); ranking is one window.
+    Output: (anchor, neighbor, adc_score, rank).
+    """
+    codebooks = pq_train_codebooks(emb, id_col, vec_col, m=m, k=n_codes, seed=seed)
+    codes = pq_encode(emb, id_col, vec_col, codebooks)
+
+    a_rows = (
+        emb.filter(F.col(id_col) < n_anchors).select(id_col, vec_col).collect()
+    )
+    a_ids = np.array([r[id_col] for r in a_rows], dtype=np.int64)
+    A = np.array([r[vec_col] for r in a_rows], dtype=np.float64)
+    A = A / np.linalg.norm(A, axis=1, keepdims=True)
+    mm, kk, ds = codebooks.shape
+    # tables[q, s, c] = dot(anchor_q subspace_s, codebook[s][c])
+    tables = np.einsum("qsd,scd->qsc", A.reshape(len(A), mm, ds), codebooks)
+    bc = emb.sparkSession.sparkContext.broadcast((a_ids, tables))
+
+    def score(batches):
+        ids_q, T = bc.value
+        for pdf in batches:
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
+            n_ids = pdf[id_col].to_numpy()
+            S = np.zeros((len(pdf), len(ids_q)))
+            for s in range(T.shape[1]):
+                # T[:, s, :] is (Q, k); C[:, s] selects per-candidate cols
+                S += T[:, s, C[:, s]].T
+            n_c, n_q = S.shape
+            yield pd.DataFrame(
+                {
+                    "anchor": np.repeat(ids_q[None, :], n_c, axis=0).ravel(),
+                    "neighbor": np.repeat(n_ids, n_q),
+                    "adc_score": np.round(S.ravel(), 6),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, schema="anchor long, neighbor long, adc_score double"
+    ).filter(F.col("anchor") != F.col("neighbor"))
+    w = W.partitionBy("anchor").orderBy(F.col("adc_score").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("anchor", "neighbor", "adc_score", "rank")
+    )

@@ -440,6 +440,37 @@ def metadata_catalog_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("circle_dir", "album_dir")
 
 
+@query("pq_reconstruction_audit")
+def pq_reconstruction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ lossiness audit: cosine between each unit vector and
+    its 8x16 product-quantized decode — the monitored quality number a
+    lossy serving index ships with (the reference's index is
+    OPQ64,IVF16384,PQ64x8, faiss_index_builder.py:10-23; int8 scalar
+    quantization's rmse_steps is the simpler sibling audit). Seeded
+    k-means → deterministic rows; quality floors and the ADC-consistency
+    identity are differentially gated in tests/test_pq.py."""
+    from tlmc_etl_spark.operators.pq import pq_reconstruction, pq_train_codebooks
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_train_codebooks(emb, "vec_id", "embedding", m=8, k=16)
+    return pq_reconstruction(emb, "vec_id", "embedding", cb).orderBy("vec_id")
+
+
+@query("pq_adc_topk")
+def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 cosine neighbors scored entirely from 8-byte PQ
+    codes via ADC lookup tables — the PQ index's serving arithmetic
+    (m table reads per pair, candidates never decoded). Exact-rewrite
+    identity (ADC == decode-then-dot) and recall floors gated in
+    tests/test_pq.py."""
+    from tlmc_etl_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(emb, "vec_id", "embedding", k_neighbors=10, n_anchors=20).orderBy(
+        "anchor", "rank"
+    )
+
+
 @query("ivf_ann_topk")
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 cosine neighbors (k-means coarse quantizer,
