@@ -49,3 +49,47 @@ def test_media_schema_roundtrip(spark, sf_dir, tmp_path):
     assert row["kind"] == "synthetic"
     assert isinstance(row["payload"], (bytes, bytearray))
     assert row["meta"]["content_type"] == "text/plain"
+
+
+def test_dominant_colors_pixel_share_ordering(spark):
+    # hand-built image: 60 red-ish, 30 green-ish, 10 blue-ish pixels —
+    # palette must come back dominant-first with the quantized cube centers
+    from tlmc_etl_spark.operators.multimodal import dominant_colors
+
+    rows = (
+        [(1, 250, 10, 10)] * 60 + [(1, 10, 250, 10)] * 30 + [(1, 10, 10, 250)] * 10
+    )
+    pixels = spark.createDataFrame(rows, "img long, r int, g int, b int")
+    got = dominant_colors(pixels, "img", n_colors=8, levels=4).collect()
+    assert len(got) == 1
+    # levels=4 quantizes to cube centers 32/96/160/224: 250 -> 224 (e0), 10 -> 32 (20)
+    assert got[0]["colors"] == ["#e02020", "#20e020", "#2020e0"]
+
+
+def test_dominant_colors_tie_breaks_on_color_ascending(spark):
+    from tlmc_etl_spark.operators.multimodal import dominant_colors
+
+    rows = [(1, 250, 10, 10)] * 5 + [(1, 10, 10, 250)] * 5
+    pixels = spark.createDataFrame(rows, "img long, r int, g int, b int")
+    got = dominant_colors(pixels, "img").collect()[0]["colors"]
+    assert got == ["#2020e0", "#e02020"], "equal shares must order by color asc"
+
+
+def test_variant_ladder_never_upscales_and_keeps_original(spark, sf_dir):
+    from tlmc_etl_spark.plans import QUERIES
+
+    rows = QUERIES["artwork_variant_ladder"].fn(spark, sf_dir).collect()
+    by_art = {}
+    for r in rows:
+        by_art.setdefault(r["artwork_id"], []).append(r)
+    assert by_art
+    for art, items in by_art.items():
+        sizes = sorted(r["size_px"] for r in items)
+        assert 0 in sizes, "original must be addressable through the ladder"
+        # ladder rows scale down only: derived keys for rungs, library key for size 0
+        for r in items:
+            if r["size_px"] == 0:
+                assert r["storage_key"].startswith("library/")
+            else:
+                assert r["storage_key"].startswith("_derived/artwork/")
+                assert r["size_px"] in (120, 300, 600)

@@ -96,6 +96,53 @@ def extract_features(media: DataFrame, batch_hint: int = 256) -> DataFrame:
     )
 
 
+def dominant_colors(
+    pixels: DataFrame,
+    id_col: str,
+    r: str = "r",
+    g: str = "g",
+    b: str = "b",
+    n_colors: int = 8,
+    levels: int = 4,
+) -> DataFrame:
+    """Pixel-share-ordered dominant palette per image:
+    (id, colors array<'#rrggbb'> dominant-first).
+
+    The reference quantizes a thumbnail to 8 adaptive colors and orders
+    them by pixel share (generate_artwork_variants.py:56-67's octree
+    approach). Spark-native core: uniform cube quantization (`levels`
+    per channel — the deterministic, distributable stand-in for the
+    adaptive octree, which is a per-image sequential structure), then
+    groupBy count and share-ordered gather. Ordering is (share desc,
+    color asc) — deterministic where the reference's palette-index
+    tie-break was quantizer-internal. Map + one shuffle per image set;
+    the gather is array_sort over collected (share, color) structs, so
+    no window and no second shuffle.
+    """
+    step = 256 // levels
+
+    def q(c: str):
+        return (F.expr(f"({c} DIV {step}) * {step} + {step // 2}")).cast("int")
+
+    quant = pixels.select(
+        F.col(id_col).alias("artwork_id"), q(r).alias("qr"), q(g).alias("qg"), q(b).alias("qb")
+    )
+    counts = quant.groupBy("artwork_id", "qr", "qg", "qb").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    hexed = counts.select(
+        "artwork_id",
+        "cnt",
+        F.format_string("#%02x%02x%02x", "qr", "qg", "qb").alias("color"),
+    )
+    ranked = F.array_sort(
+        F.collect_list(F.struct((-F.col("cnt")).alias("k"), F.col("color").alias("c")))
+    )
+    return hexed.groupBy("artwork_id").agg(
+        F.slice(F.transform(ranked, lambda s: s["c"]), 1, n_colors).alias("colors")
+    )
+
+
 def synthetic_media_from_documents(docs: DataFrame) -> DataFrame:
     """Build a media table from the documents fixture: payload = utf-8 text
     bytes, kind=synthetic — the stand-in corpus for plumbing tests."""

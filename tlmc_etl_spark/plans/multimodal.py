@@ -63,6 +63,154 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("media_id", "n_bytes", "pos", F.round("f0", 6).alias("f"))
 
 
+_LADDER_ORACLE = """
+WITH art AS (
+  SELECT p_partkey AS artwork_id,
+         100 + (p_partkey * 7919) % 1500 AS w,
+         100 + (p_partkey * 104729) % 1200 AS h
+  FROM part WHERE p_partkey % 10 = 0
+), rungs AS (
+  SELECT artwork_id, w, h, t.size_px
+  FROM art, LATERAL (SELECT unnest([120, 300, 600]) AS size_px) t
+  WHERE t.size_px < greatest(w, h)
+), scaled AS (
+  SELECT artwork_id, size_px,
+         CAST(floor(w * size_px / greatest(w, h)) AS INTEGER) AS out_w,
+         CAST(floor(h * size_px / greatest(w, h)) AS INTEGER) AS out_h
+  FROM rungs
+)
+SELECT artwork_id, size_px,
+       '_derived/artwork/' || artwork_id || '/' || size_px || '.jpg' AS storage_key,
+       'image/jpeg' AS mime,
+       200 + (out_w * out_h * 15) // 100 AS byte_size
+FROM scaled
+UNION ALL
+SELECT artwork_id, 0 AS size_px,
+       'library/' || artwork_id || '.png' AS storage_key,
+       'image/png' AS mime,
+       200 + (w * h * 15) // 100 AS byte_size
+FROM art
+"""
+
+
+@query("artwork_variant_ladder", oracle=_LADDER_ORACLE)
+def artwork_variant_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Artwork variant ladder: per artwork, one row per resize rung below
+    the source's longest edge (never upscaled) plus a size-0 row that
+    makes the ORIGINAL addressable through the ladder without copying —
+    generate_artwork_variants.py:56-96 + apply_artwork_variants.sql's
+    conflict-safe attach, minus the actual JPEG encode (codec boundary;
+    byte_size is the deterministic synthetic encoder model
+    200 + out_w*out_h*0.15, so rung selection, aspect-preserving scale
+    arithmetic, derived storage keys and sizes all value-check).
+
+    Dimensions derive from the part key by pure arithmetic — both
+    engines compute identical inputs with no RNG state.
+    """
+    art = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.col("p_partkey").alias("artwork_id"),
+            (100 + (F.col("p_partkey") * 7919) % 1500).alias("w"),
+            (100 + (F.col("p_partkey") * 104729) % 1200).alias("h"),
+        )
+    )
+    longest = F.greatest("w", "h")
+    rungs = (
+        art.crossJoin(
+            F.broadcast(
+                spark.createDataFrame([(120,), (300,), (600,)], "size_px int")
+            )
+        )
+        .filter(F.col("size_px") < longest)
+        .select(
+            "artwork_id",
+            "size_px",
+            F.floor(F.col("w") * F.col("size_px") / longest).cast("int").alias("out_w"),
+            F.floor(F.col("h") * F.col("size_px") / longest).cast("int").alias("out_h"),
+        )
+    )
+    rung_rows = rungs.select(
+        "artwork_id",
+        "size_px",
+        F.concat(
+            F.lit("_derived/artwork/"), "artwork_id", F.lit("/"), "size_px", F.lit(".jpg")
+        ).alias("storage_key"),
+        F.lit("image/jpeg").alias("mime"),
+        (200 + F.expr("(out_w * out_h * 15) DIV 100")).alias("byte_size"),
+    )
+    original_rows = art.select(
+        "artwork_id",
+        F.lit(0).alias("size_px"),
+        F.concat(F.lit("library/"), "artwork_id", F.lit(".png")).alias("storage_key"),
+        F.lit("image/png").alias("mime"),
+        (200 + F.expr("(w * h * 15) DIV 100")).alias("byte_size"),
+    )
+    return rung_rows.unionByName(original_rows).orderBy("artwork_id", "size_px")
+
+
+_COLORS_ORACLE = """
+WITH art AS (
+  SELECT p_partkey AS artwork_id FROM part WHERE p_partkey % 50 = 0
+), px AS (
+  SELECT artwork_id,
+         (artwork_id * 2654435761 + t.i * 40503) % 4294967296 AS v
+  FROM art, LATERAL (SELECT unnest(generate_series(0, 255)) AS i) t
+), ch AS (
+  SELECT artwork_id, v % 256 AS r, (v // 256) % 256 AS g, (v // 65536) % 256 AS b
+  FROM px
+), cnt AS (
+  SELECT artwork_id,
+         printf('#%02x%02x%02x',
+                CAST((r // 64) * 64 + 32 AS INTEGER),
+                CAST((g // 64) * 64 + 32 AS INTEGER),
+                CAST((b // 64) * 64 + 32 AS INTEGER)) AS color,
+         count(*) AS cnt
+  FROM ch GROUP BY 1, 2
+)
+SELECT artwork_id,
+       array_to_string((list(color ORDER BY cnt DESC, color ASC))[1:8], ',') AS colors
+FROM cnt GROUP BY artwork_id
+"""
+
+
+@query("dominant_colors_palette", oracle=_COLORS_ORACLE)
+def dominant_colors_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant colors with the reference's pixel-share ordering:
+    quantize a probe image to a small palette, emit hex colors ordered
+    dominant-first (generate_artwork_variants.py:56-67). The pixel
+    DECODE is the stubbed codec boundary — probe pixels derive from the
+    artwork key by portable multiplicative-hash arithmetic (the
+    corpus_mix recipe), so both engines see identical 256-pixel images
+    and the quantize → count → share-order pipeline value-checks
+    end-to-end.
+    """
+    from tlmc_etl_spark.operators.multimodal import dominant_colors
+
+    art = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % 50 == 0)
+        .select(F.col("p_partkey").alias("artwork_id"))
+    )
+    px = art.select(
+        "artwork_id", F.explode(F.sequence(F.lit(0), F.lit(255))).alias("i")
+    ).select(
+        "artwork_id",
+        ((F.col("artwork_id") * 2654435761 + F.col("i") * 40503) % 4294967296).alias("v"),
+    )
+    pixels = px.select(
+        "artwork_id",
+        (F.col("v") % 256).alias("r"),
+        F.expr("(v DIV 256) % 256").alias("g"),
+        F.expr("(v DIV 65536) % 256").alias("b"),
+    )
+    pal = dominant_colors(pixels, "artwork_id", n_colors=8, levels=4)
+    return pal.select(
+        "artwork_id", F.array_join("colors", ",").alias("colors")
+    ).orderBy("artwork_id")
+
+
 _PROBE_ORACLE = """
 SELECT 'order_' || o_orderkey || '.flac' AS fname,
        CASE WHEN o_orderkey % 300 = 0 THEN NULL
