@@ -95,3 +95,33 @@ def test_adc_recall_beats_random_by_two_orders(spark, emb, np_corpus):
         f"ADC recall {mean_recall:.3f} not clearly above random "
         f"({random_baseline:.3f} at n={len(ids)})"
     )
+
+
+def test_ivf_pq_composition_recall_and_shape(spark, emb, np_corpus):
+    from tlmc_etl_spark.operators.pq import ivf_pq_topk
+
+    ids, Mn = np_corpus
+    S = Mn @ Mn.T
+    np.fill_diagonal(S, -np.inf)
+    got = ivf_pq_topk(emb, "vec_id", "embedding", k_neighbors=10).collect()
+    by_anchor: dict[int, list] = {}
+    for r in got:
+        by_anchor.setdefault(r["anchor"], []).append(r)
+    # every vector is an anchor; ranks are dense 1..k'
+    assert len(by_anchor) == len(ids)
+    for a, rows in by_anchor.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == list(range(1, len(ranks) + 1))
+    # two approximations stack (IVF candidate cut x PQ ranking); the gate
+    # is the honest compound floor on random-ish data, still far above
+    # the random baseline
+    recalls = []
+    for a, rows in by_anchor.items():
+        ai = np.where(ids == a)[0][0]
+        exact = set(ids[np.argsort(-S[ai])[:10]].tolist())
+        got_ids = {r["neighbor"] for r in rows}
+        recalls.append(len(exact & got_ids) / 10.0)
+    mean_recall = float(np.mean(recalls))
+    random_baseline = 10.0 / len(ids)
+    assert mean_recall > 0.10, f"IVF+PQ recall {mean_recall:.3f} below floor"
+    assert mean_recall > 3 * random_baseline

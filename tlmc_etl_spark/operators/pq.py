@@ -32,6 +32,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from tlmc_etl_spark.tuning import fanout
+
 
 def _subspace_kmeans(X: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
     """Plain L2 k-means for one subspace (numpy, deterministic seed)."""
@@ -140,6 +142,130 @@ def pq_reconstruction(
 
     return emb.select(id_col, vec_col).mapInPandas(
         recon, schema=f"{id_col} long, recon_cosine double"
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_neighbors: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """The reference's full index shape — IVF coarse quantizer + PQ codes +
+    ADC scoring (OPQ64,IVF16384,PQ64x8 minus the learned rotation,
+    faiss_index_builder.py:10-23) — as one composed Spark plan.
+
+    Coarse cells prune candidates (Σ cell² × probe work instead of n²);
+    within the probed cells every pair is scored from the candidate's
+    m-byte code via table lookups — the full float vector of only the
+    ANCHOR side rides the join, so the wide side of the shuffle carries
+    codes, not embeddings. This is the memory contract that makes a
+    100 TB corpus servable: cells + codes fit executors; raw vectors are
+    read once at encode time.
+
+    Output: (anchor, neighbor, adc_score, rank) — scores are approximate
+    (PQ-lossy), candidate sets are approximate (IVF); both stages'
+    quality floors are gated differentially in tests/test_pq.py.
+    """
+    from tlmc_etl_spark.operators.vectors import kmeans_centroids
+
+    spark = emb.sparkSession
+    # coarse quantizer + codebooks train on the same bounded sample
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(100_000)
+        .collect()
+    )
+    M = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    coarse = kmeans_centroids(Mn, n_centroids, seed=seed)
+    d = Mn.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    codebooks = np.stack(
+        [
+            _subspace_kmeans(Mn[:, i * ds : (i + 1) * ds], n_codes, seed + i)
+            for i in range(m)
+        ]
+    )
+    bc = spark.sparkContext.broadcast((coarse, codebooks))
+
+    def cell_and_code(batches):
+        C, cb = bc.value
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = Vn @ C.T
+            codes = np.empty((len(pdf), cb.shape[0]), dtype=np.int32)
+            for s in range(cb.shape[0]):
+                Xs = Vn[:, s * ds : (s + 1) * ds]
+                d2 = (cb[s] * cb[s]).sum(axis=1)[None, :] - 2.0 * (Xs @ cb[s].T)
+                codes[:, s] = np.argmin(d2, axis=1)
+            probes = np.argsort(-sims, axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": np.argmax(sims, axis=1),
+                    "probe_cells": [p.tolist() for p in probes],
+                    "codes": [c.tolist() for c in codes],
+                }
+            )
+
+    vt = emb.schema[vec_col].dataType.simpleString()
+    indexed = emb.select(id_col, vec_col).mapInPandas(
+        cell_and_code,
+        schema=(
+            f"{id_col} long, {vec_col} {vt}, cell int, "
+            "probe_cells array<int>, codes array<int>"
+        ),
+    ).localCheckpoint(eager=True)
+
+    # candidate side ships ONLY (id, cell, codes) — m ints, not the vector
+    cands = indexed.select(
+        F.col(id_col).alias("neighbor"), "cell", F.col("codes").alias("nb_codes")
+    )
+    anchors = indexed.select(
+        F.col(id_col).alias("anchor"),
+        F.col(vec_col).alias("va"),
+        F.explode("probe_cells").alias("cell"),
+    )
+    pairs = anchors.join(cands, "cell").filter(F.col("anchor") != F.col("neighbor"))
+
+    def adc(batches):
+        _, cb = bc.value
+        mm = cb.shape[0]
+        for pdf in batches:
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            C = np.array(pdf["nb_codes"].tolist(), dtype=np.int64)
+            S = np.zeros(len(pdf))
+            for s in range(mm):
+                # per-row subspace dot against the candidate's chosen centroid
+                S += (An[:, s * ds : (s + 1) * ds] * cb[s][C[:, s]]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "anchor": pdf["anchor"],
+                    "neighbor": pdf["neighbor"],
+                    "adc_score": np.round(S, 6),
+                }
+            )
+
+    scored = fanout(pairs.select("anchor", "va", "neighbor", "nb_codes")).mapInPandas(
+        adc, schema="anchor long, neighbor long, adc_score double"
+    )
+    w = W.partitionBy("anchor").orderBy(F.col("adc_score").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("anchor", "neighbor", "adc_score", "rank")
     )
 
 

@@ -471,6 +471,20 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ivf_pq_topk")
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full serving-index shape: IVF coarse cells prune
+    candidates, PQ codes + ADC lookup tables score them — the candidate
+    side of the join ships m ints per vector, never the embedding
+    (OPQ64,IVF16384,PQ64x8 minus the learned rotation,
+    faiss_index_builder.py:10-23). Recall/consistency gated in
+    tests/test_pq.py."""
+    from tlmc_etl_spark.operators.pq import ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(emb, "vec_id", "embedding", k_neighbors=10).orderBy("anchor", "rank")
+
+
 @query("ivf_ann_topk")
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 cosine neighbors (k-means coarse quantizer,
