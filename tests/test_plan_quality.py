@@ -108,6 +108,28 @@ class TestParallelismConfig:
         plan = plan_of(spark, sf_dir, name, mode="simple")
         assert "REPARTITION_BY_NUM" in plan, f"{name}: Python stage lost its fanout"
 
+    def test_ivf_pq_ships_codes_not_vectors_and_fans_out(self, spark, sf_dir):
+        # the candidate side of the cell join must carry codes (m ints),
+        # never the embedding column; the ADC scorer pins parallelism
+        plan = plan_of(spark, sf_dir, "ivf_pq_topk", mode="simple")
+        assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
+        assert "REPARTITION_BY_NUM" in plan, "ADC stage lost its fanout"
+
+
+class TestArtworkPlans:
+    def test_variant_ladder_broadcasts_rung_table(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "artwork_variant_ladder")
+        assert "SortMergeJoin" not in plan, "3-row rung table must broadcast"
+
+    def test_dominant_colors_shuffle_budget(self, spark, sf_dir):
+        # quantize+count then gather: two aggregations over the same image
+        # key space — anything beyond 2 exchanges is a plan regression
+        plan = plan_of(spark, sf_dir, "dominant_colors_palette", mode="simple")
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= 2, f"palette assembly grew to {n} shuffles"
+
+
+class TestRecallPruning:
     def test_chamfer_group_pairs_are_pruned_not_crossed(self, spark, sf_dir):
         # the registered chamfer query must score recall candidates via
         # equi-joins; an all-pairs group_a < group_b join would show up as

@@ -270,9 +270,16 @@ def chunk_idf_weights(
             out["generic"] = (Q @ B.T).mean(axis=1)
             yield out
 
-    scored = chunks.select(id_col, group_col, vec_col).mapInPandas(
-        generic_of, schema=f"{id_col} long, {group_col} long, generic double"
+    # Materialize the generic scores eagerly (one double per chunk) so the
+    # background-matrix broadcast can be destroyed now instead of living
+    # as long as the returned lazy plan does (up to 100k×dim doubles
+    # pinned on driver and disk per call otherwise).
+    scored = (
+        chunks.select(id_col, group_col, vec_col)
+        .mapInPandas(generic_of, schema=f"{id_col} long, {group_col} long, generic double")
+        .localCheckpoint(eager=True)
     )
+    bc.destroy()
     gw = W.partitionBy(group_col)
     mu = F.mean("generic").over(gw)
     sd = F.stddev_pop("generic").over(gw)

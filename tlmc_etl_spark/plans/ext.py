@@ -440,6 +440,28 @@ def metadata_catalog_release(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("circle_dir", "album_dir")
 
 
+@query("opq_pq_recon_audit")
+def opq_pq_recon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ lossiness audit with the OPQ-style rotation applied first —
+    completing the reference's OPQ64,IVF16384,PQ64x8 pre-transform chain
+    (faiss_index_builder.py:10-23). The closed-form rotation (PCA basis,
+    eigencomponents dealt round-robin across subspaces) balances variance
+    so no codebook is starved; orthogonality, cosine preservation and
+    recon-not-worse gates live in tests/test_pq.py."""
+    from tlmc_etl_spark.operators.pq import (
+        opq_rotation,
+        pq_reconstruction,
+        pq_train_codebooks,
+        rotate_vectors,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    R = opq_rotation(emb, "vec_id", "embedding", m=8)
+    rotated = rotate_vectors(emb, "vec_id", "embedding", R)
+    cb = pq_train_codebooks(rotated, "vec_id", "embedding", m=8, k=16)
+    return pq_reconstruction(rotated, "vec_id", "embedding", cb).orderBy("vec_id")
+
+
 @query("pq_reconstruction_audit")
 def pq_reconstruction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector PQ lossiness audit: cosine between each unit vector and
