@@ -227,3 +227,69 @@ class TestBackpressure:
         df = throttled_rate_source(spark, rows_per_second=10)
         assert df.isStreaming
         assert set(df.columns) == {"timestamp", "value"}
+
+
+class TestStreamingDedup:
+    """dropDuplicatesWithinWatermark: at-least-once input collapses to one
+    row per key inside the lateness horizon, with state that ages out —
+    the streaming face of doc_exact_dedup."""
+
+    def _write_chunk(self, rows, path, name):
+        TestStructuredStreaming._write_chunk(self, rows, path, name)
+
+    def test_replayed_rows_collapse_to_one_per_key(self, spark, sf_dir, tmp_path):
+        from tlmc_etl_spark.streaming.windows import streaming_dedup
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT event_id, ts, user_id, event_type, value FROM '{sf_dir}/events.parquet' "
+            "ORDER BY ts LIMIT 2000"
+        ).fetchall()
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        cp = str(tmp_path / "cp")
+
+        # at-least-once delivery: the first chunk is delivered twice and
+        # 500 of its rows a third time, all within the watermark horizon
+        self._write_chunk(rows, in_dir, "chunk0.jsonl")
+        self._write_chunk(rows, in_dir, "chunk0_replay.jsonl")
+        self._write_chunk(rows[:500], in_dir, "chunk0_partial_retry.jsonl")
+
+        deduped = streaming_dedup(
+            read_event_stream(spark, in_dir), ["event_id"], ts_col="ts", late="2 hours"
+        )
+        run_available_now(deduped, out_dir, cp)
+        got = spark.read.parquet(out_dir)
+        assert got.count() == len(rows), "each key must survive exactly once"
+        assert got.select("event_id").distinct().count() == len(rows)
+
+    def test_incremental_drain_does_not_reemit_seen_keys(self, spark, sf_dir, tmp_path):
+        from tlmc_etl_spark.streaming.windows import streaming_dedup
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT event_id, ts, user_id, event_type, value FROM '{sf_dir}/events.parquet' "
+            "ORDER BY ts LIMIT 1000"
+        ).fetchall()
+        in_dir = str(tmp_path / "in")
+        out_dir = str(tmp_path / "out")
+        cp = str(tmp_path / "cp")
+
+        self._write_chunk(rows, in_dir, "chunk0.jsonl")
+        dd = streaming_dedup(
+            read_event_stream(spark, in_dir), ["event_id"], ts_col="ts", late="2 hours"
+        )
+        run_available_now(dd, out_dir, cp)
+        n1 = spark.read.parquet(out_dir).count()
+
+        # the same keys arrive again in a later drain: checkpointed dedup
+        # state must swallow them (bounded by the watermark, which hasn't
+        # passed within this 1000-row slice)
+        self._write_chunk(rows, in_dir, "chunk1_replay.jsonl")
+        dd2 = streaming_dedup(
+            read_event_stream(spark, in_dir), ["event_id"], ts_col="ts", late="2 hours"
+        )
+        run_available_now(dd2, out_dir, cp)
+        got = spark.read.parquet(out_dir)
+        assert n1 == len(rows)
+        assert got.count() == len(rows), "replayed keys must not re-emit"

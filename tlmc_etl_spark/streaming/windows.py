@@ -97,6 +97,26 @@ def session_windows(events: DataFrame, gap: str = "1 hour", late: str = "30 minu
     )
 
 
+def streaming_dedup(
+    events: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    late: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup on arbitrary key columns with bounded state.
+
+    The streaming face of the dedup family (doc_exact_dedup is the batch
+    face): `dropDuplicatesWithinWatermark` keeps one row per key and ages
+    its state out once the watermark passes — duplicates separated by
+    more than `late` can both survive, which is the honest contract of
+    bounded-state streaming dedup at 100 TB (an unbounded-state
+    `dropDuplicates` on a stream never frees a key). Re-ingested journal
+    lines, retried uploads, and at-least-once sources all collapse to
+    one row inside the lateness horizon.
+    """
+    return events.withWatermark(ts_col, late).dropDuplicatesWithinWatermark(key_cols)
+
+
 def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint_dir: str) -> None:
     """Drain all available input into parquet and stop — incremental batch
     over a streaming plan; rerunning after new files arrive processes only
