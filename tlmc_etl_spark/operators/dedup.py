@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from tlmc_etl_spark.tuning import fanout
+
 
 def word_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Distinct word-bigram shingles per document (id, shingle)."""
@@ -100,6 +102,11 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
+    # Pin the self-join's parallelism: hash-partition on the join key with
+    # a user-specified count (AQE-exempt) so both aliases share the layout
+    # and the join runs wide — byte-based coalescing would fold this tiny
+    # but candidate-quadratic exchange to one task.
+    bands = fanout(bands, "band_idx", "band_key")
     a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     return (
@@ -144,13 +151,16 @@ def minhash_near_dupes(
     rows = n_hashes // n_bands
     sh = word_bigram_hashes(df, id_col, text_col)
     # Signatures feed both the band self-join and the estimate join (four
-    # scans of the same tiny table: n_docs × n_hashes longs). Materialize
-    # once via localCheckpoint — same reuse as a cache, but the blocks are
-    # reference-counted and freed when the result is dropped, so a long
-    # session doesn't accumulate pinned tables (persist would need a
-    # caller-side unpersist the lazy return value can't allow). At cluster
-    # scale this is the table you'd checkpoint to storage between stages.
-    sigs = minhash_signatures(sh, id_col, n_hashes).localCheckpoint(eager=True)
+    # scans of the same tiny table: n_docs × n_hashes longs). persist(),
+    # not localCheckpoint: a checkpoint (eager or lazy) runs the signature
+    # subtree as its own job and round-trips blocks through storage, which
+    # measured 2-3x slower end-to-end here — the whole pipeline is tiny
+    # shuffles where scheduling latency dominates. persist keeps it one
+    # job; its blocks are LRU-evictable (MEMORY_AND_DISK) so a long
+    # session degrades gracefully rather than pinning forever. fanout
+    # first so the cached layout isn't AQE's coalesced ~1 partition
+    # (which would serialize the band explode that scans it).
+    sigs = fanout(minhash_signatures(sh, id_col, n_hashes)).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands, rows)
     est = minhash_estimate(sigs, pairs, id_col)
     return est.filter(F.col("est_jaccard") >= threshold)
@@ -201,9 +211,11 @@ def simhash_near_dupes(
     row), so candidate dedup costs zero shuffle.
     """
     # Both sides of the chunk self-join read the fingerprints (n_docs × 1
-    # long) — materialize so the word scan + 64 bit-sum aggregates run
-    # once (localCheckpoint, not persist: blocks free with the result).
-    fps = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=True)
+    # long) — persist so the word scan + 64 bit-sum aggregates run once,
+    # in the same job (a checkpoint would add a separate materialization
+    # job; see minhash_near_dupes). fanout first so the cached layout
+    # isn't AQE's coalesced ~1 partition.
+    fps = fanout(simhash_fingerprints(df, id_col, text_col)).persist()
     chunks = fps.select(
         F.col(id_col),
         "simhash",
