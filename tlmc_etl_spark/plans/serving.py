@@ -1,0 +1,213 @@
+"""Serving-path query catalog (SURVEY.md §3.3): the interactive lookups
+the reference's webdemo answers in pandas/annoy, re-expressed as the SQL
+its planned production path calls for ("no Python serving component",
+SIMILARITY-PLAN.md:9-28).
+
+These are batch-computable serving primitives — substring search with
+ranked top-k, ANN-result metadata hydration, and the per-group KDE
+density grid behind the map view's contours — each with a DuckDB value
+oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.plans.registry import query
+from tlmc_etl_spark.sources.tables import load_table
+
+_SEARCH_ORACLE = """
+WITH terms AS (
+  SELECT DISTINCT split_part(p_name, ' ', 1) AS term
+  FROM part WHERE p_partkey % 500 = 0
+), hits AS (
+  SELECT t.term, p.p_partkey, p.p_name,
+         row_number() OVER (PARTITION BY t.term ORDER BY p.p_name, p.p_partkey) AS rank
+  FROM terms t JOIN part p
+    ON contains(lower(p.p_name), lower(t.term))
+)
+SELECT term, p_partkey, p_name, rank FROM hits WHERE rank <= 10
+"""
+
+
+@query("substring_search_topk", oracle=_SEARCH_ORACLE)
+def substring_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked substring search: for each query term, the top-10 matching
+    names (case-insensitive contains, deterministic name/id order) — the
+    webdemo's `str.contains().head(10)` track search (app.py:723-768) as
+    a set-oriented plan that answers EVERY term in one pass.
+
+    Shape: the term list is tiny (it is a user's query batch) and
+    broadcasts; the name scan streams once against all terms; ranking is
+    one window per term. At corpus scale this is the batch-serving form:
+    no per-query rescan, no driver loop.
+    """
+    part = load_table(spark, sf_dir, "part")
+    terms = (
+        part.filter(F.col("p_partkey") % 500 == 0)
+        .select(F.split("p_name", " ").getItem(0).alias("term"))
+        .distinct()
+    )
+    hits = part.join(
+        F.broadcast(terms),
+        F.contains(F.lower("p_name"), F.lower(F.col("term"))),
+    )
+    w = W.partitionBy("term").orderBy("p_name", "p_partkey")
+    return (
+        hits.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("term", "p_partkey", "p_name", "rank")
+        .orderBy("term", "rank")
+    )
+
+
+_HYDRATE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), anchors AS (
+  SELECT * FROM e WHERE vec_id < 10
+), scored AS (
+  SELECT a.vec_id AS anchor, c.vec_id AS neighbor,
+         list_sum(list_transform(generate_series(1, len(a.v)), i -> a.v[i] * c.v[i]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(c.v, x -> x * x)))) AS s
+  FROM anchors a JOIN e c ON a.vec_id <> c.vec_id
+), ranked AS (
+  SELECT anchor, neighbor, round(s, 6) AS score,
+         row_number() OVER (PARTITION BY anchor ORDER BY s DESC, neighbor ASC) AS rank
+  FROM scored
+)
+SELECT r.anchor, r.neighbor, r.score, r.rank,
+       p.p_name AS neighbor_name, p.p_brand AS neighbor_brand
+FROM ranked r JOIN part p ON p.p_partkey = r.neighbor % 200 + 1
+WHERE r.rank <= 5
+"""
+
+
+@query("ann_hydrate_join", oracle=_HYDRATE_ORACLE)
+def ann_hydrate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN lookup → SQL metadata hydration: neighbor ids from the vector
+    stage joined to the catalog dimension in one plan — the reference's
+    planned serving path (ANN → "SQL hydrate", SIMILARITY-PLAN.md:9-28;
+    the webdemo does this as annoy ids → python dict join,
+    app.py:929-1004). Neighbor scoring is the exact brute-force kernel
+    (one matmul per Arrow batch against 10 broadcast anchors); the
+    hydrate is a broadcast equi-join that ships ids, not vectors.
+    """
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    part = load_table(spark, sf_dir, "part")
+    q_rows = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
+    qn = np.sqrt((Q * Q).sum(axis=1))
+
+    def score(batches):
+        for pdf in batches:
+            C = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            cn = np.sqrt((C * C).sum(axis=1))
+            cids = pdf["vec_id"].to_numpy()
+            S = (C @ Q.T) / (cn[:, None] * qn[None, :])
+            n_c, n_q = S.shape
+            yield pd.DataFrame(
+                {
+                    "anchor": np.repeat(q_ids[None, :], n_c, axis=0).ravel(),
+                    "neighbor": np.repeat(cids, n_q),
+                    "score": np.round(S.ravel(), 6),
+                }
+            )
+
+    scored = (
+        emb.select("vec_id", "embedding")
+        .mapInPandas(score, schema="anchor long, neighbor long, score double")
+        .filter(F.col("anchor") != F.col("neighbor"))
+    )
+    w = W.partitionBy("anchor").orderBy(F.col("score").desc(), F.col("neighbor").asc())
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )
+    dim = part.select(
+        "p_partkey",
+        F.col("p_name").alias("neighbor_name"),
+        F.col("p_brand").alias("neighbor_brand"),
+    )
+    return (
+        topk.join(
+            F.broadcast(dim), topk["neighbor"] % 200 + 1 == dim["p_partkey"]
+        )
+        .select("anchor", "neighbor", "score", "rank", "neighbor_name", "neighbor_brand")
+        .orderBy("anchor", "rank")
+    )
+
+
+_KDE_GRID_ORACLE = """
+WITH pts AS (
+  SELECT label,
+         CAST(embedding[1] AS DOUBLE) AS x,
+         CAST(embedding[2] AS DOUBLE) AS y
+  FROM embeddings
+), grid AS (
+  SELECT gx.i AS ix, gy.i AS iy,
+         -1.0 + 0.5 * gx.i AS gx, -1.0 + 0.5 * gy.i AS gy
+  FROM (SELECT unnest(generate_series(0, 4)) AS i) gx,
+       (SELECT unnest(generate_series(0, 4)) AS i) gy
+)
+SELECT p.label, g.ix, g.iy,
+       round(avg(exp(-4.0 * ((p.x - g.gx) * (p.x - g.gx) + (p.y - g.gy) * (p.y - g.gy)))), 6) AS density
+FROM pts p CROSS JOIN grid g
+GROUP BY p.label, g.ix, g.iy
+"""
+
+
+@query("kde_density_grid", oracle=_KDE_GRID_ORACLE)
+def kde_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group gaussian-KDE density over a fixed evaluation grid — the
+    map view's per-artist contour layer (app.py:114-308 runs
+    gaussian_kde per artist over UMAP points; the projection itself is a
+    model artifact, so the first two embedding dims stand in here).
+
+    Shape: the 25-cell grid broadcasts; density is a map-side
+    exp/aggregate per (point × cell) folded by one groupBy — no point
+    ever leaves its partition before the partial agg. At corpus scale
+    the grid is the small side and density per cell is one shuffle of
+    n_labels × 25 partials.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label",
+        F.col("embedding").getItem(0).cast("double").alias("x"),
+        F.col("embedding").getItem(1).cast("double").alias("y"),
+    )
+    grid = spark.range(0, 5).select(F.col("id").cast("int").alias("ix")).crossJoin(
+        spark.range(0, 5).select(F.col("id").cast("int").alias("iy"))
+    ).select(
+        "ix",
+        "iy",
+        (-1.0 + 0.5 * F.col("ix")).alias("gx"),
+        (-1.0 + 0.5 * F.col("iy")).alias("gy"),
+    )
+    dens = (
+        pts.crossJoin(F.broadcast(grid))
+        .groupBy("label", "ix", "iy")
+        .agg(
+            F.round(
+                F.avg(
+                    F.exp(
+                        -4.0
+                        * (
+                            (F.col("x") - F.col("gx")) * (F.col("x") - F.col("gx"))
+                            + (F.col("y") - F.col("gy")) * (F.col("y") - F.col("gy"))
+                        )
+                    )
+                ),
+                6,
+            ).alias("density")
+        )
+    )
+    return dens.orderBy("label", "ix", "iy")
