@@ -15,6 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tlmc_etl_spark.plans.registry import query
+from tlmc_etl_spark.tuning import fanout
 from tlmc_etl_spark.sources.tables import load_table
 
 
@@ -228,15 +229,21 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
     # The shingle table feeds three consumers (both self-join sides and the
-    # per-doc sizes); localCheckpoint so the explode+distinct shuffle runs
-    # once and the blocks free with the result (a persist here would pin
-    # the table until someone unpersists — which the lazy return forbids).
-    bigrams = ws.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
-        ).alias("s"),
-    ).distinct().localCheckpoint(eager=True)
+    # per-doc sizes); fanout+persist so the explode+distinct shuffle runs
+    # once AND the cached layout keeps full parallelism (AQE would coalesce
+    # the distinct to ~1 partition and serialize the self-join's map side).
+    # persist over localCheckpoint: a checkpoint runs the subtree as its
+    # own job, which measured 2-3x slower on tiny-shuffle pipelines
+    # (operators/dedup.py); cache blocks are LRU-evictable so a long
+    # session degrades gracefully.
+    bigrams = fanout(
+        ws.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+            ).alias("s"),
+        ).distinct()
+    ).persist()
     sizes = bigrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = bigrams.alias("a")
     b = bigrams.alias("b")
@@ -307,12 +314,14 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
-    shingles = ws.select(
-        "doc_id",
-        F.explode(
-            F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
-        ).alias("s"),
-    ).distinct().localCheckpoint(eager=True)
+    shingles = fanout(
+        ws.select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+            ).alias("s"),
+        ).distinct()
+    ).persist()
     n_docs = shingles.select(F.countDistinct("doc_id").alias("nd"))
     df_tbl = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     cap = F.greatest(F.lit(5), F.floor(0.01 * F.col("nd")).cast("bigint"))
@@ -321,8 +330,8 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(n_docs))
         .filter(F.col("df") <= cap)
         .select("doc_id", "s")
-        .localCheckpoint(eager=True)
     )
+    cold = fanout(cold).persist()
     sizes = cold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = cold.alias("a")
     b = cold.alias("b")
