@@ -203,10 +203,12 @@ def three_score_group_similarity(
     gathered = gather_group_members(members, group_col, vec_col, order_col, pad)
     a = gathered.select(F.col("group").alias("group_a"), F.col("vecs").alias("vecs_a"))
     b = gathered.select(F.col("group").alias("group_b"), F.col("vecs").alias("vecs_b"))
-    # localCheckpoint, not persist: pairs feeds gamma calibration AND the
-    # returned scorer; checkpoint blocks free with the result instead of
-    # pinning driver/executor storage for the session.
-    pairs = a.join(b, F.col("group_a") < F.col("group_b")).localCheckpoint(eager=True)
+    # persist, not checkpoint: pairs feeds gamma calibration AND the
+    # returned scorer — the calibration's own action materializes the
+    # cache in the same job (a checkpoint would run the gather+join as an
+    # extra job first); blocks are LRU-evictable. fanout so the cached
+    # layout keeps full width for the scorer.
+    pairs = fanout(a.join(b, F.col("group_a") < F.col("group_b"))).persist()
 
     if gamma is None:
         gamma = calibrate_pair_gamma(pairs)
