@@ -96,3 +96,48 @@ def test_spawn_error_isolated_when_probe_binary_missing(spark, media_dir):
     assert len(rows) == 1
     assert not rows[0]["ok"]
     assert rows[0]["reason"].startswith("spawn_error:")
+
+
+class TestArchiveIndexScan:
+    """`7z l -slt` spawned for real via tools/fake_7z; the parse is the
+    reference's exact algorithm and unreadable archives isolate."""
+
+    FAKE_7Z = [
+        sys.executable,
+        os.path.join(os.path.dirname(FAKE_FFPROBE), "fake_7z"),
+        "l",
+        "-slt",
+    ]
+
+    def test_slt_parse_matches_reference_semantics(self):
+        from tlmc_etl_spark.operators.archive import parse_slt
+
+        out = (
+            b"7-Zip fake\nListing\n\n----------\n"
+            b"Path = Disc 1\\01 track.flac\nAttributes = A\n\n"
+            b"Path = Scans/\nAttributes = D\n\n"
+        )
+        assert parse_slt(out) == [("Disc 1/01 track.flac", False), ("Scans", True)]
+        assert parse_slt(b"garbage with no separator") is None
+
+    def test_entries_explode_and_bad_archive_isolates(self, spark, tmp_path):
+        from tlmc_etl_spark.operators.archive import list_archives
+
+        good = tmp_path / "good.7z"
+        good.write_text("D|Album X\nA|Album X/01.flac\nA|root.txt")
+        bad = tmp_path / "bad.7z"
+        bad.write_bytes(b"CORRUPT whatever")
+        df = spark.createDataFrame([(str(good),), (str(bad),)], "path string")
+        rows = list_archives(df, list_cmd=self.FAKE_7Z).collect()
+        by_archive = {}
+        for r in rows:
+            by_archive.setdefault(os.path.basename(r["archive"]), []).append(r)
+        g = by_archive["good.7z"]
+        assert sorted((r["entry"], r["is_dir"]) for r in g) == [
+            ("Album X", True),
+            ("Album X/01.flac", False),
+            ("root.txt", False),
+        ]
+        assert all(r["ok"] for r in g)
+        b = by_archive["bad.7z"]
+        assert len(b) == 1 and not b[0]["ok"] and b[0]["reason"] == "exit_2"

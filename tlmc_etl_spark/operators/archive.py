@@ -1,0 +1,96 @@
+"""Archive index scan: read every archive's header via a spawned `7z l
+-slt` child process — no extraction — and explode the entries to rows.
+
+Reference: extract_plan.py:84-117 shells out per archive and parses the
+`-slt` output (split on the `----------` separator, then `Path = ` /
+`Attributes = ` pairs, backslashes normalized, trailing slashes
+stripped); an unreadable archive returns None and is planned around,
+never crashed on. The Spark shape mirrors operators/process.py: one
+short-lived process per archive inside a fanned-out `mapInPandas`, the
+parse in-task, and a failed archive failing ITS rows only (one row with
+ok=false, reason carrying the exit class).
+
+Tests and the registered query drive this with tools/fake_7z so the
+spawn/parse/bad-exit paths actually execute; production swaps
+`list_cmd` for the real ["7z", "l", "-slt"] and changes nothing else.
+"""
+
+from __future__ import annotations
+
+import subprocess
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from tlmc_etl_spark.tuning import fanout
+
+SEVEN_ZIP_CMD = ["7z", "l", "-slt"]
+
+ENTRY_SCHEMA = (
+    "archive string, entry string, is_dir boolean, ok boolean, reason string"
+)
+
+
+def parse_slt(stdout: bytes) -> list[tuple[str, bool]] | None:
+    """`7z l -slt` output → [(entry_path, is_dir)] — the reference's exact
+    parse (extract_plan.py:99-116): one split on the separator, then
+    Path/Attributes pairs; backslashes → slashes, trailing '/' stripped.
+    Returns None when the separator is missing (truncated/garbage)."""
+    body = stdout.decode("utf-8", errors="replace").split("\n----------\n", 1)
+    if len(body) != 2:
+        return None
+    out: list[tuple[str, bool]] = []
+    path: str | None = None
+    for line in body[1].splitlines():
+        if line.startswith("Path = "):
+            path = line[len("Path = ") :].replace("\\", "/").rstrip("/")
+        elif line.startswith("Attributes = ") and path is not None:
+            out.append((path, "D" in line[len("Attributes = ") :]))
+            path = None
+    return out
+
+
+def list_archives(
+    archives: DataFrame,
+    path_col: str = "path",
+    list_cmd: list[str] | None = None,
+    timeout_s: float = 30.0,
+) -> DataFrame:
+    """One row per archive entry: (archive, entry, is_dir, ok, reason).
+
+    An unreadable archive (non-zero exit, timeout, unparseable output)
+    yields a single ok=false row with entry null — the per-row isolation
+    contract — so downstream planning sees every archive exactly once.
+    """
+    cmd = list(list_cmd) if list_cmd is not None else list(SEVEN_ZIP_CMD)
+    slim = fanout(archives.select(path_col))
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf[path_col]:
+                try:
+                    r = subprocess.run(cmd + [p], capture_output=True, timeout=timeout_s)
+                except subprocess.TimeoutExpired:
+                    out.append((p, None, None, False, "timeout"))
+                    continue
+                except OSError as e:
+                    out.append((p, None, None, False, f"spawn_error:{type(e).__name__}"))
+                    continue
+                if r.returncode != 0:
+                    out.append((p, None, None, False, f"exit_{r.returncode}"))
+                    continue
+                entries = parse_slt(r.stdout)
+                if entries is None:
+                    out.append((p, None, None, False, "bad_listing"))
+                    continue
+                if not entries:
+                    out.append((p, None, None, True, None))
+                    continue
+                for entry, is_dir in entries:
+                    out.append((p, entry, is_dir, True, None))
+            yield pd.DataFrame(
+                out, columns=["archive", "entry", "is_dir", "ok", "reason"]
+            )
+
+    return slim.mapInPandas(run, schema=ENTRY_SCHEMA)

@@ -211,6 +211,209 @@ def dominant_colors_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("artwork_id")
 
 
+_ARCHIVE_ORACLE = """
+SELECT o_orderkey AS archive_key,
+       CASE WHEN o_orderkey % 300 = 0 THEN NULL
+            WHEN o_orderkey % 3 = 0 THEN 'flat'
+            WHEN o_orderkey % 3 = 1 THEN 'nested'
+            ELSE 'bundle' END AS layout,
+       CASE WHEN o_orderkey % 300 = 0 THEN NULL
+            WHEN o_orderkey % 3 = 2 THEN 2 ELSE 1 END AS n_albums,
+       o_orderkey % 300 <> 0 AS ok,
+       CASE WHEN o_orderkey % 300 = 0 THEN 'exit_2' END AS reason
+FROM orders WHERE o_orderkey % 100 = 0
+"""
+
+_AUDIO_RE = r"\.(flac|mp3|wav|wv|m4a)$"
+# extract_plan.py:45-66's name families, verbatim semantics
+_DISC_DIR_RE = r"(?i)^(disc|disk|cd)\s*[_\-]?\s*\d+|^\S+[_\s](a|b)side$|\s\d{2}$"
+_ALBUM_DIR_RE = r"^(\d{4}[.\-_]|[\[\({])"
+_AUX_DIRS = (
+    "scans", "scan", "bk", "booklet", "artworks", "artwork", "covers", "images",
+    "tracks", "ボイスドラマ", "カレンダー", "サウンドトラック",
+)
+
+
+@query("archive_index_scan", oracle=_ARCHIVE_ORACLE)
+def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive header scan + layout plan, subprocess-real end to end:
+    deterministic fake archives are written distributedly, a REAL `7z l
+    -slt`-interface child process (tools/fake_7z) lists each one with no
+    extraction, the `-slt` parse is the reference's exact algorithm
+    (operators/archive.py), and the flat/nested/bundle layout decision
+    tree (extract_plan.py:156-199: root files → flat; one album-like top
+    dir → nested, strip a level; several → bundle) runs relationally
+    over the exploded entries. Every 3rd sampled archive is corrupt and
+    must land as its own ok=false row (exit_2, 7z's fatal code).
+
+    The oracle re-derives layout/album-count from the construction
+    arithmetic, so a drift anywhere — spawn, exit handling, -slt parse,
+    top-dir/audio/album-pattern classification — hash-fails.
+    """
+    import os
+    import shutil
+    import sys
+
+    import pandas as pd
+
+    from tlmc_etl_spark.operators.archive import list_archives
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out_dir = os.path.join(
+        repo_root, ".scratch", f"archives_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+
+    spec = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey")
+    )
+
+    def write_archives(batches):
+        for pdf in batches:
+            paths = []
+            for k in pdf["o_orderkey"]:
+                k = int(k)
+                p = os.path.join(out_dir, f"archive_{k}.7z")
+                if k % 300 == 0:
+                    body = "CORRUPT not an archive"
+                elif k % 3 == 0:
+                    body = "\n".join(
+                        [
+                            f"A|{k % 7 + 1:02d} track.flac",
+                            "A|cover.jpg",
+                            "D|Scans",
+                            "A|Scans/booklet01.png",
+                        ]
+                    )
+                elif k % 3 == 1:
+                    alb = f"2011.01.01 [ABC-{k}] Album {k}"
+                    body = "\n".join(
+                        [f"D|{alb}", f"A|{alb}/01 track.flac", f"A|{alb}/cover.jpg"]
+                    )
+                else:
+                    a1, a2 = f"[EVT] Album {k}a", f"[EVT] Album {k}b"
+                    body = "\n".join(
+                        [
+                            f"D|{a1}", f"A|{a1}/01 track.flac",
+                            f"D|{a2}", f"A|{a2}/01 track.mp3",
+                        ]
+                    )
+                with open(p, "w", encoding="utf-8") as fh:
+                    fh.write(body)
+                paths.append(p)
+            yield pd.DataFrame({"path": paths})
+
+    files = spec.mapInPandas(write_archives, schema="path string").localCheckpoint(
+        eager=True
+    )
+    entries = list_archives(
+        files,
+        list_cmd=[sys.executable, os.path.join(repo_root, "tools", "fake_7z"), "l", "-slt"],
+    )
+
+    key = F.regexp_extract(
+        F.element_at(F.split("archive", "/"), -1), r"archive_(\d+)", 1
+    ).cast("long")
+    e = entries.select(key.alias("archive_key"), "entry", "is_dir", "ok", "reason")
+
+    bad = (
+        e.filter(~F.col("ok"))
+        .select(
+            "archive_key",
+            F.lit(None).cast("string").alias("layout"),
+            F.lit(None).cast("long").alias("n_albums"),
+            F.lit(False).alias("ok"),
+            "reason",
+        )
+        .distinct()
+    )
+
+    good = e.filter(F.col("ok"))
+    fdf = good.filter(~F.coalesce("is_dir", F.lit(False)))
+    base = good.groupBy("archive_key").agg(
+        F.sum(
+            F.when(
+                (~F.coalesce("is_dir", F.lit(False)))
+                & F.col("entry").isNotNull()
+                & ~F.col("entry").contains("/"),
+                1,
+            ).otherwise(0)
+        ).alias("n_root_files"),
+        F.max(
+            F.when(
+                (~F.coalesce("is_dir", F.lit(False)))
+                & F.lower(F.col("entry")).rlike(_AUDIO_RE),
+                1,
+            ).otherwise(0)
+        ).alias("any_audio"),
+        F.sum(F.when(F.col("entry").isNotNull(), 1).otherwise(0)).alias("n_entries"),
+    )
+    tops = (
+        good.filter(
+            F.col("entry").isNotNull()
+            & (F.coalesce("is_dir", F.lit(False)) | F.col("entry").contains("/"))
+        )
+        .select("archive_key", F.split("entry", "/").getItem(0).alias("top"))
+        .distinct()
+    )
+    album_like = (
+        F.col("top").rlike(_ALBUM_DIR_RE)
+        & ~F.col("top").rlike(_DISC_DIR_RE)
+        & ~F.lower(F.col("top")).isin(*_AUX_DIRS)
+    )
+    audio_under = (
+        tops.join(
+            fdf.select("archive_key", "entry"),
+            ["archive_key"],
+        )
+        .filter(
+            F.col("entry").startswith(F.concat(F.col("top"), F.lit("/")))
+            & F.lower(F.col("entry")).rlike(_AUDIO_RE)
+        )
+        .select("archive_key", "top")
+        .distinct()
+        .withColumn("has_audio", F.lit(True))
+    )
+    top_stats = (
+        tops.join(audio_under, ["archive_key", "top"], "left")
+        .groupBy("archive_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_top_dirs"),
+            F.sum(
+                F.when(album_like & F.coalesce("has_audio", F.lit(False)), 1).otherwise(0)
+            ).alias("n_album_dirs"),
+        )
+    )
+    layout = (
+        F.when(F.col("n_entries") == 0, "flat")
+        .when(F.col("any_audio") == 0, "flat")
+        .when(F.col("n_root_files") > 0, "flat")
+        .when((F.col("n_top_dirs") == 1) & (F.col("n_album_dirs") >= 1), "nested")
+        .when(F.col("n_album_dirs") > 1, "bundle")
+        .otherwise("flat")
+    )
+    classified = (
+        base.join(top_stats, "archive_key", "left")
+        .na.fill({"n_top_dirs": 0, "n_album_dirs": 0})
+        .select(
+            "archive_key",
+            layout.alias("layout"),
+            F.when(layout == "bundle", F.col("n_album_dirs"))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("n_albums"),
+            F.lit(True).alias("ok"),
+            F.lit(None).cast("string").alias("reason"),
+        )
+    )
+    return classified.unionByName(bad).orderBy("archive_key")
+
+
 _PROBE_ORACLE = """
 SELECT 'order_' || o_orderkey || '.flac' AS fname,
        CASE WHEN o_orderkey % 300 = 0 THEN NULL
