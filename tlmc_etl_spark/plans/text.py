@@ -709,3 +709,73 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
     )
+
+
+_PACKING_ORACLE = """
+WITH RECURSIVE sized AS (
+  SELECT doc_id, doc_id % 16 AS shard,
+         len(string_split(text, ' ')) AS n_tokens,
+         row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+  FROM documents
+), packed AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         0 AS bin_idx, n_tokens AS fill
+  FROM sized WHERE rn = 1
+  UNION ALL
+  SELECT s.shard, s.rn, s.doc_id, s.n_tokens,
+         CASE WHEN p.fill + s.n_tokens <= 1024 THEN p.bin_idx ELSE p.bin_idx + 1 END,
+         CASE WHEN p.fill + s.n_tokens <= 1024 THEN p.fill + s.n_tokens ELSE s.n_tokens END
+  FROM packed p JOIN sized s ON s.shard = p.shard AND s.rn = p.rn + 1
+)
+SELECT doc_id, shard, bin_idx, n_tokens FROM packed
+"""
+
+
+@query("sequence_packing", oracle=_PACKING_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy context-window packing: documents fill 1024-token bins in
+    id order, a doc that would overflow opens the next bin — the
+    sequence-packing step between chunking and tokenization in a
+    pretraining pipeline (no doc is split; short docs coalesce so
+    padding waste is bounded).
+
+    Packing is inherently sequential, so the parallel unit is the
+    SHARD (doc_id % 16): each shard packs independently in one
+    `applyInPandas` task over an AQE-exempt fanout — at 100 TB you
+    raise the shard count, never the per-task algorithm. Bins are
+    local to a shard (global ids would serialize the whole corpus).
+    The oracle replays the same greedy fold as a recursive CTE, so the
+    reset-on-overflow arithmetic is value-checked row by row.
+    """
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 16).alias("shard"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_idx, fill = 0, 0
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fills and fill + n <= 1024:
+                fill += n
+            else:
+                if fills:
+                    bin_idx += 1
+                fill = n
+            bins.append(bin_idx)
+            fills.append(fill)
+        out = pdf[["doc_id", "shard", "n_tokens"]].copy()
+        out["bin_idx"] = bins
+        return out[["doc_id", "shard", "bin_idx", "n_tokens"]]
+
+    return (
+        fanout(docs, "shard")
+        .groupBy("shard")
+        .applyInPandas(pack, schema="doc_id long, shard long, bin_idx long, n_tokens int")
+        .orderBy("doc_id")
+    )
