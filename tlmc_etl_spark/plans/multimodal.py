@@ -493,3 +493,54 @@ def subprocess_probe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ok",
         "reason",
     ).orderBy("fname")
+
+
+_FRAME_ORACLE = """
+WITH media AS (
+  SELECT o_orderkey AS media_id,
+         30.0 + (o_orderkey % 240) AS duration_s
+  FROM orders WHERE o_orderkey % 50 = 0
+)
+SELECT m.media_id, t.i AS sample_idx,
+       CAST(floor(t.i * 2.0 * 24) AS BIGINT) AS frame_idx,
+       round(t.i * 2.0, 3) AS t_offset_s
+FROM media m, LATERAL (
+  SELECT unnest(generate_series(0, CAST(ceil(m.duration_s / 2.0) AS BIGINT) - 1)) AS i
+) t
+"""
+
+
+@query("frame_sample_plan", oracle=_FRAME_ORACLE)
+def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform video frame-sampling plan: one row per sampled frame
+    (every 2 s at 24 fps), the work-list a distributed frame decoder
+    consumes (the decode itself is the stubbed codec boundary —
+    operators/multimodal.decode_payload; this plan is the Spark-side
+    contract: which frames, at which timestamps, per media row).
+
+    Pure row-local explode (sequence + posexplode), no shuffle, full
+    pruning upstream — the same map-only shape as doc_chunking applied
+    to the time axis. Durations derive from the key arithmetically so
+    the oracle replays the schedule exactly.
+    """
+    media = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 50 == 0)
+        .select(
+            F.col("o_orderkey").alias("media_id"),
+            (30.0 + (F.col("o_orderkey") % 240)).alias("duration_s"),
+        )
+    )
+    return media.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0), F.ceil(F.col("duration_s") / 2.0).cast("long") - 1
+            )
+        ).alias("sample_idx"),
+    ).select(
+        "media_id",
+        "sample_idx",
+        F.floor(F.col("sample_idx") * 2.0 * 24).cast("long").alias("frame_idx"),
+        F.round(F.col("sample_idx") * 2.0, 3).alias("t_offset_s"),
+    )
