@@ -779,3 +779,68 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(pack, schema="doc_id long, shard long, bin_idx long, n_tokens int")
         .orderBy("doc_id")
     )
+
+
+_VOCAB_ORACLE = """
+WITH words AS (
+  SELECT doc_id, lower(t.w) AS w
+  FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w) t
+  WHERE t.w <> ''
+), vocab AS (
+  SELECT w, count(*) AS cnt,
+         row_number() OVER (ORDER BY count(*) DESC, w ASC) AS vrank
+  FROM words GROUP BY w
+), kept AS (
+  SELECT w FROM vocab WHERE vrank <= 1000
+)
+SELECT wd.doc_id,
+       count(*) AS n_words,
+       sum(CASE WHEN k.w IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       round(sum(CASE WHEN k.w IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
+FROM words wd LEFT JOIN kept k ON wd.w = k.w
+GROUP BY wd.doc_id
+"""
+
+
+@query("vocab_oov_coverage", oracle=_VOCAB_ORACLE)
+def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary build + per-document OOV coverage: the top-1000
+    words by frequency (deterministic count-desc/word-asc rank) become
+    the vocabulary; every document reports its out-of-vocabulary token
+    fraction — the coverage statistic a tokenizer-training or
+    quality-filter stage monitors.
+
+    Plan shape: one word-count shuffle builds the vocab; the kept set is
+    tiny by construction (top-k) and BROADCASTS back against the word
+    stream, so coverage costs one more groupBy on doc_id — no sort of
+    the full corpus, no second scan of the text column (the exploded
+    words feed both sides). At 100 TB the vocab stays a broadcast no
+    matter the corpus size because k bounds it.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w0"))
+        .filter(F.col("w0") != "")
+        .select("doc_id", F.lower("w0").alias("w"))
+    )
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    # TakeOrderedAndProject, not a global row_number window: the top-k
+    # needs no full sort and no single-partition window exchange
+    kept = (
+        counts.orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(1000)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(kept), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
