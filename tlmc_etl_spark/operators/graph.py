@@ -70,11 +70,15 @@ def connected_components(
             F.col("b").alias("a"), "label", F.lit(None).cast("long").alias("old")
         )
         own = labels.select("a", "label", F.col("label").alias("old"))
+        # LAZY checkpoint: the convergence count below materializes `new`
+        # anyway, so the lineage cut rides that same job — an eager
+        # checkpoint here would run one extra job per round, and round
+        # latency is exactly what bounds this loop at small scale.
         new = (
             own.unionByName(nbr)
             .groupBy("a")
             .agg(F.min("label").alias("label"), F.max("old").alias("old"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new.filter(F.col("label") != F.col("old")).count()
         merged = new.select("a", "label")
@@ -82,12 +86,14 @@ def connected_components(
             labels = merged
             break
         # path halving: label := label(label) — the label is itself an
-        # active node id, so the self-join resolves every pointer one hop
+        # active node id, so the self-join resolves every pointer one hop.
+        # Lazy checkpoint again: next round's convergence count (or the
+        # caller's action) materializes it.
         lbl_of = merged.select(F.col("a").alias("l_a"), F.col("label").alias("l_label"))
         labels = (
             merged.join(lbl_of, merged["label"] == lbl_of["l_a"])
             .select("a", F.col("l_label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     singletons = all_ids.join(endpoints, "a", "left_anti").select(
         "a", F.col("a").alias("label")
