@@ -707,3 +707,69 @@ def dash_mpd_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("</MPD>"),
         ).alias("mpd"),
     )
+
+
+_SALTED_ORACLE = """
+WITH fact AS (
+  SELECT l_orderkey, l_extendedprice, l_linenumber,
+         CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS hot_key
+  FROM lineitem
+), dim AS (
+  SELECT DISTINCT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS hot_key
+  FROM lineitem
+), attrs AS (
+  SELECT hot_key, 'seg_' || (hot_key % 7) AS segment, 1.0 + (hot_key % 5) * 0.1 AS factor
+  FROM dim
+)
+SELECT a.segment,
+       count(*) AS n_rows,
+       round(sum(f.l_extendedprice * a.factor), 2) AS weighted_revenue
+FROM fact f JOIN attrs a USING (hot_key)
+GROUP BY a.segment
+"""
+
+
+@query("salted_skew_join", oracle=_SALTED_ORACLE)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through an 8-way salt, value-identical to the plain
+    join (which is exactly what the oracle computes — the salt must be
+    invisible in results).
+
+    The constructed key is pathological by design: ~70% of lineitem rows
+    collapse onto key 0. Unsalted, every one of those rows lands in ONE
+    join task — the classic straggler. `operators/skew.salted_join`
+    scatters them across 8 sub-keys (deterministic salt from the row id;
+    the dimension side replicates ×8 with a row-local explode), then the
+    aggregate proceeds normally. AQE's skew split covers sort-merge
+    cases it can observe; the salt is the plan-level guarantee that
+    works under any join strategy, which is why both are in the engine.
+    """
+    from tlmc_etl_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    hot = F.when(F.col("l_orderkey") % 10 < 7, 0).otherwise(
+        F.col("l_orderkey") % 100
+    )
+    fact = li.select(
+        "l_orderkey",
+        "l_extendedprice",
+        "l_linenumber",
+        hot.alias("hot_key"),
+        F.concat_ws("-", "l_orderkey", "l_linenumber").alias("row_uid"),
+    )
+    attrs = (
+        fact.select("hot_key")
+        .distinct()
+        .select(
+            "hot_key",
+            F.concat(F.lit("seg_"), (F.col("hot_key") % 7)).alias("segment"),
+            (1.0 + (F.col("hot_key") % 5) * 0.1).alias("factor"),
+        )
+    )
+    joined = salted_join(fact, attrs, "hot_key", "row_uid", n_salts=8)
+    return joined.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("factor")), 2).alias(
+            "weighted_revenue"
+        ),
+    )
