@@ -117,3 +117,27 @@ class TestDifferential:
             if top1_engine[t] == -scored[0][1]:
                 agree += 1
         assert agree >= int(0.9 * len(ids))  # ties at 6dp rounding may flip order
+
+
+def test_tiled_recall_equals_single_tile(spark, chunked):
+    # the scale mechanism itself: with tile_rows far below the corpus the
+    # candidate side splits into many hash tiles, each scored against the
+    # streaming anchors and merged — the result must be EXACTLY the
+    # single-tile (all-in-one-broadcast) answer, anchors, neighbors,
+    # scores and all. Also drives the multi-broadcast release path.
+    from tlmc_etl_spark.pipelines.similarity import cosine_recall
+
+    pooled = pooled_unit_mean(chunked, "track", "vec").persist()
+    try:
+        one = {
+            (r["anchor"], r["neighbor"]): r["recall_score"]
+            for r in cosine_recall(pooled, K_RECALL).collect()
+        }
+        many = {
+            (r["anchor"], r["neighbor"]): r["recall_score"]
+            for r in cosine_recall(pooled, K_RECALL, tile_rows=7).collect()
+        }
+        assert one == many, "tiling must be invisible in results"
+        assert len({a for a, _ in one}) == N_TRACKS
+    finally:
+        pooled.unpersist()
