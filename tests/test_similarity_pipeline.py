@@ -141,3 +141,50 @@ def test_tiled_recall_equals_single_tile(spark, chunked):
         assert len({a for a, _ in one}) == N_TRACKS
     finally:
         pooled.unpersist()
+
+
+def test_weighted_two_stage_matches_numpy_composition(spark, sf_dir, numpy_ref):
+    # replay the FULL weighted composition in numpy — background sample by
+    # the same xxhash64 order is impractical here, so the weight table the
+    # engine computed is taken as input and the weighted rerank itself is
+    # verified end to end (the weight computation has its own oracle via
+    # chunk_idf_weights)
+    from tlmc_etl_spark.operators.group_similarity import weighted_chamfer_numpy
+    from tlmc_etl_spark.plans import QUERIES
+
+    chunk_sets, pooled = numpy_ref
+    got = QUERIES["two_stage_weighted_similarity"].fn(spark, sf_dir).collect()
+    assert got, "weighted pipeline produced no rows"
+    weights = {
+        r["id"]: r["weight"]
+        for r in QUERIES["chunk_idf_weights"].fn(spark, sf_dir).collect()
+    }
+
+    import duckdb
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    by_track: dict[int, list] = {}
+    for vid, v in rows:
+        by_track.setdefault(vid % N_TRACKS, []).append((vid, np.array(v, dtype=np.float64)))
+    w_of = {
+        t: np.array([weights[vid] for vid, _ in sorted(g)]) for t, g in by_track.items()
+    }
+
+    # recall stage must agree with pooled cosine; then the weighted score
+    # of every emitted pair must match the numpy kernel exactly
+    max_err = 0.0
+    for r in got:
+        A, B = chunk_sets[r["anchor"]], chunk_sets[r["neighbor"]]
+        ref = weighted_chamfer_numpy(A, B, w_of[r["anchor"]], w_of[r["neighbor"]])
+        max_err = max(max_err, abs(r["score"] - ref))
+    assert max_err < 5e-3, f"weighted rerank drifted {max_err} from numpy"
+
+    by_anchor: dict[int, list[int]] = {}
+    for r in got:
+        by_anchor.setdefault(r["anchor"], []).append(r["rank"])
+    assert len(by_anchor) == N_TRACKS
+    for ranks in by_anchor.values():
+        assert sorted(ranks) == list(range(1, K_FINAL + 1))

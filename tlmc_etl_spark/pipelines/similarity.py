@@ -193,6 +193,87 @@ def chamfer_rerank(recall: DataFrame, chunk_sets: DataFrame, k_final: int) -> Da
     )
 
 
+def gather_weighted_chunks(
+    chunks: DataFrame,
+    weights: DataFrame,
+    track_col: str,
+    vec_col: str,
+    id_col: str,
+    cap: int = 96,
+    order_col: str | None = None,
+) -> DataFrame:
+    """(track, chunk matrix, weight vector) with aligned ordering: the
+    chunk-IDF weight table (id, weight) joins back onto the chunks by
+    chunk id BEFORE the capped gather, and both arrays collect through
+    one sorted struct so weight i always belongs to chunk i."""
+    order = F.col(order_col) if order_col else F.xxhash64(F.col(vec_col))
+    w = W.partitionBy(track_col).orderBy(order)
+    joined = chunks.join(weights.select(F.col("id").alias(id_col), "weight"), id_col)
+    capped = (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+    )
+    gathered = capped.groupBy(F.col(track_col).alias("track")).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("__rn").alias("o"),
+                    F.col(vec_col).cast("array<double>").alias("v"),
+                    F.col("weight").alias("w"),
+                )
+            )
+        ).alias("ovw")
+    )
+    return gathered.select(
+        "track",
+        F.expr("transform(ovw, s -> s.v)").alias("chunk_set"),
+        F.expr("transform(ovw, s -> s.w)").alias("chunk_weights"),
+    )
+
+
+def weighted_chamfer_rerank(
+    recall: DataFrame, weighted_sets: DataFrame, k_final: int
+) -> DataFrame:
+    """Chamfer rerank with chunk-IDF weights on both sides — the
+    reference's full rerank form (rerank.py:60-90 weighted q/d sides,
+    weights from estimate_chunk_weights)."""
+    from tlmc_etl_spark.operators.group_similarity import weighted_chamfer_numpy
+
+    a_side = weighted_sets.select(
+        F.col("track").alias("anchor"),
+        F.col("chunk_set").alias("ca"),
+        F.col("chunk_weights").alias("wa"),
+    )
+    b_side = weighted_sets.select(
+        F.col("track").alias("neighbor"),
+        F.col("chunk_set").alias("cb"),
+        F.col("chunk_weights").alias("wb"),
+    )
+    pairs = recall.join(a_side, "anchor").join(b_side, "neighbor")
+
+    def score(batches):
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                A = np.stack([np.asarray(v, dtype=np.float64) for v in row["ca"]])
+                B = np.stack([np.asarray(v, dtype=np.float64) for v in row["cb"]])
+                s = weighted_chamfer_numpy(
+                    A, B, np.asarray(row["wa"]), np.asarray(row["wb"])
+                )
+                out.append((row["anchor"], row["neighbor"], round(s, 6)))
+            yield pd.DataFrame(out, columns=["anchor", "neighbor", "score"])
+
+    scored = fanout(pairs).mapInPandas(
+        score, schema="anchor long, neighbor long, score double"
+    )
+    w = W.partitionBy("anchor").orderBy(F.col("score").desc(), F.col("neighbor").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_final)
+        .select("anchor", "neighbor", "rank", "score")
+    )
+
+
 def two_stage_similar_tracks(
     chunks: DataFrame,
     track_col: str,

@@ -616,6 +616,39 @@ def two_stage_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("anchor", "rank")
 
 
+@query("two_stage_weighted_similarity")
+def two_stage_weighted_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL rerank form: recall → chunk-IDF weights →
+    weighted chamfer (rerank.py:60-90 weighted q/d sides with weights
+    from estimate_chunk_weights, rerank.py:169-197). The unweighted
+    `two_stage_similarity` is the structural baseline; this composition
+    adds the generic-chunk down-weighting end-to-end: background sample
+    → per-chunk genericness → sigmoid z-score weights → weight-aligned
+    capped gather → weighted rerank. Differentially gated against a
+    numpy replay of the identical composition
+    (tests/test_similarity_pipeline.py)."""
+    from tlmc_etl_spark.operators.group_similarity import chunk_idf_weights
+    from tlmc_etl_spark.pipelines.similarity import (
+        cosine_recall,
+        gather_weighted_chunks,
+        pooled_unit_mean,
+        weighted_chamfer_rerank,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    chunks = emb.select(
+        (F.col("vec_id") % 50).alias("track"), "vec_id", F.col("embedding").alias("vec")
+    )
+    weights = chunk_idf_weights(chunks, "vec_id", "track", "vec")
+    pooled = pooled_unit_mean(chunks, "track", "vec").persist()
+    recall = cosine_recall(pooled, 15)
+    pooled.unpersist()
+    wsets = gather_weighted_chunks(
+        chunks, weights, "track", "vec", "vec_id", cap=96, order_col="vec_id"
+    )
+    return weighted_chamfer_rerank(recall, wsets, k_final=5).orderBy("anchor", "rank")
+
+
 @query("token_set_match")
 def token_set_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-set fuzzy match (fuzz.token_set_ratio > 90 analogue,
