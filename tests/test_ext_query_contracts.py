@@ -1,0 +1,47 @@
+"""Query-level contracts for ext entries whose operators are tested
+elsewhere — these run the REGISTERED callable by name, so a wiring
+regression (wrong params, renamed column, broken composition) fails here
+even while the underlying operator suites stay green.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.plans import QUERIES
+
+
+def test_simhash_dedup_pairs_are_canonical_and_within_radius(spark, sf_dir):
+    rows = QUERIES["simhash_dedup"].fn(spark, sf_dir).collect()
+    assert rows, "no simhash candidate pairs at test scale"
+    for r in rows:
+        assert r["id_a"] < r["id_b"], "pairs must be canonical (a < b)"
+        assert 0 <= r["hamming"] <= 16, f"radius contract violated: {r}"
+
+
+@pytest.mark.parametrize("name", ["pq_reconstruction_audit", "opq_pq_recon_audit"])
+def test_pq_audits_cover_every_vector_with_bounded_cosine(spark, sf_dir, name):
+    df = QUERIES[name].fn(spark, sf_dir)
+    n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    stats = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("recon_cosine").alias("mn"),
+        F.max("recon_cosine").alias("mx"),
+        F.mean("recon_cosine").alias("avg"),
+    ).first()
+    assert stats["n"] == n_vec, "audit must emit one row per vector"
+    assert -1.0 <= stats["mn"] and stats["mx"] <= 1.0
+    assert stats["avg"] > 0.5, f"{name}: mean recon {stats['avg']:.3f} below floor"
+
+
+def test_two_stage_similarity_query_emits_dense_ranked_neighbors(spark, sf_dir):
+    rows = QUERIES["two_stage_similarity"].fn(spark, sf_dir).collect()
+    by_anchor: dict[int, list[int]] = {}
+    for r in rows:
+        assert r["anchor"] != r["neighbor"]
+        by_anchor.setdefault(r["anchor"], []).append(r["rank"])
+    assert len(by_anchor) == 50, "one anchor per pseudo-track"
+    for ranks in by_anchor.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
