@@ -129,6 +129,16 @@ class TestArtworkPlans:
         assert n <= 2, f"palette assembly grew to {n} shuffles"
 
 
+class TestServingPlans:
+    @pytest.mark.parametrize("name", ["substring_search_topk", "kde_density_grid"])
+    def test_small_side_broadcasts_not_shuffles(self, spark, sf_dir, name):
+        # term batch / evaluation grid are the tiny sides by construction:
+        # they must ride a broadcast, never a CartesianProduct shuffle
+        plan = plan_of(spark, sf_dir, name, mode="simple")
+        assert "CartesianProduct" not in plan, f"{name}: small side must broadcast"
+        assert "Broadcast" in plan
+
+
 class TestRecallPruning:
     def test_chamfer_group_pairs_are_pruned_not_crossed(self, spark, sf_dir):
         # the registered chamfer query must score recall candidates via
