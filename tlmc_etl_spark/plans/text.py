@@ -844,3 +844,69 @@ def vocab_oov_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_rate"),
         )
     )
+
+
+_RESAMPLE_ORACLE = """
+WITH rated AS (
+  SELECT doc_id, source, n_chars,
+         (CASE source WHEN 'books' THEN 2.2 WHEN 'news' THEN 1.5
+                      WHEN 'web' THEN 0.8 ELSE 1.0 END)
+           * least(1.5, n_chars / 400.0) AS w,
+         ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u
+  FROM documents
+), counted AS (
+  SELECT doc_id, source, round(w, 6) AS weight,
+         CAST(floor(w) + CASE WHEN u < w - floor(w) THEN 1 ELSE 0 END AS BIGINT) AS copies
+  FROM rated
+)
+SELECT c.doc_id, c.source, c.weight, c.copies, t.i - 1 AS copy_idx
+FROM counted c, LATERAL (SELECT unnest(generate_series(1, c.copies)) AS i) t
+WHERE c.copies > 0
+"""
+
+
+@query("quality_resample", oracle=_RESAMPLE_ORACLE)
+def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus resampling: each document is replicated
+    floor(w) times plus one stochastic copy with probability frac(w) —
+    upsampling high-value sources (books 2.2x) and long documents,
+    downsampling low-weight ones to zero copies. The epoch-mixing step
+    that turns per-source target rates into an actual materialized
+    training corpus (corpus_mix_sample is the subsampling-only sibling).
+
+    The stochastic copy uses the portable multiplicative hash of the
+    doc id, not RNG state — identical on every run, every engine, every
+    partition layout (the determinism contract the driver's value hash
+    and any resumable pipeline both require). Map-only: weight
+    arithmetic, one guarded sequence-explode, no shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    src_f = (
+        F.when(F.col("source") == "books", 2.2)
+        .when(F.col("source") == "news", 1.5)
+        .when(F.col("source") == "web", 0.8)
+        .otherwise(1.0)
+    )
+    w = src_f * F.least(F.lit(1.5), F.col("n_chars") / 400.0)
+    u = ((F.col("doc_id") * 2654435761) % 4294967296) / 4294967296.0
+    counted = docs.select(
+        "doc_id",
+        "source",
+        F.round(w, 6).alias("weight"),
+        (
+            F.floor(w) + F.when(u < (w - F.floor(w)), 1).otherwise(0)
+        ).cast("long").alias("copies"),
+    )
+    return (
+        counted.filter(F.col("copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "weight",
+            "copies",
+            F.explode(F.sequence(F.lit(1), F.col("copies"))).alias("__i"),
+        )
+        .select(
+            "doc_id", "source", "weight", "copies", (F.col("__i") - 1).alias("copy_idx")
+        )
+    )
