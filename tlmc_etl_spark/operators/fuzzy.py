@@ -251,6 +251,10 @@ def token_set_match_join(
     # bound clears the threshold. The two inter-vs-full bounds are pure
     # length arithmetic; the full-vs-full bound counts the common character
     # multiset (difflib quick_ratio), a few dozen JVM char compares per row.
+    # (A 37-symbol closed-alphabet unroll of this count was tried and is
+    # ~3x SLOWER: the 74-function expression tree exceeds the codegen
+    # method-size limit and the whole stage falls back to interpreted
+    # evaluation — keep the higher-order form.)
     common_chars = F.expr(
         "aggregate(array_distinct(split(full_a, '')), 0, (acc, c) ->"
         " acc + int(least(size(filter(split(full_a, ''), x -> x = c)),"
