@@ -214,8 +214,8 @@ WITH rows AS (
   FROM rows
 )
 SELECT CAST(shard AS INTEGER) AS shard, count(*) AS n_rows,
-       sum(row_bytes) AS payload_bytes,
-       19 + sum(row_bytes) + 2 AS file_bytes
+       CAST(sum(row_bytes) AS BIGINT) AS payload_bytes,
+       CAST(19 + sum(row_bytes) + 2 AS BIGINT) AS file_bytes
 FROM sized GROUP BY shard ORDER BY shard
 """,
 )

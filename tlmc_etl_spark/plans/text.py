@@ -795,7 +795,7 @@ WITH words AS (
 )
 SELECT wd.doc_id,
        count(*) AS n_words,
-       sum(CASE WHEN k.w IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(sum(CASE WHEN k.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        round(sum(CASE WHEN k.w IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS oov_rate
 FROM words wd LEFT JOIN kept k ON wd.w = k.w
 GROUP BY wd.doc_id

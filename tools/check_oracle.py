@@ -33,11 +33,28 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
+def dtype_kind(series: pd.Series) -> str:
+    if pd.api.types.is_integer_dtype(series):
+        return "int"
+    if pd.api.types.is_float_dtype(series):
+        return "float"
+    return "other"
+
+
 def compare(name: str, s: pd.DataFrame, d: pd.DataFrame) -> str:
     if sorted(s.columns) != sorted(d.columns):
         return f"SCHEMA spark={sorted(s.columns)} duck={sorted(d.columns)}"
     if len(s) != len(d):
         return f"ROWS spark={len(s)} duck={len(d)}"
+    # The driver hashes stringified cells, so an int column on one engine vs a
+    # float column on the other ("15441" vs "15441.0") is a real failure even
+    # when the values are numerically equal. DuckDB's sum(BIGINT) → HUGEINT →
+    # float64 fetch is the classic case (copy_binary_export, round 3). Flag it
+    # here instead of coercing it away.
+    for c in s.columns:
+        ks, kd = dtype_kind(s[c]), dtype_kind(d[c])
+        if {ks, kd} == {"int", "float"}:
+            return f"DTYPE col={c} spark={s[c].dtype} duck={d[c].dtype} (driver hash would diverge)"
     sn, dn = normalize(s.copy()), normalize(d.copy())
     for c in sn.columns:
         a, b = sn[c], dn[c]
