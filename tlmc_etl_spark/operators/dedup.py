@@ -10,7 +10,7 @@ per-permutation min-hashes as `xxhash64(seed, shingle)` min-aggregates,
 band keys as hashes over signature slices. No Python in the hot path; the
 only Python is plan construction.
 
-Verified by property/differential tests (tests/test_dedup.py): MinHash
+Verified by property/differential tests (tests/test_ext_operators.py): MinHash
 similarity estimates converge to exact Jaccard; LSH candidates recall
 high-similarity pairs; SimHash hamming distance orders like cosine of
 term-frequency vectors.
@@ -20,8 +20,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from tlmc_etl_spark.tuning import fanout
 
 
 def word_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -102,11 +100,12 @@ def lsh_candidate_pairs(
             )
         ).alias("band_idx", "band_key"),
     )
-    # Pin the self-join's parallelism: hash-partition on the join key with
-    # a user-specified count (AQE-exempt) so both aliases share the layout
-    # and the join runs wide — byte-based coalescing would fold this tiny
-    # but candidate-quadratic exchange to one task.
-    bands = fanout(bands, "band_idx", "band_key")
+    # No fanout() here: the band self-join is pure-JVM, bytes-proportional
+    # work, so AQE's byte-based coalescing is scale-correct — serial when
+    # the exchange is tiny (where serial is faster; the pinned-width r3
+    # variant measured 2x slower end-to-end at sf0.1), wide at real scale
+    # where the band table is large. fanout() is reserved for Python-CPU
+    # stages whose cost is per-row, not per-byte (tuning.py).
     a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
     b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
     return (
@@ -157,10 +156,12 @@ def minhash_near_dupes(
     # measured 2-3x slower end-to-end here — the whole pipeline is tiny
     # shuffles where scheduling latency dominates. persist keeps it one
     # job; its blocks are LRU-evictable (MEMORY_AND_DISK) so a long
-    # session degrades gracefully rather than pinning forever. fanout
-    # first so the cached layout isn't AQE's coalesced ~1 partition
-    # (which would serialize the band explode that scans it).
-    sigs = fanout(minhash_signatures(sh, id_col, n_hashes)).persist()
+    # session degrades gracefully rather than pinning forever. No fanout
+    # before the persist: the downstream band explode and estimate join
+    # are JVM bytes-proportional stages, and re-widening the tiny cached
+    # table costs an extra exchange that measured ~2x end-to-end at sf0.1
+    # (round-4 A/B, tools/ab_minhash.py) — AQE re-widens at real scale.
+    sigs = minhash_signatures(sh, id_col, n_hashes).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, n_bands, rows)
     est = minhash_estimate(sigs, pairs, id_col)
     return est.filter(F.col("est_jaccard") >= threshold)
@@ -213,9 +214,10 @@ def simhash_near_dupes(
     # Both sides of the chunk self-join read the fingerprints (n_docs × 1
     # long) — persist so the word scan + 64 bit-sum aggregates run once,
     # in the same job (a checkpoint would add a separate materialization
-    # job; see minhash_near_dupes). fanout first so the cached layout
-    # isn't AQE's coalesced ~1 partition.
-    fps = fanout(simhash_fingerprints(df, id_col, text_col)).persist()
+    # job; see minhash_near_dupes). No fanout: the chunk explode + join
+    # are JVM-side; the extra exchange measured slower at sf0.1 and AQE
+    # keeps the layout wide whenever the table is actually big.
+    fps = simhash_fingerprints(df, id_col, text_col).persist()
     chunks = fps.select(
         F.col(id_col),
         "simhash",

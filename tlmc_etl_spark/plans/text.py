@@ -229,21 +229,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
     # The shingle table feeds three consumers (both self-join sides and the
-    # per-doc sizes); fanout+persist so the explode+distinct shuffle runs
-    # once AND the cached layout keeps full parallelism (AQE would coalesce
-    # the distinct to ~1 partition and serialize the self-join's map side).
+    # per-doc sizes); persist so the explode+distinct shuffle runs once.
     # persist over localCheckpoint: a checkpoint runs the subtree as its
     # own job, which measured 2-3x slower on tiny-shuffle pipelines
     # (operators/dedup.py); cache blocks are LRU-evictable so a long
-    # session degrades gracefully.
-    bigrams = fanout(
-        ws.select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
-            ).alias("s"),
-        ).distinct()
-    ).persist()
+    # session degrades gracefully. No fanout before the persist — the
+    # self-join is JVM bytes-proportional work, AQE's byte-based layout is
+    # already scale-correct, and the extra exchange measured slower at
+    # sf0.1 (round-4 A/B, tools/ab_fanout.py).
+    bigrams = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+        ).alias("s"),
+    ).distinct().persist()
     sizes = bigrams.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = bigrams.alias("a")
     b = bigrams.alias("b")
@@ -314,14 +313,12 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
-    shingles = fanout(
-        ws.select(
-            "doc_id",
-            F.explode(
-                F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
-            ).alias("s"),
-        ).distinct()
-    ).persist()
+    shingles = ws.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, size(ws) - 1), i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))")
+        ).alias("s"),
+    ).distinct().persist()
     n_docs = shingles.select(F.countDistinct("doc_id").alias("nd"))
     df_tbl = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     cap = F.greatest(F.lit(5), F.floor(0.01 * F.col("nd")).cast("bigint"))
@@ -331,7 +328,7 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("df") <= cap)
         .select("doc_id", "s")
     )
-    cold = fanout(cold).persist()
+    cold = cold.persist()
     sizes = cold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = cold.alias("a")
     b = cold.alias("b")
