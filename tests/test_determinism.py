@@ -18,6 +18,7 @@ TRICKY = [
     "embedding_near_dup_lsh_hi",  # seeded hyperplanes, multi-table OR
     "kde_bandwidth_calibration",  # capped member sample
     "subprocess_probe_scan",    # real child processes
+    "subprocess_loudness_scan",  # real child processes + gain formula
     "archive_index_scan",       # real child processes + relational classify
     "catalog_incremental_rebuild",  # partitioned recompute + carry
     "two_stage_weighted_similarity",  # background sample -> weights -> rerank

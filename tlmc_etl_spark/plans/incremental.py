@@ -233,9 +233,7 @@ def copy_binary_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     any framing drift (wrong width, missed NULL, wrong shard) hash-fails.
     Byte-level decode parity is unit-tested separately.
     """
-    import os
-    import shutil
-
+    from tlmc_etl_spark.scratch import scratch_dir
     from tlmc_etl_spark.sinks.copybin import write_copy_shards
 
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
@@ -248,10 +246,5 @@ def copy_binary_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(F.lit("note "), F.col("o_orderkey").cast("string")),
         ).alias("note"),
     )
-    out_dir = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "..", "..", ".scratch",
-        f"copybin_{os.path.basename(sf_dir.rstrip('/'))}",
-    )
-    out_dir = os.path.abspath(out_dir)
-    shutil.rmtree(out_dir, ignore_errors=True)
+    out_dir = scratch_dir(spark, "copybin", sf_dir)
     return write_copy_shards(rows, out_dir, "o_orderkey", n_shards=8).orderBy("shard")

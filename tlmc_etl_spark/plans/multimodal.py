@@ -20,6 +20,11 @@ from tlmc_etl_spark.operators.multimodal import extract_features, synthetic_medi
 from tlmc_etl_spark.plans.registry import query
 from tlmc_etl_spark.sources.tables import load_table
 
+
+# Fixture dirs for the subprocess queries below: local-mode-only by design,
+# session-keyed against concurrent-run races — see tlmc_etl_spark/scratch.py.
+from tlmc_etl_spark.scratch import scratch_dir as _scratch_dir
+
 _FEATURE_ORACLE = """
 WITH m AS (
   SELECT 'doc-' || doc_id AS media_id,
@@ -251,7 +256,6 @@ def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-dir/audio/album-pattern classification — hash-fails.
     """
     import os
-    import shutil
     import sys
 
     import pandas as pd
@@ -261,11 +265,7 @@ def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    out_dir = os.path.join(
-        repo_root, ".scratch", f"archives_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = _scratch_dir(spark, "archives", sf_dir)
 
     spec = (
         load_table(spark, sf_dir, "orders")
@@ -439,7 +439,6 @@ def subprocess_probe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     info_scanner_ph1.py:550-616 (ffprobe spawn + JSON parse + journal).
     """
     import os
-    import shutil
     import sys
 
     import pandas as pd
@@ -449,11 +448,7 @@ def subprocess_probe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     repo_root = os.path.dirname(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
-    out_dir = os.path.join(
-        repo_root, ".scratch", f"probe_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
-    shutil.rmtree(out_dir, ignore_errors=True)
-    os.makedirs(out_dir, exist_ok=True)
+    out_dir = _scratch_dir(spark, "probe", sf_dir)
 
     spec = (
         load_table(spark, sf_dir, "orders")
@@ -490,6 +485,119 @@ def subprocess_probe_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.split("path", "/"), -1).alias("fname"),
         F.round("duration_s", 6).alias("duration_s"),
         "codec",
+        "ok",
+        "reason",
+    ).orderBy("fname")
+
+
+_LOUDNESS_ORACLE = """
+WITH f AS (
+  SELECT o_orderkey AS k, 1000 + o_orderkey % 5000 AS L
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT 'track_' || k || '.flac' AS fname,
+       CASE WHEN k % 300 = 0 THEN NULL
+            WHEN k % 500 = 0 THEN -70.0
+            ELSE -(100 + L % 300) / 10.0 END AS i,
+       CASE WHEN k % 300 = 0 OR k % 500 = 0 THEN NULL
+            ELSE -(L % 80) / 10.0 END AS tp,
+       CASE WHEN k % 300 = 0 THEN NULL
+            WHEN k % 500 = 0 THEN 0.0
+            ELSE (L % 150) / 10.0 END AS lra,
+       CASE WHEN k % 300 = 0 THEN NULL
+            WHEN k % 500 = 0 THEN 0.0
+            ELSE round(least(-14.0 + (100 + L % 300) / 10.0,
+                             -1.0 + (L % 80) / 10.0,
+                             12.0), 4) END AS gain_db,
+       k % 300 <> 0 AS ok,
+       CASE WHEN k % 300 = 0 THEN 'exit_1' END AS reason
+FROM f ORDER BY fname
+"""
+
+
+@query("subprocess_loudness_scan", oracle=_LOUDNESS_ORACLE)
+def subprocess_loudness_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ebur128 loudness measurement, subprocess-real end to end, feeding
+    the static-gain formula.
+
+    Deterministic fake audio files are written distributedly, then each is
+    measured by an actual child process (tools/fake_ffmpeg — ffmpeg's
+    ebur128 stderr summary with content-driven failure modes) through
+    operators/process.measure_loudness_paths, and the measurement flows
+    straight into the reference's static-gain rule: gain = min(target_I −
+    i, target_TP − tp) capped at +12 dB, forced 0 for silence/non-finite
+    (loudness_measure.py:85-108,111-143). Every 3rd sampled file is
+    corrupt (isolated ok=false row), and every 5th is digitally silent —
+    ebur128 reports I = −70 LUFS with Peak = −inf, which must parse (not
+    error) and must gain 0 (loudness_measure.py:60-67's silent-track
+    lesson, pinned here as data).
+
+    The oracle re-derives i/tp/lra/gain from the same byte-length
+    arithmetic the writer used, so drift anywhere — spawn, exit handling,
+    -inf/nan summary parse, gain clamp — hash-fails.
+    """
+    import os
+    import sys
+
+    import pandas as pd
+
+    from tlmc_etl_spark.operators.process import measure_loudness_paths
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    out_dir = _scratch_dir(spark, "loudness", sf_dir)
+
+    spec = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_orderkey") % 300 == 0).alias("corrupt"),
+            (F.col("o_orderkey") % 500 == 0).alias("silent"),
+        )
+    )
+
+    def write_files(batches):
+        for pdf in batches:
+            paths = []
+            for k, corrupt, silent in zip(
+                pdf["o_orderkey"], pdf["corrupt"], pdf["silent"]
+            ):
+                p = os.path.join(out_dir, f"track_{k}.flac")
+                if corrupt:
+                    body = b"CORRUPT" + b"x" * 64
+                elif silent:
+                    body = b"SILENT" + b"\x00" * 64
+                else:
+                    body = b"x" * (1000 + int(k) % 5000)
+                with open(p, "wb") as fh:
+                    fh.write(body)
+                paths.append(p)
+            yield pd.DataFrame({"path": paths})
+
+    # localCheckpoint materializes the writes BEFORE any measurement
+    # spawns — the write stage is a side-effecting task, not lazy plan.
+    files = spec.mapInPandas(write_files, schema="path string").localCheckpoint(
+        eager=True
+    )
+    measured = measure_loudness_paths(
+        files,
+        ffmpeg_cmd=[sys.executable, os.path.join(repo_root, "tools", "fake_ffmpeg")],
+        timeout_s=30.0,
+    )
+    gain = F.least(
+        F.lit(-14.0) - F.col("i"), F.lit(-1.0) - F.col("tp"), F.lit(12.0)
+    )
+    return measured.select(
+        F.element_at(F.split("path", "/"), -1).alias("fname"),
+        "i",
+        "tp",
+        "lra",
+        F.when(~F.col("ok"), F.lit(None).cast("double"))
+        .when(F.col("i").isNull() | F.col("tp").isNull() | (F.col("i") <= -60.0), F.lit(0.0))
+        .otherwise(F.round(gain, 4))
+        .alias("gain_db"),
         "ok",
         "reason",
     ).orderBy("fname")
