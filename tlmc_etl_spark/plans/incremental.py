@@ -248,3 +248,56 @@ def copy_binary_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = scratch_dir(spark, "copybin", sf_dir)
     return write_copy_shards(rows, out_dir, "o_orderkey", n_shards=8).orderBy("shard")
+
+
+_CACHE_ORACLE = """
+WITH req AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT 'thwiki___wiki_Album ' || k AS cache_key,
+       CASE WHEN k % 3 = 0 AND k % 21 <> 0 THEN 'hit'
+            WHEN k % 5 = 0 THEN 'restored'
+            ELSE 'miss' END AS status
+FROM req ORDER BY cache_key
+"""
+
+
+@query("cached_fetch_accounting", oracle=_CACHE_ORACLE)
+def cached_fetch_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized-fetch cache accounting: every requested URL classified
+    hit / restored / miss against a bronze cache index + payload store
+    (operators/cache.py; Cache.py:24-110, AdvancedCache.py:17-35).
+
+    The request list carries duplicates on purpose (every 10th key twice)
+    — fetch-dedup must collapse them before classification, so N
+    concurrent requests for one URL cost at most one fetch. The key runs
+    through the REAL normalization path (parse_url → url_decode →
+    hostile-char substitution, all JVM-side); the oracle rebuilds it from
+    the construction arithmetic, so drift in parsing, decoding, or the
+    character class hash-fails. Index/store membership arithmetic plants
+    all three states, including the carried-over-directory case (file
+    present, index row missing → restored, NOT refetched) and the
+    dead-index-row case (row present, file gone → miss again).
+    """
+    from tlmc_etl_spark.operators.cache import cache_key_from_url, cache_resolve
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.concat(
+            F.lit("https://wiki.example.org/wiki/Album%20"),
+            F.col("o_orderkey").cast("string"),
+            F.lit("?action=raw"),
+        ).alias("url"),
+    )
+    requests = base.unionByName(base.filter(F.col("k") % 100 == 0)).select(
+        "k", cache_key_from_url("thwiki", F.col("url")).alias("cache_key")
+    )
+    index = base.filter(F.col("k") % 3 == 0).select(
+        cache_key_from_url("thwiki", F.col("url")).alias("cache_key"),
+        (F.col("k") % 21 != 0).alias("file_ok"),
+    )
+    store = base.filter(
+        (F.col("k") % 5 == 0) | ((F.col("k") % 3 == 0) & (F.col("k") % 21 != 0))
+    ).select(cache_key_from_url("thwiki", F.col("url")).alias("cache_key"))
+    return cache_resolve(requests, index, store).orderBy("cache_key")
