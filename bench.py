@@ -43,6 +43,8 @@ HEADLINE = [
     "cosine_topk",
     "two_stage_similarity",
     "kde_bandwidth_calibration",
+    # composed §3.1→§3.2 lifecycle (catalog → similarity → shard sink)
+    "lifecycle_similar_shards",
 ]
 
 

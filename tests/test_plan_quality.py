@@ -181,3 +181,33 @@ class TestRollupAndManifestPlans:
     def test_contamination_bench_side_broadcasts(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "benchmark_contamination")
         assert "Broadcast" in plan, "tiny benchmark gram side must broadcast"
+
+
+class TestComposedLifecycle:
+    """The §3.1→§3.2 composed DAG: the sink is the stage boundary."""
+
+    def test_stats_lineage_reads_the_sink_not_the_pipeline(self, spark, sf_dir):
+        # The returned stats must hang off the CSV shard sink: a plan that
+        # still contains a Python-eval node means the similarity subtree
+        # would be silently recomputed by every downstream consumer —
+        # the cross-stage regression this gate exists for.
+        plan = plan_of(spark, sf_dir, "lifecycle_similar_shards", mode="simple")
+        assert "csv" in plan.lower(), "stats must scan the shard sink"
+        for node in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"):
+            assert node not in plan, f"{node} in post-sink lineage: similarity recomputed"
+
+    def test_catalog_hydration_broadcasts_cached_catalog(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "lifecycle_similar_shards", mode="simple")
+        assert "BroadcastHashJoin" in plan, "24-row catalog must broadcast"
+        # the catalog subtree (manifest scans, vote joins) must be served
+        # from the persisted release table, not recomputed per consumer
+        assert "InMemoryTableScan" in plan, "catalog recomputed instead of reused"
+
+    def test_composition_covers_only_clean_releases(self, spark, sf_dir):
+        rows = QUERIES["lifecycle_similar_shards"].fn(spark, sf_dir).collect()
+        # 12 of the 24 fixture releases are review-clean; tracks = vec_id%50
+        # mapped by track%24 -> 25 gated tracks own all similarity rows
+        assert sum(r["n_rows"] for r in rows) > 0
+        assert sum(r["n_rows"] for r in rows) == 5 * sum(r["n_anchors"] for r in rows), (
+            "every anchor carries exactly k_final neighbors"
+        )

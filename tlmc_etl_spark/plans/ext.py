@@ -892,3 +892,36 @@ def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("component") == F.col("doc_id")).alias("is_representative"),
     ).orderBy("doc_id")
+
+
+@query("lifecycle_similar_shards")
+def lifecycle_similar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed §3.1→§3.2 lifecycle as one bench entry: manifest →
+    release catalog → review-gate → two-stage similarity → CSV shard sink
+    → read-back + hydrated per-shard stats (pipelines/lifecycle.py).
+
+    Exists so cross-stage plan regressions are MEASURED, not inferred
+    from per-stage benches: the catalog gate rides into the similarity
+    DAG as a broadcast semi-join, the sink materializes the ranked table
+    exactly once, and the returned stats lineage holds only the CSV scan
+    + a broadcast catalog join (plan-gated in tests/test_plan_quality.py
+    — recomputing the similarity subtree downstream of the sink is the
+    regression this query catches). Reference lifecycle:
+    STEPS.md review loop → precompute_similar_tracks.py:244-275 →
+    SimilarTrackProcessor.cs:62-67.
+    """
+    from tlmc_etl_spark.pipelines.lifecycle import similar_track_lifecycle
+    from tlmc_etl_spark.pipelines.metadata import build_catalog
+    from tlmc_etl_spark.scratch import scratch_dir
+
+    manifest = spark.read.parquet(os.path.join(_FIXTURE_DIR, "manifest.parquet"))
+    probe = spark.read.parquet(os.path.join(_FIXTURE_DIR, "probe.parquet"))
+    release = build_catalog(manifest, probe).release.withColumn(
+        "needs_review_reasons", F.concat_ws("|", F.col("needs_review_reasons"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    chunks = emb.select(
+        (F.col("vec_id") % 50).alias("track"), "vec_id", F.col("embedding").alias("vec")
+    )
+    out_dir = scratch_dir(spark, "lifecycle_shards", sf_dir)
+    return similar_track_lifecycle(spark, release, chunks, out_dir)
