@@ -311,3 +311,31 @@ class TestConnectedComponents:
             members.setdefault(c, []).append(d)
         for c, ms in members.items():
             assert min(ms) == c
+
+
+class TestSaltedJoinGuard:
+    def test_dim_preserving_join_types_rejected(self, spark):
+        # every dim row exists n_salts times under the salt, so a join that
+        # emits unmatched dim rows would emit them n_salts times each —
+        # the operator must refuse rather than silently multiply rows
+        from tlmc_etl_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame([(1, "a")], "hot_key int, row_uid string")
+        dim = spark.createDataFrame([(1, "x")], "hot_key int, attr string")
+        for how in ("right", "full", "outer", "right_outer"):
+            with pytest.raises(ValueError, match="duplicate unmatched dim rows"):
+                salted_join(fact, dim, "hot_key", "row_uid", how=how)
+
+    def test_fact_preserving_types_still_equivalent(self, spark):
+        from tlmc_etl_spark.operators.skew import salted_join
+
+        fact = spark.createDataFrame(
+            [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "hot_key int, row_uid string"
+        )
+        dim = spark.createDataFrame([(1, "x"), (2, "y")], "hot_key int, attr string")
+        for how in ("inner", "left", "left_semi", "left_anti"):
+            got = sorted(
+                map(tuple, salted_join(fact, dim, "hot_key", "row_uid", how=how).collect())
+            )
+            want = sorted(map(tuple, fact.join(dim, "hot_key", how).collect()))
+            assert got == want, f"how={how} diverged from the unsalted join"

@@ -207,7 +207,7 @@ def three_score_group_similarity(
     # returned scorer — the calibration's own action materializes the
     # cache in the same job (a checkpoint would run the gather+join as an
     # extra job first); blocks are LRU-evictable. fanout so the cached
-    # layout keeps full width for the scorer.
+    # layout keeps full width for the Python scorer that consumes it.
     pairs = fanout(a.join(b, F.col("group_a") < F.col("group_b"))).persist()
 
     if gamma is None:
@@ -228,10 +228,10 @@ def three_score_group_similarity(
                 out, columns=["group_a", "group_b", "score_raw", "score_style", "score_kde"]
             )
 
-    # The checkpointed pairs may sit in very few partitions (AQE coalesced
-    # the join); each pair costs a pad²·dim kernel in Python, so fan the
-    # scorer out with an AQE-exempt repartition.
-    return fanout(pairs).mapInPandas(
+    # The persisted pairs table already carries the fanout'd full-width
+    # layout (above) — re-fanning here would re-shuffle the cached table
+    # on every scorer evaluation for nothing.
+    return pairs.mapInPandas(
         score,
         schema="group_a int, group_b int, score_raw double, score_style double, score_kde double",
     ).withColumn("kde_gamma", F.round(F.lit(g), 4))

@@ -35,7 +35,19 @@ def salted_join(
     — it seeds the deterministic salt. The dim side grows ×n_salts rows
     (cheap: dims are small by definition; if the dim were big enough for
     ×8 to hurt, the join belongs in AQE/sort-merge territory instead).
+
+    Only fact-preserving join types are supported: under salting every
+    dim row exists n_salts times, so a join that emits unmatched DIM rows
+    ('right'/'full'/'right_semi'…) would emit each of them n_salts times
+    — NOT equivalent to the unsalted join. Salt the other way around (or
+    anti-join the dim against fact keys first) for those.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched dim rows "
+            f"×{n_salts}; supported: inner/left/left_semi/left_anti"
+        )
     f = fact.withColumn("__salt", F.pmod(F.xxhash64(F.col(row_col)), F.lit(n_salts)))
     d = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
