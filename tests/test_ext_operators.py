@@ -258,7 +258,8 @@ class TestTokenSetMatch:
 
 
 class TestConnectedComponents:
-    def test_min_label_components_on_known_graph(self, spark):
+    @pytest.mark.parametrize("cap", [500_000, 0])  # driver path / distributed loop
+    def test_min_label_components_on_known_graph(self, spark, cap):
         from tlmc_etl_spark.operators.graph import connected_components
 
         nodes = spark.createDataFrame([(i,) for i in range(1, 11)], "id long")
@@ -268,9 +269,40 @@ class TestConnectedComponents:
         )
         got = {
             r["id"]: r["component"]
-            for r in connected_components(nodes, edges, "id", "a", "b").collect()
+            for r in connected_components(
+                nodes, edges, "id", "a", "b", driver_edge_cap=cap
+            ).collect()
         }
         assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 5, 8: 8, 9: 9, 10: 10}
+
+    def test_driver_and_distributed_paths_agree_on_random_graphs(self, spark):
+        """The adaptive cutover must be invisible: both paths emit identical
+        (id, component) labels on arbitrary graphs, including long chains
+        (worst case for round counts) and dense blobs."""
+        import random
+
+        from tlmc_etl_spark.operators.graph import connected_components
+
+        rng = random.Random(20260814)
+        for trial in range(3):
+            n = rng.randint(20, 60)
+            ids = rng.sample(range(1, 10_000), n)
+            m = rng.randint(5, 2 * n)
+            pairs = [tuple(rng.sample(ids, 2)) for _ in range(m)]
+            # one long chain to force multi-round convergence
+            chain = sorted(rng.sample(ids, min(12, n)), reverse=True)
+            pairs += list(zip(chain, chain[1:]))
+            nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+            edges = spark.createDataFrame(pairs, "a long, b long")
+            out = {}
+            for cap in (500_000, 0):
+                out[cap] = {
+                    r["id"]: r["component"]
+                    for r in connected_components(
+                        nodes, edges, "id", "a", "b", driver_edge_cap=cap
+                    ).collect()
+                }
+            assert out[500_000] == out[0], f"trial {trial}: paths diverge"
 
     def test_cluster_query_invariants(self, spark, sf_dir):
         rows = QUERIES["doc_dedup_clusters"].fn(spark, sf_dir).collect()

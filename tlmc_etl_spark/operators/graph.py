@@ -18,8 +18,41 @@ arbitrary similarity graphs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _driver_min_labels(sym: DataFrame) -> DataFrame:
+    """Min-label closure of a SMALL symmetric edge table, on the driver.
+
+    Same algorithm as the distributed loop (min-label propagation + path
+    halving), vectorized in numpy: node ids compress to indices via a
+    sorted unique array, each round takes the min label across edges
+    (`np.minimum.at`) then pointer-jumps (`lab = lab[lab]`), so rounds are
+    O(log diameter) and each is a few vectorized passes over the edge
+    arrays — no per-edge Python loop. Because ids sort ascending, the min
+    index in a component IS the min id, so results are bit-identical to
+    the distributed path.
+
+    Returns (a, label) for every edge-endpoint node.
+    """
+    pdf = sym.filter(F.col("a") < F.col("b")).toPandas()
+    ids = np.unique(np.concatenate([pdf["a"].to_numpy(), pdf["b"].to_numpy()]))
+    a = np.searchsorted(ids, pdf["a"].to_numpy())
+    b = np.searchsorted(ids, pdf["b"].to_numpy())
+    lab = np.arange(len(ids), dtype=np.int64)
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, a, lab[b])
+        np.minimum.at(new, b, lab[a])
+        new = new[new]
+        if np.array_equal(new, lab):
+            break
+        lab = new
+    out = pd.DataFrame({"a": ids, "label": ids[lab]})
+    return sym.sparkSession.createDataFrame(out, schema="a long, label long")
 
 
 def connected_components(
@@ -29,6 +62,7 @@ def connected_components(
     src_col: str,
     dst_col: str,
     max_iter: int = 50,
+    driver_edge_cap: int = 500_000,
 ) -> DataFrame:
     """(id, component) for every node; component = min node id reachable.
 
@@ -46,9 +80,38 @@ def connected_components(
        log-diameter round count.
     `localCheckpoint` cuts the growing lineage each round (on a cluster, a
     checkpoint dir or persisted intermediate table plays this role).
+
+    Adaptive small-graph cutover: iterative loops pay a per-round job floor
+    (scheduler latency) that dwarfs the actual work when the active edge
+    set is small. When the symmetric edge table holds at most
+    `driver_edge_cap` undirected edges (cap × 16 bytes — 8 MB at the
+    default, an explicitly bounded collect like the codebook train caps),
+    the closure runs on the driver via the numpy form of the SAME
+    min-label + path-halving algorithm (`_driver_min_labels`) and the loop
+    is skipped entirely. Above the cap — the 100 TB regime — the
+    distributed loop runs unchanged. Both paths emit identical labels
+    (min node id per component; property-tested against each other in
+    tests/test_ext_operators.py).
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    all_ids = nodes.select(F.col(id_col).alias("a"))
+
+    # One job decides the path AND materializes the persisted edge table,
+    # so the driver path's toPandas is a pure cache read. The driver path
+    # needs none of the endpoint/active machinery below — its label table
+    # already enumerates every edge-endpoint node, and the singleton
+    # anti-join broadcasts that (cap-bounded) table.
+    if sym.count() <= 2 * driver_edge_cap:
+        labels = _driver_min_labels(sym)
+        singletons = all_ids.join(labels.select("a"), "a", "left_anti").select(
+            "a", F.col("a").alias("label")
+        )
+        sym.unpersist()
+        return labels.unionByName(singletons).select(
+            F.col("a").alias(id_col), F.col("label").alias("component")
+        )
+
     # The endpoint set is checkpointed because it outlives sym's cache: the
     # returned DataFrame is lazy, and a post-unpersist consumer of sym
     # would silently recompute the whole upstream pair pipeline.
@@ -57,7 +120,6 @@ def connected_components(
     sc = edges.sparkSession.sparkContext
     n_parts = max(2, min(sc.defaultParallelism, n_active // 50_000 + 2))
 
-    all_ids = nodes.select(F.col(id_col).alias("a"))
     active = all_ids.join(endpoints, "a", "left_semi")
     sym_p = sym.repartition(n_parts, "a").persist()
     labels = (
