@@ -28,9 +28,11 @@ HEADLINE = [
     "sessionize_events",
     "rank_merge_full_outer",
     "hls_ladder_worklist",
+    "semi_join_gather",
     # training-data pipeline ops
     "doc_exact_dedup",
     "doc_chunking",
+    "sequence_packing",
     "corpus_mix_sample",
     "benchmark_contamination",
     "minhash_lsh_dedup",
@@ -39,6 +41,7 @@ HEADLINE = [
     "embedding_near_dup_lsh",
     "embedding_near_dup_lsh_hi",
     "multimodal_features",
+    "frame_sample_plan",
     # similarity pipeline
     "cosine_topk",
     "two_stage_similarity",

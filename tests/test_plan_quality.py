@@ -181,6 +181,11 @@ class TestRollupAndManifestPlans:
     def test_contamination_bench_side_broadcasts(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "benchmark_contamination")
         assert "Broadcast" in plan, "tiny benchmark gram side must broadcast"
+        # per-doc gram dedup is row-local (array_distinct) and grams are
+        # 8-byte hashes, so the ONLY exchange is the final pair count — a
+        # global gram distinct or a shuffled gram join is a regression
+        n = plan.count("Exchange hashpartitioning")
+        assert n <= 1, f"corpus gram side must not shuffle, saw {n} exchanges"
 
 
 class TestComposedLifecycle:

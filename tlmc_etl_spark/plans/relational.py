@@ -406,7 +406,7 @@ def anti_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderkey, round(o_totalprice, 2) AS total_price
 FROM orders o
-SEMI JOIN lineitem l ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 45
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
 """,
 )
 def semi_join_gather(spark: SparkSession, sf_dir: str) -> DataFrame:

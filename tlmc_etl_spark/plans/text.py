@@ -678,30 +678,37 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     for the benchmark) — the overlap check run before any training corpus
     ships.
 
-    Plan shape: distinct 5-grams per side, then an equi-join on the gram
-    (an inverted-index probe, cost Σ df_corpus × df_bench per gram — the
-    benchmark side is tiny so the join is effectively a semi-probe), then
-    a pair-count with a HAVING floor. 5-grams are rare enough that no
-    df-cap is needed; if a corpus had degenerate hot 5-grams the
-    ngram_jaccard_capped guard applies verbatim.
+    Plan shape: grams live as 8-byte rolling hashes over per-word hashes
+    (no gram string is ever materialized — the word_bigram_hashes trick at
+    width 5), per-document dedup happens ROW-LOCALLY via array_distinct
+    (distinctness is per (doc, gram), so a global distinct shuffle would
+    be pure waste), and the tiny benchmark side broadcasts. The corpus
+    side therefore never shuffles at all; the only exchange is the final
+    (doc, bench) pair count over actual matches. Hashed-gram overlap is
+    the standard decontamination form at corpus scale (collisions are
+    ~2^-64 per pair); the oracle's exact string form agrees at any tested
+    sf.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ws = docs.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 5)
-    grams = ws.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', element_at(w, i), "
-                "element_at(w, i+1), element_at(w, i+2), element_at(w, i+3), element_at(w, i+4)))"
-            )
-        ).alias("g"),
-    ).distinct()
+    gram = (
+        "array_distinct(transform(sequence(1, size(hs) - 4),"
+        " i -> xxhash64(element_at(hs, i), element_at(hs, i+1), element_at(hs, i+2),"
+        " element_at(hs, i+3), element_at(hs, i+4))))"
+    )
+    grams = (
+        docs.select(
+            "doc_id",
+            F.expr("transform(split(text, ' '), w -> xxhash64(w))").alias("hs"),
+        )
+        .filter(F.size("hs") >= 5)
+        .select("doc_id", F.explode(F.expr(gram)).alias("gh"))
+    )
     bench = grams.filter(F.col("doc_id") % 31 == 0).select(
-        F.col("doc_id").alias("bench_id"), "g"
+        F.col("doc_id").alias("bench_id"), "gh"
     )
     corpus = grams.filter(F.col("doc_id") % 31 != 0)
     return (
-        corpus.join(bench, "g")
+        corpus.join(F.broadcast(bench), "gh")
         .groupBy("doc_id", "bench_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 3)
