@@ -1,8 +1,13 @@
-"""Ext query catalog: operators whose semantics a SQL oracle cannot
-express (hash-function-dependent signatures, optimal assignment, late
-interaction). The driver records rows-only checks for these; real
-verification is the differential/property suites in tests/ — the same
-strategy the reference uses for its GPU kernels (SURVEY.md §5.2).
+"""Ext query catalog: operators born outside plain SQL — hash-dependent
+signatures (MinHash/SimHash/LSH), optimal assignment, late interaction,
+trained quantizers. Where the math nevertheless reduces to SQL at oracle
+scale (chunk-IDF, chamfer, the two-stage rerank — DuckDB's
+list_dot_product covers the vector kernels), the query carries a full
+DuckDB oracle; the genuinely inexpressible rest (anything riding
+xxhash64 bucketing, trained codebooks, greedy matching, calibrated
+gammas) stays rows-only for the driver, with the differential/property
+suites in tests/ as the real verification — the same strategy the
+reference uses for its GPU kernels (SURVEY.md §5.2).
 """
 
 from __future__ import annotations
@@ -45,7 +50,50 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dupes(docs, "doc_id", "text", max_hamming=16).orderBy("id_a", "id_b")
 
 
-@query("chamfer_group_similarity")
+@query(
+    "chamfer_group_similarity",
+    oracle="""
+WITH v AS (
+  SELECT label AS g, vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+), cent AS (
+  SELECT g, idx, avg(val) AS m FROM (
+    SELECT g, unnest(e) AS val, generate_subscripts(e, 1) AS idx FROM v
+  ) GROUP BY g, idx
+), cvec AS (SELECT g, list(m ORDER BY idx) AS c FROM cent GROUP BY g),
+cpair AS (
+  SELECT a.g AS ga, b.g AS gb,
+         list_dot_product(a.c, b.c) /
+         (sqrt(list_dot_product(a.c, a.c)) * sqrt(list_dot_product(b.c, b.c))) AS c
+  FROM cvec a JOIN cvec b ON a.g != b.g
+), topk AS (
+  SELECT ga, gb FROM (
+    SELECT ga, gb, row_number() OVER (PARTITION BY ga ORDER BY c DESC, gb ASC) AS rk
+    FROM cpair
+  ) WHERE rk <= 16
+), cands AS (
+  SELECT DISTINCT least(ga, gb) AS group_a, greatest(ga, gb) AS group_b FROM topk
+), cos AS (
+  SELECT c.group_a, c.group_b, va.vec_id AS ia, vb.vec_id AS ib,
+         list_dot_product(va.e, vb.e) /
+         (sqrt(list_dot_product(va.e, va.e)) * sqrt(list_dot_product(vb.e, vb.e))) AS s
+  FROM cands c
+  JOIN v va ON va.g = c.group_a
+  JOIN v vb ON vb.g = c.group_b
+), d1 AS (
+  SELECT group_a, group_b, avg(ms) AS ma FROM (
+    SELECT group_a, group_b, ia, max(s) AS ms FROM cos GROUP BY group_a, group_b, ia
+  ) GROUP BY group_a, group_b
+), d2 AS (
+  SELECT group_a, group_b, avg(ms) AS mb FROM (
+    SELECT group_a, group_b, ib, max(s) AS ms FROM cos GROUP BY group_a, group_b, ib
+  ) GROUP BY group_a, group_b
+)
+SELECT d1.group_a, d1.group_b, round((ma + mb) / 2.0, 6) AS chamfer
+FROM d1 JOIN d2 USING (group_a, group_b)
+ORDER BY group_a, group_b
+""",
+)
 def chamfer_group_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric chamfer (mean-of-max cosine) between label groups of
     embeddings — the late-interaction group score
@@ -92,12 +140,45 @@ def group_three_score_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("group_a", "group_b")
 
 
-@query("chunk_idf_weights")
+@query(
+    "chunk_idf_weights",
+    oracle="""
+WITH unitv AS (
+  SELECT vec_id, vec_id % 50 AS track,
+         list_transform(embedding, x -> CAST(x AS DOUBLE) /
+           sqrt(list_dot_product(list_transform(embedding, y -> CAST(y AS DOUBLE)),
+                                 list_transform(embedding, y -> CAST(y AS DOUBLE))))) AS u
+  FROM embeddings
+), bg AS (
+  SELECT idx, avg(val) AS m FROM (
+    SELECT unnest(u) AS val, generate_subscripts(u, 1) AS idx FROM unitv
+  ) GROUP BY idx
+), bgv AS (SELECT list(m ORDER BY idx) AS mv FROM bg),
+scored AS (
+  SELECT vec_id, track, list_dot_product(u, (SELECT mv FROM bgv)) AS generic FROM unitv
+), stats AS (
+  SELECT vec_id, track, generic,
+         avg(generic) OVER (PARTITION BY track) AS mu,
+         stddev_pop(generic) OVER (PARTITION BY track) AS sd
+  FROM scored
+)
+SELECT vec_id AS id, track AS "group",
+       round(CASE WHEN sd < 1e-6 THEN 1.0
+                  ELSE 1.0 / (1.0 + exp((generic - mu) / sd)) END, 6) AS weight
+FROM stats ORDER BY id
+""",
+)
 def chunk_idf_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-IDF weights: generic chunks (high mean cosine vs a corpus
     background sample) down-weighted per track via a sigmoid z-score —
     rerank.py:169-197's estimate_chunk_weights as a distributed plan.
-    Feeds the weighted chamfer rerank (weighted_chamfer_numpy)."""
+    Feeds the weighted chamfer rerank (weighted_chamfer_numpy).
+
+    Oracle equivalence: mean-of-cosines against the background equals the
+    dot product with the background's MEAN unit vector, so the SQL form
+    needs no pairwise join; it holds exactly whenever the corpus fits the
+    deterministic background cap (true at every oracle sf — the sample is
+    then the whole corpus and hash order is irrelevant)."""
     from tlmc_etl_spark.operators.group_similarity import chunk_idf_weights
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -599,12 +680,69 @@ def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("two_stage_similarity")
+@query(
+    "two_stage_similarity",
+    oracle="""
+WITH chunks AS (
+  SELECT vec_id % 50 AS track, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), mean_v AS (
+  SELECT track, idx, avg(val) AS m FROM (
+    SELECT track, unnest(vec) AS val, generate_subscripts(vec, 1) AS idx FROM chunks
+  ) GROUP BY track, idx
+), pooled AS (
+  SELECT track,
+         list_transform(list(m ORDER BY idx),
+           x -> x / sqrt(list_dot_product(list(m ORDER BY idx), list(m ORDER BY idx)))) AS p
+  FROM mean_v GROUP BY track
+), recall AS (
+  SELECT anchor, neighbor FROM (
+    SELECT a.track AS anchor, b.track AS neighbor,
+           round(list_dot_product(a.p, b.p), 6) AS s,
+           row_number() OVER (
+             PARTITION BY a.track
+             ORDER BY round(list_dot_product(a.p, b.p), 6) DESC, b.track ASC
+           ) AS rk
+    FROM pooled a JOIN pooled b ON a.track != b.track
+  ) WHERE rk <= 15
+), cos AS (
+  SELECT r.anchor, r.neighbor, ca.vec_id AS ia, cb.vec_id AS ib,
+         list_dot_product(ca.vec, cb.vec) /
+         (sqrt(list_dot_product(ca.vec, ca.vec)) * sqrt(list_dot_product(cb.vec, cb.vec))) AS s
+  FROM recall r
+  JOIN chunks ca ON ca.track = r.anchor
+  JOIN chunks cb ON cb.track = r.neighbor
+), d1 AS (
+  SELECT anchor, neighbor, avg(ms) AS ma FROM (
+    SELECT anchor, neighbor, ia, max(s) AS ms FROM cos GROUP BY anchor, neighbor, ia
+  ) GROUP BY anchor, neighbor
+), d2 AS (
+  SELECT anchor, neighbor, avg(ms) AS mb FROM (
+    SELECT anchor, neighbor, ib, max(s) AS ms FROM cos GROUP BY anchor, neighbor, ib
+  ) GROUP BY anchor, neighbor
+), scored AS (
+  SELECT d1.anchor, d1.neighbor, round((ma + mb) / 2.0, 6) AS score
+  FROM d1 JOIN d2 USING (anchor, neighbor)
+)
+SELECT anchor, neighbor,
+       CAST(row_number() OVER (PARTITION BY anchor ORDER BY score DESC, neighbor ASC) AS INT) AS rank,
+       score
+FROM scored
+QUALIFY rank <= 5
+ORDER BY anchor, rank
+""",
+)
 def two_stage_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full recall→rerank similarity pipeline (SURVEY.md §3.2):
     pseudo-tracks = vec_id % 50 with member vectors as chunks; pooled
     cosine recall K=15, chamfer rerank to top-5 — differentially tested in
-    tests/test_similarity_pipeline.py."""
+    tests/test_similarity_pipeline.py.
+
+    Oracle equivalence: the 96-chunk gather cap never binds at oracle sf
+    (10 chunks per pseudo-track), so the SQL form scores every chunk pair
+    of every recall pair directly; recall ties break on the ROUNDED
+    cosine exactly as the tiled scorer does."""
     from tlmc_etl_spark.pipelines.similarity import two_stage_similar_tracks
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -616,7 +754,81 @@ def two_stage_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("anchor", "rank")
 
 
-@query("two_stage_weighted_similarity")
+@query(
+    "two_stage_weighted_similarity",
+    oracle="""
+WITH chunks AS (
+  SELECT vec_id % 50 AS track, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+), unitv AS (
+  SELECT track, vec_id,
+         list_transform(vec, x -> x / sqrt(list_dot_product(vec, vec))) AS u
+  FROM chunks
+), bg AS (
+  SELECT idx, avg(val) AS m FROM (
+    SELECT unnest(u) AS val, generate_subscripts(u, 1) AS idx FROM unitv
+  ) GROUP BY idx
+), bgv AS (SELECT list(m ORDER BY idx) AS mv FROM bg),
+idf_scored AS (
+  SELECT vec_id, track, list_dot_product(u, (SELECT mv FROM bgv)) AS generic FROM unitv
+), weights AS (
+  SELECT vec_id, round(CASE WHEN sd < 1e-6 THEN 1.0
+                            ELSE 1.0 / (1.0 + exp((generic - mu) / sd)) END, 6) AS w
+  FROM (
+    SELECT vec_id, generic,
+           avg(generic) OVER (PARTITION BY track) AS mu,
+           stddev_pop(generic) OVER (PARTITION BY track) AS sd
+    FROM idf_scored
+  )
+), mean_v AS (
+  SELECT track, idx, avg(val) AS m FROM (
+    SELECT track, unnest(vec) AS val, generate_subscripts(vec, 1) AS idx FROM chunks
+  ) GROUP BY track, idx
+), pooled AS (
+  SELECT track,
+         list_transform(list(m ORDER BY idx),
+           x -> x / sqrt(list_dot_product(list(m ORDER BY idx), list(m ORDER BY idx)))) AS p
+  FROM mean_v GROUP BY track
+), recall AS (
+  SELECT anchor, neighbor FROM (
+    SELECT a.track AS anchor, b.track AS neighbor,
+           round(list_dot_product(a.p, b.p), 6) AS s,
+           row_number() OVER (
+             PARTITION BY a.track
+             ORDER BY round(list_dot_product(a.p, b.p), 6) DESC, b.track ASC
+           ) AS rk
+    FROM pooled a JOIN pooled b ON a.track != b.track
+  ) WHERE rk <= 15
+), cos AS (
+  SELECT r.anchor, r.neighbor, ca.vec_id AS ia, cb.vec_id AS ib,
+         list_dot_product(ca.vec, cb.vec) /
+         (sqrt(list_dot_product(ca.vec, ca.vec)) * sqrt(list_dot_product(cb.vec, cb.vec))) AS s
+  FROM recall r
+  JOIN chunks ca ON ca.track = r.anchor
+  JOIN chunks cb ON cb.track = r.neighbor
+), d1 AS (
+  SELECT anchor, neighbor, sum(ms * w) / sum(w) AS q_side FROM (
+    SELECT anchor, neighbor, ia, max(s) AS ms FROM cos GROUP BY anchor, neighbor, ia
+  ) JOIN weights ON ia = weights.vec_id
+  GROUP BY anchor, neighbor
+), d2 AS (
+  SELECT anchor, neighbor, sum(ms * w) / sum(w) AS d_side FROM (
+    SELECT anchor, neighbor, ib, max(s) AS ms FROM cos GROUP BY anchor, neighbor, ib
+  ) JOIN weights ON ib = weights.vec_id
+  GROUP BY anchor, neighbor
+), scored AS (
+  SELECT d1.anchor, d1.neighbor, round(0.5 * (q_side + d_side), 6) AS score
+  FROM d1 JOIN d2 USING (anchor, neighbor)
+)
+SELECT anchor, neighbor,
+       CAST(row_number() OVER (PARTITION BY anchor ORDER BY score DESC, neighbor ASC) AS INT) AS rank,
+       score
+FROM scored
+QUALIFY rank <= 5
+ORDER BY anchor, rank
+""",
+)
 def two_stage_weighted_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's FULL rerank form: recall → chunk-IDF weights →
     weighted chamfer (rerank.py:60-90 weighted q/d sides with weights
