@@ -78,6 +78,22 @@ class TestTypeId:
         t = typeid_encode("0" * 32, "rel")
         assert t == "rel_" + "0" * 26
 
+    def test_spec_golden_vectors(self):
+        # The public TypeID spec's boundary vectors (spec/valid.yml):
+        # the encoding is pinned against published constants, not just a
+        # round-trip through this module's own inverse.
+        golden = [
+            ("00000000000000000000000000000000", "00000000000000000000000000"),
+            ("00000000000000000000000000000001", "00000000000000000000000001"),
+            ("0000000000000000000000000000000a", "0000000000000000000000000a"),
+            ("00000000000000000000000000000010", "0000000000000000000000000g"),
+            ("00000000000000000000000000000020", "00000000000000000000000010"),
+            ("ffffffffffffffffffffffffffffffff", "7zzzzzzzzzzzzzzzzzzzzzzzzz"),
+        ]
+        for hex_in, body in golden:
+            assert typeid_encode(hex_in, "prefix") == f"prefix_{body}", hex_in
+            assert typeid_decode(f"prefix_{body}") == ("prefix", hex_in)
+
     def test_rejects_bad_input(self):
         with pytest.raises(ValueError):
             typeid_encode("xyz")

@@ -773,3 +773,68 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "weighted_revenue"
         ),
     )
+
+
+def _typeid_char_sql(j: int) -> str:
+    """SQL expression for TypeID base32 char j (0 = most significant).
+
+    The 128-bit uuid splits into two UBIGINT halves (hi/lo nibble sums);
+    char j covers bits [129-5j .. 125-5j] of the 2-bit-left-padded value.
+    Chars 0-11 read hi, char 12 reads hi>>1, char 13 straddles the seam
+    (hi bit 0 above lo bits 63..60), chars 14-25 read lo.
+    """
+    s = 125 - 5 * j
+    alpha = "'0123456789abcdefghjkmnpqrstvwxyz'"
+    if s >= 64:
+        return f"substr({alpha}, 1 + CAST((hi >> {s - 64}) & 31 AS INT), 1)"
+    if s == 60:
+        return (
+            f"substr({alpha}, 1 + CAST(((hi & 1) << 4) | ((lo >> 60) & 15) AS INT), 1)"
+        )
+    return f"substr({alpha}, 1 + CAST((lo >> {s}) & 31 AS INT), 1)"
+
+
+_TYPEID_ORACLE = f"""
+WITH src AS (
+  SELECT o_orderkey, md5(CAST(o_orderkey AS VARCHAR)) AS h
+  FROM orders WHERE o_orderkey % 100 = 0
+), halves AS (
+  SELECT o_orderkey, h,
+    CAST(list_aggregate(list_transform(range(16),
+      i -> CAST(strpos('0123456789abcdef', substr(h, CAST(i AS INT) + 1, 1)) - 1 AS UBIGINT)
+           * (CAST(1 AS UBIGINT) << CAST(60 - 4 * i AS INT))), 'sum') AS UBIGINT) AS hi,
+    CAST(list_aggregate(list_transform(range(16),
+      i -> CAST(strpos('0123456789abcdef', substr(h, CAST(i AS INT) + 17, 1)) - 1 AS UBIGINT)
+           * (CAST(1 AS UBIGINT) << CAST(60 - 4 * i AS INT))), 'sum') AS UBIGINT) AS lo
+  FROM src
+)
+SELECT o_orderkey, h AS uuid_hex,
+       'trk_' || {" || ".join(_typeid_char_sql(j) for j in range(26))} AS type_id
+FROM halves ORDER BY o_orderkey
+"""
+
+
+@query("typeid_mint", oracle=_TYPEID_ORACLE)
+def typeid_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mint API-facing TypeIDs for a key sample: uuid hex (md5 of the
+    natural key — engine-agnostic, so both sides derive identical inputs)
+    → `trk_` + 26 Crockford-base32 chars (functions/text.typeid_encode;
+    api_client.py:27-48).
+
+    The oracle re-implements the encoding from first principles in SQL —
+    two UBIGINT nibble-sum halves, bit-sliced into 5-bit groups with the
+    single seam char at bits 60-64 — so the wire format is pinned against
+    an independent implementation, not a round-trip through itself. Spec
+    golden vectors (nil, max, boundary values) are additionally unit-pinned
+    in tests/test_functions.py.
+    """
+    from tlmc_etl_spark.functions.text import typeid_udf
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    with_hex = orders.select(
+        "o_orderkey",
+        F.md5(F.col("o_orderkey").cast("string").cast("binary")).alias("uuid_hex"),
+    )
+    return with_hex.select(
+        "o_orderkey", "uuid_hex", typeid_udf("trk")(F.col("uuid_hex")).alias("type_id")
+    ).orderBy("o_orderkey")
