@@ -711,19 +711,19 @@ def dash_mpd_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SALTED_ORACLE = """
 WITH fact AS (
-  SELECT l_orderkey, l_extendedprice, l_linenumber,
+  SELECT l_orderkey, CAST(round(l_extendedprice * 100) AS BIGINT) AS cents, l_linenumber,
          CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS hot_key
   FROM lineitem
 ), dim AS (
   SELECT DISTINCT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_orderkey % 100 END AS hot_key
   FROM lineitem
 ), attrs AS (
-  SELECT hot_key, 'seg_' || (hot_key % 7) AS segment, 1.0 + (hot_key % 5) * 0.1 AS factor
+  SELECT hot_key, 'seg_' || (hot_key % 7) AS segment, 10 + (hot_key % 5) AS factor_tenths
   FROM dim
 )
 SELECT a.segment,
        count(*) AS n_rows,
-       round(sum(f.l_extendedprice * a.factor), 2) AS weighted_revenue
+       CAST(sum(f.cents * a.factor_tenths) AS BIGINT) AS weighted_revenue_mills
 FROM fact f JOIN attrs a USING (hot_key)
 GROUP BY a.segment
 """
@@ -750,9 +750,16 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot = F.when(F.col("l_orderkey") % 10 < 7, 0).otherwise(
         F.col("l_orderkey") % 100
     )
+    # Weighted revenue accumulates in exact integer units (cents ×
+    # factor-tenths): double summation is order-dependent, and a salted
+    # join *reorders* partial sums by construction, so a float agg can
+    # land either side of a rounding boundary run-to-run — and even a
+    # single final round() diverges across engines at an exact .xx5
+    # (Java BigDecimal.valueOf rounds the shortest decimal repr, C
+    # rounds the binary value). The result stays integer mills.
     fact = li.select(
         "l_orderkey",
-        "l_extendedprice",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
         "l_linenumber",
         hot.alias("hot_key"),
         F.concat_ws("-", "l_orderkey", "l_linenumber").alias("row_uid"),
@@ -763,14 +770,14 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "hot_key",
             F.concat(F.lit("seg_"), (F.col("hot_key") % 7)).alias("segment"),
-            (1.0 + (F.col("hot_key") % 5) * 0.1).alias("factor"),
+            (F.lit(10) + F.col("hot_key") % 5).alias("factor_tenths"),
         )
     )
     joined = salted_join(fact, attrs, "hot_key", "row_uid", n_salts=8)
     return joined.groupBy("segment").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.round(F.sum(F.col("l_extendedprice") * F.col("factor")), 2).alias(
-            "weighted_revenue"
+        F.sum(F.col("cents") * F.col("factor_tenths")).alias(
+            "weighted_revenue_mills"
         ),
     )
 
