@@ -244,3 +244,148 @@ def simhash_near_dupes(
         cands.select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-engine (portable-hash) variants
+#
+# The production forms above ride xxhash64, which no other engine exposes,
+# so their driver verification is rows-only. These variants run the SAME
+# algorithm over a hash both Spark and DuckDB can compute bit-identically
+# (60 bits of md5: Spark conv(substr(md5(s),1,15),16,10) ==
+# DuckDB ('0x'||substr(md5(s),1,15))::BIGINT — verified equal), which lets
+# a full SQL oracle replay signature -> band -> candidate -> estimate and
+# value-check the whole pipeline, not just its row count. md5 costs ~4x
+# xxhash64 per call, so production stays on the fast hash; semantics are
+# pinned here (plans/ext.py::minhash_lsh_xengine / simhash_xengine).
+# ---------------------------------------------------------------------------
+
+
+def portable_hash60(col) -> "F.Column":
+    """60-bit integer hash reproducible in Spark and DuckDB (md5 prefix)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_near_dupes_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """MinHash+LSH near-dups with the portable hash; emits
+    (id_a, id_b, n_agree, est_jaccard). est is n_agree/n_hashes — a dyadic
+    rational, exactly representable, so no rounding is needed for the
+    hash-compare. Shingles are word-bigram STRINGS here (the oracle must
+    hash the same bytes); the production path hashes word-wise without
+    materializing bigrams (word_bigram_hashes)."""
+    rows = n_hashes // n_bands
+    ws = df.select(id_col, F.split(F.col(text_col), " ").alias("ws")).filter(F.size("ws") >= 2)
+    sh = ws.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"
+            )
+        ).alias("shingle"),
+    ).select(id_col, portable_hash60("shingle").alias("h"))
+    mins = [
+        F.min(
+            portable_hash60(F.concat(F.lit(f"{i}:"), F.col("h").cast("string")))
+        ).alias(f"h{i}")
+        for i in range(n_hashes)
+    ]
+    sigs = (
+        sh.groupBy(id_col)
+        .agg(*mins)
+        .select(id_col, F.array(*[f"h{i}" for i in range(n_hashes)]).alias("sig"))
+        .persist()
+    )
+    bands = sigs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, {n_bands - 1}),"
+                f" b -> md5(concat_ws(':', transform(slice(sig, b * {rows} + 1, {rows}),"
+                " x -> cast(x as string)))))"
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = bands.select(F.col(id_col).alias("id_a"), "band_idx", "band_key")
+    b = bands.select(F.col(id_col).alias("id_b"), "band_idx", "band_key")
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    agree = F.expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+    )
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            agree.cast("long").alias("n_agree"),
+            (agree / F.lit(float(n_hashes))).alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= threshold)
+    )
+
+
+def simhash_near_dupes_portable(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 32, max_hamming: int = 8
+) -> DataFrame:
+    """SimHash near-dups with the portable hash; emits (id_a, id_b, hamming).
+
+    Same tf-weighted bit-vote and chunk-pigeonhole banding as the
+    production form, over `bits` fingerprint bits in 4 chunks. Candidate
+    dedup is a plain distinct here (the oracle replays it as DISTINCT);
+    production keeps the zero-shuffle first-matching-chunk filter."""
+    assert bits % 4 == 0
+    cw = bits // 4  # chunk width
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    hashed = words.select(id_col, portable_hash60("w").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            )
+        ).alias(f"b{i}")
+        for i in range(bits)
+    ]
+    agg = hashed.groupBy(id_col).agg(*bit_sums)
+    fp_expr = F.expr(
+        " + ".join(f"IF(b{i} > 0, shiftleft(1L, {i}), 0L)" for i in range(bits))
+    )
+    fps = agg.select(F.col(id_col), fp_expr.alias("f")).persist()
+    chunks = fps.select(
+        F.col(id_col),
+        "f",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, 3), c -> cast(shiftright(f, c * {cw}) & {(1 << cw) - 1} as long))"
+            )
+        ).alias("c", "cv"),
+    )
+    a = chunks.select(F.col(id_col).alias("id_a"), F.col("f").alias("fa"), "c", "cv")
+    b = chunks.select(F.col(id_col).alias("id_b"), F.col("f").alias("fb"), "c", "cv")
+    cand = (
+        a.join(b, ["c", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "fa", "fb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("long")
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -276,7 +276,20 @@ def fuzzy_hungarian_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("grp", "left_id")
 
 
-@query("mirror_duration_dedup")
+_MIRROR_ORACLE = """
+WITH albums AS (
+  SELECT l_orderkey AS album, count(*) AS n
+  FROM lineitem WHERE l_orderkey % 20 = 0 GROUP BY l_orderkey
+)
+SELECT album AS grp, d.dirname, n AS n_tracks, d.is_mirror, d.mirror_of
+FROM albums
+CROSS JOIN (VALUES ('Bonus', false, CAST(NULL AS VARCHAR)),
+                   ('Disc 1', false, CAST(NULL AS VARCHAR)),
+                   ('Disc 1 (mp3)', true, 'Disc 1')) AS d(dirname, is_mirror, mirror_of)
+"""
+
+
+@query("mirror_duration_dedup", oracle=_MIRROR_ORACLE)
 def mirror_duration_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duration-multiset mirror dedup: drop directories whose track
     durations greedily match an earlier directory within ±8 s on ≥85% of
@@ -285,6 +298,17 @@ def mirror_duration_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mirrors are synthesized: each order's lineitems appear as 'Disc 1',
     again jittered +0.4 s as 'Disc 1 (mp3)' (a re-encode), and shifted
     +500 s as 'Bonus' (not a mirror).
+
+    Oracle (planted structure, not a greedy replay): durations are
+    l_quantity*10 ∈ {10..500}, so 'Bonus' (+500) sits ≥9.6s from every
+    other dir's tracks — above the 8s tolerance, never a mirror and never
+    a match source; the +0.4s jitter keeps every 'Disc 1 (mp3)' track
+    within tolerance of its partner, so the greedy match consumes all n
+    tracks (each consumed element is within 0.4 of its consumer, so no
+    hole wider than the tolerance can form) and frac=1 ≥ 0.85. Expected
+    output is therefore exact per album: Bonus kept, Disc 1 kept,
+    Disc 1 (mp3) mirrors Disc 1. The generic greedy (arbitrary multisets)
+    stays covered by tests/test_mirror_lcp.py.
     """
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 20 == 0)
     base = li.select(
@@ -298,10 +322,32 @@ def mirror_duration_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mirror_dedup(tracks, "album", "dirname", "dur").orderBy("grp", "dirname")
 
 
-@query("lcp_pairing_join")
+_LCP_ORACLE = """
+WITH o AS (
+  SELECT o_custkey AS grp, o_orderkey AS k FROM orders WHERE o_orderkey % 10 = 0
+)
+SELECT grp,
+       'order ' || k || '.cue'  AS left_name,
+       'order ' || k || '.flac' AS right_name,
+       CAST(length('order ' || k) + 1 AS INTEGER) AS prefix_len
+FROM o
+"""
+
+
+@query("lcp_pairing_join", oracle=_LCP_ORACLE)
 def lcp_pairing_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-common-prefix 1:1 pairing (cue ↔ audio,
-    Shared/utils.py:159-189), grouped per customer."""
+    Shared/utils.py:159-189), grouped per customer.
+
+    Oracle (planted structure, not a greedy replay): for names
+    'order N.cue' / 'order N.flac', a same-key pair's LCP is
+    len('order N')+1 (through the dot), while any cross-key pair (N, M)
+    stops inside the digits — strictly shorter than BOTH members'
+    same-key LCPs (if N prefixes M the cross LCP is same-key(N)−1, else
+    shorter still). Longest-first greedy with each-side-once therefore
+    always yields exactly the same-key pairing, at every scale factor.
+    The generic greedy is covered by tests/test_mirror_lcp.py.
+    """
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 10 == 0)
     left = orders.select(
         F.col("o_custkey").alias("grp"),
@@ -1137,3 +1183,109 @@ def lifecycle_similar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_dir = scratch_dir(spark, "lifecycle_shards", sf_dir)
     return similar_track_lifecycle(spark, release, chunks, out_dir)
+
+
+_MINHASH_XENGINE_ORACLE = """
+WITH ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), docs AS (
+  SELECT doc_id, w FROM ws WHERE len(w) >= 2
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS shingle
+  FROM docs
+), shh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+), perms AS (
+  SELECT doc_id, p.i,
+         min(('0x' || substr(md5(p.i::VARCHAR || ':' || shh.h::VARCHAR), 1, 15))::BIGINT) AS mh
+  FROM shh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) p
+  GROUP BY doc_id, p.i
+), sigs AS (
+  SELECT doc_id, list(mh ORDER BY i) AS sig FROM perms GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.b AS band_idx,
+         md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ':')) AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+), est AS (
+  SELECT c.id_a, c.id_b,
+         CAST(len(list_filter(generate_series(1, 16),
+                              i -> sa.sig[i] = sb.sig[i])) AS BIGINT) AS n_agree
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, n_agree, n_agree / 16.0 AS est_jaccard
+FROM est WHERE n_agree / 16.0 >= 0.25
+"""
+
+
+@query("minhash_lsh_xengine", oracle=_MINHASH_XENGINE_ORACLE)
+def minhash_lsh_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs, cross-engine oracle form.
+
+    Identical algorithm to minhash_lsh_dedup (shingle -> 16 permutation
+    min-hashes -> 4x4 banding -> candidate equi-join -> agreement
+    estimate) but over a hash DuckDB can compute bit-identically (60-bit
+    md5 prefix), so the ENTIRE pipeline is value-checked by SQL replay —
+    the production xxhash64 form stays rows-only by necessity and shares
+    every line of structure with this one. est_jaccard = n_agree/16 is a
+    dyadic rational: exact in both engines, no rounding games.
+    """
+    from tlmc_etl_spark.operators.dedup import minhash_near_dupes_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_near_dupes_portable(
+        docs, "doc_id", "text", n_hashes=16, n_bands=4, threshold=0.25
+    ).orderBy("id_a", "id_b")
+
+
+_SIMHASH_XENGINE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), wh AS (
+  SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+  FROM w WHERE w <> ''
+), bits AS (
+  SELECT doc_id, b.i,
+         sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM wh CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) b
+  GROUP BY doc_id, b.i
+), fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS f
+  FROM bits GROUP BY doc_id
+), chunks AS (
+  SELECT doc_id, f, c.c AS c, (f >> (c.c * 8)) & 255 AS cv
+  FROM fp CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS c) c
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.f AS fa, b.f AS fb
+  FROM chunks a JOIN chunks b ON a.c = b.c AND a.cv = b.cv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS BIGINT) AS hamming
+FROM cand WHERE bit_count(xor(fa, fb)) <= 4
+"""
+
+
+@query("simhash_xengine", oracle=_SIMHASH_XENGINE_ORACLE)
+def simhash_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, cross-engine oracle form (32-bit
+    fingerprint, 4x8-bit pigeonhole chunks, hamming <= 4).
+
+    Same tf-weighted bit-vote as simhash_dedup but over the portable
+    md5-prefix hash, so DuckDB replays fingerprint -> chunk-band ->
+    hamming exactly and the driver value-checks the whole operator; the
+    production 64-bit xxhash64 form stays rows-only.
+    """
+    from tlmc_etl_spark.operators.dedup import simhash_near_dupes_portable
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_near_dupes_portable(
+        docs, "doc_id", "text", bits=32, max_hamming=4
+    ).orderBy("id_a", "id_b")
