@@ -914,3 +914,148 @@ def quality_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "source", "weight", "copies", (F.col("__i") - 1).alias("copy_idx")
         )
     )
+
+
+_SUBSTR_DEDUP_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+), tok AS (
+  SELECT doc_id, i AS pos, t[i + 1] AS token
+  FROM toks, LATERAL (SELECT unnest(range(0, len(t))) AS i)
+), grams AS (
+  SELECT doc_id, i AS pos,
+         md5(array_to_string(t[i + 1:i + 8], ' ')) AS gh
+  FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) AS i)
+), stats AS (
+  SELECT gh, count(*) AS cnt,
+         min(doc_id * 1000000 + pos) AS canon
+  FROM grams GROUP BY gh
+), removals AS (
+  SELECT g.doc_id, g.pos
+  FROM grams g JOIN stats s USING (gh)
+  WHERE s.cnt > 1 AND g.doc_id * 1000000 + g.pos != s.canon
+), covered AS (
+  SELECT DISTINCT doc_id, p AS pos
+  FROM removals, LATERAL (SELECT unnest(range(pos, pos + 8)) AS p)
+)
+SELECT t.doc_id,
+       count(*)                                        AS n_tokens,
+       count(c.pos)                                    AS n_removed,
+       coalesce(string_agg(CASE WHEN c.pos IS NULL THEN t.token END,
+                           ' ' ORDER BY t.pos), '')    AS clean_text
+FROM tok t
+LEFT JOIN covered c ON t.doc_id = c.doc_id AND t.pos = c.pos
+GROUP BY t.doc_id
+"""
+
+
+@query("substring_span_dedup", oracle=_SUBSTR_DEDUP_ORACLE)
+def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-substring removal (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"): any 8-token span whose
+    text occurs more than once in the corpus keeps exactly its first
+    occurrence (min (doc_id, pos)); every other occurrence's 8 tokens are
+    cut from their documents. Finer-grained than whole-document dedup —
+    boilerplate shared across otherwise-distinct documents is removed
+    once per corpus, not once per document.
+
+    Reference analogue: the corpus-level content-identity machinery
+    (unextracted_snapshot.py:53) generalized from whole files to spans.
+
+    Scale shape: grams are 16-byte md5 keys (never the span text beyond
+    the map side); the duplicate test is ONE groupBy(gh) with map-side
+    partial agg (count + min-encoded canonical occurrence); only
+    occurrences of duplicated grams explode into covered positions
+    (bounded x8); the final reassembly is one groupBy(doc_id) of
+    (pos, token) pairs. No window over the full gram table, no
+    cartesian. All column algebra - zero Python in the plan.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    tok = toks.select(
+        "doc_id", F.posexplode("t").alias("pos", "token")
+    )
+    grams = toks.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN size(t) < 8 THEN array() ELSE"
+            " transform(sequence(0, size(t) - 8),"
+            " i -> struct(i AS pos, md5(concat_ws(' ', slice(t, i + 1, 8))) AS gh)) END"
+        ).alias("gs"),
+    ).select("doc_id", F.explode("gs").alias("g")).select(
+        "doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
+    )
+    # one shuffle: partial-agg'd count + canonical occurrence per gram
+    enc = F.col("doc_id") * F.lit(1000000) + F.col("pos")
+    stats = grams.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min(enc).alias("canon")
+    )
+    removals = (
+        grams.join(stats.filter(F.col("cnt") > 1), "gh")
+        .filter(enc != F.col("canon"))
+        .select("doc_id", "pos")
+    )
+    covered = removals.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + 7)).alias("pos")
+    ).distinct()
+    kept = tok.join(covered.withColumn("__cut", F.lit(1)), ["doc_id", "pos"], "left")
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count("__cut").alias("n_removed"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(CASE WHEN __cut IS NULL"
+                " THEN struct(pos, token) END)), x -> x.token)"
+            ),
+        ).alias("clean_text"),
+    )
+
+
+_SPLIT_ASSIGN_ORACLE = """
+WITH assigned AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+         ('0x' || substr(md5('shuffle:' || doc_id::VARCHAR), 1, 15))::BIGINT AS shuffle_key
+  FROM documents
+)
+SELECT doc_id, source,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END AS split,
+       shuffle_key
+FROM assigned
+"""
+
+
+@query("dataset_split_assign", oracle=_SPLIT_ASSIGN_ORACLE)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test split plus a global
+    shuffle key, both derived from the portable 60-bit md5 hash of the
+    document id — no RNG state, so the assignment is stable across runs,
+    engines, partition layouts, and corpus growth (adding documents never
+    reassigns existing ones, the property resumable pipelines need).
+
+    The shuffle key is a SECOND independent hash (different salt):
+    writing sorted by it is a uniform global shuffle of the training
+    order, done by Spark's range-partitioned sort rather than any
+    driver-side permutation. Map-only assignment: zero shuffles here;
+    the sort-by-key happens at the sink where the writer already pays
+    its exchange.
+    """
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = portable_hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    shuffle_key = portable_hash60(
+        F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+        shuffle_key.alias("shuffle_key"),
+    )
