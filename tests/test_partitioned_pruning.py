@@ -1,0 +1,74 @@
+"""Plan gates for the partitioned-parquet sink and the HLL rollup contract.
+
+Scale mechanisms must be visible in the PLAN, not just the results:
+ - a literal predicate on the partition column must become a
+   PartitionFilter (static pruning — fewer files listed and scanned);
+ - a join against a runtime-derived dim must inject a
+   dynamicpruningexpression into the fact scan (DPP);
+ - HLL union of disjoint shard partials must equal the direct
+   single-pass sketch estimate (mergeability is lossless), within ±5%
+   of exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.plans import QUERIES
+from tlmc_etl_spark.scratch import scratch_dir
+from tlmc_etl_spark.sinks.partitioned import (
+    partition_values,
+    read_partitioned,
+    write_partitioned,
+)
+from tlmc_etl_spark.sources.tables import load_table
+
+
+def _executed_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+class TestPartitionedSink:
+    def test_write_creates_month_directories(self, spark, sf_dir):
+        orders = load_table(spark, sf_dir, "orders")
+        fact = orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("o_month"), "o_totalprice"
+        )
+        path = scratch_dir(spark, "prune_gate", sf_dir)
+        write_partitioned(fact, path, "o_month")
+        vals = partition_values(path)
+        assert len(vals) > 12, vals
+        assert all(len(v) == 7 and v[4] == "-" for v in vals)
+
+        # static pruning: a literal month filter must land in
+        # PartitionFilters, NOT DataFilters (the column isn't in the files)
+        back = read_partitioned(spark, path)
+        one = back.filter(F.col("o_month") == vals[0])
+        plan = _executed_plan(one)
+        scan = next(ln for ln in plan.splitlines() if "FileScan" in ln)
+        assert "PartitionFilters" in scan
+        pf = scan.split("PartitionFilters")[1]
+        assert vals[0] in pf.split("DataFilters")[0]
+        # and the filtered count matches a raw recompute
+        expect = fact.filter(F.col("o_month") == vals[0]).count()
+        assert one.count() == expect
+
+    def test_rollup_query_uses_dynamic_partition_pruning(self, spark, sf_dir):
+        df = QUERIES["partitioned_month_rollup"].fn(spark, sf_dir)
+        plan = _executed_plan(df)
+        fact_scans = [
+            ln
+            for ln in plan.splitlines()
+            if "FileScan" in ln and "dynamicpruning" in ln.lower()
+        ]
+        assert fact_scans, "fact scan lost its dynamicpruningexpression:\n" + plan[:2000]
+
+
+class TestHllRollupContract:
+    def test_union_of_partials_equals_direct_sketch(self, spark, sf_dir):
+        rows = QUERIES["hll_user_rollup"].fn(spark, sf_dir).collect()
+        assert rows
+        for r in rows:
+            assert r["est_merged"] == r["est_direct"], r
+            assert abs(r["est_merged"] - r["n_exact"]) <= max(0.05 * r["n_exact"], 1), r
+            assert r["sum_shard_users"] >= r["n_exact"]

@@ -7,6 +7,7 @@ from tlmc_etl_spark.plans import (  # noqa: F401
     relational,
     relational2,
     serving,
+    storage,
     temporal,
     text,
     vectors,

@@ -1,0 +1,124 @@
+"""Storage-layout and sketch queries: partitioned parquet + DPP,
+mergeable HLL distinct-count rollups.
+
+These are the two storage/streaming-adjacent mechanisms a 100 TB
+deployment leans on hardest: a partition layout the optimizer can prune
+(so recurring date-scoped scans never touch cold data), and mergeable
+cardinality sketches (so distinct-user rollups combine across shards /
+days / reruns without ever re-scanning raw events — the partial-agg
+pattern applied to state, not just sums).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.plans.registry import query
+from tlmc_etl_spark.scratch import scratch_dir
+from tlmc_etl_spark.sinks.partitioned import read_partitioned, write_partitioned
+from tlmc_etl_spark.sources.tables import load_table
+
+
+@query(
+    "partitioned_month_rollup",
+    oracle="""
+WITH fact AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS o_month, o_totalprice, o_orderpriority
+  FROM orders
+), hot AS (
+  SELECT DISTINCT o_month FROM fact
+  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 350000
+)
+SELECT f.o_month,
+       count(*) AS n_orders,
+       CAST(round(sum(f.o_totalprice), 2) AS DOUBLE) AS total_price
+FROM fact f JOIN hot USING (o_month)
+GROUP BY f.o_month
+""",
+)
+def partitioned_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-partitioned parquet lifecycle: write orders partitionBy(month),
+    read back, join the fact scan against a runtime-derived hot-month dim
+    (months containing an urgent >350k order) and aggregate.
+
+    The month set is NOT a literal — it exists only after scanning the
+    dim side — so the only way the fact scan avoids reading every
+    partition is dynamic partition pruning: the broadcast build side's
+    month values are pushed into the scan's PartitionFilters at runtime.
+    Plan-gated in tests/test_partitioned_pruning.py (both DPP on this
+    query and static pruning for literal predicates). At 100 TB this is
+    the difference between scanning 84 months and the 11 hot ones.
+
+    Reference analogue: date-named snapshot dirs scoped by run date
+    (unextracted_snapshot.py) — the same layout, maintained by Spark.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    fact = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("o_month"),
+        "o_totalprice",
+        "o_orderpriority",
+    )
+    path = scratch_dir(spark, "orders_by_month", sf_dir)
+    write_partitioned(fact, path, "o_month")
+
+    back = read_partitioned(spark, path)
+    hot = (
+        back.filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 350000))
+        .select("o_month")
+        .distinct()
+    )
+    return (
+        back.join(F.broadcast(hot), "o_month")
+        .groupBy("o_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query("hll_user_rollup")
+def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-user rollup: per-(event_type, shard) HLL
+    sketches, unioned per event_type, against the exact count.
+
+    The scale contract is MERGEABILITY: at 100 TB you never re-scan raw
+    events to count distincts across a new grouping — you union the
+    16-shard (or per-day, per-run) sketch partials. Emitting both the
+    merged-partial estimate and the direct single-pass estimate makes the
+    invariant observable: HLL union is lossless over disjoint inputs, so
+    the two MUST be equal (contract-gated in
+    tests/test_ext_query_contracts.py, with a ±5% error floor vs exact).
+    Sketches are Datasketches HLL_4 binaries (Spark built-in
+    hll_sketch_agg/hll_union_agg) — JVM-side, map-side combinable, ~1.5 kB
+    per group at lgK=12 regardless of cardinality.
+
+    Ext tier: DuckDB's approx_count_distinct rides a different HLL
+    implementation, so the estimates aren't cross-engine comparable; the
+    exact column is, and the driver's rows-only check plus the contract
+    test pin the rest.
+    """
+    events = load_table(spark, sf_dir, "events")
+    base = events.select(
+        "event_type", "user_id", F.pmod(F.col("event_id"), F.lit(16)).alias("shard")
+    )
+    partials = base.groupBy("event_type", "shard").agg(
+        F.hll_sketch_agg("user_id", F.lit(12)).alias("sk"),
+        F.countDistinct("user_id").alias("shard_users"),
+    )
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias("est_merged"),
+        F.sum("shard_users").alias("sum_shard_users"),
+    )
+    direct = base.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(12)))
+        .cast("long")
+        .alias("est_direct"),
+        F.countDistinct("user_id").alias("n_exact"),
+    )
+    return (
+        merged.join(direct, "event_type")
+        .select("event_type", "n_exact", "est_merged", "est_direct", "sum_shard_users")
+        .orderBy("event_type")
+    )

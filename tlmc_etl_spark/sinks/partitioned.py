@@ -1,0 +1,51 @@
+"""Hive-style partitioned parquet sink + pruned read-back.
+
+The storage layout that makes 100 TB scans affordable: writing
+`partitionBy(col)` turns the partition column into directory structure,
+so ANY downstream filter or join key on it prunes at the FILE LISTING
+level — static pruning for literal predicates, dynamic partition
+pruning (DPP) when the predicate only materializes at runtime from the
+build side of a join. The reference's date-convention sharding
+(date-named snapshot dirs, unextracted_snapshot.py) is this layout
+maintained by hand; Spark derives it from the write and the optimizer
+applies it automatically.
+
+Gated by tests/test_partitioned_pruning.py:
+ - a literal month filter must scan only matching partitions
+   (PartitionFilters in the FileSourceScan, scanned-file count drops);
+ - a join against a filtered dim must carry a dynamicpruning expression
+   on the partition column — proof the layout survives into DPP, the
+   mechanism that matters when the filter is not a literal.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_partitioned(df: DataFrame, path: str, partition_col: str) -> None:
+    """Write `df` as parquet partitioned by `partition_col`.
+
+    One shuffle-free write: partitionBy only splits files by value within
+    each task (no exchange is forced). Callers that want one file per
+    partition value repartition on the column first — at real scale you
+    usually DON'T (that concentrates a hot date on one task); the
+    default task-local split keeps write parallelism at input width.
+    """
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+
+
+def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read back with partition discovery (schema carries partition_col)."""
+    return spark.read.parquet(path)
+
+
+def partition_values(path: str) -> list[str]:
+    """Partition values present on disk, from the directory names alone."""
+    out = []
+    for name in os.listdir(path):
+        if "=" in name and not name.startswith("_"):
+            out.append(name.split("=", 1)[1])
+    return sorted(out)
