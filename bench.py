@@ -29,8 +29,13 @@ HEADLINE = [
     "rank_merge_full_outer",
     "hls_ladder_worklist",
     "semi_join_gather",
+    "hierarchy_rollup_totals",
+    "order_value_percentiles",
     # training-data pipeline ops
     "doc_exact_dedup",
+    "substring_span_dedup",
+    "dataset_split_assign",
+    "hll_user_rollup",
     "doc_chunking",
     "sequence_packing",
     "corpus_mix_sample",

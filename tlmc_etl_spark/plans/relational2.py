@@ -845,3 +845,93 @@ def typeid_mint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_hex.select(
         "o_orderkey", "uuid_hex", typeid_udf("trk")(F.col("uuid_hex")).alias("type_id")
     ).orderBy("o_orderkey")
+
+
+@query(
+    "hierarchy_rollup_totals",
+    oracle="""
+SELECT coalesce(r_name, '<all>')                       AS region_name,
+       coalesce(n_name, '<all>')                       AS nation_name,
+       CAST(grouping(r_name) + grouping(n_name) AS INT) AS lvl,
+       count(*)                                        AS n_customers,
+       CAST(round(sum(c_acctbal), 2) AS DOUBLE)        AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+)
+def hierarchy_rollup_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Region → nation → grand-total hierarchy in ONE pass:
+    `rollup(region, nation)` expands to the three grouping sets inside a
+    single shuffle with map-side partial aggregation — the OLAP subtotal
+    ladder without re-scanning per level (the hand-rolled alternative is
+    one job per level plus a union). `grouping()` flags distinguish a
+    genuine NULL key from a subtotal row; both engines coalesce to the
+    same '<all>' sentinel so the value-hash compares.
+
+    Scale shape: expansion happens AFTER the partial agg (rows multiply
+    by grouping-set count only in the combine phase, already reduced to
+    group cardinality); the two dim joins broadcast (25 nations, 5
+    regions).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nat), cust.c_nationkey == nat.n_nationkey
+    ).join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+            (F.grouping("r_name") + F.grouping("n_name")).cast("int").alias("lvl"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("<all>")).alias("region_name"),
+            F.coalesce("n_name", F.lit("<all>")).alias("nation_name"),
+            "lvl",
+            "n_customers",
+            "total_acctbal",
+        )
+    )
+
+
+@query(
+    "order_value_percentiles",
+    oracle="""
+SELECT o_orderpriority,
+       count(*)                                                AS n_orders,
+       CAST(round(quantile_cont(o_totalprice, 0.5), 4) AS DOUBLE)  AS p50,
+       CAST(round(quantile_cont(o_totalprice, 0.9), 4) AS DOUBLE)  AS p90,
+       CAST(round(quantile_cont(o_totalprice, 0.99), 4) AS DOUBLE) AS p99
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (p50/p90/p99 of order value by
+    priority) via Spark's sort-based `percentile` aggregate — linear
+    interpolation, the same estimator as DuckDB's quantile_cont, so the
+    values compare bit-for-round. Exact percentiles shuffle the full
+    column per group; the approx_percentile / t-digest form is the
+    bounded-memory scale path when groups are huge, with this exact form
+    as its small-sf differential oracle (the same exact↔approx pairing
+    the dedup and ANN families use).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pcts = F.expr(
+        "percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))"
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), pcts.alias("p"))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p90"),
+            F.round(F.col("p")[2], 4).alias("p99"),
+        )
+    )
