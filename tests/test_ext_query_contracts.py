@@ -45,3 +45,23 @@ def test_two_stage_similarity_query_emits_dense_ranked_neighbors(spark, sf_dir):
     assert len(by_anchor) == 50, "one anchor per pseudo-track"
     for ranks in by_anchor.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_approx_percentiles_track_exact_within_rank_error(spark, sf_dir):
+    exact = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["order_value_percentiles"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: r
+        for r in QUERIES["order_value_percentiles_approx"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for key, a in approx.items():
+        e = exact[key]
+        assert a["n_orders"] == e["n_orders"]
+        assert a["p50"] <= a["p90"] <= a["p99"], a
+        # accuracy 10000 over n<=10k rows per group at test sf => the GK
+        # summary is effectively exact; allow a loose 2% value slack anyway
+        for q in ("p50", "p90", "p99"):
+            assert abs(a[q] - e[q]) <= 0.02 * abs(e[q]) + 1e-6, (key, q, a[q], e[q])

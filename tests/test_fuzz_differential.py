@@ -1,0 +1,140 @@
+"""Property-based differential fuzzing: random (filter, group, agg)
+specs compiled BOTH to a Spark DataFrame plan and to DuckDB SQL, full
+results compared.
+
+The named oracle queries pin ~100 hand-written plans; this fuzzes the
+space between them — operator composition, predicate edge values, empty
+groups, null-producing aggregates — so a semantics drift in the shared
+column algebra (rounding, comparison, grouping of NULLs) fails loudly
+even for shapes no named query exercises. Sums/avgs compare with 1e-9
+relative tolerance (both engines fold doubles in arbitrary order);
+counts/mins/maxes compare exactly.
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.sources.tables import load_table
+
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+STATUSES = ["O", "F", "P"]
+
+filters = st.one_of(
+    st.tuples(st.just("price_gt"), st.floats(0, 600000, allow_nan=False, width=32)),
+    st.tuples(st.just("price_le"), st.floats(0, 600000, allow_nan=False, width=32)),
+    st.tuples(st.just("prio_in"), st.sets(st.sampled_from(PRIORITIES), min_size=1, max_size=4)),
+    st.tuples(st.just("status_eq"), st.sampled_from(STATUSES)),
+    st.tuples(st.just("mod_eq"), st.tuples(st.integers(2, 13), st.integers(0, 12))),
+)
+
+specs = st.fixed_dictionaries(
+    {
+        "filters": st.lists(filters, min_size=0, max_size=3),
+        "group": st.sampled_from([None, "o_orderstatus", "o_orderpriority"]),
+        "aggs": st.sets(
+            st.sampled_from(["cnt", "total", "mn", "mx", "avg_p"]), min_size=1, max_size=4
+        ),
+    }
+)
+
+
+def _spark_query(orders, spec):
+    df = orders
+    for kind, arg in spec["filters"]:
+        if kind == "price_gt":
+            df = df.filter(F.col("o_totalprice") > float(arg))
+        elif kind == "price_le":
+            df = df.filter(F.col("o_totalprice") <= float(arg))
+        elif kind == "prio_in":
+            df = df.filter(F.col("o_orderpriority").isin(*sorted(arg)))
+        elif kind == "status_eq":
+            df = df.filter(F.col("o_orderstatus") == arg)
+        elif kind == "mod_eq":
+            k, r = arg
+            df = df.filter(F.pmod(F.col("o_custkey"), F.lit(k)) == r % k)
+    agg_map = {
+        "cnt": F.count(F.lit(1)).alias("cnt"),
+        "total": F.sum("o_totalprice").alias("total"),
+        "mn": F.min("o_totalprice").alias("mn"),
+        "mx": F.max("o_totalprice").alias("mx"),
+        "avg_p": F.avg("o_totalprice").alias("avg_p"),
+    }
+    aggs = [agg_map[a] for a in sorted(spec["aggs"])]
+    if spec["group"]:
+        return df.groupBy(spec["group"]).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def _duck_sql(spec):
+    conds = []
+    for kind, arg in spec["filters"]:
+        if kind == "price_gt":
+            conds.append(f"o_totalprice > {float(arg)!r}")
+        elif kind == "price_le":
+            conds.append(f"o_totalprice <= {float(arg)!r}")
+        elif kind == "prio_in":
+            vals = ", ".join(f"'{v}'" for v in sorted(arg))
+            conds.append(f"o_orderpriority IN ({vals})")
+        elif kind == "status_eq":
+            conds.append(f"o_orderstatus = '{arg}'")
+        elif kind == "mod_eq":
+            k, r = arg
+            conds.append(f"o_custkey % {k} = {r % k}")
+    where = (" WHERE " + " AND ".join(conds)) if conds else ""
+    agg_map = {
+        "cnt": "count(*) AS cnt",
+        "total": "sum(o_totalprice) AS total",
+        "mn": "min(o_totalprice) AS mn",
+        "mx": "max(o_totalprice) AS mx",
+        "avg_p": "avg(o_totalprice) AS avg_p",
+    }
+    sel = ", ".join(agg_map[a] for a in sorted(spec["aggs"]))
+    if spec["group"]:
+        g = spec["group"]
+        return f"SELECT {g}, {sel} FROM orders{where} GROUP BY {g}"
+    return f"SELECT {sel} FROM orders{where}"
+
+
+def _normalize(rows, group):
+    out = []
+    for r in rows:
+        d = dict(zip(r.keys(), r.values())) if hasattr(r, "keys") else r.asDict()
+        out.append(d)
+    key = (lambda d: (d[group] is None, d[group])) if group else (lambda d: 0)
+    return sorted(out, key=key)
+
+
+def _assert_equal(spark_rows, duck_rows, group):
+    assert len(spark_rows) == len(duck_rows)
+    for s, d in zip(spark_rows, duck_rows):
+        assert set(s) == set(d)
+        for col in s:
+            sv, dv = s[col], d[col]
+            if sv is None or dv is None:
+                assert sv is None and dv is None, (col, sv, dv)
+            elif isinstance(sv, float) and col in ("total", "avg_p"):
+                assert math.isclose(sv, dv, rel_tol=1e-9, abs_tol=1e-6), (col, sv, dv)
+            else:
+                assert sv == dv, (col, sv, dv)
+
+
+@settings(
+    max_examples=40,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=specs)
+def test_random_filter_group_agg_matches_duckdb(spark, duck, sf_dir, spec):
+    orders = load_table(spark, sf_dir, "orders")
+    got = _normalize(
+        [r.asDict() for r in _spark_query(orders, spec).collect()], spec["group"]
+    )
+    cur = duck.execute(_duck_sql(spec))
+    cols = [d[0] for d in cur.description]
+    want = _normalize([dict(zip(cols, row)) for row in cur.fetchall()], spec["group"])
+    _assert_equal(got, want, spec["group"])

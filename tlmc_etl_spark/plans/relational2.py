@@ -935,3 +935,33 @@ def order_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("p")[2], 4).alias("p99"),
         )
     )
+
+
+@query("order_value_percentiles_approx")
+def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-memory percentiles: approx_percentile at accuracy 10000
+    (a Greenwald-Khanna style mergeable summary — per-group state is
+    O(accuracy), independent of group size, and partials combine
+    map-side). The scale path for order_value_percentiles: exact
+    percentiles must hold every group value through the shuffle, this
+    holds a fixed sketch. Ext tier: the estimator is Spark-specific, so
+    verification is the differential contract vs the exact form
+    (tests/test_ext_query_contracts.py — rank error within 1/accuracy,
+    plus p50<=p90<=p99 monotonicity), the exact↔approx pairing the
+    dedup and ANN families use.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    pcts = F.expr(
+        "approx_percentile(o_totalprice, array(0.5D, 0.9D, 0.99D), 10000)"
+    )
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), pcts.alias("p"))
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.round(F.col("p")[0], 4).alias("p50"),
+            F.round(F.col("p")[1], 4).alias("p90"),
+            F.round(F.col("p")[2], 4).alias("p99"),
+        )
+    )
