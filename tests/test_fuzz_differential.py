@@ -138,3 +138,131 @@ def test_random_filter_group_agg_matches_duckdb(spark, duck, sf_dir, spec):
     cols = [d[0] for d in cur.description]
     want = _normalize([dict(zip(cols, row)) for row in cur.fetchall()], spec["group"])
     _assert_equal(got, want, spec["group"])
+
+
+# ---------------------------------------------------------------------------
+# Window-function fuzzing: random (partition, function) specs, total
+# per-partition order pinned by (o_totalprice DESC, o_orderkey) so every
+# ranking/offset/running result is deterministic in both engines.
+# ---------------------------------------------------------------------------
+
+window_specs = st.fixed_dictionaries(
+    {
+        "part": st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+        "fn": st.sampled_from(["row_number", "rank", "dense_rank", "lag", "lead", "cumsum"]),
+        "limit_filter": st.integers(1, 20),
+    }
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=window_specs)
+def test_random_window_function_matches_duckdb(spark, duck, sf_dir, spec):
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy(spec["part"]).orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    fns = {
+        "row_number": F.row_number().over(w),
+        "rank": F.rank().over(w),
+        "dense_rank": F.dense_rank().over(w),
+        "lag": F.lag("o_totalprice", 1).over(w),
+        "lead": F.lead("o_totalprice", 1).over(w),
+        "cumsum": F.sum("o_totalprice").over(
+            w.rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    }
+    got = (
+        orders.select(
+            "o_orderkey", F.col(spec["part"]).alias("part"), fns[spec["fn"]].alias("v")
+        )
+        .filter(F.col("o_orderkey") % spec["limit_filter"] == 0)
+        .collect()
+    )
+    sql_fns = {
+        "row_number": "row_number() OVER win",
+        "rank": "rank() OVER win",
+        "dense_rank": "dense_rank() OVER win",
+        "lag": "lag(o_totalprice, 1) OVER win",
+        "lead": "lead(o_totalprice, 1) OVER win",
+        "cumsum": "sum(o_totalprice) OVER (PARTITION BY {p} ORDER BY o_totalprice DESC,"
+        " o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    }
+    expr = sql_fns[spec["fn"]].format(p=spec["part"])
+    rows = duck.execute(
+        f"""
+        SELECT o_orderkey, {spec['part']} AS part, {expr} AS v
+        FROM (SELECT * FROM orders)
+        WINDOW win AS (PARTITION BY {spec['part']}
+                       ORDER BY o_totalprice DESC, o_orderkey)
+        QUALIFY o_orderkey % {spec['limit_filter']} = 0
+        """
+    ).fetchall()
+    want = {r[0]: (r[1], r[2]) for r in rows}
+    assert len(got) == len(want)
+    for r in got:
+        wp, wv = want[r["o_orderkey"]]
+        assert r["part"] == wp
+        if isinstance(r["v"], float) and wv is not None:
+            assert math.isclose(r["v"], wv, rel_tol=1e-9, abs_tol=1e-6)
+        else:
+            assert r["v"] == wv, (r, wv)
+
+
+# ---------------------------------------------------------------------------
+# Join fuzzing: orders x customer (broadcast dim), random join type +
+# post-join aggregation, vs DuckDB.
+# ---------------------------------------------------------------------------
+
+join_specs = st.fixed_dictionaries(
+    {
+        "how": st.sampled_from(["inner", "left", "left_semi", "left_anti"]),
+        "bal_gt": st.floats(-900, 9000, allow_nan=False, width=32),
+        "group": st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+    }
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=join_specs)
+def test_random_join_agg_matches_duckdb(spark, duck, sf_dir, spec):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > float(spec["bal_gt"])
+    )
+    joined = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey, spec["how"]
+    )
+    got = {
+        r[spec["group"]]: r["cnt"]
+        for r in joined.groupBy(spec["group"]).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    dim = f"(SELECT * FROM customer WHERE c_acctbal > {float(spec['bal_gt'])!r})"
+    if spec["how"] in ("inner", "left"):
+        jt = "JOIN" if spec["how"] == "inner" else "LEFT JOIN"
+        sql = (
+            f"SELECT {spec['group']} AS g, count(*) AS cnt FROM orders "
+            f"{jt} {dim} c ON o_custkey = c.c_custkey GROUP BY g"
+        )
+    elif spec["how"] == "left_semi":
+        sql = (
+            f"SELECT {spec['group']} AS g, count(*) AS cnt FROM orders "
+            f"WHERE o_custkey IN (SELECT c_custkey FROM {dim}) GROUP BY g"
+        )
+    else:
+        sql = (
+            f"SELECT {spec['group']} AS g, count(*) AS cnt FROM orders "
+            f"WHERE o_custkey NOT IN (SELECT c_custkey FROM {dim}) GROUP BY g"
+        )
+    want = {r[0]: r[1] for r in duck.execute(sql).fetchall()}
+    assert got == want, (spec, got, want)
