@@ -216,3 +216,33 @@ class TestComposedLifecycle:
         assert sum(r["n_rows"] for r in rows) == 5 * sum(r["n_anchors"] for r in rows), (
             "every anchor carries exactly k_final neighbors"
         )
+
+
+class TestOlapPlans:
+    def test_rollup_is_one_shuffle_with_broadcast_dims(self, spark, sf_dir):
+        # the subtotal ladder must be ONE hash shuffle (grouping-set Expand
+        # rides inside it, after partial agg); both dims broadcast.
+        plan = plan_of(spark, sf_dir, "hierarchy_rollup_totals")
+        assert "Expand" in plan, "rollup lost its grouping-set expansion"
+        assert plan.count("Arguments: hashpartitioning") == 1, plan
+        # tree + details sections each print the node: 2 joins appear >= 2x,
+        # and no SortMergeJoin may appear at all (dims must broadcast)
+        assert plan.count("BroadcastHashJoin") >= 2, plan
+        assert "SortMergeJoin" not in plan, plan
+
+    def test_exact_percentiles_single_shuffle(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "order_value_percentiles")
+        assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+    def test_approx_percentiles_partial_aggregate(self, spark, sf_dir):
+        # the sketch must combine map-side: a partial_approx_percentile
+        # before the exchange, final after — the mergeability contract.
+        plan = plan_of(spark, sf_dir, "order_value_percentiles_approx")
+        assert plan.count("Arguments: hashpartitioning") == 1, plan
+        low = plan.lower()
+        assert "partial_approx_percentile" in low or "objhashaggregate" in low, plan
+
+    def test_hll_rollup_sketches_combine_map_side(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "hll_user_rollup")
+        low = plan.lower()
+        assert "hllsketchagg" in low.replace("_", "") or "hll_sketch_agg" in low, plan
