@@ -31,6 +31,8 @@ HEADLINE = [
     "semi_join_gather",
     "hierarchy_rollup_totals",
     "order_value_percentiles",
+    "shipping_priority_topk",
+    "nation_balance_moments",
     # training-data pipeline ops
     "doc_exact_dedup",
     "substring_span_dedup",

@@ -246,3 +246,14 @@ class TestOlapPlans:
         plan = plan_of(spark, sf_dir, "hll_user_rollup")
         low = plan.lower()
         assert "hllsketchagg" in low.replace("_", "") or "hll_sketch_agg" in low, plan
+
+    def test_q3_topk_is_heap_merge_not_global_sort(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "shipping_priority_topk")
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        scan = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any("l_shipdate" in ln for ln in scan), plan
+
+    def test_moments_single_shuffle(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "nation_balance_moments")
+        assert plan.count("Arguments: hashpartitioning") == 1, plan

@@ -965,3 +965,99 @@ def order_value_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFram
             F.round(F.col("p")[2], 4).alias("p99"),
         )
     )
+
+
+@query(
+    "shipping_priority_topk",
+    oracle="""
+SELECT l_orderkey,
+       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate  > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def shipping_priority_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customers x date-filtered orders x
+    lineitem, revenue per order, global top-10. The canonical big-fact
+    shuffle-join benchmark: both dimension filters must reach their
+    parquet scans BEFORE the joins, the filtered customer side broadcasts
+    into orders, and the top-10 rides TakeOrderedAndProject (a per-
+    partition heap + driver-side merge of 10-row heads) — never a global
+    sort of the full aggregate. Ties broken by orderkey so both engines
+    cut the same 10 rows.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-01-01"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                .select("o_orderkey", "o_orderdate")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "nation_balance_moments",
+    oracle="""
+SELECT n_name,
+       count(*)                                             AS n_customers,
+       CAST(round(stddev_samp(c_acctbal), 4) AS DOUBLE)     AS bal_stddev,
+       CAST(round(var_samp(c_acctbal), 4) AS DOUBLE)        AS bal_var,
+       CAST(round(corr(c_acctbal, c_custkey % 1000), 6) AS DOUBLE)       AS bal_key_corr,
+       CAST(round(covar_samp(c_acctbal, c_custkey % 1000), 4) AS DOUBLE) AS bal_key_covar
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)
+def nation_balance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-moment statistics per nation: sample stddev/variance of
+    account balance plus correlation/covariance against a synthetic
+    second variable. All five aggregates are single-pass mergeable
+    partials (sum, sum-of-squares, co-moments) — one shuffle carries the
+    whole moment vector, the same partial-agg shape as sums. Estimator
+    choice pinned cross-engine: _samp (n-1) variants, which Spark and
+    DuckDB define identically; skewness/kurtosis are deliberately
+    excluded (the engines disagree on bias correction)."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    x2 = F.pmod(F.col("c_custkey"), F.lit(1000)).cast("double")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.stddev_samp("c_acctbal"), 4).alias("bal_stddev"),
+            F.round(F.var_samp("c_acctbal"), 4).alias("bal_var"),
+            F.round(F.corr(F.col("c_acctbal"), x2), 6).alias("bal_key_corr"),
+            F.round(F.covar_samp(F.col("c_acctbal"), x2), 4).alias("bal_key_covar"),
+        )
+    )
