@@ -110,3 +110,98 @@ def value_band_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "band_id", F.round("value", 2).alias("value")
     ).orderBy("event_id", "band_id")
+
+
+@query(
+    "event_resample_ffill",
+    oracle="""
+WITH ev AS (
+  SELECT user_id, event_id, value,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket,
+         CAST(ts AS TIMESTAMP) AS tsu
+  FROM events WHERE event_type = 'view'
+), obs AS (
+  SELECT user_id, bucket, value FROM (
+    SELECT user_id, bucket, value,
+           row_number() OVER (PARTITION BY user_id, bucket
+                              ORDER BY tsu DESC, event_id DESC) AS rn
+    FROM ev) WHERE rn = 1
+), spans AS (
+  SELECT user_id, min(bucket) AS t0, max(bucket) AS t1 FROM ev GROUP BY user_id
+), grid AS (
+  SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS bucket
+  FROM spans
+)
+SELECT g.user_id,
+       strftime(g.bucket, '%Y-%m-%d %H:00')  AS bucket,
+       CAST(round(last_value(o.value IGNORE NULLS)
+                  OVER (PARTITION BY g.user_id ORDER BY g.bucket
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                  4) AS DOUBLE)              AS value_ffill,
+       (o.value IS NOT NULL)                 AS is_observed
+FROM grid g LEFT JOIN obs o USING (user_id, bucket)
+""",
+)
+def event_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample each user's 'view' value stream onto a 1-hour grid with
+    forward fill — the gap-free time series every downstream temporal
+    model (rate-of-change, EWMA, as-of features) assumes exists.
+
+    Plan shape: per-(user, bucket) last-observation via one window pass;
+    the grid materializes as a per-user `sequence(t0, t1, 1 hour)`
+    explode off the span aggregate — rows scale with user-hours, never
+    with a global calendar (a user active 3 days costs 72 rows at any
+    corpus size); the fill is `last(value, ignoreNulls)` over the same
+    per-user ordering the grid join already established. Two shuffles
+    total (bucket dedup window; user grid/fill partitioning), both on
+    the user key, so a 100 TB deployment inherits whatever user
+    bucketing the events table already has.
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            "event_id",
+            "value",
+            F.date_trunc("hour", F.col("ts")).alias("bucket"),
+            F.col("ts"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    rn = F.row_number().over(
+        W.partitionBy("user_id", "bucket").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+    )
+    obs = ev.withColumn("rn", rn).filter(F.col("rn") == 1).select(
+        "user_id", "bucket", "value"
+    )
+    spans = ev.groupBy("user_id").agg(
+        F.min("bucket").alias("t0"), F.max("bucket").alias("t1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(t0, t1, interval 1 hour)")).alias("bucket"),
+    )
+    filled = (
+        grid.join(obs, ["user_id", "bucket"], "left")
+        .withColumn(
+            "value_ffill",
+            F.round(
+                F.last("value", ignorenulls=True).over(
+                    W.partitionBy("user_id")
+                    .orderBy("bucket")
+                    .rowsBetween(W.unboundedPreceding, W.currentRow)
+                ),
+                4,
+            ),
+        )
+    )
+    return filled.select(
+        "user_id",
+        F.date_format("bucket", "yyyy-MM-dd HH:00").alias("bucket"),
+        "value_ffill",
+        F.col("value").isNotNull().alias("is_observed"),
+    )
