@@ -12,6 +12,7 @@ Scale mechanisms must be visible in the PLAN, not just the results:
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from tlmc_etl_spark.plans import QUERIES
@@ -72,3 +73,53 @@ class TestHllRollupContract:
             assert r["est_merged"] == r["est_direct"], r
             assert abs(r["est_merged"] - r["n_exact"]) <= max(0.05 * r["n_exact"], 1), r
             assert r["sum_shard_users"] >= r["n_exact"]
+
+
+class TestSortedLayout:
+    def _ranges(self, path, col):
+        import glob
+
+        import pyarrow.parquet as pq
+
+        ranges = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                ranges.append((st.min, st.max))
+        return sorted(ranges)
+
+    @staticmethod
+    def _overlap_fraction(ranges):
+        overlaps = sum(
+            1
+            for (a, b) in zip(ranges, ranges[1:])
+            if a[1] > b[0]  # this range's max reaches into the next one
+        )
+        return overlaps / max(len(ranges) - 1, 1)
+
+    def test_sorted_write_makes_row_group_stats_selective(self, spark, sf_dir):
+        from tlmc_etl_spark.sinks.partitioned import write_sorted
+
+        orders = load_table(spark, sf_dir, "orders")
+        base = scratch_dir(spark, "sorted_layout", sf_dir)
+        sorted_path = f"{base}/sorted"
+        unsorted_path = f"{base}/unsorted"
+        write_sorted(orders, sorted_path, ["o_custkey"])
+        orders.repartition(4).write.mode("overwrite").parquet(unsorted_path)
+
+        srt = self._ranges(sorted_path, "o_custkey")
+        uns = self._ranges(unsorted_path, "o_custkey")
+        assert len(srt) >= 2 and len(uns) >= 2
+        # sorted: consecutive row-group key ranges barely touch; unsorted:
+        # every row group spans ~the whole key space and all overlap
+        assert self._overlap_fraction(srt) <= 0.25, srt
+        assert self._overlap_fraction(uns) >= 0.75, uns
+
+        # and the layout round-trips identically
+        back = spark.read.parquet(sorted_path)
+        assert back.count() == orders.count()
+        assert back.agg({"o_totalprice": "sum"}).first()[0] == pytest.approx(
+            orders.agg({"o_totalprice": "sum"}).first()[0], rel=1e-12
+        )
