@@ -177,3 +177,69 @@ class TestCopyBinarySink:
             s = int(fname.split("_")[1].split(".")[0])
             for k, _ in decode_copy_binary(open(os.path.join(out, fname), "rb").read(), ["bigint", "double"]):
                 assert (k * 2654435761) % 4294967296 % 8 == s
+
+
+class TestBinvecDataSource:
+    """The DataSource V2 form must match read_embedding_bins row-for-row."""
+
+    def _write_fixture(self, spark, sf_dir, tmpdir):
+        from tlmc_etl_spark.sinks.binvec import write_embedding_bins
+        from tlmc_etl_spark.sources.tables import load_table
+
+        emb = load_table(spark, sf_dir, "embeddings").limit(50)
+        write_embedding_bins(emb, str(tmpdir), "vec_id", "embedding").collect()
+        return str(tmpdir)
+
+    def test_format_read_matches_function_read(self, spark, sf_dir, tmp_path):
+        from tlmc_etl_spark.sources.binvec import (
+            read_embedding_bins,
+            register_binvec_source,
+        )
+
+        out = self._write_fixture(spark, sf_dir, tmp_path)
+        register_binvec_source(spark)
+        via_format = (
+            spark.read.format("binvec").option("dims", 64).load(out).collect()
+        )
+        via_fn = read_embedding_bins(spark, out, 64).collect()
+        key = lambda r: r["track_uuid"]
+        assert sorted([r.asDict() for r in via_format], key=key) == sorted(
+            [r.asDict() for r in via_fn], key=key
+        )
+
+    def test_partition_planning_splits_by_file_count(self, spark, sf_dir, tmp_path):
+        from tlmc_etl_spark.sources.binvec import register_binvec_source
+
+        out = self._write_fixture(spark, sf_dir, tmp_path)
+        register_binvec_source(spark)
+        df = (
+            spark.read.format("binvec")
+            .option("dims", 64)
+            .option("files_per_partition", 10)
+            .load(out)
+        )
+        assert df.rdd.getNumPartitions() == 5  # 50 files / 10 per task
+        assert df.count() == 50
+
+    def test_bad_rows_isolated_per_row(self, spark, tmp_path):
+        from tlmc_etl_spark.sources.binvec import register_binvec_source, uuid_of_int
+        import numpy as np
+
+        (tmp_path / "not-a-uuid.bin").write_bytes(b"\x00" * 8)
+        (tmp_path / f"{uuid_of_int(1)}.bin").write_bytes(
+            np.arange(3, dtype="<f4").tobytes()  # wrong dims
+        )
+        (tmp_path / f"{uuid_of_int(2)}.bin").write_bytes(
+            np.arange(64, dtype="<f4").tobytes()
+        )
+        register_binvec_source(spark)
+        rows = {
+            r["track_uuid"]: r
+            for r in spark.read.format("binvec")
+            .option("dims", 64)
+            .load(str(tmp_path))
+            .collect()
+        }
+        assert rows["not-a-uuid"]["reason"] == "bad_filename"
+        assert rows[uuid_of_int(1)]["reason"] == "wrong_dims"
+        assert rows[uuid_of_int(2)]["valid"] and len(rows[uuid_of_int(2)]["embedding"]) == 64
