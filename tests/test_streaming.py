@@ -293,3 +293,71 @@ class TestStreamingDedup:
         got = spark.read.parquet(out_dir)
         assert n1 == len(rows)
         assert got.count() == len(rows), "replayed keys must not re-emit"
+
+
+class TestJournalTailSource:
+    """Custom streaming source: exactly-once delivery of journal appends
+    across separate runs sharing a checkpoint (parquet sink — the memory
+    sink cannot recover from a checkpoint)."""
+
+    def _run_once(self, spark, path, ckpt, out):
+        from tlmc_etl_spark.streaming.source import register_journal_tail_source
+
+        register_journal_tail_source(spark)
+        q = (
+            spark.readStream.format("journal_tail")
+            .option("path", str(path))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = [r["line"] for r in spark.read.parquet(str(out)).collect()]
+        assert len(rows) == len(set(rows)), f"duplicate delivery: {sorted(rows)}"
+        return set(rows)
+
+    def test_appends_delivered_exactly_once_across_restarts(self, spark, tmp_path):
+        journal = tmp_path / "journal.jsonl"
+        ckpt, out = tmp_path / "ckpt", tmp_path / "out"
+        journal.write_text('{"id": 1}\n{"id": 2}\n')
+        got1 = self._run_once(spark, journal, ckpt, out)
+        assert got1 == {'{"id": 1}', '{"id": 2}'}
+
+        # append two more lines plus a PARTIAL line (no newline): the
+        # restarted query must add only the two complete new lines
+        with open(journal, "a") as fh:
+            fh.write('{"id": 3}\n{"id": 4}\n{"id": 5')
+        got2 = self._run_once(spark, journal, ckpt, out)
+        assert got2 - got1 == {'{"id": 3}', '{"id": 4}'}
+
+        # completing the partial line delivers it (and nothing else again)
+        with open(journal, "a") as fh:
+            fh.write("}\n")
+        got3 = self._run_once(spark, journal, ckpt, out)
+        assert got3 - got2 == {'{"id": 5}'}
+
+    def test_offsets_are_byte_positions_of_lines(self, spark, tmp_path):
+        from tlmc_etl_spark.streaming.source import register_journal_tail_source
+
+        journal = tmp_path / "j2.jsonl"
+        journal.write_text("aa\nbbbb\n")
+        register_journal_tail_source(spark)
+        q = (
+            spark.readStream.format("journal_tail")
+            .option("path", str(journal))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out2"))
+            .option("checkpointLocation", str(tmp_path / "ckpt2"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = {
+            r["line"]: r["pos"]
+            for r in spark.read.parquet(str(tmp_path / "out2")).collect()
+        }
+        assert rows == {"aa": 0, "bbbb": 3}

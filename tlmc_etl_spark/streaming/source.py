@@ -1,0 +1,97 @@
+"""Journal tail as a custom Structured Streaming source.
+
+The reference's incremental stages poll an append-only JSONL journal
+between runs (journal.py:48-126: read what's new, process, append).
+This module turns that polling loop into a first-class streaming
+source: `spark.readStream.format("journal_tail")` tails the file with
+byte offsets as the streaming offset, so Structured Streaming's
+checkpoint machinery — not hand-rolled state — guarantees each appended
+line is delivered exactly once across restarts.
+
+Offset model: {"pos": <byte offset into the file>}. A micro-batch reads
+[start.pos, EOF) and advances the offset to the new EOF; recovery
+replays [start, end) byte-identically (readBetweenOffsets), which is
+what makes the exactly-once contract hold through a crash between
+batch and commit. Partial trailing lines (a writer mid-append, no
+newline yet) stay un-consumed until their newline lands — the offset
+only ever advances past complete lines.
+
+Rows are (line, pos): raw JSONL plus its starting byte offset — schema
+interpretation stays downstream (`F.from_json`), matching the tolerant
+reader in sources/jsonl.py.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+
+class JournalTailDataSource(DataSource):
+    """Options: `path` (the JSONL journal file)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "journal_tail"
+
+    def schema(self) -> str:
+        return "line string, pos long"
+
+    def simpleStreamReader(self, schema):
+        return _JournalTailReader(self.options)
+
+
+class _JournalTailReader(SimpleDataSourceStreamReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("journal_tail: option('path', <jsonl file>) required")
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _read_span(self, start_pos: int, end_pos: int):
+        rows = []
+        if end_pos <= start_pos or not os.path.exists(self.path):
+            return rows
+        with open(self.path, "rb") as fh:
+            fh.seek(start_pos)
+            data = fh.read(end_pos - start_pos)
+        pos = start_pos
+        for raw in data.split(b"\n")[:-1]:  # last element is b"" or a partial
+            rows.append((raw.decode("utf-8", errors="replace"), pos))
+            pos += len(raw) + 1
+        return rows
+
+    def _complete_eof(self) -> int:
+        """Byte offset just past the last complete (newline-terminated) line."""
+        if not os.path.exists(self.path):
+            return 0
+        size = os.path.getsize(self.path)
+        if size == 0:
+            return 0
+        with open(self.path, "rb") as fh:
+            fh.seek(size - 1)
+            if fh.read(1) == b"\n":
+                return size
+            # scan back to the last newline; a journal line is small, so
+            # reading the tail chunk is bounded
+            fh.seek(0)
+            data = fh.read(size)
+            nl = data.rfind(b"\n")
+            return nl + 1 if nl >= 0 else 0
+
+    def read(self, start):
+        end = {"pos": max(self._complete_eof(), start["pos"])}
+        return self._read_span(start["pos"], end["pos"]), end
+
+    def readBetweenOffsets(self, start, end):
+        return self._read_span(start["pos"], end["pos"])
+
+    def commit(self, end):
+        pass
+
+
+def register_journal_tail_source(spark) -> None:
+    spark.dataSource.register(JournalTailDataSource)
