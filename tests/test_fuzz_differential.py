@@ -266,3 +266,62 @@ def test_random_join_agg_matches_duckdb(spark, duck, sf_dir, spec):
         )
     want = {r[0]: r[1] for r in duck.execute(sql).fetchall()}
     assert got == want, (spec, got, want)
+
+
+# ---------------------------------------------------------------------------
+# Scalar expression fuzzing: string/date functions the catalog leans on
+# (regexp_extract, substring, upper/lower, date_trunc/parts) — same spec
+# compiled to both engines, row-level compare keyed by o_orderkey.
+# ---------------------------------------------------------------------------
+
+scalar_specs = st.fixed_dictionaries(
+    {
+        "fn": st.sampled_from(
+            ["substr", "upper_concat", "regex_digits", "date_part", "date_trunc_month"]
+        ),
+        "a": st.integers(1, 6),
+        "b": st.integers(1, 8),
+        "mod": st.integers(5, 40),
+    }
+)
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=scalar_specs)
+def test_random_scalar_expression_matches_duckdb(spark, duck, sf_dir, spec):
+    a, b = spec["a"], spec["b"]
+    fn = spec["fn"]
+    spark_exprs = {
+        "substr": F.substring("o_orderpriority", a, b),
+        "upper_concat": F.upper(F.concat_ws(":", "o_orderstatus", "o_orderpriority")),
+        "regex_digits": F.regexp_extract("o_orderpriority", r"(\d+)", 1),
+        "date_part": F.year("o_orderdate") * 100 + F.month("o_orderdate"),
+        "date_trunc_month": F.date_format(
+            F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd"
+        ),
+    }
+    duck_exprs = {
+        "substr": f"substr(o_orderpriority, {a}, {b})",
+        "upper_concat": "upper(concat_ws(':', o_orderstatus, o_orderpriority))",
+        "regex_digits": "coalesce(regexp_extract(o_orderpriority, '(\\d+)', 1), '')",
+        "date_part": "year(o_orderdate) * 100 + month(o_orderdate)",
+        "date_trunc_month": "strftime(date_trunc('month', CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%d')",
+    }
+    orders = load_table(spark, sf_dir, "orders")
+    got = {
+        r["o_orderkey"]: r["v"]
+        for r in orders.filter(F.col("o_orderkey") % spec["mod"] == 0)
+        .select("o_orderkey", spark_exprs[fn].alias("v"))
+        .collect()
+    }
+    want = dict(
+        duck.execute(
+            f"SELECT o_orderkey, {duck_exprs[fn]} AS v FROM orders "
+            f"WHERE o_orderkey % {spec['mod']} = 0"
+        ).fetchall()
+    )
+    assert got == want, (fn, {k: (got[k], want[k]) for k in list(got)[:3]})
