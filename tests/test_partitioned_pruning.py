@@ -123,3 +123,31 @@ class TestSortedLayout:
         assert back.agg({"o_totalprice": "sum"}).first()[0] == pytest.approx(
             orders.agg({"o_totalprice": "sum"}).first()[0], rel=1e-12
         )
+
+
+class TestCompaction:
+    def test_small_files_merge_shuffle_free_with_row_parity(self, spark, sf_dir):
+        from tlmc_etl_spark.sinks.partitioned import compact_files
+
+        orders = load_table(spark, sf_dir, "orders")
+        base = scratch_dir(spark, "compact", sf_dir)
+        src, dst = f"{base}/src", f"{base}/dst"
+        orders.repartition(32).write.mode("overwrite").parquet(src)  # 32 tiny files
+
+        import glob
+
+        assert len(glob.glob(f"{src}/*.parquet")) == 32
+        n = orders.count()
+        out_files = compact_files(spark, src, dst, target_rows_per_file=(n + 1) // 2)
+        assert out_files == 2
+        back = spark.read.parquet(dst)
+        assert back.count() == n
+        # coalesce must not have shuffled: the compaction plan carries no Exchange
+        plan = (
+            spark.read.parquet(src)
+            .coalesce(2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Exchange" not in plan

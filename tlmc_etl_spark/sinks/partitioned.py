@@ -76,3 +76,31 @@ def write_sorted(df: DataFrame, path: str, cols: list[str], n_files: int = 4) ->
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark: SparkSession, src: str, dst: str, target_rows_per_file: int
+) -> int:
+    """Rewrite a directory of small parquet files into ~target-sized ones;
+    returns the output file count.
+
+    The operational counterpart of every incremental sink in this repo:
+    journal/append-mode writers emit one file per micro-batch per task,
+    and a year of hourly batches turns a table into 10^5 tiny files whose
+    open/footer cost dominates scans. Compaction is a read → coalesce →
+    write of the SAME bytes: `coalesce` (not `repartition`) so merging is
+    shuffle-free — tasks concatenate input splits instead of re-hashing
+    100 TB. Row-count parity is the caller-visible invariant (gated in
+    tests/test_partitioned_pruning.py::TestCompaction).
+
+    Writes to `dst` (overwrite) rather than in place: the swap is the
+    caller's atomic-publish step, matching the reference's
+    write-then-rename discipline (journal.py:48-126).
+    """
+    df = spark.read.parquet(src)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    df.coalesce(n_files).write.mode("overwrite").parquet(dst)
+    import glob as _glob
+
+    return len(_glob.glob(os.path.join(dst, "*.parquet")))
