@@ -1061,3 +1061,39 @@ def nation_balance_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.covar_samp(F.col("c_acctbal"), x2), 4).alias("bal_key_covar"),
         )
     )
+
+
+@query(
+    "props_variant_topk",
+    oracle="""
+SELECT CAST(json_extract(props, '$.k') AS INTEGER) AS k,
+       count(*) AS n_events,
+       CAST(round(sum(value), 4) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'click'
+GROUP BY k
+ORDER BY n_events DESC, k
+LIMIT 20
+""",
+)
+def props_variant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via Spark 4's VariantType: `parse_json` once
+    into a binary variant, then `variant_get` path extraction — the
+    engine-native upgrade over per-access `get_json_object` string
+    re-parsing (props_json_extract is the legacy form). At 100 TB the
+    difference is parse-once-per-row vs parse-per-path-per-row, and
+    variant binaries columnar-encode. Top-20 rides TakeOrdered, ties
+    broken on k so both engines cut identical rows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.filter(F.col("event_type") == "click")
+        .select(F.parse_json("props").alias("v"), "value")
+        .select(F.variant_get("v", "$.k", "int").alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy(F.col("n_events").desc(), "k")
+        .limit(20)
+    )
