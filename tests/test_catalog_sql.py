@@ -48,3 +48,25 @@ def test_filter_over_view_pushes_into_scan(spark, sf_dir):
     assert "PushedFilters" in scan
     pushed = scan.split("PushedFilters")[1]
     assert "EqualTo(doc_id,42)" in pushed, scan
+
+
+class TestObservation:
+    def test_metrics_ride_the_action_and_match_direct_counts(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from tlmc_etl_spark.observability import observe_counts
+        from tlmc_etl_spark.sources.tables import load_table
+
+        orders = load_table(spark, sf_dir, "orders")
+        obs, df = observe_counts(
+            orders,
+            "orders_quality",
+            n_rows=F.count(F.lit(1)),
+            n_urgent=F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)),
+            max_price=F.max("o_totalprice"),
+        )
+        out = df.filter(F.col("o_totalprice") > 0).count()  # one action
+        got = obs.get
+        assert got["n_rows"] == orders.count() == out
+        assert got["n_urgent"] == orders.filter("o_orderpriority = '1-URGENT'").count()
+        assert got["max_price"] == orders.agg(F.max("o_totalprice")).first()[0]
