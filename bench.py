@@ -26,6 +26,7 @@ HEADLINE = [
     "dedup_keep_winner",
     "delta_detect",
     "sessionize_events",
+    "event_resample_ffill",
     "rank_merge_full_outer",
     "hls_ladder_worklist",
     "semi_join_gather",
