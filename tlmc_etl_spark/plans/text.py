@@ -1059,3 +1059,55 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         shuffle_key.alias("shuffle_key"),
     )
+
+
+_BPE_PAIR_ORACLE = """
+WITH words AS (
+  SELECT w, count(*) AS wc
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+  WHERE len(w) >= 2
+  GROUP BY w
+), pairs AS (
+  SELECT substr(w, i, 2) AS pair, wc
+  FROM words, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+)
+SELECT pair, CAST(sum(wc) AS BIGINT) AS n_weighted
+FROM pairs
+GROUP BY pair
+ORDER BY n_weighted DESC, pair
+LIMIT 20
+"""
+
+
+@query("bpe_pair_counts", oracle=_BPE_PAIR_ORACLE)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE-training inner loop at corpus scale: adjacent-symbol pair
+    frequencies weighted by word count — the step that dominates
+    tokenizer training cost and the one that must distribute (the merge
+    choice itself is a driver-side argmax over this table).
+
+    Scale shape: the corpus first folds to a (word, count) table — the
+    standard BPE regime, shrinking 10^11 tokens to 10^7 distinct words —
+    then pairs explode per DISTINCT word (bounded by word length) and
+    sum with map-side partial agg. Top-20 rides TakeOrdered with a
+    lexicographic tie-break so both engines cut identical rows.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("n_weighted"))
+        .orderBy(F.col("n_weighted").desc(), "pair")
+        .limit(20)
+    )
