@@ -42,6 +42,7 @@ HEADLINE = [
     "doc_chunking",
     "sequence_packing",
     "corpus_mix_sample",
+    "curation_lifecycle",
     "benchmark_contamination",
     "minhash_lsh_dedup",
     "doc_dedup_clusters",

@@ -257,3 +257,12 @@ class TestOlapPlans:
     def test_moments_single_shuffle(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "nation_balance_moments")
         assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+    def test_curation_lifecycle_stays_one_narrow_plan(self, spark, sf_dir):
+        # quality filter -> dedup winners -> split -> rollup must compose
+        # into ONE plan: two shuffles (winner groupBy, final rollup) and a
+        # scan reading only (doc_id, text, source)
+        plan = plan_of(spark, sf_dir, "curation_lifecycle")
+        assert plan.count("Arguments: hashpartitioning") <= 2, plan
+        schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+        assert schema_lines and all("n_chars" not in ln and "lang" not in ln for ln in schema_lines)

@@ -1111,3 +1111,83 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_weighted").desc(), "pair")
         .limit(20)
     )
+
+
+_CURATION_ORACLE = """
+WITH m AS (
+  SELECT doc_id, source, text, n_chars,
+         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+         len(regexp_extract_all(text, '\\b(the|a|of|and|to|in|is)\\b')) AS n_stop
+  FROM documents
+), passed AS (
+  SELECT doc_id, source, text, n_words
+  FROM m WHERE n_words >= 20 AND n_stop > 0
+), winners AS (
+  SELECT min(doc_id) AS doc_id
+  FROM passed GROUP BY md5(text)
+), curated AS (
+  SELECT p.doc_id, p.source, p.n_words,
+         ('0x' || substr(md5('split:' || p.doc_id::VARCHAR), 1, 15))::BIGINT % 100
+           AS bucket
+  FROM passed p JOIN winners USING (doc_id)
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END                    AS split,
+       source,
+       count(*)                                AS n_docs,
+       CAST(sum(n_words) AS BIGINT)            AS n_words,
+       CAST(sum(CAST(floor(n_words / 1024.0) AS BIGINT) + 1) AS BIGINT) AS n_seq_lower_bound
+FROM curated
+GROUP BY split, source
+"""
+
+
+@query("curation_lifecycle", oracle=_CURATION_ORACLE)
+def curation_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation lifecycle as ONE DAG:
+    quality-filter → exact-dedup (winner per content hash) → split
+    assignment → per-(split, source) corpus accounting, the LLM-pipeline
+    counterpart of the catalog lifecycle (`lifecycle_similar_shards`).
+    Composed from the SAME building blocks the standalone queries use —
+    the gate here is that the stages compose into one Catalyst plan
+    (filters reach the scan through three stage boundaries; the dedup
+    winner join stays the only wide op before the final rollup) rather
+    than materializing between stages.
+
+    Output is the curation report every dataset release ships: document
+    and word counts per split×source plus a lower bound on 1024-token
+    packed sequences (ceil word-count per doc — the packing query's bin
+    floor).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    n_words = F.regexp_count("text", F.lit("[a-z0-9]+"))
+    n_stop = F.regexp_count("text", F.lit(r"\b(the|a|of|and|to|in|is)\b"))
+    passed = docs.select(
+        "doc_id", "source", "text", n_words.alias("n_words")
+    ).filter((n_words >= 20) & (n_stop > 0))
+    winners = (
+        passed.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+
+    bucket = (
+        portable_hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))) % 100
+    )
+    curated = passed.join(winners, "doc_id").select(
+        "source",
+        "n_words",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "validation")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return curated.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").cast("long").alias("n_words"),
+        F.sum(F.floor(F.col("n_words") / F.lit(1024.0)).cast("long") + 1)
+        .cast("long")
+        .alias("n_seq_lower_bound"),
+    )
