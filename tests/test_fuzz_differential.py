@@ -325,3 +325,52 @@ def test_random_scalar_expression_matches_duckdb(spark, duck, sf_dir, spec):
         ).fetchall()
     )
     assert got == want, (fn, {k: (got[k], want[k]) for k in list(got)[:3]})
+
+
+# ---------------------------------------------------------------------------
+# Set-operation fuzzing: union / except / intersect / distinct over two
+# randomly-filtered projections of orders — completes the declared T2
+# surface (SURVEY §2.11) under generated specs.
+# ---------------------------------------------------------------------------
+
+setop_specs = st.fixed_dictionaries(
+    {
+        "op": st.sampled_from(["union_all", "union_distinct", "except", "intersect"]),
+        "m1": st.integers(2, 9),
+        "m2": st.integers(2, 9),
+        "col": st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+    }
+)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=setop_specs)
+def test_random_set_operation_matches_duckdb(spark, duck, sf_dir, spec):
+    orders = load_table(spark, sf_dir, "orders")
+    col, m1, m2 = spec["col"], spec["m1"], spec["m2"]
+    a = orders.filter(F.col("o_orderkey") % m1 == 0).select("o_orderkey", col)
+    b = orders.filter(F.col("o_orderkey") % m2 == 0).select("o_orderkey", col)
+    if spec["op"] == "union_all":
+        res = a.unionByName(b)
+    elif spec["op"] == "union_distinct":
+        res = a.unionByName(b).distinct()
+    elif spec["op"] == "except":
+        res = a.exceptAll(b)
+    else:
+        res = a.intersectAll(b)
+    got = sorted((r["o_orderkey"], r[col]) for r in res.collect())
+
+    sa = f"SELECT o_orderkey, {col} FROM orders WHERE o_orderkey % {m1} = 0"
+    sb = f"SELECT o_orderkey, {col} FROM orders WHERE o_orderkey % {m2} = 0"
+    duck_op = {
+        "union_all": "UNION ALL",
+        "union_distinct": "UNION",
+        "except": "EXCEPT ALL",
+        "intersect": "INTERSECT ALL",
+    }[spec["op"]]
+    want = sorted(duck.execute(f"({sa}) {duck_op} ({sb})").fetchall())
+    assert got == want, (spec, len(got), len(want))
