@@ -18,6 +18,7 @@ what the DuckDB oracle on the registered query checks.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -53,3 +54,45 @@ def salted_join(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return f.join(d, [key, "__salt"], how).drop("__salt")
+
+
+def key_skew_profile(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
+    """Key-distribution diagnostic: top-k heaviest keys with their corpus
+    share plus global concentration metrics — the measurement that
+    decides which skew mitigation a join needs (salted_join for a known
+    hot key, AQE's runtime split for diffuse skew, nothing when
+    skew_factor ~ 1).
+
+    One groupBy(key) with map-side combine; the top-k cut is a
+    TakeOrdered heap (never a global sort) and the 1-row global summary
+    broadcasts back onto it. Deterministic: ties broken by key value.
+
+    Columns: rank, key (as string), n_rows, share, n_keys, skew_factor
+    (= max key count / mean key count; >> 1 means a salted or AQE-split
+    join is worth it).
+    """
+    counts = df.groupBy(F.col(key).cast("string").alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    summary = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("n_rows").alias("max_rows"),
+    )
+    w = W.orderBy(F.col("n_rows").desc(), "key")
+    top = counts.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_k
+    )
+    return (
+        top.crossJoin(F.broadcast(summary))
+        .select(
+            "rank",
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("total_rows"), 6).alias("share"),
+            "n_keys",
+            F.round(
+                F.col("max_rows") * F.col("n_keys") / F.col("total_rows"), 4
+            ).alias("skew_factor"),
+        )
+    )

@@ -1097,3 +1097,40 @@ def props_variant_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "k")
         .limit(20)
     )
+
+
+@query(
+    "event_user_skew_profile",
+    oracle="""
+WITH counts AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n_rows
+  FROM events GROUP BY user_id
+), summary AS (
+  SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows,
+         count(*) AS n_keys,
+         CAST(max(n_rows) AS BIGINT) AS max_rows
+  FROM counts
+), ranked AS (
+  SELECT key, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, key) AS rank
+  FROM counts
+)
+SELECT r.rank, r.key, r.n_rows,
+       CAST(round(r.n_rows / CAST(s.total_rows AS DOUBLE), 6) AS DOUBLE) AS share,
+       s.n_keys,
+       CAST(round(s.max_rows * s.n_keys / CAST(s.total_rows AS DOUBLE), 4) AS DOUBLE)
+         AS skew_factor
+FROM ranked r CROSS JOIN summary s
+WHERE r.rank <= 10
+""",
+)
+def event_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew diagnostic over the event stream's user key: top-10 heaviest
+    users with corpus share, key cardinality, and the max/mean skew
+    factor — the measurement that picks a mitigation (salted_join for a
+    named hot key, AQE split for diffuse skew, nothing near 1.0). See
+    operators/skew.py:key_skew_profile for the plan shape."""
+    from tlmc_etl_spark.operators.skew import key_skew_profile
+
+    events = load_table(spark, sf_dir, "events")
+    return key_skew_profile(events, "user_id", top_k=10)
