@@ -1134,3 +1134,65 @@ def event_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return key_skew_profile(events, "user_id", top_k=10)
+
+
+@query(
+    "table_quality_report",
+    oracle="""
+SELECT 'o_custkey' AS col,
+       count(*) - count(o_custkey)                   AS n_null,
+       count(DISTINCT o_custkey)                     AS n_distinct,
+       CAST(min(o_custkey) AS VARCHAR)               AS min_value,
+       CAST(max(o_custkey) AS VARCHAR)               AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_totalprice',
+       count(*) - count(o_totalprice),
+       count(DISTINCT o_totalprice),
+       CAST(round(min(o_totalprice), 2) AS VARCHAR),
+       CAST(round(max(o_totalprice), 2) AS VARCHAR)
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus',
+       count(*) - count(o_orderstatus),
+       count(DISTINCT o_orderstatus),
+       min(o_orderstatus),
+       max(o_orderstatus)
+FROM orders
+""",
+)
+def table_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data-quality expectations (null count, cardinality,
+    bounds) for the orders table — the dbt-test / expectations-report
+    shape every ingest pipeline publishes next to the data.
+
+    ONE pass over the table: all per-column aggregates compute in a
+    single agg (map-side partials), then unpivot to the report rows via
+    a stack() — never one job per column, the difference between 3 and
+    N scans when the real table has 300 columns. String-typed bounds so
+    heterogeneous columns share one report schema.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.agg(
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("ck_null"),
+        F.countDistinct("o_custkey").alias("ck_dist"),
+        F.min("o_custkey").cast("string").alias("ck_min"),
+        F.max("o_custkey").cast("string").alias("ck_max"),
+        (F.count(F.lit(1)) - F.count("o_totalprice")).alias("tp_null"),
+        F.countDistinct("o_totalprice").alias("tp_dist"),
+        F.round(F.min("o_totalprice"), 2).cast("string").alias("tp_min"),
+        F.round(F.max("o_totalprice"), 2).cast("string").alias("tp_max"),
+        (F.count(F.lit(1)) - F.count("o_orderstatus")).alias("st_null"),
+        F.countDistinct("o_orderstatus").alias("st_dist"),
+        F.min("o_orderstatus").alias("st_min"),
+        F.max("o_orderstatus").alias("st_max"),
+    )
+    return a.select(
+        F.expr(
+            "stack(3,"
+            " 'o_custkey', ck_null, ck_dist, ck_min, ck_max,"
+            " 'o_totalprice', tp_null, tp_dist, tp_min, tp_max,"
+            " 'o_orderstatus', st_null, st_dist, st_min, st_max)"
+            " AS (col, n_null, n_distinct, min_value, max_value)"
+        )
+    )
