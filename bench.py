@@ -34,6 +34,7 @@ HEADLINE = [
     "order_value_percentiles",
     "shipping_priority_topk",
     "nation_balance_moments",
+    "local_supplier_volume",
     # training-data pipeline ops
     "doc_exact_dedup",
     "substring_span_dedup",

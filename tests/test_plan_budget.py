@@ -40,6 +40,7 @@ SHUFFLE_BUDGET = {
     "order_value_percentiles": 1,
     "shipping_priority_topk": 1,
     "nation_balance_moments": 1,
+    "local_supplier_volume": 1,
     "doc_exact_dedup": 1,
     "substring_span_dedup": 3,
     "dataset_split_assign": 0,

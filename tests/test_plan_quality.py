@@ -266,3 +266,9 @@ class TestOlapPlans:
         assert plan.count("Arguments: hashpartitioning") <= 2, plan
         schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
         assert schema_lines and all("n_chars" not in ln and "lang" not in ln for ln in schema_lines)
+
+    def test_q5_sixway_join_broadcasts_every_dim(self, spark, sf_dir):
+        # lineitem must stream through broadcast joins; one shuffle (rollup)
+        plan = plan_of(spark, sf_dir, "local_supplier_volume")
+        assert "SortMergeJoin" not in plan, plan
+        assert plan.count("Arguments: hashpartitioning") == 1, plan
