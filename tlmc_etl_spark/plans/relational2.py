@@ -1251,3 +1251,79 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("revenue")
         )
     )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+SELECT strftime(date_trunc('month', CAST(l_shipdate AS TIMESTAMP)), '%Y-%m') AS ship_month,
+       CAST(round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                   THEN l_extendedprice * (1 - l_discount)
+                                   ELSE 0 END)
+                  / sum(l_extendedprice * (1 - l_discount)), 4) AS DOUBLE)
+         AS promo_share_pct,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY ship_month
+""",
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share per ship month — conditional
+    aggregation (CASE inside sum) over a fact x broadcast-dim join. Both
+    the numerator and denominator ride ONE agg pass; the part dim
+    broadcasts; the year filter reaches the lineitem scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(F.date_format(F.date_trunc("month", "l_shipdate"), "yyyy-MM").alias("ship_month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share_pct"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "supplier_part_reach",
+    oracle="""
+SELECT p_brand, p_type,
+       count(DISTINCT l_suppkey) AS n_suppliers,
+       count(*)                  AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand != 'Brand#13'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type
+""",
+)
+def supplier_part_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier reach per (brand, type) with a
+    NOT-IN exclusion of negative-balance suppliers. The exclusion is a
+    broadcast left-anti join (null-safe here: s_suppkey is a key column);
+    the distinct count expands inside the single groupBy pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#13")
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(bad_supp), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
