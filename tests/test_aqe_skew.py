@@ -62,3 +62,44 @@ def test_aqe_splits_the_hot_key_partition(spark, skew_conf):
 
 def test_session_aqe_is_on_by_default(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+AQE_BHJ_CONF = {
+    # static planner must NOT broadcast (pretend stats are unknown/huge)...
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    # ...but the runtime, seeing the ACTUAL shuffled bytes, may
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "10MB",
+}
+
+
+@pytest.fixture()
+def aqe_bhj_conf(spark):
+    old = {k: spark.conf.get(k, None) for k in AQE_BHJ_CONF}
+    for k, v in AQE_BHJ_CONF.items():
+        spark.conf.set(k, v)
+    yield
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_converts_smj_to_broadcast_at_runtime(spark, aqe_bhj_conf):
+    """The join-strategy half of AQE: when static stats force a sort-merge
+    plan but the true build side is tiny, the runtime re-plans it as a
+    broadcast join after seeing actual shuffle sizes. At 100 TB this is
+    what rescues filtered dims whose pre-filter file stats looked huge."""
+    fact = spark.range(0, 50_000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(0, 500).select(F.col("id").alias("k"), F.lit("d").alias("tag"))
+    joined = fact.join(dim, "k")
+
+    static_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in static_plan and "isFinalPlan=false" in static_plan
+
+    assert len(joined.collect()) == 50_000
+    final_plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in final_plan
+    assert "BroadcastHashJoin" in final_plan, final_plan[:1500]
