@@ -361,3 +361,34 @@ class TestJournalTailSource:
             for r in spark.read.parquet(str(tmp_path / "out2")).collect()
         }
         assert rows == {"aa": 0, "bbbb": 3}
+
+
+class TestForeachBatchMerge:
+    """journal_tail -> foreachBatch keyed merge: streamed upserts converge
+    to the same state a batch merge of the full journal would produce."""
+
+    def test_streamed_upserts_converge_to_batch_state(self, spark, tmp_path):
+        from tlmc_etl_spark.streaming.foreach_merge import start_journal_merge_stream
+
+        journal = tmp_path / "merge_journal.jsonl"
+        target = str(tmp_path / "state")
+        ckpt = str(tmp_path / "ckpt")
+        journal.write_text(
+            '{"item_id": "a", "value": 1}\n'
+            '{"item_id": "b", "value": 2}\n'
+            '{"item_id": "a", "value": 3}\n'  # same-batch dup: last wins
+        )
+        q = start_journal_merge_stream(spark, str(journal), target, ckpt)
+        q.awaitTermination(120)
+        state = {r["item_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+        assert state == {"a": 3.0, "b": 2.0}
+
+        # second run: update one key, add one — merge, not append
+        with open(journal, "a") as fh:
+            fh.write('{"item_id": "b", "value": 9}\n{"item_id": "c", "value": 4}\n')
+        q = start_journal_merge_stream(spark, str(journal), target, ckpt)
+        q.awaitTermination(120)
+        state = {r["item_id"]: r["value"] for r in spark.read.parquet(target).collect()}
+        assert state == {"a": 3.0, "b": 9.0, "c": 4.0}
+        # exactly one row per key survived
+        assert spark.read.parquet(target).count() == 3
