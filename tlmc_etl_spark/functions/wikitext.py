@@ -243,3 +243,51 @@ def parse_lyrics_page(src: str) -> list[tuple]:
         title = segment[0].split("=")[0].strip()
         rows.extend(_parse_lyrics_section("\n".join(segment), title))
     return rows
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 native UDTF form
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.functions import udtf as _udtf  # noqa: E402
+
+
+@_udtf(returnType="idx int, kind string, content string")
+class BracketSpansUDTF:
+    """One row per delimited span of the input, in positional order:
+    `[x]` -> ('square', x), `(x)` -> ('round', x), and any bare text
+    between spans -> ('plain', trimmed). The table-function form of the
+    bracket scanning the catalog's filename parsers do with scalar UDFs
+    (functions/text.py; info_scanner_ph2.py:73-103) — as a NATIVE Python
+    UDTF, so SQL consumers use it in a LATERAL join instead of
+    explode(udf(...)). Non-nesting by contract (filenames don't nest)."""
+
+    def eval(self, s: str):
+        if s is None:
+            return
+        idx = 0
+        i = 0
+        plain: list[str] = []
+        closers = {"[": ("]", "square"), "(": (")", "round")}
+        while i < len(s):
+            ch = s[i]
+            if ch in closers:
+                close, kind = closers[ch]
+                end = s.find(close, i + 1)
+                if end < 0:
+                    plain.append(s[i:])
+                    break
+                text = "".join(plain).strip()
+                if text:
+                    yield idx, "plain", text
+                    idx += 1
+                plain = []
+                yield idx, kind, s[i + 1 : end]
+                idx += 1
+                i = end + 1
+            else:
+                plain.append(ch)
+                i += 1
+        text = "".join(plain).strip()
+        if text:
+            yield idx, "plain", text

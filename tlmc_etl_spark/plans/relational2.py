@@ -1327,3 +1327,44 @@ def supplier_part_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
+
+
+@query(
+    "bracket_spans_udtf",
+    oracle="""
+WITH src AS (
+  SELECT o_orderkey,
+         '[' || o_orderstatus || '] ' || o_orderpriority || ' (' || o_orderkey || ')' AS s
+  FROM orders WHERE o_orderkey % 100 = 0
+)
+SELECT o_orderkey, 0 AS idx, 'square' AS kind, o_orderstatus AS content
+FROM src JOIN orders USING (o_orderkey)
+UNION ALL
+SELECT o_orderkey, 1, 'plain', o_orderpriority FROM src JOIN orders USING (o_orderkey)
+UNION ALL
+SELECT o_orderkey, 2, 'round', CAST(o_orderkey AS VARCHAR)
+FROM src JOIN orders USING (o_orderkey)
+""",
+)
+def bracket_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native Python UDTF in a LATERAL join: each synthesized
+    '[status] priority (key)' string explodes to its positionally-
+    ordered spans via BracketSpansUDTF — the §2.10 UDTF surface as a
+    real `@udtf` (not explode-of-array-UDF). The oracle reconstructs
+    the expected rows from the source columns without running the
+    parser, so the span semantics are pinned externally."""
+    from tlmc_etl_spark.functions.wikitext import BracketSpansUDTF
+
+    spark.udtf.register("bracket_spans", BracketSpansUDTF)
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 100 == 0)
+    orders.select(
+        "o_orderkey",
+        F.concat(
+            F.lit("["), "o_orderstatus", F.lit("] "), "o_orderpriority",
+            F.lit(" ("), F.col("o_orderkey").cast("string"), F.lit(")"),
+        ).alias("s"),
+    ).createOrReplaceTempView("__bracket_src")
+    return spark.sql(
+        "SELECT o_orderkey, t.idx, t.kind, t.content "
+        "FROM __bracket_src, LATERAL bracket_spans(s) t"
+    )
