@@ -243,3 +243,27 @@ class TestBinvecDataSource:
         assert rows["not-a-uuid"]["reason"] == "bad_filename"
         assert rows[uuid_of_int(1)]["reason"] == "wrong_dims"
         assert rows[uuid_of_int(2)]["valid"] and len(rows[uuid_of_int(2)]["embedding"]) == 64
+
+
+class TestBinvecDataSourceWriter:
+    def test_write_format_roundtrips_through_read_format(self, spark, sf_dir, tmp_path):
+        from tlmc_etl_spark.sources.binvec import register_binvec_writable
+        from tlmc_etl_spark.sources.tables import load_table
+        import json
+
+        register_binvec_writable(spark)
+        emb = load_table(spark, sf_dir, "embeddings").limit(40).select(
+            F.col("vec_id").alias("track_int"), "embedding"
+        )
+        out = str(tmp_path / "bins")
+        emb.write.format("binvec").option("path", out).mode("append").save()
+
+        manifest = json.load(open(f"{out}/manifest.json"))
+        assert manifest["n_files"] == 40
+
+        back = (
+            spark.read.format("binvec").option("dims", 64).load(out)
+        )
+        rows = {r["track_int"]: r["embedding"] for r in back.filter("valid").collect()}
+        want = {r["track_int"]: r["embedding"] for r in emb.collect()}
+        assert rows == want

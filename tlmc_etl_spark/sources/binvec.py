@@ -94,7 +94,9 @@ def read_embedding_bins(spark: SparkSession, dir_path: str, expected_dims: int) 
 from pyspark.sql.datasource import (  # noqa: E402
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 BINVEC_SCHEMA = (
@@ -166,3 +168,60 @@ class _BinvecReader(DataSourceReader):
 def register_binvec_source(spark: SparkSession) -> None:
     """Register the binvec format on this session (idempotent)."""
     spark.dataSource.register(BinvecDataSource)
+
+
+class _BinvecCommit(WriterCommitMessage):
+    def __init__(self, n_files: int):
+        self.n_files = n_files
+
+
+class BinvecWritableDataSource(BinvecDataSource):
+    """binvec with the writer half: `df.write.format("binvec")
+    .option("path", dir).mode("append"|"overwrite").save()`.
+
+    Each executor task writes its own partition's `{uuid}.bin` files
+    directly (no driver funnel); the driver's commit() aggregates
+    per-task file counts — the DataSource V2 commit protocol carrying
+    the same manifest information sinks/binvec.py returns as a
+    DataFrame. Input schema: (track_int long, embedding array<float>).
+    """
+
+    def writer(self, schema, overwrite: bool):
+        return _BinvecWriter(self.options, overwrite)
+
+
+class _BinvecWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.dir_path = options.get("path")
+        if not self.dir_path:
+            raise ValueError("binvec write: .option('path', dir) required")
+        self.overwrite = overwrite
+
+    def write(self, rows):
+        import os
+
+        os.makedirs(self.dir_path, exist_ok=True)
+        n = 0
+        for row in rows:
+            u = uuid_of_int(int(row.track_int))
+            arr = np.asarray(row.embedding, dtype="<f4")
+            with open(os.path.join(self.dir_path, f"{u}.bin"), "wb") as fh:
+                fh.write(arr.tobytes())
+            n += 1
+        return _BinvecCommit(n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        total = sum(m.n_files for m in messages if m is not None)
+        with open(os.path.join(self.dir_path, "manifest.json"), "w") as fh:
+            json.dump({"n_files": total, "dtype": "<f4"}, fh)
+
+    def abort(self, messages):
+        pass
+
+
+def register_binvec_writable(spark: SparkSession) -> None:
+    """Register the read+write binvec format (replaces the read-only one)."""
+    spark.dataSource.register(BinvecWritableDataSource)
