@@ -149,7 +149,7 @@ def test_random_filter_group_agg_matches_duckdb(spark, duck, sf_dir, spec):
 window_specs = st.fixed_dictionaries(
     {
         "part": st.sampled_from(["o_orderstatus", "o_orderpriority"]),
-        "fn": st.sampled_from(["row_number", "rank", "dense_rank", "lag", "lead", "cumsum"]),
+        "fn": st.sampled_from(["row_number", "rank", "dense_rank", "lag", "lead", "cumsum", "range_sum"]),
         "limit_filter": st.integers(1, 20),
     }
 )
@@ -177,6 +177,13 @@ def test_random_window_function_matches_duckdb(spark, duck, sf_dir, spec):
         "cumsum": F.sum("o_totalprice").over(
             w.rowsBetween(W.unboundedPreceding, W.currentRow)
         ),
+        # RANGE frame over a value ordering: peers (equal prices) enter the
+        # frame together — the semantics ROWS frames cannot express
+        "range_sum": F.sum("o_totalprice").over(
+            W.partitionBy(spec["part"])
+            .orderBy("o_totalprice")
+            .rangeBetween(-50000, 0)
+        ),
     }
     got = (
         orders.select(
@@ -193,6 +200,8 @@ def test_random_window_function_matches_duckdb(spark, duck, sf_dir, spec):
         "lead": "lead(o_totalprice, 1) OVER win",
         "cumsum": "sum(o_totalprice) OVER (PARTITION BY {p} ORDER BY o_totalprice DESC,"
         " o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+        "range_sum": "sum(o_totalprice) OVER (PARTITION BY {p} ORDER BY o_totalprice"
+        " RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW)",
     }
     expr = sql_fns[spec["fn"]].format(p=spec["part"])
     rows = duck.execute(
