@@ -39,6 +39,7 @@ specs = st.fixed_dictionaries(
         "aggs": st.sets(
             st.sampled_from(["cnt", "total", "mn", "mx", "avg_p"]), min_size=1, max_size=4
         ),
+        "having_cnt_gt": st.one_of(st.none(), st.integers(0, 5000)),
     }
 )
 
@@ -66,7 +67,10 @@ def _spark_query(orders, spec):
     }
     aggs = [agg_map[a] for a in sorted(spec["aggs"])]
     if spec["group"]:
-        return df.groupBy(spec["group"]).agg(*aggs)
+        out = df.groupBy(spec["group"]).agg(*aggs, F.count(F.lit(1)).alias("__n"))
+        if spec.get("having_cnt_gt") is not None:
+            out = out.filter(F.col("__n") > spec["having_cnt_gt"])
+        return out.drop("__n")
     return df.agg(*aggs)
 
 
@@ -96,7 +100,12 @@ def _duck_sql(spec):
     sel = ", ".join(agg_map[a] for a in sorted(spec["aggs"]))
     if spec["group"]:
         g = spec["group"]
-        return f"SELECT {g}, {sel} FROM orders{where} GROUP BY {g}"
+        having = (
+            f" HAVING count(*) > {spec['having_cnt_gt']}"
+            if spec.get("having_cnt_gt") is not None
+            else ""
+        )
+        return f"SELECT {g}, {sel} FROM orders{where} GROUP BY {g}{having}"
     return f"SELECT {sel} FROM orders{where}"
 
 

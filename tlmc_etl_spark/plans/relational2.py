@@ -1368,3 +1368,42 @@ def bracket_spans_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT o_orderkey, t.idx, t.kind, t.content "
         "FROM __bracket_src, LATERAL bracket_spans(s) t"
     )
+
+
+@query(
+    "status_priority_cube",
+    oracle="""
+SELECT coalesce(o_orderstatus, '<all>')   AS status,
+       coalesce(o_orderpriority, '<all>') AS priority,
+       CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS INT) AS gid,
+       count(*) AS n_orders,
+       CAST(round(avg(o_totalprice), 4) AS DOUBLE) AS avg_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def status_priority_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all four grouping sets — full cross
+    stats, both one-dimension margins, and the grand total — in ONE
+    shuffle with map-side partial agg (the Expand node multiplies rows
+    only after the partial combine). gid disambiguates margin rows from
+    genuine values, sentinel-coalesced identically on both engines.
+    Completes the grouping-sets family next to hierarchy_rollup_totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+            (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+            .cast("int")
+            .alias("gid"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "avg_price",
+        )
+    )
