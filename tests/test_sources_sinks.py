@@ -267,3 +267,62 @@ class TestBinvecDataSourceWriter:
         rows = {r["track_int"]: r["embedding"] for r in back.filter("valid").collect()}
         want = {r["track_int"]: r["embedding"] for r in emb.collect()}
         assert rows == want
+
+    def test_overwrite_clears_stale_files(self, spark, sf_dir, tmp_path):
+        """mode('overwrite') must remove bins from a prior write — stale
+        {uuid}.bin files surviving would be read back as live rows."""
+        from tlmc_etl_spark.sources.binvec import register_binvec_writable
+        from tlmc_etl_spark.sources.tables import load_table
+        import json
+
+        register_binvec_writable(spark)
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("track_int"), "embedding"
+        )
+        out = str(tmp_path / "bins")
+        emb.limit(40).write.format("binvec").option("path", out).mode(
+            "append"
+        ).save()
+        emb.filter("track_int >= 100").limit(10).write.format("binvec").option(
+            "path", out
+        ).mode("overwrite").save()
+
+        manifest = json.load(open(f"{out}/manifest.json"))
+        assert manifest["n_files"] == 10
+        back = spark.read.format("binvec").option("dims", 64).load(out)
+        assert back.count() == 10  # no stale rows from the first write
+        import os
+
+        assert not os.path.isdir(f"{out}/_binvec_staging")  # staging cleaned
+
+    def test_failed_job_leaves_previous_contents_intact(self, spark, sf_dir, tmp_path):
+        """A job that dies mid-write must not publish partial files or
+        disturb the previous generation (abort() drops staging only)."""
+        from tlmc_etl_spark.sources.binvec import register_binvec_writable
+        from tlmc_etl_spark.sources.tables import load_table
+        import glob
+        import os
+        import pytest
+
+        register_binvec_writable(spark)
+        emb = load_table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("track_int"), "embedding"
+        )
+        out = str(tmp_path / "bins")
+        emb.limit(5).write.format("binvec").option("path", out).mode(
+            "append"
+        ).save()
+        before = sorted(glob.glob(f"{out}/*.bin"))
+
+        bad = emb.limit(20).withColumn(
+            "track_int",
+            F.when(F.col("track_int") < 10, F.col("track_int")).otherwise(
+                F.expr("assert_true(false, 'boom')").cast("long")
+            ),
+        )
+        with pytest.raises(Exception):
+            bad.write.format("binvec").option("path", out).mode(
+                "overwrite"
+            ).save()
+        assert sorted(glob.glob(f"{out}/*.bin")) == before
+        assert not os.path.isdir(f"{out}/_binvec_staging")

@@ -392,3 +392,36 @@ class TestForeachBatchMerge:
         assert state == {"a": 3.0, "b": 9.0, "c": 4.0}
         # exactly one row per key survived
         assert spark.read.parquet(target).count() == 3
+
+    def test_swap_crash_recovery_both_sides(self, spark, tmp_path):
+        """The publish parks the old snapshot at <target>.old before the
+        new one lands; _recover_target must heal BOTH crash positions
+        without losing a complete snapshot (the checkpoint has already
+        committed — the journal will not replay to rebuild lost state)."""
+        import os
+        import shutil
+
+        from tlmc_etl_spark.streaming.foreach_merge import _recover_target
+
+        target = str(tmp_path / "state")
+        old = target + ".old"
+        df = spark.createDataFrame([("a", 1.0)], "item_id string, value double")
+
+        # crash AFTER parking old, BEFORE landing new: only .old exists
+        df.write.parquet(target)
+        os.rename(target, old)
+        _recover_target(target)
+        assert os.path.isdir(target) and not os.path.isdir(old)
+        assert spark.read.parquet(target).count() == 1
+
+        # crash AFTER landing new, BEFORE cleanup: both exist -> keep new
+        df.write.parquet(old.replace(".old", "") + ".tmpold")
+        os.rename(target + ".tmpold", old)
+        new_df = spark.createDataFrame(
+            [("a", 2.0), ("b", 3.0)], "item_id string, value double"
+        )
+        shutil.rmtree(target)
+        new_df.write.parquet(target)
+        _recover_target(target)
+        assert os.path.isdir(target) and not os.path.isdir(old)
+        assert spark.read.parquet(target).count() == 2

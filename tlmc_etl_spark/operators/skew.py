@@ -63,9 +63,12 @@ def key_skew_profile(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
     hot key, AQE's runtime split for diffuse skew, nothing when
     skew_factor ~ 1).
 
-    One groupBy(key) with map-side combine; the top-k cut is a
-    TakeOrdered heap (never a global sort) and the 1-row global summary
-    broadcasts back onto it. Deterministic: ties broken by key value.
+    One groupBy(key) with map-side combine; the top-k cut is
+    orderBy+limit, which Spark plans as TakeOrderedAndProject (a per-
+    partition heap + driver merge of k rows, never a global sort);
+    rank is derived AFTER the cut, as a window over the <= k surviving
+    rows (one trivial task). The 1-row global summary broadcasts back
+    onto it. Deterministic: ties broken by key value.
 
     Columns: rank, key (as string), n_rows, share, n_keys, skew_factor
     (= max key count / mean key count; >> 1 means a salted or AQE-split
@@ -79,10 +82,9 @@ def key_skew_profile(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
         F.count(F.lit(1)).alias("n_keys"),
         F.max("n_rows").alias("max_rows"),
     )
+    top = counts.orderBy(F.col("n_rows").desc(), "key").limit(top_k)
     w = W.orderBy(F.col("n_rows").desc(), "key")
-    top = counts.withColumn("rank", F.row_number().over(w)).filter(
-        F.col("rank") <= top_k
-    )
+    top = top.withColumn("rank", F.row_number().over(w))
     return (
         top.crossJoin(F.broadcast(summary))
         .select(

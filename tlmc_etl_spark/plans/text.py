@@ -926,14 +926,13 @@ WITH toks AS (
   SELECT doc_id, i AS pos,
          md5(array_to_string(t[i + 1:i + 8], ' ')) AS gh
   FROM toks, LATERAL (SELECT unnest(range(0, greatest(len(t) - 7, 0))) AS i)
-), stats AS (
-  SELECT gh, count(*) AS cnt,
-         min(doc_id * 1000000 + pos) AS canon
-  FROM grams GROUP BY gh
+), ranked AS (
+  SELECT doc_id, pos,
+         count(*)     OVER (PARTITION BY gh)                        AS cnt,
+         row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos)   AS rn
+  FROM grams
 ), removals AS (
-  SELECT g.doc_id, g.pos
-  FROM grams g JOIN stats s USING (gh)
-  WHERE s.cnt > 1 AND g.doc_id * 1000000 + g.pos != s.canon
+  SELECT doc_id, pos FROM ranked WHERE cnt > 1 AND rn > 1
 ), covered AS (
   SELECT DISTINCT doc_id, p AS pos
   FROM removals, LATERAL (SELECT unnest(range(pos, pos + 8)) AS p)
@@ -964,7 +963,9 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: grams are 16-byte md5 keys (never the span text beyond
     the map side); the duplicate test is ONE groupBy(gh) with map-side
-    partial agg (count + min-encoded canonical occurrence); only
+    partial agg (count + min(struct(doc_id, pos)) canonical occurrence —
+    struct ordering, not an arithmetic encoding, so a million-token
+    document can't bleed pos into the doc_id digits); only
     occurrences of duplicated grams explode into covered positions
     (bounded x8); the final reassembly is one groupBy(doc_id) of
     (pos, token) pairs. No window over the full gram table, no
@@ -985,14 +986,20 @@ def substring_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.explode("gs").alias("g")).select(
         "doc_id", F.col("g.pos").alias("pos"), F.col("g.gh").alias("gh")
     )
-    # one shuffle: partial-agg'd count + canonical occurrence per gram
-    enc = F.col("doc_id") * F.lit(1000000) + F.col("pos")
+    # one shuffle: partial-agg'd count + canonical occurrence per gram.
+    # min(struct) orders lexicographically (doc_id, then pos) and stays
+    # map-combinable; the independent DuckDB oracle uses a window
+    # row_number instead, so an ordering bug here can't self-confirm.
     stats = grams.groupBy("gh").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min(enc).alias("canon")
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(F.struct("doc_id", "pos")).alias("canon"),
     )
     removals = (
         grams.join(stats.filter(F.col("cnt") > 1), "gh")
-        .filter(enc != F.col("canon"))
+        .filter(
+            (F.col("doc_id") != F.col("canon.doc_id"))
+            | (F.col("pos") != F.col("canon.pos"))
+        )
         .select("doc_id", "pos")
     )
     covered = removals.select(

@@ -171,19 +171,26 @@ def register_binvec_source(spark: SparkSession) -> None:
 
 
 class _BinvecCommit(WriterCommitMessage):
-    def __init__(self, n_files: int):
-        self.n_files = n_files
+    def __init__(self, staging_dir: str, files: list[str]):
+        self.staging_dir = staging_dir
+        self.files = files
 
 
 class BinvecWritableDataSource(BinvecDataSource):
     """binvec with the writer half: `df.write.format("binvec")
     .option("path", dir).mode("append"|"overwrite").save()`.
 
-    Each executor task writes its own partition's `{uuid}.bin` files
-    directly (no driver funnel); the driver's commit() aggregates
-    per-task file counts — the DataSource V2 commit protocol carrying
-    the same manifest information sinks/binvec.py returns as a
-    DataFrame. Input schema: (track_int long, embedding array<float>).
+    Each executor task writes its partition's `{uuid}.bin` files into a
+    private staging subdir (no driver funnel for the bytes); the
+    driver's commit() publishes them with O(n_files) renames — clearing
+    pre-existing `*.bin` first under mode("overwrite") — and writes the
+    manifest, so readers never observe a half-written job and stale
+    files can't survive an overwrite. abort() removes every staging
+    dir, leaving the previous contents intact: the V2 commit protocol
+    carrying the same manifest information sinks/binvec.py returns as a
+    DataFrame. Requires `path` on storage shared between executors and
+    driver (same assumption the reader makes). Input schema:
+    (track_int long, embedding array<float>).
     """
 
     def writer(self, schema, overwrite: bool):
@@ -191,6 +198,8 @@ class BinvecWritableDataSource(BinvecDataSource):
 
 
 class _BinvecWriter(DataSourceWriter):
+    _STAGING = "_binvec_staging"
+
     def __init__(self, options, overwrite: bool):
         self.dir_path = options.get("path")
         if not self.dir_path:
@@ -199,27 +208,53 @@ class _BinvecWriter(DataSourceWriter):
 
     def write(self, rows):
         import os
+        import uuid as _u
 
-        os.makedirs(self.dir_path, exist_ok=True)
-        n = 0
+        task_dir = os.path.join(self.dir_path, self._STAGING, _u.uuid4().hex)
+        os.makedirs(task_dir, exist_ok=True)
+        names: list[str] = []
         for row in rows:
             u = uuid_of_int(int(row.track_int))
             arr = np.asarray(row.embedding, dtype="<f4")
-            with open(os.path.join(self.dir_path, f"{u}.bin"), "wb") as fh:
+            with open(os.path.join(task_dir, f"{u}.bin"), "wb") as fh:
                 fh.write(arr.tobytes())
-            n += 1
-        return _BinvecCommit(n)
+            names.append(f"{u}.bin")
+        return _BinvecCommit(task_dir, names)
 
     def commit(self, messages):
+        import glob as _glob
         import json
         import os
+        import shutil
 
-        total = sum(m.n_files for m in messages if m is not None)
+        if self.overwrite:
+            for old in _glob.glob(os.path.join(self.dir_path, "*.bin")):
+                os.remove(old)
+        total = 0
+        for m in messages:
+            if m is None:
+                continue
+            for name in m.files:
+                os.replace(
+                    os.path.join(m.staging_dir, name),
+                    os.path.join(self.dir_path, name),
+                )
+                total += 1
+        shutil.rmtree(
+            os.path.join(self.dir_path, self._STAGING), ignore_errors=True
+        )
         with open(os.path.join(self.dir_path, "manifest.json"), "w") as fh:
             json.dump({"n_files": total, "dtype": "<f4"}, fh)
 
     def abort(self, messages):
-        pass
+        import os
+        import shutil
+
+        # drop everything staged (including dirs of failed tasks, whose
+        # commit messages never arrived); published files stay untouched
+        shutil.rmtree(
+            os.path.join(self.dir_path, self._STAGING), ignore_errors=True
+        )
 
 
 def register_binvec_writable(spark: SparkSession) -> None:
