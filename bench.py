@@ -2,6 +2,23 @@
 (default /root/testdata/sf0.1) and prints ONE JSON line with per-query
 wall times. Each query is fully materialized via a count-collect of the
 result (no toPandas transfer cost in the measurement).
+
+Contention gate: a run that starts on a loaded host measures the host,
+not the engine (observed round 3: an unchanged tree re-measured
+17.8s -> 113s under loadavg 17; round 4's graded artifact recorded
+1.604x under loadavg 8.47 vs 1.12x idle). If loadavg exceeds
+LOAD_THRESHOLD the harness sleeps and retries for up to
+$SPARK_GRAFT_BENCH_MAX_WAIT seconds (default 300) before starting; if
+the host never quiets down it proceeds anyway but stamps
+"loadavg_override": true into the artifact so a contended number can
+never masquerade as an idle one. Set SPARK_GRAFT_BENCH_FORCE=1 to skip
+the wait entirely (also stamped).
+
+If a committed SCALING.json exists next to this file (produced by
+tools/bench_scaling.py on an idle host), its multi-sf scaling curve is
+embedded under "scaling" with its own provenance (loadavg, sf dirs), so
+the per-round artifact carries the sf0.1->sf1 evidence without re-paying
+the sf1 run each round.
 """
 
 from __future__ import annotations
@@ -47,6 +64,7 @@ HEADLINE = [
     "benchmark_contamination",
     "minhash_lsh_dedup",
     "doc_dedup_clusters",
+    "doc_dedup_clusters_distributed",
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "embedding_near_dup_lsh_hi",
@@ -60,6 +78,16 @@ HEADLINE = [
     "lifecycle_similar_shards",
 ]
 
+LOAD_THRESHOLD = 4.0  # 1-min loadavg above this => the walls are suspect
+WAIT_POLL_SEC = 15
+
+WARM_DIR = "/root/testdata/sf0.001"
+
+DUCK_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
 
 def loadavg() -> list[float]:
     try:
@@ -68,83 +96,122 @@ def loadavg() -> list[float]:
         return []
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
-    load_start = loadavg()
-    # The shared host's external load distorts absolute walls 2-8x (observed
-    # round 3: an unchanged tree re-measured 17.8s -> 113s under loadavg 17).
-    # Absolute walls are only comparable across runs at similar load; the
-    # spark_over_duckdb ratio is contention-normalized (DuckDB runs in the
-    # same process under the same load) and is the number the suite is
-    # graded on.
-    if load_start and load_start[0] > 8.0:
+def wait_for_idle(max_wait: float) -> tuple[list[float], bool, float]:
+    """Block until loadavg[0] <= LOAD_THRESHOLD or max_wait elapses.
+
+    Returns (loadavg_at_accept, overridden, waited_sec). overridden is
+    True when the run proceeds despite a still-loaded host — the caller
+    must stamp that into the artifact rather than bury it in stderr.
+    """
+    waited = 0.0
+    la = loadavg()
+    while la and la[0] > LOAD_THRESHOLD and waited < max_wait:
         print(
-            f"WARN: loadavg {load_start[0]:.1f} > 8 — absolute walls will be "
-            "inflated; trust only spark_over_duckdb from this run",
+            f"bench: loadavg {la[0]:.1f} > {LOAD_THRESHOLD} — waiting "
+            f"({waited:.0f}/{max_wait:.0f}s) for the host to quiet down",
             file=sys.stderr,
         )
-    spark = get_spark("tlmc-etl-bench")
-    spark.sparkContext.setLogLevel("ERROR")
+        time.sleep(WAIT_POLL_SEC)
+        waited += WAIT_POLL_SEC
+        la = loadavg()
+    overridden = bool(la and la[0] > LOAD_THRESHOLD)
+    if overridden:
+        print(
+            f"bench: loadavg still {la[0]:.1f} after {waited:.0f}s — "
+            "proceeding with loadavg_override=true; absolute walls are "
+            "inflated, trust only spark_over_duckdb from this artifact",
+            file=sys.stderr,
+        )
+    return la, overridden, waited
 
-    names = [n for n in HEADLINE if n in QUERIES]
-    # Warm the JVM: run every headline plan once at the smallest sf so
-    # whole-stage-codegen classes and parquet footers are compiled/cached
-    # before timing — the bench measures steady-state throughput, not JIT.
-    warm_dir = "/root/testdata/sf0.001"
+
+def warm_suite(spark, names: list[str]) -> None:
+    """Run every headline plan once at the smallest sf so whole-stage-
+    codegen classes and parquet footers are compiled/cached before
+    timing — the bench measures steady-state throughput, not JIT."""
     for name in names:
         try:
-            QUERIES[name].fn(spark, warm_dir).count()
+            QUERIES[name].fn(spark, WARM_DIR).count()
         except Exception:
-            QUERIES["pricing_summary"].fn(spark, sf_dir).count()
+            QUERIES["pricing_summary"].fn(spark, WARM_DIR).count()
 
-    # Steady-state timing: best of 2 full materializations per query (the
-    # second run still re-reads parquet and re-executes the whole plan; only
-    # JIT/codegen/footer caches are warm — the same regime a long-lived
-    # cluster session runs in).
+
+def run_spark_suite(spark, names: list[str], sf_dir: str, reps: int = 2) -> dict[str, float]:
+    """Best-of-`reps` full materializations per query (each rep re-reads
+    parquet and re-executes the whole plan; only JIT/codegen/footer
+    caches are warm — the regime a long-lived cluster session runs in)."""
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(reps):
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+    return times
 
+
+def load_oracles() -> dict[str, str]:
+    import importlib.util
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", os.path.join(here, "__spark_entry__.py")
+    )
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+    return entry_mod.oracle_sql()
+
+
+def run_duckdb_suite(
+    names: list[str], sf_dir: str, oracles: dict[str, str], reps: int = 2
+) -> tuple[list[str], float]:
+    """DuckDB walls for the oracle-matched subset of `names` (same SQL,
+    same parquet, best-of-`reps`) — the denominator of the graded
+    spark_over_duckdb ratio."""
+    import duckdb
+
+    con = duckdb.connect()
+    for t in DUCK_TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    matched = [n for n in names if n in oracles]
+    dd = 0.0
+    for name in matched:
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            con.execute(oracles[name]).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        dd += best
+    con.close()
+    return matched, round(dd, 3)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+    if os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
+        load_start, overridden, waited = loadavg(), True, 0.0
+    else:
+        max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "300"))
+        load_start, overridden, waited = wait_for_idle(max_wait)
+
+    spark = get_spark("tlmc-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    warm_suite(spark, names)
+    times = run_spark_suite(spark, names, sf_dir)
     total = round(sum(times.values()), 3)
 
     # BASELINE.md's BENCH target: the relational suite within 2x of the
-    # equivalent DuckDB wall time on the same machine. Measure that DuckDB
-    # wall here (same oracle SQL, same parquet, best of 2) so every
-    # BENCH_r{N}.json carries the ratio it is graded on.
+    # equivalent DuckDB wall time on the same machine (the ratio is
+    # contention-normalized: DuckDB runs in the same process under the
+    # same load, so it stays meaningful even on an overridden run).
     duckdb_wall, matched_wall = None, None
     try:
-        import duckdb
-
-        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-        import importlib.util
-
-        spec = importlib.util.spec_from_file_location(
-            "__spark_entry__", os.path.join(os.path.dirname(os.path.abspath(__file__)), "__spark_entry__.py")
-        )
-        entry_mod = importlib.util.module_from_spec(spec)
-        spec.loader.exec_module(entry_mod)
-        oracles = entry_mod.oracle_sql()
-        con = duckdb.connect()
-        for t in (
-            "region nation customer supplier part orders lineitem events documents embeddings"
-        ).split():
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-        matched = [n for n in names if n in oracles]
-        dd = 0.0
-        for name in matched:
-            best = float("inf")
-            for _ in range(2):
-                t0 = time.perf_counter()
-                con.execute(oracles[name]).fetchall()
-                best = min(best, time.perf_counter() - t0)
-            dd += best
-        duckdb_wall = round(dd, 3)
+        oracles = load_oracles()
+        matched, duckdb_wall = run_duckdb_suite(names, sf_dir, oracles)
         matched_wall = round(sum(times[n] for n in matched), 3)
     except Exception:
         pass
@@ -158,10 +225,22 @@ def main() -> None:
         "loadavg_start": load_start,
         "loadavg_end": loadavg(),
     }
+    if overridden:
+        out["loadavg_override"] = True
+        out["loadavg_waited_sec"] = waited
     if duckdb_wall is not None:
         out["duckdb_wall"] = duckdb_wall
         out["spark_matched_wall"] = matched_wall
         out["spark_over_duckdb"] = round(matched_wall / duckdb_wall, 3)
+
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "SCALING.json"
+    )
+    if os.path.exists(scaling_path):
+        try:
+            out["scaling"] = json.load(open(scaling_path))
+        except Exception:
+            pass
     print(json.dumps(out))
 
 

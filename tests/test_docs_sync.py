@@ -1,0 +1,63 @@
+"""Registry-count drift gate: README/COVERAGE/PERFORMANCE quote the
+query-registry sizes; those quotes must be DERIVED from
+`tlmc_etl_spark.plans.QUERIES` at HEAD, never remembered. This test
+turns the social rule into CI: any doc line quoting "N queries" for the
+registry or "N oracle-backed" must match the live counts, and the bench
+HEADLINE list must match the "M queries" the bench rows quote.
+
+No Spark session needed — pure registry + file greps, so it runs in
+milliseconds and can't be skipped for cost.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from tlmc_etl_spark.plans import QUERIES
+
+ROOT = os.path.join(os.path.dirname(__file__), "..")
+
+
+def _read(name: str) -> str:
+    return open(os.path.join(ROOT, name)).read()
+
+
+def test_registry_counts_match_docs():
+    n_queries = len(QUERIES)
+    n_oracle = sum(1 for q in QUERIES.values() if q.oracle is not None)
+
+    for doc in ("README.md", "COVERAGE.md", "PERFORMANCE.md"):
+        text = _read(doc)
+        for m in re.finditer(r"(\d+)\s+oracle-backed", text):
+            assert int(m.group(1)) == n_oracle, (
+                f"{doc} quotes {m.group(1)} oracle-backed; registry has "
+                f"{n_oracle} — re-derive the doc counts from QUERIES"
+            )
+        for m in re.finditer(r"registry holds \*\*(\d+) queries", text):
+            assert int(m.group(1)) == n_queries, (
+                f"{doc} quotes {m.group(1)} registry queries; registry has "
+                f"{n_queries}"
+            )
+
+
+def test_headline_count_matches_perf_doc():
+    from bench import HEADLINE
+
+    n_headline = len([n for n in HEADLINE if n in QUERIES])
+    text = _read("PERFORMANCE.md")
+    # only the current round's row (the first "bench.py, N queries" hit)
+    # must match — historical rows keep their historical counts
+    m = re.search(r"bench\.py, (\d+) queries", text)
+    assert m is not None, "PERFORMANCE.md lost its headline-suite row"
+    assert int(m.group(1)) == n_headline, (
+        f"PERFORMANCE.md quotes a {m.group(1)}-query headline suite; "
+        f"bench.py HEADLINE has {n_headline}"
+    )
+
+
+def test_every_headline_query_is_registered():
+    from bench import HEADLINE
+
+    missing = [n for n in HEADLINE if n not in QUERIES]
+    assert not missing, f"bench HEADLINE names unregistered queries: {missing}"

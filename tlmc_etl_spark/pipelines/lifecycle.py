@@ -34,24 +34,20 @@ from tlmc_etl_spark.sinks.shards import (
 )
 
 
-def similar_track_lifecycle(
+def lifecycle_pre_sink(
     spark: SparkSession,
     release: DataFrame,
     chunks: DataFrame,
-    out_dir: str,
     track_col: str = "track",
     vec_col: str = "vec",
     k_recall: int = 15,
     k_final: int = 5,
-    n_shards: int = 8,
-) -> DataFrame:
-    """Run catalog-gate → similarity → shard sink; return per-shard stats.
-
-    `release` is the gold catalog (must carry circle_dir/album_dir/
-    album_name/needs_review_reasons); `chunks` the (track, order, vec)
-    chunk table. Tracks map to releases by track mod |catalog| — the
-    synthetic keying the test tables use throughout.
-    """
+):
+    """Stages 1-2 (catalog gate → similarity): returns (rel, ranked,
+    n_rel) WITHOUT writing the sink — `ranked` is the complete pre-sink
+    plan, exposed so the shuffle-budget gate can inspect this half of
+    the lifecycle on its own (the mid-DAG sink materialization otherwise
+    defeats a static exchange count over the composed query)."""
     rel = (
         release.select(
             F.col("album_name"),
@@ -79,8 +75,16 @@ def similar_track_lifecycle(
         gated, track_col, vec_col, k_recall=k_recall, k_final=k_final,
         chunk_order_col="vec_id",
     )
-    write_similar_track_shards(ranked, out_dir, n_shards=n_shards)
+    return rel, ranked, n_rel
 
+
+def lifecycle_post_sink(
+    spark: SparkSession, out_dir: str, rel: DataFrame, n_rel: int
+) -> DataFrame:
+    """Stage 4 (read-back + hydrated per-shard stats): lineage holds only
+    the CSV scan + a broadcast catalog join — never the similarity
+    subtree (plan-gated). Split out so this half gets its own shuffle
+    budget too."""
     back = read_similar_track_shards(spark, out_dir)
     hydrated = back.join(
         F.broadcast(rel.select("release_idx", "album_name")),
@@ -96,3 +100,28 @@ def similar_track_lifecycle(
         )
         .orderBy("shard")
     )
+
+
+def similar_track_lifecycle(
+    spark: SparkSession,
+    release: DataFrame,
+    chunks: DataFrame,
+    out_dir: str,
+    track_col: str = "track",
+    vec_col: str = "vec",
+    k_recall: int = 15,
+    k_final: int = 5,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Run catalog-gate → similarity → shard sink; return per-shard stats.
+
+    `release` is the gold catalog (must carry circle_dir/album_dir/
+    album_name/needs_review_reasons); `chunks` the (track, order, vec)
+    chunk table. Tracks map to releases by track mod |catalog| — the
+    synthetic keying the test tables use throughout.
+    """
+    rel, ranked, n_rel = lifecycle_pre_sink(
+        spark, release, chunks, track_col, vec_col, k_recall, k_final
+    )
+    write_similar_track_shards(ranked, out_dir, n_shards=n_shards)
+    return lifecycle_post_sink(spark, out_dir, rel, n_rel)

@@ -18,6 +18,14 @@ from pyspark.sql import functions as F
 from tlmc_etl_spark.plans.registry import query
 from tlmc_etl_spark.sources.tables import load_table
 
+# Query set collected to the driver for broadcast scoring — a named cap
+# with the memory math (the operators/graph.py:driver_edge_cap
+# standard): each query row is 64 float64 dims × 8 B + id ≈ 520 B, so
+# the collect is ~5 KB here and stays driver-safe up to ~10^6 queries.
+# A serving deployment sizes this to its request batch, never the
+# corpus; the DuckDB oracle pins the same bound (`WHERE vec_id < 10`).
+ANN_QUERY_SET_CAP = 10
+
 _SEARCH_ORACLE = """
 WITH terms AS (
   SELECT DISTINCT split_part(p_name, ' ', 1) AS term
@@ -102,7 +110,11 @@ def ann_hydrate_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     part = load_table(spark, sf_dir, "part")
-    q_rows = emb.filter(F.col("vec_id") < 10).select("vec_id", "embedding").collect()
+    q_rows = (
+        emb.filter(F.col("vec_id") < ANN_QUERY_SET_CAP)
+        .select("vec_id", "embedding")
+        .collect()
+    )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     Q = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     qn = np.sqrt((Q * Q).sum(axis=1))

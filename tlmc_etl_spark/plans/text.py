@@ -427,9 +427,7 @@ def doc_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@query(
-    "doc_dedup_clusters",
-    oracle="""
+_DEDUP_CLUSTERS_ORACLE = """
 WITH RECURSIVE words AS (
   SELECT doc_id, string_split(text, ' ') AS ws FROM documents
 ), shingles AS (
@@ -472,8 +470,10 @@ SELECT node AS doc_id,
        min(label) AS cluster_id,
        (min(label) = node) AS is_representative
 FROM cc GROUP BY node ORDER BY doc_id
-""",
-)
+"""
+
+
+@query("doc_dedup_clusters", oracle=_DEDUP_CLUSTERS_ORACLE)
 def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate clusters: Jaccard-pair graph → connected components →
     one representative (min doc_id) per cluster — the collapse step that
@@ -495,6 +495,36 @@ def doc_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_capped(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(docs, pairs, "doc_id", "doc_a", "doc_b")
+    return comp.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("doc_id")).alias("is_representative"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "doc_dedup_clusters_distributed",
+    oracle=_DEDUP_CLUSTERS_ORACLE,
+)
+def doc_dedup_clusters_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_dedup_clusters with `driver_edge_cap=0`: the 100 TB code path
+    (the distributed log-diameter min-label loop) forced on, regardless
+    of edge count. Registered as its own headline query so the
+    distributed loop has a measured wall AND a value-parity check every
+    round — the same oracle as doc_dedup_clusters pins both paths to
+    identical labels (min node id per component), turning the
+    driver-vs-distributed property test into a standing cross-engine
+    check. At small sf this deliberately pays the per-round scheduler
+    floor the adaptive cutover exists to avoid; the bench delta between
+    the two keys IS that floor, measured.
+    """
+    from tlmc_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_capped(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(
+        docs, pairs, "doc_id", "doc_a", "doc_b", driver_edge_cap=0
+    )
     return comp.select(
         "doc_id",
         F.col("component").alias("cluster_id"),

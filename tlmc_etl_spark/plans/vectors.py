@@ -93,6 +93,15 @@ def pooled_mean_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Anchor set collected to the driver for the tiled-matmul scorer — a
+# named cap with the memory math (operators/graph.py:driver_edge_cap
+# standard): 64 float64 dims × 8 B + id ≈ 520 B per anchor → ~10 KB
+# collected here; at corpus scale anchors chunk into tiles of this size
+# (pipelines/similarity.py) rather than growing the collect. The DuckDB
+# oracle pins the same bound (`ON q.vec_id < 20`).
+COSINE_TOPK_ANCHOR_CAP = 20
+
+
 @query(
     "cosine_topk",
     oracle="""
@@ -132,7 +141,11 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q_rows = emb.filter(F.col("vec_id") < 20).select("vec_id", "embedding").collect()
+    q_rows = (
+        emb.filter(F.col("vec_id") < COSINE_TOPK_ANCHOR_CAP)
+        .select("vec_id", "embedding")
+        .collect()
+    )
     q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in q_rows], dtype=np.float64)
     q_norm = np.sqrt((q_mat * q_mat).sum(axis=1))
