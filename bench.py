@@ -139,15 +139,24 @@ def warm_suite(spark, names: list[str]) -> None:
 def run_spark_suite(spark, names: list[str], sf_dir: str, reps: int = 2) -> dict[str, float]:
     """Best-of-`reps` full materializations per query (each rep re-reads
     parquet and re-executes the whole plan; only JIT/codegen/footer
-    caches are warm — the regime a long-lived cluster session runs in)."""
+    caches are warm — the regime a long-lived cluster session runs in).
+
+    Persisted tables are dropped between queries: several plans persist
+    reuse tables for their own multi-consumer subtrees, and letting
+    those accumulate across a 38-query suite turns later measurements
+    into memory-pressure measurements (the round-5 sf1 run recorded
+    gap_fill_numbering at 20.5 s inside the contaminated suite vs 1.9 s
+    in a fresh session — same plan, same data)."""
     times: dict[str, float] = {}
     for name in names:
         best = float("inf")
         for _ in range(reps):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
         times[name] = round(best, 3)
+    spark.catalog.clearCache()
     return times
 
 

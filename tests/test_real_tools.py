@@ -1,0 +1,144 @@
+"""Opt-in passthrough tests against REAL ffprobe/ffmpeg/7z.
+
+The subprocess operators are normally driven by the fake tools
+(tools/fake_ffprobe, fake_ffmpeg, fake_7z) whose argv and output
+contracts mirror the real binaries — but only a run against the real
+tools can catch argv/parse drift no fake can (the fake asserts the
+contract we REMEMBER, the real tool asserts the contract that IS).
+Reference contracts: Shared/utils.py:80-113 (ffprobe JSON),
+loudness_measure.py:111-143 (ebur128 stderr summary),
+extract_plan.py:99-116 (7z -slt listing).
+
+Each test skips cleanly when its binary is absent from PATH (this
+container has none of them); on a host with real tools they exercise
+the DEFAULT argv constants (FFPROBE_CMD / FFMPEG_EBUR128_CMD /
+SEVEN_ZIP_CMD) — the exact command production runs — against tiny
+generated fixtures (a stdlib-`wave` WAV; a 7z-created archive).
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import struct
+import subprocess
+import wave
+
+import pytest
+
+needs_ffprobe = pytest.mark.skipif(
+    shutil.which("ffprobe") is None, reason="real ffprobe not on PATH"
+)
+needs_ffmpeg = pytest.mark.skipif(
+    shutil.which("ffmpeg") is None, reason="real ffmpeg not on PATH"
+)
+needs_7z = pytest.mark.skipif(
+    shutil.which("7z") is None, reason="real 7z not on PATH"
+)
+
+
+def _write_sine_wav(path: str, seconds: float = 0.5, rate: int = 44100) -> None:
+    """A 440 Hz stereo 16-bit sine at ~-6 dBFS — loud enough that ebur128
+    measures finite I/LRA/peak (digital silence would be -inf/gated)."""
+    n = int(seconds * rate)
+    with wave.open(path, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        amp = int(0.5 * 32767)
+        frames = bytearray()
+        for t in range(n):
+            s = int(amp * math.sin(2 * math.pi * 440 * t / rate))
+            frames += struct.pack("<hh", s, s)
+        w.writeframes(bytes(frames))
+
+
+@needs_ffprobe
+def test_real_ffprobe_probes_generated_wav(spark, tmp_path):
+    from tlmc_etl_spark.operators.process import probe_media_paths
+
+    wav = str(tmp_path / "tone.wav")
+    _write_sine_wav(wav)
+    files = spark.createDataFrame([(wav,)], "path string")
+    rows = probe_media_paths(files).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ok"], r["reason"]
+    assert r["codec"] == "pcm_s16le"
+    assert r["sample_rate"] == 44100
+    assert r["channels"] == 2
+    assert abs(r["duration_s"] - 0.5) < 0.05
+
+
+@needs_ffprobe
+def test_real_ffprobe_isolates_corrupt_file(spark, tmp_path):
+    from tlmc_etl_spark.operators.process import probe_media_paths
+
+    good = str(tmp_path / "good.wav")
+    _write_sine_wav(good)
+    bad = str(tmp_path / "bad.wav")
+    open(bad, "wb").write(b"not a riff header at all")
+    files = spark.createDataFrame([(good,), (bad,)], "path string")
+    rows = {r["path"]: r for r in probe_media_paths(files).collect()}
+    assert rows[good]["ok"]
+    assert not rows[bad]["ok"] and rows[bad]["reason"].startswith("exit_")
+
+
+@needs_ffmpeg
+def test_real_ffmpeg_ebur128_measures_wav(spark, tmp_path):
+    from tlmc_etl_spark.operators.process import measure_loudness_paths
+
+    wav = str(tmp_path / "tone.wav")
+    _write_sine_wav(wav, seconds=1.0)
+    files = spark.createDataFrame([(wav,)], "path string")
+    rows = measure_loudness_paths(files).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ok"], r["reason"]
+    # a -6 dBFS sine measures around -9..-5 LUFS integrated; the point is
+    # a FINITE parse through the real stderr format, not the exact figure
+    assert r["i"] is not None and -70.0 < r["i"] < 0.0
+    assert r["tp"] is not None and -20.0 < r["tp"] <= 3.0
+
+
+@needs_ffmpeg
+def test_real_ffmpeg_decodes_audio_payload_feature(spark, tmp_path):
+    """The multimodal decode boundary runs on REAL media when ffmpeg is
+    present: a WAV payload flows through extract_features' mapInPandas
+    exactly like the synthetic kind — same schema, same batch shape."""
+    from tlmc_etl_spark.operators.multimodal import FEATURE_DIM, extract_features
+
+    wav = tmp_path / "tone.wav"
+    _write_sine_wav(str(wav))
+    payload = wav.read_bytes()
+    media = spark.createDataFrame(
+        [("m1", "audio", bytearray(payload))],
+        "media_id string, kind string, payload binary",
+    )
+    rows = extract_features(media).collect()
+    assert len(rows) == 1
+    feat = rows[0]["feature"]
+    assert len(feat) == FEATURE_DIM
+    assert abs(sum(x * x for x in feat) - 1.0) < 1e-6  # unit-norm envelope
+
+
+@needs_7z
+def test_real_7z_lists_created_archive(spark, tmp_path):
+    from tlmc_etl_spark.operators.archive import list_archives
+
+    src = tmp_path / "tree"
+    (src / "disc1").mkdir(parents=True)
+    (src / "disc1" / "a.txt").write_text("aa")
+    (src / "b.txt").write_text("bb")
+    arc = str(tmp_path / "rel.7z")
+    subprocess.run(
+        ["7z", "a", arc, str(src / "disc1"), str(src / "b.txt")],
+        capture_output=True,
+        check=True,
+    )
+    archives = spark.createDataFrame([(arc,)], "path string")
+    rows = [r for r in list_archives(archives).collect() if r["ok"]]
+    entries = {r["entry"]: r["is_dir"] for r in rows}
+    assert any(e.endswith("a.txt") and not d for e, d in entries.items())
+    assert any(e.endswith("b.txt") and not d for e, d in entries.items())
+    assert any(e.endswith("disc1") and d for e, d in entries.items())

@@ -46,14 +46,59 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_DIM = 16
 
 
+def _ffmpeg_on_path() -> bool:
+    import shutil as _shutil
+
+    return _shutil.which("ffmpeg") is not None
+
+
+def _decode_audio_ffmpeg(payload: bytes) -> np.ndarray:
+    """Real-codec audio decode: payload bytes → mono f32 PCM via ffmpeg on
+    stdin/stdout (no temp files — the payload is already in memory), then
+    a 16-window RMS envelope as the feature. Same argv discipline as
+    operators/process.py (loudness_measure.py:111-127's contract);
+    deterministic for a given payload, so the Spark-side plumbing behaves
+    identically whether the decoder is real or synthetic."""
+    import subprocess as _sp
+
+    r = _sp.run(
+        [
+            "ffmpeg", "-hide_banner", "-v", "error", "-i", "pipe:0",
+            "-f", "f32le", "-ac", "1", "-",
+        ],
+        input=payload,
+        capture_output=True,
+        timeout=120,
+    )
+    if r.returncode != 0 or not r.stdout:
+        raise ValueError(f"ffmpeg decode failed: exit {r.returncode}")
+    samples = np.frombuffer(r.stdout, dtype="<f4").astype(np.float64)
+    win = max(1, len(samples) // FEATURE_DIM)
+    rms = np.array(
+        [
+            np.sqrt(np.mean(samples[i * win : (i + 1) * win] ** 2) or 0.0)
+            for i in range(FEATURE_DIM)
+        ]
+    )
+    v = rms - rms.mean()
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
 def decode_payload(kind: str, payload: bytes) -> np.ndarray:
     """Decode a media payload to a feature vector.
 
-    STUB: real decoders (PIL/ffmpeg/torchaudio) are not present in this
-    environment. kind="synthetic" produces a deterministic fake feature
-    (bytes → hash → unit vector) so plumbing is testable end-to-end; any
-    real kind raises until a codec is wired in.
+    kind="synthetic" produces a deterministic fake feature (bytes → hash
+    → unit vector) so plumbing is testable end-to-end in any
+    environment. kind="audio" decodes through REAL ffmpeg when it is on
+    PATH (pipe-through f32 PCM → 16-window RMS envelope) — the same
+    operators run on real media with zero plan change
+    (tests/test_real_tools.py carries the opt-in gate). Remaining real
+    kinds (image/video: PIL / frame pipelines) raise until a codec is
+    wired in — the documented boundary, not a silent fake.
     """
+    if kind == "audio" and _ffmpeg_on_path():
+        return _decode_audio_ffmpeg(payload)
     if kind != "synthetic":
         raise NotImplementedError(
             f"no codec for kind={kind!r} in this environment; "

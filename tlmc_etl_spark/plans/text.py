@@ -262,6 +262,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Absolute ceiling on the shingle document-frequency cap: the inverted-
+# index self-join emits ≤ cap² candidate rows per surviving shingle, so
+# the ceiling — NOT the relative 1% rule — is what bounds join cost as
+# the corpus grows (the 1% rule alone makes cap² grow quadratically in
+# corpus size; measured 84× wall for 10× rows before the ceiling).
+# 50 = the relative cap's value at sf0.1, so tested results are
+# unchanged; at any larger corpus the ceiling governs.
+DF_CAP_CEILING = 50
+
+
 @query(
     "ngram_jaccard_capped",
     oracle="""
@@ -279,7 +289,7 @@ WITH shingles AS (
   FROM shingles sh
   JOIN (SELECT s, count(*) AS df FROM shingles GROUP BY s) d ON sh.s = d.s
   CROSS JOIN n_docs
-  WHERE d.df <= greatest(5, CAST(floor(0.01 * nd) AS BIGINT))
+  WHERE d.df <= least(greatest(5, CAST(floor(0.01 * nd) AS BIGINT)), 50)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM cold GROUP BY doc_id
 ), inter AS (
@@ -303,13 +313,21 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     A stop-phrase shingle present in a large fraction of the corpus makes
     the inverted-index self-join quadratic in that df (one hot key =
     df² candidate rows). The guard drops shingles with df >
-    max(5, 1% of docs) from the VOCABULARY, so both intersection and
-    set sizes are computed over the capped vocabulary — a well-defined
-    semantic the SQL oracle replicates exactly, and the standard
-    stop-shingle treatment for near-dup mining. Join cost is then bounded
-    by Σ min(df, cap)² instead of Σ df². The df side is one extra
-    aggregate over the (already persisted) shingle table; the cap scalar
-    broadcasts.
+    min(max(5, 1% of docs), DF_CAP_CEILING) from the VOCABULARY, so both
+    intersection and set sizes are computed over the capped vocabulary —
+    a well-defined semantic the SQL oracle replicates exactly, and the
+    standard stop-shingle treatment for near-dup mining. Join cost is
+    then bounded by Σ min(df, cap)² instead of Σ df².
+
+    The cap has an ABSOLUTE ceiling, not just a relative (1%) rule: a
+    relative cap grows with the corpus, so the per-shingle join cost
+    cap² grows quadratically in corpus size — the round-5 sf1 scaling
+    run measured exactly that (1% of 50k docs = df 500 → an 84×
+    wall-clock for 10× rows). With the ceiling, per-shingle cost is a
+    constant ≤ 50² candidate rows and total pair-generation cost is
+    linear in the number of surviving shingle occurrences — the bound a
+    100 TB corpus actually needs. At and below sf0.1 the ceiling equals
+    the relative cap, so tested results are unchanged.
     """
     docs = load_table(spark, sf_dir, "documents")
     ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(F.size("ws") >= 2)
@@ -321,7 +339,10 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct().persist()
     n_docs = shingles.select(F.countDistinct("doc_id").alias("nd"))
     df_tbl = shingles.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
-    cap = F.greatest(F.lit(5), F.floor(0.01 * F.col("nd")).cast("bigint"))
+    cap = F.least(
+        F.greatest(F.lit(5), F.floor(0.01 * F.col("nd")).cast("bigint")),
+        F.lit(DF_CAP_CEILING),
+    )
     cold = (
         shingles.join(df_tbl, "s")
         .crossJoin(F.broadcast(n_docs))
@@ -444,7 +465,7 @@ WITH RECURSIVE words AS (
   FROM shingles sh
   JOIN (SELECT s, count(*) AS df FROM shingles GROUP BY s) d ON sh.s = d.s
   CROSS JOIN n_docs
-  WHERE d.df <= greatest(5, CAST(floor(0.01 * nd) AS BIGINT))
+  WHERE d.df <= least(greatest(5, CAST(floor(0.01 * nd) AS BIGINT)), 50)
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM cold GROUP BY doc_id
 ), inter AS (

@@ -84,10 +84,14 @@ class _JournalTailReader(SimpleDataSourceStreamReader):
 
     def read(self, start):
         end = {"pos": max(self._complete_eof(), start["pos"])}
-        return self._read_span(start["pos"], end["pos"]), end
+        # MUST be an iterator, not a list: when the journal has nothing
+        # new (end == start), Spark's prefetch wrapper validates
+        # emptiness with next(it) — a bare list raises TypeError there,
+        # crashing every poll of a drained journal.
+        return iter(self._read_span(start["pos"], end["pos"])), end
 
     def readBetweenOffsets(self, start, end):
-        return self._read_span(start["pos"], end["pos"])
+        return iter(self._read_span(start["pos"], end["pos"]))
 
     def commit(self, end):
         pass
