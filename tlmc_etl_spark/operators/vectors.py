@@ -190,9 +190,10 @@ def lsh_near_dup(
     id_col: str,
     vec_col: str,
     threshold: float = 0.35,
-    n_planes: int = 4,
+    n_planes: int | None = 4,
     n_tables: int = 6,
     seed: int = 42,
+    target_bucket: int = 8,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: multi-table sign-LSH
     candidate generation → exact cosine scoring → threshold filter.
@@ -227,8 +228,23 @@ def lsh_near_dup(
     cheaper at small n. The operator's asymptotic win is at genuine
     near-dup thresholds (≥0.8), where finer buckets (n_planes 8+) make the
     candidate fraction tiny while OR-amplification holds recall.
+
+    `n_planes=None` auto-sizes the key width to the corpus:
+    ceil(log2(n / target_bucket)) planes keeps EXPECTED bucket occupancy
+    ≈ target_bucket regardless of n, so in-bucket candidate pairs — the
+    join's cost — stay ~linear in corpus size instead of quadratic
+    (fixed planes ⇒ buckets fill ∝ n ⇒ pairs ∝ n²; the round-5 sf1 run
+    measured 16× wall for 4× rows at pinned 8 planes). Each extra plane
+    costs one bit of per-table recall; OR-amplification over `n_tables`
+    absorbs it (worst-pair cos=0.9 at 11 planes: ≈0.52/table → ≥98.7%
+    over 6 tables). The one extra count() job is O(ids).
     """
     dim = _dim_of(emb, vec_col)
+    if n_planes is None:
+        import math as _math
+
+        n = emb.count()
+        n_planes = max(8, _math.ceil(_math.log2(max(n, 1) / target_bucket)))
     all_planes = make_hyperplanes(dim, n_planes * n_tables, seed)
 
     def keys_of(batches):
