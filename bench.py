@@ -202,7 +202,10 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_FORCE"):
         load_start, overridden, waited = loadavg(), True, 0.0
     else:
-        max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "300"))
+        # 180s default keeps worst case (full wait + ~3 min suite) inside
+        # any plausible driver timeout while still outlasting transient
+        # load spikes; raise via env for manual runs.
+        max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT", "180"))
         load_start, overridden, waited = wait_for_idle(max_wait)
 
     spark = get_spark("tlmc-etl-bench")

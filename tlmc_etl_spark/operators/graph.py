@@ -101,8 +101,11 @@ def connected_components(
     # so the driver path's toPandas is a pure cache read. The driver path
     # needs none of the endpoint/active machinery below — its label table
     # already enumerates every edge-endpoint node, and the singleton
-    # anti-join broadcasts that (cap-bounded) table.
-    if sym.count() <= 2 * driver_edge_cap:
+    # anti-join broadcasts that (cap-bounded) table. With the driver path
+    # disabled (cap=0, the forced-distributed form) the count job is
+    # skipped outright — every driver round-trip in this operator is a
+    # per-iteration constant the 100 TB path pays too.
+    if driver_edge_cap > 0 and sym.count() <= 2 * driver_edge_cap:
         labels = _driver_min_labels(sym)
         singletons = all_ids.join(labels.select("a"), "a", "left_anti").select(
             "a", F.col("a").alias("label")
@@ -122,10 +125,13 @@ def connected_components(
 
     active = all_ids.join(endpoints, "a", "left_semi")
     sym_p = sym.repartition(n_parts, "a").persist()
+    # Lazy: round 1's convergence count materializes this together with
+    # its own work — an eager checkpoint here would be one more job on
+    # the loop's latency floor.
     labels = (
         active.select("a", F.col("a").alias("label"))
         .repartition(n_parts, "a")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr = sym_p.join(labels, "a").select(
