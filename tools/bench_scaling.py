@@ -120,12 +120,14 @@ def main() -> int:
               f"ratio {entry['spark_over_duckdb']}", file=sys.stderr)
 
     keys = [k for k, _ in sfs]
-    if len(keys) == 2:
-        a, b = keys
+    ratios = {}
+    for a, b in zip(keys[:-1], keys[1:]):
         qa, qb = out["sfs"][a]["queries"], out["sfs"][b]["queries"]
-        out["per_query_scale_ratio"] = {
+        ratios[f"{b}/{a}"] = {
             n: round(qb[n] / qa[n], 2) if qa[n] > 0 else None for n in qa
         }
+    if ratios:
+        out["per_query_scale_ratio"] = ratios
     json.dump(out, open(args.out, "w"), indent=1)
     print(f"wrote {args.out}", file=sys.stderr)
     return 0
