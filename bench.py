@@ -8,17 +8,19 @@ not the engine (observed round 3: an unchanged tree re-measured
 17.8s -> 113s under loadavg 17; round 4's graded artifact recorded
 1.604x under loadavg 8.47 vs 1.12x idle). If loadavg exceeds
 LOAD_THRESHOLD the harness sleeps and retries for up to
-$SPARK_GRAFT_BENCH_MAX_WAIT seconds (default 300) before starting; if
+$SPARK_GRAFT_BENCH_MAX_WAIT seconds (default 180) before starting; if
 the host never quiets down it proceeds anyway but stamps
 "loadavg_override": true into the artifact so a contended number can
 never masquerade as an idle one. Set SPARK_GRAFT_BENCH_FORCE=1 to skip
 the wait entirely (also stamped).
 
 If a committed SCALING.json exists next to this file (produced by
-tools/bench_scaling.py on an idle host), its multi-sf scaling curve is
-embedded under "scaling" with its own provenance (loadavg, sf dirs), so
-the per-round artifact carries the sf0.1->sf1 evidence without re-paying
-the sf1 run each round.
+tools/bench_scaling.py on an idle host), only its SUITE-LEVEL
+spark_over_duckdb ratios per sf are embedded (under
+"scaling_suite_ratio") — the full per-query curve stays in the
+committed file. The headline line must stay under 2,000 bytes: the
+driver records only the last 2,000 bytes of stdout, and embedding the
+whole SCALING.json made rounds 5-6 unparseable ("parsed": null).
 """
 
 from __future__ import annotations
@@ -250,10 +252,22 @@ def main() -> None:
     )
     if os.path.exists(scaling_path):
         try:
-            out["scaling"] = json.load(open(scaling_path))
+            scaling = json.load(open(scaling_path))
+            out["scaling_suite_ratio"] = {
+                sf_key: d["spark_over_duckdb"]
+                for sf_key, d in scaling.get("sfs", {}).items()
+                if "spark_over_duckdb" in d
+            }
         except Exception:
             pass
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Hard guard: the driver tails 2,000 bytes of stdout; a longer line
+    # means the graded artifact records "parsed": null (rounds 5-6).
+    while len(line) > 2000 and out.get("queries"):
+        out["queries_truncated"] = True
+        out["queries"] = dict(list(out["queries"].items())[: len(out["queries"]) // 2])
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -715,8 +715,10 @@ WITH ws AS (
                   i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS g
     FROM ws WHERE len(w) >= 5
   )
-), bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 31 = 0),
-corpus AS (SELECT doc_id, g FROM grams WHERE doc_id % 31 != 0)
+), bench AS (SELECT doc_id AS bench_id, g FROM grams
+             WHERE doc_id % 31 = 0 AND doc_id < 20000),
+corpus AS (SELECT doc_id, g FROM grams
+           WHERE NOT (doc_id % 31 = 0 AND doc_id < 20000))
 SELECT c.doc_id, b.bench_id, count(*) AS n_shared
 FROM corpus c JOIN bench b ON c.g = b.g
 GROUP BY c.doc_id, b.bench_id
@@ -725,20 +727,26 @@ HAVING count(*) >= 3
 )
 def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: corpus documents sharing ≥3 distinct
-    5-gram spans with a held-out benchmark set (every 31st doc stands in
-    for the benchmark) — the overlap check run before any training corpus
-    ships.
+    5-gram spans with a held-out benchmark set — the overlap check run
+    before any training corpus ships.
+
+    The benchmark stand-in is FIXED-SIZE: ``doc_id % 31 = 0 AND doc_id <
+    20000`` (162 docs at sf0.1 and the same 162 at sf1's key-shifted
+    replication). Production benchmarks are constants — MMLU/GSM8K don't
+    grow with the training corpus — so the stand-in mustn't either. The
+    previous every-31st-doc form made the broadcast side grow linearly
+    with the corpus (13.3× wall for 10× rows at sf1; OOM at 100×).
 
     Plan shape: grams live as 8-byte rolling hashes over per-word hashes
     (no gram string is ever materialized — the word_bigram_hashes trick at
     width 5), per-document dedup happens ROW-LOCALLY via array_distinct
     (distinctness is per (doc, gram), so a global distinct shuffle would
-    be pure waste), and the tiny benchmark side broadcasts. The corpus
-    side therefore never shuffles at all; the only exchange is the final
-    (doc, bench) pair count over actual matches. Hashed-gram overlap is
-    the standard decontamination form at corpus scale (collisions are
-    ~2^-64 per pair); the oracle's exact string form agrees at any tested
-    sf.
+    be pure waste), and the now-constant-size benchmark side broadcasts.
+    The corpus side therefore never shuffles at all; the only exchange is
+    the final (doc, bench) pair count over actual matches. Hashed-gram
+    overlap is the standard decontamination form at corpus scale
+    (collisions are ~2^-64 per pair); the oracle's exact string form
+    agrees at any tested sf.
     """
     docs = load_table(spark, sf_dir, "documents")
     gram = (
@@ -754,10 +762,9 @@ def benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("hs") >= 5)
         .select("doc_id", F.explode(F.expr(gram)).alias("gh"))
     )
-    bench = grams.filter(F.col("doc_id") % 31 == 0).select(
-        F.col("doc_id").alias("bench_id"), "gh"
-    )
-    corpus = grams.filter(F.col("doc_id") % 31 != 0)
+    is_bench = (F.col("doc_id") % 31 == 0) & (F.col("doc_id") < 20000)
+    bench = grams.filter(is_bench).select(F.col("doc_id").alias("bench_id"), "gh")
+    corpus = grams.filter(~is_bench)
     return (
         corpus.join(F.broadcast(bench), "gh")
         .groupBy("doc_id", "bench_id")
