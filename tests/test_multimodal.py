@@ -93,3 +93,25 @@ def test_variant_ladder_never_upscales_and_keeps_original(spark, sf_dir):
             else:
                 assert r["storage_key"].startswith("_derived/artwork/")
                 assert r["size_px"] in (120, 300, 600)
+
+
+def test_short_audio_payload_yields_finite_features(monkeypatch):
+    """Payloads shorter than FEATURE_DIM samples leave trailing RMS
+    windows empty; np.mean(empty) is NaN (and truthy, so an `or 0.0`
+    guard never fires) — the guard must be on slice length (round-6
+    ADVICE). Fake the ffmpeg subprocess so the windowing logic is
+    testable without the binary."""
+    import subprocess
+
+    from tlmc_etl_spark.operators import multimodal as mm
+
+    class FakeProc:
+        returncode = 0
+        stdout = np.array([0.5, -0.5, 0.25], dtype="<f4").tobytes()  # 3 samples
+        stderr = b""
+
+    monkeypatch.setattr(subprocess, "run", lambda *a, **k: FakeProc())
+    v = mm._decode_audio_ffmpeg(b"payload-bytes")
+    assert len(v) == mm.FEATURE_DIM
+    assert np.isfinite(v).all()
+    assert np.any(v != 0)  # the populated windows still carry signal

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import numpy as np
 from pyspark.sql import functions as F
 
 from tlmc_etl_spark.sinks.shards import (
@@ -326,3 +327,110 @@ class TestBinvecDataSourceWriter:
             ).save()
         assert sorted(glob.glob(f"{out}/*.bin")) == before
         assert not os.path.isdir(f"{out}/_binvec_staging")
+
+
+class TestBinvecCommitCrashWindows:
+    """commit() ordering contract: publish new files first, atomically
+    swap the manifest (THE commit point), delete stale bins last — no
+    crash window may lose both generations (round-6 ADVICE)."""
+
+    @staticmethod
+    def _seed_old_generation(out):
+        import json
+
+        from tlmc_etl_spark.sources.binvec import uuid_of_int
+
+        os.makedirs(out, exist_ok=True)
+        old = [f"{uuid_of_int(i)}.bin" for i in range(3)]
+        for n in old:
+            with open(os.path.join(out, n), "wb") as fh:
+                fh.write(np.zeros(4, "<f4").tobytes())
+        with open(os.path.join(out, "manifest.json"), "w") as fh:
+            json.dump({"n_files": 3, "dtype": "<f4", "files": old}, fh)
+        return old
+
+    @staticmethod
+    def _staged_message(writer, ids):
+        class Row:
+            def __init__(self, i):
+                self.track_int = i
+                self.embedding = [float(i)] * 4
+
+        return writer.write([Row(i) for i in ids])
+
+    def test_crash_during_stale_cleanup_keeps_new_generation_live(
+        self, tmp_path, monkeypatch
+    ):
+        import json
+
+        import pytest
+
+        from tlmc_etl_spark.sources.binvec import (
+            _BinvecReader,
+            _BinvecWriter,
+            uuid_of_int,
+        )
+
+        out = str(tmp_path / "bins")
+        old = self._seed_old_generation(out)
+        w = _BinvecWriter({"path": out}, overwrite=True)
+        msg = self._staged_message(w, [10, 11])
+
+        def crash_remove(p):
+            raise OSError(f"simulated crash deleting {p}")
+
+        monkeypatch.setattr(os, "remove", crash_remove)
+        with pytest.raises(OSError):
+            w.commit([msg])
+        monkeypatch.undo()
+
+        # Manifest already committed the new generation before cleanup…
+        manifest = json.load(open(os.path.join(out, "manifest.json")))
+        want = sorted(f"{uuid_of_int(i)}.bin" for i in (10, 11))
+        assert manifest["files"] == want
+        # …so the reader resolves ONLY new files, though stale bins remain.
+        resolved = [
+            os.path.basename(f)
+            for part in _BinvecReader({"path": out, "dims": "4"}).partitions()
+            for f in part.files
+        ]
+        assert sorted(resolved) == want
+        for n in old:  # stale but hidden, never a lost-both-generations hole
+            assert os.path.exists(os.path.join(out, n))
+
+    def test_crash_before_manifest_keeps_old_generation_live(
+        self, tmp_path, monkeypatch
+    ):
+        import json
+
+        import pytest
+
+        from tlmc_etl_spark.sources.binvec import _BinvecReader, _BinvecWriter
+
+        out = str(tmp_path / "bins")
+        old = self._seed_old_generation(out)
+        w = _BinvecWriter({"path": out}, overwrite=True)
+        msg = self._staged_message(w, [10, 11])
+
+        real_replace = os.replace
+
+        def crash_on_manifest(src, dst):
+            if dst.endswith("manifest.json"):
+                raise OSError("simulated crash publishing manifest")
+            return real_replace(src, dst)
+
+        monkeypatch.setattr(os, "replace", crash_on_manifest)
+        with pytest.raises(OSError):
+            w.commit([msg])
+        monkeypatch.undo()
+
+        # Old manifest untouched => readers still see the old generation
+        # (every old file intact: new names don't collide in this test).
+        manifest = json.load(open(os.path.join(out, "manifest.json")))
+        assert manifest["files"] == old
+        resolved = [
+            os.path.basename(f)
+            for part in _BinvecReader({"path": out, "dims": "4"}).partitions()
+            for f in part.files
+        ]
+        assert sorted(resolved) == sorted(old)

@@ -74,11 +74,12 @@ def _decode_audio_ffmpeg(payload: bytes) -> np.ndarray:
         raise ValueError(f"ffmpeg decode failed: exit {r.returncode}")
     samples = np.frombuffer(r.stdout, dtype="<f4").astype(np.float64)
     win = max(1, len(samples) // FEATURE_DIM)
+    # Guard on slice LENGTH, not the mean: payloads under FEATURE_DIM
+    # samples leave trailing windows empty, and np.mean(empty) is NaN —
+    # which is truthy, so an `or 0.0` fallback never fires.
+    windows = [samples[i * win : (i + 1) * win] for i in range(FEATURE_DIM)]
     rms = np.array(
-        [
-            np.sqrt(np.mean(samples[i * win : (i + 1) * win] ** 2) or 0.0)
-            for i in range(FEATURE_DIM)
-        ]
+        [np.sqrt(np.mean(w**2)) if w.size else 0.0 for w in windows]
     )
     v = rms - rms.mean()
     n = np.linalg.norm(v)

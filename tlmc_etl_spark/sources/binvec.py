@@ -138,11 +138,27 @@ class _BinvecReader(DataSourceReader):
 
     def partitions(self):
         import glob as _glob
+        import json as _json
         import os as _os
 
-        files = sorted(
-            _glob.glob(_os.path.join(self.dir_path.removeprefix("file:"), "*.bin"))
-        )
+        base = self.dir_path.removeprefix("file:")
+        # The manifest (written atomically as the writer's commit point)
+        # names the live generation; stale .bin files left by a crash
+        # between manifest publish and cleanup are thereby invisible.
+        # Directories without a file-listing manifest (hand-built
+        # fixtures, pre-upgrade writers) fall back to the glob.
+        files: list[str] = []
+        try:
+            with open(_os.path.join(base, "manifest.json")) as fh:
+                listed = _json.load(fh).get("files")
+            if listed is not None:
+                files = sorted(
+                    p for n in listed if _os.path.exists(p := _os.path.join(base, n))
+                )
+        except (OSError, ValueError):
+            pass
+        if not files:
+            files = sorted(_glob.glob(_os.path.join(base, "*.bin")))
         chunks = [
             files[i : i + self.per_part] for i in range(0, len(files), self.per_part)
         ] or [[]]
@@ -182,9 +198,11 @@ class BinvecWritableDataSource(BinvecDataSource):
 
     Each executor task writes its partition's `{uuid}.bin` files into a
     private staging subdir (no driver funnel for the bytes); the
-    driver's commit() publishes them with O(n_files) renames — clearing
-    pre-existing `*.bin` first under mode("overwrite") — and writes the
-    manifest, so readers never observe a half-written job and stale
+    driver's commit() publishes them with O(n_files) renames FIRST,
+    then atomically swaps in a manifest naming the live set (the commit
+    point readers resolve files through), and only then deletes stale
+    `*.bin` under mode("overwrite") — so no crash window can lose both
+    generations, readers never observe a half-written job, and stale
     files can't survive an overwrite. abort() removes every staging
     dir, leaving the previous contents intact: the V2 commit protocol
     carrying the same manifest information sinks/binvec.py returns as a
@@ -227,10 +245,16 @@ class _BinvecWriter(DataSourceWriter):
         import os
         import shutil
 
-        if self.overwrite:
-            for old in _glob.glob(os.path.join(self.dir_path, "*.bin")):
-                os.remove(old)
-        total = 0
+        # Publish-first, delete-after: the previous generation stays
+        # readable until the new manifest lands. Ordering:
+        #   1. os.replace every staged file into place (atomic per file;
+        #      colliding names flip whole-file old->new, never half).
+        #   2. Atomically publish manifest.json naming the live set —
+        #      THE commit point; readers resolve files through it.
+        #   3. Only then delete stale .bin files (overwrite mode). A
+        #      crash before 2 leaves the old generation fully intact; a
+        #      crash after 2 leaves stale files the manifest hides.
+        new_files: list[str] = []
         for m in messages:
             if m is None:
                 continue
@@ -239,12 +263,26 @@ class _BinvecWriter(DataSourceWriter):
                     os.path.join(m.staging_dir, name),
                     os.path.join(self.dir_path, name),
                 )
-                total += 1
+                new_files.append(name)
         shutil.rmtree(
             os.path.join(self.dir_path, self._STAGING), ignore_errors=True
         )
-        with open(os.path.join(self.dir_path, "manifest.json"), "w") as fh:
-            json.dump({"n_files": total, "dtype": "<f4"}, fh)
+        if self.overwrite:
+            live = sorted(set(new_files))
+        else:  # append: previous generation stays live alongside the new
+            live = sorted(
+                os.path.basename(p)
+                for p in _glob.glob(os.path.join(self.dir_path, "*.bin"))
+            )
+        manifest_tmp = os.path.join(self.dir_path, "manifest.json.tmp")
+        with open(manifest_tmp, "w") as fh:
+            json.dump({"n_files": len(live), "dtype": "<f4", "files": live}, fh)
+        os.replace(manifest_tmp, os.path.join(self.dir_path, "manifest.json"))
+        if self.overwrite:
+            keep = set(live)
+            for old in _glob.glob(os.path.join(self.dir_path, "*.bin")):
+                if os.path.basename(old) not in keep:
+                    os.remove(old)
 
     def abort(self, messages):
         import os
