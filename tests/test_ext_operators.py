@@ -371,3 +371,78 @@ class TestSaltedJoinGuard:
             )
             want = sorted(map(tuple, fact.join(dim, "hot_key", how).collect()))
             assert got == want, f"how={how} diverged from the unsalted join"
+
+
+class TestAutoNTables:
+    """auto_n_tables (round-6 ADVICE): OR depth must grow with key width
+    so worst-pair recall HOLDS as auto-sized keys widen with the corpus,
+    instead of decaying under a pinned L=6."""
+
+    def test_predicted_miss_meets_target_across_corpus_sizes(self):
+        import math
+
+        from tlmc_etl_spark.operators.vectors import (
+            auto_n_tables,
+            table_catch_probability,
+        )
+
+        # key widths as auto-sized for corpora from 2k to 1e10 rows
+        for n_planes in range(8, 31):
+            L = auto_n_tables(n_planes, 0.9, recall_target=0.95)
+            P = table_catch_probability(n_planes, 0.9)
+            assert (1 - P) ** L <= 0.05 + 1e-12, (n_planes, L)
+            # and not wastefully deep: one fewer table would miss target
+            if L > 1:
+                assert (1 - P) ** (L - 1) > 0.05, (n_planes, L)
+
+    def test_depth_grows_with_key_width(self):
+        from tlmc_etl_spark.operators.vectors import auto_n_tables
+
+        l13 = auto_n_tables(13, 0.9)  # ~50k-row corpus
+        l27 = auto_n_tables(27, 0.9)  # ~1e9-row corpus
+        assert l13 < l27
+        assert l27 >= 30  # the n^rho cost the pinned L=6 was silently skipping
+
+    def test_pinned_six_tables_would_miss_at_1e9(self):
+        from tlmc_etl_spark.operators.vectors import table_catch_probability
+
+        P = table_catch_probability(27, 0.9)
+        assert (1 - P) ** 6 > 0.3  # pinned L=6 worst-pair recall < 70% at n~1e9
+
+    def test_impossible_regime_raises(self):
+        import pytest
+
+        from tlmc_etl_spark.operators.vectors import auto_n_tables
+
+        with pytest.raises(ValueError):
+            auto_n_tables(200, 0.1)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists("/root/repo/benchdata/sf1/embeddings.parquet"),
+    reason="benchdata/sf1 not generated (tools/gen_scale.py)",
+)
+def test_lsh_near_dup_hi_recall_gate_at_sf1(spark):
+    """The recall gate BEYOND small sf (round-6 ADVICE): at sf1's 50k
+    embeddings the auto-sized key is ~13 planes wide — wide enough that
+    recall depends on the auto-chosen OR depth, not the old pinned L=6.
+    _plant_near_dups pairs every 10th vec_id with vec_id + 10_000_000
+    (cos ~= 0.98 >= 0.9), so the planted set is known without an exact
+    all-pairs pass (2.5e9 pairs at this sf)."""
+    from tlmc_etl_spark.sources.tables import load_table
+
+    sf1 = "/root/repo/benchdata/sf1"
+    planted = {
+        (r["vec_id"], r["vec_id"] + 10_000_000)
+        for r in load_table(spark, sf1, "embeddings")
+        .filter("vec_id % 10 = 0")
+        .select("vec_id")
+        .collect()
+    }
+    assert planted
+    sym = set()
+    for r in QUERIES["embedding_near_dup_lsh_hi"].fn(spark, sf1).collect():
+        sym.add((r["keep_id"], r["dup_id"]))
+        sym.add((r["dup_id"], r["keep_id"]))
+    recall = sum(1 for p in planted if p in sym) / len(planted)
+    assert recall >= 0.95, f"sf1 planted recall {recall:.3f} < 0.95"

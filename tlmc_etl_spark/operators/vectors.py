@@ -185,15 +185,52 @@ def lsh_topk(
     return _exact_cosine_topk(pairs, k)
 
 
+def table_catch_probability(n_planes: int, cos_threshold: float) -> float:
+    """P(one sign-LSH table with radius-1 probing catches a pair at
+    exactly `cos_threshold` cosine) — the worst pair the operator
+    promises to emit. Per-plane agreement for sign-LSH is
+    p = 1 - arccos(cos)/pi (Charikar 2002, public); radius-1 probing
+    tolerates at most one disagreeing plane, so
+    P = p^b + b*(1-p)*p^(b-1)."""
+    import math as _math
+
+    p = 1.0 - _math.acos(min(max(cos_threshold, -1.0), 1.0)) / _math.pi
+    return p**n_planes + n_planes * (1.0 - p) * p ** (n_planes - 1)
+
+
+def auto_n_tables(
+    n_planes: int, cos_threshold: float, recall_target: float = 0.95
+) -> int:
+    """OR-amplification depth L holding worst-pair recall at
+    `recall_target` for a given key width: miss = (1 - P_table)^L <=
+    1 - recall_target. Auto-sized key widths grow with log2(n) to keep
+    bucket occupancy constant, which decays P_table — so L must grow
+    with the corpus too (the classic n^rho LSH cost), else recall decays
+    silently (~40% worst-pair at n~1e9 under a pinned L=6)."""
+    import math as _math
+
+    P = table_catch_probability(n_planes, cos_threshold)
+    if P >= 1.0:
+        return 1
+    if P <= 1e-12:
+        raise ValueError(
+            f"sign-LSH cannot hold recall {recall_target} at "
+            f"{n_planes} planes / cos {cos_threshold}: per-table catch "
+            "probability is ~0 — raise target_bucket or the threshold"
+        )
+    return max(1, _math.ceil(_math.log(1.0 - recall_target) / _math.log(1.0 - P)))
+
+
 def lsh_near_dup(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
     threshold: float = 0.35,
     n_planes: int | None = 4,
-    n_tables: int = 6,
+    n_tables: int | None = 6,
     seed: int = 42,
     target_bucket: int = 8,
+    recall_target: float = 0.95,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: multi-table sign-LSH
     candidate generation → exact cosine scoring → threshold filter.
@@ -234,10 +271,17 @@ def lsh_near_dup(
     ≈ target_bucket regardless of n, so in-bucket candidate pairs — the
     join's cost — stay ~linear in corpus size instead of quadratic
     (fixed planes ⇒ buckets fill ∝ n ⇒ pairs ∝ n²; the round-5 sf1 run
-    measured 16× wall for 4× rows at pinned 8 planes). Each extra plane
-    costs one bit of per-table recall; OR-amplification over `n_tables`
-    absorbs it (worst-pair cos=0.9 at 11 planes: ≈0.52/table → ≥98.7%
-    over 6 tables). The one extra count() job is O(ids).
+    measured 16× wall for 4× rows at pinned 8 planes).
+
+    `n_tables=None` then auto-sizes the OR-amplification depth to HOLD
+    `recall_target` for the worst promised pair (cosine == threshold) at
+    that key width: each extra plane costs one bit of per-table recall,
+    so a PINNED table count decays with the corpus (L=6 holds ≥98.7%
+    worst-pair recall at 11 planes but only ~40% at the 27 planes a
+    n≈1e9 corpus auto-sizes to). auto_n_tables() inverts the closed
+    form miss = (1 - P_table)^L — at 1e9 rows / threshold 0.9 that is
+    L=34, the standard n^ρ LSH cost paid openly instead of a silent
+    recall cliff. The one extra count() job is O(ids).
     """
     dim = _dim_of(emb, vec_col)
     if n_planes is None:
@@ -245,6 +289,8 @@ def lsh_near_dup(
 
         n = emb.count()
         n_planes = max(8, _math.ceil(_math.log2(max(n, 1) / target_bucket)))
+    if n_tables is None:
+        n_tables = auto_n_tables(n_planes, threshold, recall_target)
     all_planes = make_hyperplanes(dim, n_planes * n_tables, seed)
 
     def keys_of(batches):

@@ -238,13 +238,17 @@ def embedding_near_dup_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
     below any LSH family's separation range (its own docstring's
     caveat) — at loose thresholds candidates approach all pairs. At 0.9,
     fine bucket keys make the candidate fraction tiny while radius-1
-    probing × 6 OR-amplified tables holds worst-pair (cos=0.9) recall
-    ≥98.7% (planted pairs at ≈0.98 are safer still). The key width
-    auto-sizes to the corpus (`n_planes=None` →
-    ceil(log2(n/target_bucket)) planes), so expected bucket occupancy —
-    and with it the candidate join's cost per row — stays CONSTANT as
-    the corpus grows; the pinned-8-plane form was measured quadratic
-    (16× wall for 4× rows) in the round-5 sf1 run.
+    probing × OR-amplified tables holds worst-pair (cos=0.9) recall
+    ≥95% (planted pairs at ≈0.98 are safer still). BOTH LSH knobs
+    auto-size to the corpus: `n_planes=None` →
+    ceil(log2(n/target_bucket)) planes keeps expected bucket occupancy —
+    and with it the candidate join's cost per row — CONSTANT as the
+    corpus grows (the pinned-8-plane form was measured quadratic, 16×
+    wall for 4× rows, in the round-5 sf1 run), and `n_tables=None` →
+    auto_n_tables() grows the OR depth with the key width so the recall
+    target HOLDS instead of decaying (~40% worst-pair at n≈1e9 under a
+    pinned L=6 — the round-6 ADVICE item; the n^ρ table cost is paid
+    openly).
     Near-dups are planted deterministically (_plant_near_dups) since the
     synthetic table has none; recall vs exact scoring over the same
     corpus is property-gated ≥0.95 (tests/test_ext_operators.py).
@@ -253,7 +257,8 @@ def embedding_near_dup_lsh_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_near_dup(
-        _plant_near_dups(emb), "vec_id", "embedding", threshold=0.9, n_planes=None, n_tables=6
+        _plant_near_dups(emb), "vec_id", "embedding", threshold=0.9,
+        n_planes=None, n_tables=None,
     ).orderBy("keep_id", "dup_id")
 
 
