@@ -33,9 +33,82 @@ def test_features_deterministic_and_unit_norm(spark, sf_dir):
         assert again[mid] == row["feature"]
 
 
-def test_real_kinds_raise_not_implemented():
+def test_remaining_real_kinds_raise_not_implemented():
+    # video is the one remaining codec boundary; compressed images only
+    # raise when PIL is absent (this container), uncompressed ones decode
     with pytest.raises(NotImplementedError):
-        decode_payload("image", b"\x89PNG")
+        decode_payload("video", b"\x00\x00\x00\x18ftypmp42")
+    from tlmc_etl_spark.operators.multimodal import _pil_available
+
+    if not _pil_available():
+        with pytest.raises(NotImplementedError):
+            decode_payload("image", b"\x89PNG")
+
+
+def _ppm_bytes(w, h, rgb):
+    """rgb: (h, w, 3) uint8 array → binary P6 payload (with a comment,
+    exercising the header tokenizer)."""
+    header = f"P6\n# test image\n{w} {h}\n255\n".encode()
+    return header + rgb.tobytes()
+
+
+def _bmp_bytes(rgb):
+    """rgb: (h, w, 3) uint8 top-down → 24-bit BI_RGB BMP (bottom-up,
+    4-byte row alignment), built by hand with struct."""
+    import struct
+
+    h, w, _ = rgb.shape
+    stride = (w * 3 + 3) & ~3
+    data = bytearray()
+    for row in rgb[::-1]:  # bottom-up storage
+        bgr = row[:, ::-1].tobytes()
+        data += bgr + b"\x00" * (stride - len(bgr))
+    off = 14 + 40
+    return (
+        b"BM"
+        + struct.pack("<IHHI", off + len(data), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(data), 2835, 2835, 0, 0)
+        + bytes(data)
+    )
+
+
+class TestImageDecodeArm:
+    def test_ppm_decodes_to_finite_unit_feature(self):
+        rng = np.random.default_rng(7)
+        rgb = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+        v = decode_payload("image", _ppm_bytes(16, 16, rgb))
+        assert v.shape == (16,)
+        assert np.isfinite(v).all()
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+    def test_pgm_and_ppm_agree_on_gray_input(self):
+        g = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        pgm = f"P5\n8 8\n255\n".encode() + g.tobytes()
+        rgb = np.repeat(g[:, :, None], 3, axis=2)
+        va = decode_payload("image", pgm)
+        vb = decode_payload("image", _ppm_bytes(8, 8, rgb))
+        # luma of (x,x,x) == x, so both forms pool identically
+        assert np.allclose(va, vb, atol=1e-9)
+
+    def test_bmp_matches_ppm_pixels(self):
+        rng = np.random.default_rng(11)
+        rgb = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)  # stride pad
+        va = decode_payload("image", _ppm_bytes(7, 10, rgb))
+        vb = decode_payload("image", _bmp_bytes(rgb))
+        assert np.allclose(va, vb, atol=1e-9)
+
+    def test_tiny_image_smaller_than_pool_grid_is_finite(self):
+        rgb = np.full((2, 2, 3), 128, dtype=np.uint8)
+        v = decode_payload("image", _ppm_bytes(2, 2, rgb))
+        assert np.isfinite(v).all()
+
+    def test_garbage_raises_not_silently_fakes(self):
+        from tlmc_etl_spark.operators.multimodal import _pil_available
+
+        if _pil_available():
+            pytest.skip("PIL present; it may sniff other formats")
+        with pytest.raises(NotImplementedError):
+            decode_payload("image", b"\xff\xd8\xff\xe0JFIF-ish")
 
 
 def test_media_schema_roundtrip(spark, sf_dir, tmp_path):

@@ -86,6 +86,111 @@ def _decode_audio_ffmpeg(payload: bytes) -> np.ndarray:
     return v / n if n > 0 else v
 
 
+def _pil_available() -> bool:
+    import importlib.util as _ilu
+
+    return _ilu.find_spec("PIL") is not None
+
+
+def _parse_pnm(payload: bytes) -> np.ndarray:
+    """Binary PNM (P5 gray / P6 rgb, maxval <= 255) → float64 grayscale
+    (H, W) in [0, 255]. Pure stdlib+numpy: header is whitespace-separated
+    tokens with '#' comments, then raw samples."""
+    if payload[:2] not in (b"P5", b"P6"):
+        raise ValueError("not a binary PNM payload")
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3:
+        if i >= len(payload):
+            raise ValueError("truncated PNM header")
+        c = payload[i : i + 1]
+        if c == b"#":
+            i = payload.index(b"\n", i) + 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(payload[i:j]))
+            i = j
+    i += 1  # single whitespace after maxval, then raw data
+    w, h, maxval = tokens
+    if maxval > 255:
+        raise ValueError("16-bit PNM unsupported")
+    ch = 1 if payload[:2] == b"P5" else 3
+    data = np.frombuffer(payload, dtype=np.uint8, count=w * h * ch, offset=i)
+    px = data.reshape(h, w, ch).astype(np.float64)
+    if ch == 1:
+        return px[:, :, 0]
+    return px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+
+
+def _parse_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed 24-bit BMP (BI_RGB, BITMAPINFOHEADER) → float64
+    grayscale (H, W). Rows are 4-byte aligned; positive height means
+    bottom-up storage."""
+    import struct as _struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_off = _struct.unpack_from("<I", payload, 10)[0]
+    w, h = _struct.unpack_from("<ii", payload, 18)
+    bpp = _struct.unpack_from("<H", payload, 28)[0]
+    comp = _struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"only 24-bit BI_RGB BMP supported (bpp={bpp}, comp={comp})")
+    stride = (w * 3 + 3) & ~3
+    rows = []
+    for r in range(abs(h)):
+        off = data_off + r * stride
+        row = np.frombuffer(payload, dtype=np.uint8, count=w * 3, offset=off)
+        rows.append(row.reshape(w, 3).astype(np.float64))
+    px = np.stack(rows)  # stored order; BGR channels
+    if h > 0:  # bottom-up → flip to top-down
+        px = px[::-1]
+    return px[:, :, 2] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 0] * 0.114
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Image payload → FEATURE_DIM pooled-luma feature. PIL decodes any
+    format when importable; otherwise a pure stdlib+numpy parser handles
+    uncompressed PPM/PGM/BMP — real pixel decode, not a hash fake, so the
+    image arm is exercised for real even in this container (no PIL). Both
+    paths yield identical pixels for the formats both support, so the
+    feature is environment-independent. The 4x4 mean-pool mirrors the
+    audio arm's 16-window RMS envelope."""
+    if _pil_available():
+        import io as _io
+
+        from PIL import Image as _Image
+
+        gray = np.asarray(
+            _Image.open(_io.BytesIO(payload)).convert("L"), dtype=np.float64
+        )
+    elif payload[:2] in (b"P5", b"P6"):
+        gray = _parse_pnm(payload)
+    elif payload[:2] == b"BM":
+        gray = _parse_bmp(payload)
+    else:
+        raise NotImplementedError(
+            "image payload is neither PNM nor BMP and PIL is not installed; "
+            "pip install pillow for compressed formats"
+        )
+    h, w = gray.shape
+    side = 4  # FEATURE_DIM == side * side
+    rh, rw = max(1, h // side), max(1, w // side)
+    pooled = np.zeros(FEATURE_DIM, dtype=np.float64)
+    for r in range(side):
+        for c in range(side):
+            block = gray[r * rh : (r + 1) * rh if r < side - 1 else h,
+                         c * rw : (c + 1) * rw if c < side - 1 else w]
+            pooled[r * side + c] = block.mean() if block.size else 0.0
+    v = pooled - pooled.mean()
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
 def decode_payload(kind: str, payload: bytes) -> np.ndarray:
     """Decode a media payload to a feature vector.
 
@@ -94,12 +199,16 @@ def decode_payload(kind: str, payload: bytes) -> np.ndarray:
     environment. kind="audio" decodes through REAL ffmpeg when it is on
     PATH (pipe-through f32 PCM → 16-window RMS envelope) — the same
     operators run on real media with zero plan change
-    (tests/test_real_tools.py carries the opt-in gate). Remaining real
-    kinds (image/video: PIL / frame pipelines) raise until a codec is
-    wired in — the documented boundary, not a silent fake.
+    (tests/test_real_tools.py carries the opt-in gate). kind="image"
+    decodes through PIL when importable, else a pure stdlib parser for
+    uncompressed PPM/PGM/BMP (real pixels either way; 4x4 pooled-luma
+    feature). Only video still raises until a frame pipeline is wired
+    in — the documented boundary, not a silent fake.
     """
     if kind == "audio" and _ffmpeg_on_path():
         return _decode_audio_ffmpeg(payload)
+    if kind == "image":
+        return _decode_image(payload)
     if kind != "synthetic":
         raise NotImplementedError(
             f"no codec for kind={kind!r} in this environment; "
