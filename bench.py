@@ -171,6 +171,20 @@ def run_spark_suite(spark, names: list[str], sf_dir: str, reps: int = 2) -> dict
     return times
 
 
+def headline_line(out: dict, limit: int = 2000) -> str:
+    """Serialize the headline artifact to a single JSON line of at most
+    `limit` bytes. The driver records only the LAST 2,000 bytes of
+    stdout; a longer line means the graded artifact stores
+    "parsed": null (it did, in rounds 5-6, hiding two rounds of scale
+    evidence). Per-query times are halved away before anything else."""
+    line = json.dumps(out)
+    while len(line) > limit and out.get("queries"):
+        out["queries_truncated"] = True
+        out["queries"] = dict(list(out["queries"].items())[: len(out["queries"]) // 2])
+        line = json.dumps(out)
+    return line
+
+
 def load_oracles() -> dict[str, str]:
     import importlib.util
 
@@ -284,14 +298,7 @@ def main() -> None:
             }
         except Exception:
             pass
-    line = json.dumps(out)
-    # Hard guard: the driver tails 2,000 bytes of stdout; a longer line
-    # means the graded artifact records "parsed": null (rounds 5-6).
-    while len(line) > 2000 and out.get("queries"):
-        out["queries_truncated"] = True
-        out["queries"] = dict(list(out["queries"].items())[: len(out["queries"]) // 2])
-        line = json.dumps(out)
-    print(line)
+    print(headline_line(out))
 
 
 if __name__ == "__main__":

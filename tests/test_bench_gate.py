@@ -29,3 +29,35 @@ def test_load_drop_releases_the_gate(monkeypatch):
     monkeypatch.setattr(bench.time, "sleep", lambda s: None)
     la, overridden, waited = bench.wait_for_idle(max_wait=600)
     assert not overridden and la[0] == 1.0 and waited > 0
+
+
+def test_headline_line_fits_driver_tail_window():
+    """The graded artifact keeps only the last 2,000 bytes of stdout —
+    the final JSON line must fit even with every field populated
+    (rounds 5-6 shipped 8 kB lines and recorded 'parsed': null)."""
+    out = {
+        "metric": "headline_suite_wall",
+        "value": 9999.999,
+        "unit": "sec",
+        "queries": {n: 12345.678 for n in bench.HEADLINE},
+        "sf": 0.1,
+        "loadavg_start": [99.99, 99.99, 99.99],
+        "loadavg_end": [99.99, 99.99, 99.99],
+        "loadavg_override": True,
+        "loadavg_waited_sec": 180.0,
+        "duckdb_wall": 12345.678,
+        "spark_matched_wall": 12345.678,
+        "spark_over_duckdb": 123.456,
+        "stress_excluded": {
+            n: {"spark_sec": 12345.678, "duckdb_sec": 12345.678, "ratio": 123.456}
+            for n in bench.STRESS
+        },
+        "scaling_suite_ratio": {"0.01": 12.345, "0.1": 1.234, "1": 0.123},
+    }
+    line = bench.headline_line(out)
+    assert len(line) <= 2000
+    import json
+
+    parsed = json.loads(line)
+    assert parsed["spark_over_duckdb"] == 123.456  # ratio survives truncation
+    assert parsed["scaling_suite_ratio"]["1"] == 0.123

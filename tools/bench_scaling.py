@@ -131,12 +131,38 @@ def main() -> int:
               f"ratio {entry['spark_over_duckdb']}", file=sys.stderr)
 
     keys = [k for k, _ in sfs]
-    ratios = {}
-    for a, b in zip(keys[:-1], keys[1:]):
-        qa, qb = out["sfs"][a]["queries"], out["sfs"][b]["queries"]
-        ratios[f"{b}/{a}"] = {
-            n: round(qb[n] / qa[n], 2) if qa[n] > 0 else None for n in qa
-        }
+
+    def compute_ratios():
+        ratios = {}
+        for a, b in zip(keys[:-1], keys[1:]):
+            qa, qb = out["sfs"][a]["queries"], out["sfs"][b]["queries"]
+            ratios[f"{b}/{a}"] = {
+                n: round(qb[n] / qa[n], 2) if qa[n] > 0 else None for n in qa
+            }
+        return ratios
+
+    ratios = compute_ratios()
+
+    # Outlier re-check: a best-of-2 inside a ~40-query suite is exposed
+    # to one sustained host stall (observed: an idle-host suite recorded
+    # gap_fill_numbering at 11.0 s at sf1 where an isolated re-measure
+    # gives 1.3 s). Any query whose adjacent-sf ratio exceeds 10x gets
+    # re-measured in isolation at both sfs and keeps the MIN — a
+    # genuinely superlinear plan re-measures just as slow, so this can
+    # only remove measurement artifacts, never hide a real cost.
+    flagged = sorted(
+        {n for rr in ratios.values() for n, v in rr.items() if v and v > 10}
+    )
+    if flagged:
+        print(f"re-checking >10x outliers in isolation: {flagged}", file=sys.stderr)
+        for name in flagged:
+            for sf, d in sfs:
+                iso = run_spark_suite(spark, [name], d)[name]
+                cur = out["sfs"][sf]["queries"][name]
+                out["sfs"][sf]["queries"][name] = min(cur, iso)
+            # totals keep the suite-context walls; only ratios re-derive
+        out["outlier_recheck"] = flagged
+        ratios = compute_ratios()
     if ratios:
         out["per_query_scale_ratio"] = ratios
     json.dump(out, open(args.out, "w"), indent=1)
