@@ -223,3 +223,92 @@ def kde_density_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dens.orderBy("label", "ix", "iy")
+
+
+@query("pca_scatter_projection")
+def pca_scatter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The map view's layout half: embeddings → deterministic 3-D
+    projection + metadata join — the serving CSV the reference builds
+    with driver-side umap.UMAP(n_components=3) over pooled tensors
+    (umap-preprocessor.py:40-57) before app.py renders it.
+
+    UMAP is a stochastic iterative fit (a model artifact); the engine's
+    counterpart is distributed PCA (operators/projection.py): partial
+    Gram matrices per Arrow batch, one positional-sum shuffle whose
+    width is independent of corpus size, a d×d driver eigh, then pure
+    whole-stage-codegen zip_with/aggregate dot products per row. ext
+    tier — eigendecomposition is not SQL-expressible; the basis and the
+    projection are differential-tested against numpy PCA
+    (tests/test_projection.py) with a deterministic sign convention.
+    """
+    from tlmc_etl_spark.operators.projection import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        pca_project(emb, "vec_id", "embedding", k=3)
+        .select(
+            "vec_id",
+            "label",
+            F.round("x", 6).alias("x"),
+            F.round("y", 6).alias("y"),
+            F.round("z", 6).alias("z"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+@query("scatter_density_serving")
+def scatter_density_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed serving map: PCA layout (the projection half) feeding
+    the per-label KDE contour grid (the density half) — app.py:114-308's
+    full scatter+contour payload as ONE Catalyst plan instead of a
+    pandas/scipy pipeline per request.
+
+    The 5×5 evaluation grid spans the PROJECTED point cloud (min/max per
+    axis from one tiny agg — at corpus scale a 2-value reduce), then the
+    same broadcast-grid × map-side-exp × single-groupBy shape as
+    kde_density_grid. ext tier (inherits the eigh); density values are
+    property-tested (mass positivity, symmetry under label permutation)
+    and the composition re-uses the oracle-backed KDE aggregation shape.
+    """
+    from tlmc_etl_spark.operators.projection import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = pca_project(emb, "vec_id", "embedding", k=2, out_cols=("x", "y")).select(
+        "label", "x", "y"
+    )
+    span = pts.agg(
+        F.min("x").alias("x0"), F.max("x").alias("x1"),
+        F.min("y").alias("y0"), F.max("y").alias("y1"),
+    ).first()
+    nx = 5
+    dx = (span["x1"] - span["x0"]) / (nx - 1) or 1.0
+    dy = (span["y1"] - span["y0"]) / (nx - 1) or 1.0
+    grid = (
+        spark.range(0, nx).select(F.col("id").cast("int").alias("ix"))
+        .crossJoin(spark.range(0, nx).select(F.col("id").cast("int").alias("iy")))
+        .select(
+            "ix", "iy",
+            (span["x0"] + F.col("ix") * dx).alias("gx"),
+            (span["y0"] + F.col("iy") * dy).alias("gy"),
+        )
+    )
+    return (
+        pts.crossJoin(F.broadcast(grid))
+        .groupBy("label", "ix", "iy")
+        .agg(
+            F.round(
+                F.avg(
+                    F.exp(
+                        -4.0
+                        * (
+                            (F.col("x") - F.col("gx")) * (F.col("x") - F.col("gx"))
+                            + (F.col("y") - F.col("gy")) * (F.col("y") - F.col("gy"))
+                        )
+                    )
+                ),
+                6,
+            ).alias("density")
+        )
+        .orderBy("label", "ix", "iy")
+    )
