@@ -6,6 +6,7 @@ from tlmc_etl_spark.plans import (  # noqa: F401
     multimodal,
     relational,
     relational2,
+    relational3,
     serving,
     storage,
     temporal,
