@@ -3,6 +3,7 @@
 from tlmc_etl_spark.plans import (  # noqa: F401
     ext,
     incremental,
+    lm,
     multimodal,
     relational,
     relational2,

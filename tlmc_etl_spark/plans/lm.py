@@ -1,0 +1,183 @@
+"""Corpus-trained language-model statistics for training-data curation.
+
+Two operators a 100 TB pretraining pipeline runs between dedup and
+packing, both "train on the corpus, score every document with the
+result" shapes — the whole model lives inside one Catalyst DAG, no
+driver round-trip, no side-channel model file:
+
+ - `bigram_lm_doc_score`: add-one-smoothed bigram LM trained on the
+   full corpus; every document scored by its average bigram
+   log-probability. The distribution's low tail is the classic
+   gibberish/boilerplate filter (the measurable stand-in for the
+   perplexity filters used by CCNet/KenLM-style curation).
+ - `tfidf_top_terms`: per-document top-k salient terms by TF-IDF with a
+   fully integer-deterministic rank (tf desc, df asc, term asc) so the
+   result is reproducible bit-for-bit across engines — the float score
+   is carried as a display column, never as the ranking key.
+
+The reference's analogue is its measured-heuristic curation pattern —
+classifier constants derived from scanning the whole library, then
+applied to every row (disc_scanner.py:40-53, disc_duration_guard.py's
+measured MIN_TRACKS/MIN_MINUTES); here the same train-on-corpus /
+score-every-row step is expressed as declarative corpus aggregates
+over the `documents` table.
+
+Scale notes (both operators):
+ - the "model" tables (bigram counts, document frequencies) are corpus
+   aggregates orders of magnitude smaller than the corpus; they shuffle
+   once on the same key the scoring join needs, so Catalyst reuses the
+   exchange rather than re-partitioning;
+ - scoring joins hit Zipfian keys ("the", frequent bigrams) — exactly
+   the skew AQE's runtime skew-join split handles; nothing here pins a
+   plan that would fight it;
+ - the only scalars (vocabulary size, corpus doc count) travel as 1-row
+   broadcast joins, never as collected literals;
+ - at 100 TB you would additionally df-cap stopword-grade terms before
+   the self-sized joins (the same DF_CAP_CEILING rationale as
+   plans/text.py's pair generation); at registry scale the uncapped
+   form IS the oracle-checkable baseline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.plans.registry import query
+from tlmc_etl_spark.sources.tables import load_table
+
+
+@query(
+    "bigram_lm_doc_score",
+    oracle="""
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), bg AS (
+  SELECT doc_id, b['w1'] AS w1, b['w2'] AS w2 FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS b
+    FROM words WHERE len(ws) >= 2
+  )
+), model AS (
+  SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY w1, w2
+), ctx AS (
+  SELECT w1, sum(c_bg) AS c_ctx FROM model GROUP BY w1
+), vocab AS (
+  SELECT count(DISTINCT w) AS v
+  FROM (SELECT unnest(ws) AS w FROM words)
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round(avg(ln((c_bg + 1.0) / (c_ctx + v))), 4) AS avg_logp
+FROM bg JOIN model USING (w1, w2) JOIN ctx USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained add-one bigram LM; per-doc average log-probability.
+
+    Train and score in one DAG: bigram occurrences feed the model
+    aggregate AND the scoring join, so the explode runs once (persist);
+    the model join key (w1, w2) is the model's own grouping key, so the
+    aggregate's exchange is reused for the join. P(w2|w1) =
+    (C(w1,w2)+1) / (C(w1)+V) with C(w1) folded from the bigram model
+    itself (so context mass and bigram mass always agree) and V the
+    distinct-token vocabulary riding a 1-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
+        F.size("ws") >= 2
+    )
+    bg = (
+        ws.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1,"
+                    "             element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.w1", "b.w2")
+        .persist()
+    )
+    model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = model.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
+    vocab = ws.select(F.explode("ws").alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    logp = F.log((F.col("c_bg") + 1.0) / (F.col("c_ctx") + F.col("v")))
+    return (
+        bg.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(logp), 4).alias("avg_logp"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w
+), df AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), n AS (
+  SELECT count(*) AS n_docs FROM documents
+), ranked AS (
+  SELECT doc_id, w AS term, tf, df,
+         round(tf * ln((n_docs + 1.0) / (df + 1.0)), 4) AS tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tf DESC, df ASC, w ASC) AS rnk
+  FROM tf JOIN df USING (w) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rnk
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 salient terms per document, TF-IDF weighted.
+
+    Document frequency folds out of the per-doc term counts (df = how
+    many (doc, term) rows carry the term), so the corpus is tokenized
+    exactly once and the df aggregate reuses the tf shuffle's output.
+    Ranking is integer-only (tf desc, df asc, term asc): float TF-IDF
+    never decides order — engines disagree on ln() at the ulp level and
+    a rank flip there would be an irreproducible result; the smoothed
+    ln((N+1)/(df+1)) score is carried for display at 4 dp.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    win = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("w").asc()
+    )
+    return (
+        tf.join(df, "w")
+        .join(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)), 4
+            ),
+        )
+        .withColumn("rnk", F.row_number().over(win))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id", F.col("w").alias("term"), "tf", "df", "tfidf", "rnk"
+        )
+        .orderBy("doc_id", "rnk")
+    )
