@@ -181,3 +181,109 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "rnk")
     )
+
+
+_PMI_ORACLE = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), toks AS (
+  SELECT unnest(ws) AS w FROM words
+), uni AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY w
+), bgs AS (
+  SELECT b['w1'] AS w1, b['w2'] AS w2 FROM (
+    SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+                                 i -> {'w1': ws[i], 'w2': ws[i + 1]})) AS b
+    FROM words WHERE len(ws) >= 2
+  )
+), bg AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM bgs GROUP BY w1, w2
+), nu AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni),
+   nb AS (SELECT CAST(sum(c2) AS DOUBLE) AS n FROM bg)
+SELECT w1, w2, c2,
+       round(ln((c2 / nb.n) / ((u1.c / nu.n) * (u2.c / nu.n))), 4) AS pmi
+FROM bg JOIN uni u1 ON bg.w1 = u1.w JOIN uni u2 ON bg.w2 = u2.w
+CROSS JOIN nu CROSS JOIN nb
+WHERE c2 >= 10
+ORDER BY CAST(c2 AS DOUBLE) / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) DESC, w1, w2
+LIMIT 50
+"""
+
+
+@query("collocation_pmi_top", oracle=_PMI_ORACLE)
+def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level collocation mining: top bigrams by pointwise mutual
+    information, the phrase detector curation pipelines run to decide
+    which multi-word units to keep intact through tokenization
+    (word2vec's phrase pass; "new york" scores high, "of the" scores
+    low). Completes the lm.py family: bigram_lm scores DOCUMENTS by the
+    corpus model, this scores the MODEL's own pairs.
+
+    Cross-engine determinism: the ranking key is the raw ratio
+    c2/(ca*cb) — integer counts pushed through IEEE divisions that both
+    engines round identically — never the ln()-based PMI, which engines
+    compute with ulp-level differences that could flip a 4 dp rounding
+    or, worse, the LIMIT cut. The logged PMI is a display column only.
+
+    Scale shape: unigram and bigram counts are corpus aggregates
+    (vocabulary-sized); the scoring joins hit bg on w1/w2 with uni
+    broadcast when dimension-sized, and the final top-50 runs as
+    TakeOrderedAndProject — no global sort materializes. The c2 >= 10
+    support floor is what keeps the PMI estimator out of its
+    rare-pair noise regime AND bounds the scored pair set.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    uni = (
+        words.select(F.explode("ws").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bg = (
+        words.filter(F.size("ws") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ws) - 1),"
+                    " i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .filter(F.col("c2") >= 10)
+    )
+    nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    nb_words = words.filter(F.size("ws") >= 2).select(
+        (F.size("ws") - 1).alias("k")
+    )
+    nb = nb_words.agg(F.sum("k").cast("double").alias("n_bg"))
+    u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
+    scored = (
+        bg.join(u1, "w1")
+        .join(u2, "w2")
+        .join(F.broadcast(nu))
+        .join(F.broadcast(nb))
+        .withColumn(
+            "score",
+            F.col("c2").cast("double")
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double")),
+        )
+        .withColumn(
+            "pmi",
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("n_bg"))
+                    / ((F.col("c_a") / F.col("n_uni")) * (F.col("c_b") / F.col("n_uni")))
+                ),
+                4,
+            ),
+        )
+    )
+    return (
+        scored.orderBy(F.col("score").desc(), "w1", "w2")
+        .limit(50)
+        .select("w1", "w2", "c2", "pmi")
+    )

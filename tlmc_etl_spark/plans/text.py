@@ -1126,6 +1126,51 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUOTA_SAMPLE_ORACLE = """
+SELECT source, doc_id
+FROM (
+  SELECT source, doc_id,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(source || ':' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                    doc_id
+         ) AS rn
+  FROM documents
+) WHERE rn <= 10
+ORDER BY source, doc_id
+"""
+
+
+@query("per_source_quota_sample", oracle=_QUOTA_SAMPLE_ORACLE)
+def per_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-source subsample: keep the K documents with the
+    smallest portable hash within each source — a reproducible "reservoir"
+    that needs no RNG state and never reassigns a kept document when the
+    corpus grows ONLY IF the newcomer hashes above the cutoff (the same
+    stability argument as dataset_split_assign, but with an exact per-group
+    quota instead of a global rate: the knob corpus mixing actually turns
+    when a crawl source must be downweighted to a fixed document budget).
+
+    Scale shape: one hash projection (map-only) and one shuffle on
+    `source` for the per-group top-K — and because K is tiny the
+    rank runs as a partial top-K per input partition before the
+    exchange (Spark pushes the window's rank limit via
+    WindowGroupLimit), so the shuffle carries at most K rows per source
+    per mapper, not the corpus. A skewed giant source therefore costs
+    K x n_mappers rows, not its full document count.
+    """
+    from pyspark.sql import Window as W
+
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = portable_hash60(F.concat(F.col("source"), F.lit(":"), F.col("doc_id").cast("string")))
+    ranked = docs.select("source", "doc_id", h.alias("__h")).withColumn(
+        "rn", F.row_number().over(W.partitionBy("source").orderBy("__h", "doc_id"))
+    )
+    return ranked.filter(F.col("rn") <= 10).select("source", "doc_id").orderBy("source", "doc_id")
+
+
 _BPE_PAIR_ORACLE = """
 WITH words AS (
   SELECT w, count(*) AS wc
