@@ -339,7 +339,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q11_important_parts",
     oracle="""
 WITH pv AS (
-  SELECT l_partkey AS p_key, round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+  SELECT l_partkey AS p_key,
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+              AS DOUBLE) AS part_value
   FROM lineitem GROUP BY l_partkey
 )
 SELECT p_key, part_value
@@ -367,8 +369,18 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver.
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # Sum over DECIMAL, not DOUBLE: a double sum is order-dependent (ulp
+    # drift between engines/partitionings flips round() at a half-cent
+    # boundary — observed at sf1); the per-row product is the IDENTICAL
+    # IEEE double in both engines, so casting it to decimal(18,6) and
+    # summing exactly is engine- and partitioning-invariant.
     pv = li.groupBy(F.col("l_partkey").alias("p_key")).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("part_value")
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+            2,
+        )
+        .cast("double")
+        .alias("part_value")
     )
     threshold = pv.agg((F.lit(1.5) * F.avg("part_value")).alias("cutoff"))
     return (
@@ -428,7 +440,8 @@ def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q19_disjunctive_revenue",
     oracle="""
-SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS revenue
 FROM lineitem JOIN part ON p_partkey = l_partkey
 WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
    OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
@@ -463,8 +476,15 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((b == "Brand#23") & s.between(1, 10) & q.between(10, 20))
         | ((b == "Brand#34") & s.between(1, 15) & q.between(20, 30))
     )
+    # Decimal sum for the same order-invariance reason as q11: a global
+    # double sum's ulp drift can flip the 2dp rounding between engines.
     return joined.filter(disj).agg(
-        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")),
+            2,
+        )
+        .cast("double")
+        .alias("revenue")
     )
 
 
