@@ -34,12 +34,13 @@ def test_features_deterministic_and_unit_norm(spark, sf_dir):
 
 
 def test_remaining_real_kinds_raise_not_implemented():
-    # video is the one remaining codec boundary; compressed images only
-    # raise when PIL is absent (this container), uncompressed ones decode
-    with pytest.raises(NotImplementedError):
-        decode_payload("video", b"\x00\x00\x00\x18ftypmp42")
-    from tlmc_etl_spark.operators.multimodal import _pil_available
+    # the boundary is now format-shaped: compressed containers only raise
+    # when the matching codec (ffmpeg / PIL) is absent from the environment
+    from tlmc_etl_spark.operators.multimodal import _ffmpeg_on_path, _pil_available
 
+    if not _ffmpeg_on_path():
+        with pytest.raises(NotImplementedError):
+            decode_payload("video", b"\x00\x00\x00\x18ftypmp42")
     if not _pil_available():
         with pytest.raises(NotImplementedError):
             decode_payload("image", b"\x89PNG")
@@ -109,6 +110,80 @@ class TestImageDecodeArm:
             pytest.skip("PIL present; it may sniff other formats")
         with pytest.raises(NotImplementedError):
             decode_payload("image", b"\xff\xd8\xff\xe0JFIF-ish")
+
+
+def _y4m_bytes(frames, cs="420"):
+    """frames: list of (h, w) uint8 luma arrays → YUV4MPEG2 payload with
+    flat chroma planes (value 128) sized per the colourspace tag."""
+    h, w = frames[0].shape
+    chroma = {"mono": 0, "420": (w * h) // 2, "422": w * h, "444": 2 * w * h}[cs]
+    out = bytearray(f"YUV4MPEG2 W{w} H{h} F24:1 Ip A1:1 C{cs}\n".encode())
+    for f in frames:
+        out += b"FRAME\n" + f.tobytes() + b"\x80" * chroma
+    return bytes(out)
+
+
+class TestVideoDecodeArm:
+    def test_y4m_decodes_to_finite_unit_feature(self):
+        rng = np.random.default_rng(3)
+        frames = [
+            rng.integers(0, 256, size=(12, 16), dtype=np.uint8) for _ in range(5)
+        ]
+        v = decode_payload("video", _y4m_bytes(frames))
+        assert v.shape == (16,)
+        assert np.isfinite(v).all()
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+    def test_chroma_subsampling_never_leaks_into_luma(self):
+        # identical luma under C420/C422/C444/Cmono must give identical
+        # features — the parser must skip exactly the chroma bytes
+        rng = np.random.default_rng(5)
+        frames = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8) for _ in range(3)]
+        feats = [
+            decode_payload("video", _y4m_bytes(frames, cs))
+            for cs in ("mono", "420", "422", "444")
+        ]
+        for f in feats[1:]:
+            assert np.allclose(feats[0], f, atol=1e-12)
+
+    def test_single_frame_video_matches_image_pool_of_same_pixels(self):
+        # one gray frame == the image arm's pooled luma of the same pixels
+        g = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        vv = decode_payload("video", _y4m_bytes([g], "mono"))
+        pgm = b"P5\n16 16\n255\n" + g.tobytes()
+        vi = decode_payload("image", pgm)
+        from tlmc_etl_spark.operators.multimodal import _pil_available
+
+        if not _pil_available():  # identical pixel path only via the parsers
+            assert np.allclose(vv, vi, atol=1e-9)
+
+    def test_long_video_samples_uniformly_not_all_frames(self):
+        from tlmc_etl_spark.operators.multimodal import _sample_frames
+
+        idx = _sample_frames(100)
+        assert len(idx) == 16 and idx[0] == 0 and idx[-1] == 93
+        assert idx == sorted(idx)
+        assert _sample_frames(7) == list(range(7))
+
+    def test_truncated_and_malformed_payloads_raise(self):
+        rng = np.random.default_rng(9)
+        frames = [rng.integers(0, 256, size=(8, 8), dtype=np.uint8)]
+        good = _y4m_bytes(frames)
+        with pytest.raises(ValueError):
+            decode_payload_no_ffmpeg(good[:-10])  # truncated frame data
+        with pytest.raises(ValueError):
+            decode_payload_no_ffmpeg(good.replace(b"FRAME", b"FRUME"))
+
+    def test_zero_frame_payload_raises(self):
+        with pytest.raises(ValueError):
+            decode_payload_no_ffmpeg(b"YUV4MPEG2 W8 H8 F24:1 C420\n")
+
+
+def decode_payload_no_ffmpeg(payload):
+    """Drive the stdlib Y4M arm directly (ffmpeg may exist on dev hosts)."""
+    from tlmc_etl_spark.operators.multimodal import _parse_y4m, _video_feature
+
+    return _video_feature(_parse_y4m(payload))
 
 
 def test_media_schema_roundtrip(spark, sf_dir, tmp_path):

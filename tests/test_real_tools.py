@@ -122,6 +122,29 @@ def test_real_ffmpeg_decodes_audio_payload_feature(spark, tmp_path):
     assert abs(sum(x * x for x in feat) - 1.0) < 1e-6  # unit-norm envelope
 
 
+@needs_ffmpeg
+def test_real_ffmpeg_decodes_video_payload_feature(spark, tmp_path):
+    """The video arm runs on REAL media when ffmpeg is present: a Y4M
+    payload (which ffmpeg itself demuxes — pipe:0 in, rawvideo gray out)
+    flows through extract_features' mapInPandas like every other kind."""
+    import numpy as np
+
+    from tlmc_etl_spark.operators.multimodal import FEATURE_DIM, extract_features
+    from tests.test_multimodal import _y4m_bytes
+
+    rng = np.random.default_rng(21)
+    frames = [rng.integers(0, 256, size=(16, 16), dtype=np.uint8) for _ in range(4)]
+    media = spark.createDataFrame(
+        [("v1", "video", bytearray(_y4m_bytes(frames)))],
+        "media_id string, kind string, payload binary",
+    )
+    rows = extract_features(media).collect()
+    assert len(rows) == 1
+    feat = rows[0]["feature"]
+    assert len(feat) == FEATURE_DIM
+    assert abs(sum(x * x for x in feat) - 1.0) < 1e-6
+
+
 @needs_7z
 def test_real_7z_lists_created_archive(spark, tmp_path):
     from tlmc_etl_spark.operators.archive import list_archives
