@@ -272,3 +272,54 @@ class TestOlapPlans:
         plan = plan_of(spark, sf_dir, "local_supplier_volume")
         assert "SortMergeJoin" not in plan, plan
         assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+
+class TestRound7PlanShapes:
+    """Gates for the structural claims in plans/relational3.py (second
+    batch), plans/lm.py, and per_source_quota_sample — each one was
+    verified by hand when the query landed; these keep them true."""
+
+    def test_quota_sample_rank_limit_pushed_before_exchange(self, spark, sf_dir):
+        # k-smallest-hash per source must run as a partial top-K per input
+        # partition (WindowGroupLimit both below AND above the exchange),
+        # and cost exactly one shuffle
+        plan = plan_of(spark, sf_dir, "per_source_quota_sample")
+        assert plan.count("WindowGroupLimit") >= 2, plan
+        assert plan.count("Arguments: hashpartitioning") == 1, plan
+
+    def test_q21_scans_each_table_once(self, spark, sf_dir):
+        # the window-distinct-set form exists BECAUSE agg+join-back scans
+        # the fact twice; a refactor back to two consumers fails here
+        plan = plan_of(spark, sf_dir, "q21_waiting_suppliers")
+        assert plan.count("Scan parquet") == 2 * 3, plan  # tree + details
+        assert plan.count("Arguments: hashpartitioning") <= 2, plan
+
+    def test_pmi_topk_is_heap_merge_not_global_sort(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "collocation_pmi_top")
+        assert "TakeOrderedAndProject" in plan, plan
+
+    def test_q2_argmin_windows_the_aggregate_not_the_fact(self, spark, sf_dir):
+        # exactly one fact shuffle: the (part,supplier) agg; the per-part
+        # window must ride that same partitioning, and dims broadcast
+        plan = plan_of(spark, sf_dir, "q2_min_cost_supplier")
+        assert "SortMergeJoin" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+
+    def test_q11_fact_shuffles_once_with_scalar_broadcast(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q11_important_parts")
+        # per-part agg = 1 fact shuffle; the global-mean side re-aggregates
+        # the dimension-sized result (its exchange is dimension-sized)
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+    def test_q19_pushes_range_hull_below_the_join(self, spark, sf_dir):
+        # the OR-of-ANDs must not block pushdown of the per-table hull:
+        # the lineitem scan should carry a pushed l_quantity range
+        plan = plan_of(spark, sf_dir, "q19_disjunctive_revenue")
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any("l_quantity" in ln for ln in pushed), plan
+        assert any("p_brand" in ln or "p_size" in ln for ln in pushed), plan
+
+    def test_q13_filter_reaches_orders_scan_and_keeps_left_join(self, spark, sf_dir):
+        plan = plan_of(spark, sf_dir, "q13_order_count_distribution")
+        pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+        assert any("o_orderpriority" in ln for ln in pushed), plan
