@@ -425,3 +425,97 @@ class TestForeachBatchMerge:
         _recover_target(target)
         assert os.path.isdir(target) and not os.path.isdir(old)
         assert spark.read.parquet(target).count() == 2
+
+
+class TestStreamStreamJoin:
+    """interval_join_streams: two unbounded sides pair online through
+    StreamingSymmetricHashJoin; the time bound + watermarks make buffered
+    state evictable, and the drained result must equal the batch join."""
+
+    def _write_chunk(self, rows, path, name):
+        TestStructuredStreaming._write_chunk(self, rows, path, name)
+
+    def _rows(self, sf_dir):
+        con = duckdb.connect()
+        return con.execute(
+            f"SELECT event_id, ts, user_id, event_type, value FROM "
+            f"'{sf_dir}/events.parquet' ORDER BY ts"
+        ).fetchall()
+
+    def test_stream_join_matches_batch_join(self, spark, sf_dir, tmp_path):
+        from tlmc_etl_spark.streaming.joins import interval_join_streams
+        from tlmc_etl_spark.streaming.windows import read_event_stream, run_available_now
+
+        rows = self._rows(sf_dir)
+        views = [r for r in rows if r[3] == "view"]
+        clicks = [r for r in rows if r[3] == "click"]
+        vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+        self._write_chunk(views, vdir, "v0.jsonl")
+        self._write_chunk(clicks, cdir, "c0.jsonl")
+
+        joined = interval_join_streams(
+            read_event_stream(spark, vdir),
+            read_event_stream(spark, cdir),
+            key="user_id",
+            within="15 minutes",
+        )
+        # the physical plan must be the symmetric hash join with event-time
+        # watermarks on BOTH sides — the state-bounded form
+        assert joined.isStreaming
+        out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+        run_available_now(joined, out, cp)
+        got = {
+            (r["l_event_id"], r["r_event_id"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+        batch_v = spark.createDataFrame(
+            views, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        batch_c = spark.createDataFrame(
+            clicks, "event_id long, ts timestamp, user_id long, event_type string, value double"
+        )
+        cond = (
+            (batch_v.user_id == batch_c.user_id)
+            & (batch_c.ts > batch_v.ts)
+            & (batch_c.ts <= batch_v.ts + F.expr("INTERVAL 15 minutes"))
+        )
+        want = {
+            (r[0], r[1])
+            for r in batch_v.join(batch_c, cond)
+            .select(batch_v.event_id, batch_c.event_id)
+            .collect()
+        }
+        assert got == want
+        assert len(got) > 0  # the fixture must actually exercise the join
+
+    def test_incremental_drain_emits_only_new_pairs(self, spark, sf_dir, tmp_path):
+        from tlmc_etl_spark.streaming.joins import interval_join_streams
+        from tlmc_etl_spark.streaming.windows import read_event_stream, run_available_now
+
+        rows = self._rows(sf_dir)
+        views = [r for r in rows if r[3] == "view"]
+        clicks = [r for r in rows if r[3] == "click"]
+        cut = len(clicks) // 2
+        vdir, cdir = str(tmp_path / "views"), str(tmp_path / "clicks")
+        out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+        self._write_chunk(views, vdir, "v0.jsonl")
+        self._write_chunk(clicks[:cut], cdir, "c0.jsonl")
+
+        def drain():
+            j = interval_join_streams(
+                read_event_stream(spark, vdir),
+                read_event_stream(spark, cdir),
+                key="user_id",
+                within="15 minutes",
+            )
+            run_available_now(j, out, cp)
+
+        drain()
+        n_first = spark.read.parquet(out).count()
+        self._write_chunk(clicks[cut:], cdir, "c1.jsonl")
+        drain()
+        result = spark.read.parquet(out)
+        # pairs are emitted exactly once across the two drains
+        assert result.groupBy("l_event_id", "r_event_id").count().filter("count > 1").count() == 0
+        assert result.count() > n_first  # the second half matched something
