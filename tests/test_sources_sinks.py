@@ -245,6 +245,49 @@ class TestBinvecDataSource:
         assert rows[uuid_of_int(1)]["reason"] == "wrong_dims"
         assert rows[uuid_of_int(2)]["valid"] and len(rows[uuid_of_int(2)]["embedding"]) == 64
 
+    def _write_manifest_fixture(self, spark, sf_dir, tmp_path):
+        from tlmc_etl_spark.sources.binvec import register_binvec_writable
+        from tlmc_etl_spark.sources.tables import load_table
+
+        register_binvec_writable(spark)
+        emb = load_table(spark, sf_dir, "embeddings").limit(20).select(
+            F.col("vec_id").alias("track_int"), "embedding"
+        )
+        out = str(tmp_path / "bins")
+        emb.write.format("binvec").option("path", out).mode("append").save()
+        return out
+
+    def test_manifest_listed_file_missing_raises(self, spark, sf_dir, tmp_path):
+        """An explicit manifest 'files' list is authoritative: a listed
+        file deleted out-of-band must be an error, never a silent
+        partial read."""
+        import json
+        import os
+
+        import pytest
+
+        out = self._write_manifest_fixture(spark, sf_dir, tmp_path)
+        manifest = json.load(open(f"{out}/manifest.json"))
+        victim = manifest["files"][0]
+        os.remove(os.path.join(out, victim))
+        with pytest.raises(Exception, match="manifest lists"):
+            spark.read.format("binvec").option("dims", 64).load(out).collect()
+
+    def test_empty_manifest_means_empty_table_not_glob(self, spark, sf_dir, tmp_path):
+        """A committed files=[] manifest is an EMPTY generation; stale
+        .bin files on disk (publish->delete crash window) must stay
+        invisible rather than resurface via the glob fallback."""
+        import json
+
+        out = self._write_manifest_fixture(spark, sf_dir, tmp_path)
+        manifest = json.load(open(f"{out}/manifest.json"))
+        manifest["files"] = []
+        manifest["n_files"] = 0
+        json.dump(manifest, open(f"{out}/manifest.json", "w"))
+        assert (
+            spark.read.format("binvec").option("dims", 64).load(out).count() == 0
+        )
+
 
 class TestBinvecDataSourceWriter:
     def test_write_format_roundtrips_through_read_format(self, spark, sf_dir, tmp_path):

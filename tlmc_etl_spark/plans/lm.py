@@ -79,7 +79,8 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained add-one bigram LM; per-doc average log-probability.
 
     Train and score in one DAG: bigram occurrences feed the model
-    aggregate AND the scoring join, so the explode runs once (persist);
+    aggregate AND the scoring join, so the explode is materialized once
+    (eager localCheckpoint — see inline comment for why not persist);
     the model join key (w1, w2) is the model's own grouping key, so the
     aggregate's exchange is reused for the join. P(w2|w1) =
     (C(w1,w2)+1) / (C(w1)+V) with C(w1) folded from the bigram model
@@ -87,9 +88,20 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-token vocabulary riding a 1-row broadcast.
     """
     docs = load_table(spark, sf_dir, "documents")
-    ws = docs.select("doc_id", F.split("text", " ").alias("ws")).filter(
-        F.size("ws") >= 2
-    )
+    # ws_all is the UNFILTERED token view: vocabulary V must count every
+    # distinct token in the corpus, including tokens that only appear in
+    # 0/1-token documents — the oracle's vocab CTE is unfiltered, and a
+    # filtered V silently shifts every smoothing denominator (c_ctx + V)
+    # on any corpus containing short documents.
+    ws_all = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    ws = ws_all.filter(F.size("ws") >= 2)
+    # localCheckpoint(eager) rather than persist: bg feeds four branches
+    # (model, ctx, the scoring probe, and their joins) whose column
+    # pruning diverges, so ReuseExchange can't dedupe them — the explode
+    # must be materialized once. A persist would pin the blocks in
+    # CacheManager until context shutdown (they accumulate across a
+    # long-lived bench/parity session); localCheckpoint blocks are
+    # ContextCleaner-managed and vanish when this DataFrame is GC'd.
     bg = (
         ws.select(
             "doc_id",
@@ -102,11 +114,11 @@ def bigram_lm_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("b"),
         )
         .select("doc_id", "b.w1", "b.w2")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     model = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
     ctx = model.groupBy("w1").agg(F.sum("c_bg").alias("c_ctx"))
-    vocab = ws.select(F.explode("ws").alias("w")).agg(
+    vocab = ws_all.select(F.explode("ws").alias("w")).agg(
         F.countDistinct("w").alias("v")
     )
     logp = F.log((F.col("c_bg") + 1.0) / (F.col("c_ctx") + F.col("v")))
@@ -159,7 +171,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("tf")).persist()
+    # localCheckpoint(eager) rather than persist: tf feeds the df
+    # aggregate and the scoring join with divergent pruned schemas, so
+    # the tokenize+count must be materialized once — and checkpoint
+    # blocks are ContextCleaner-managed (GC'd with this DataFrame)
+    # where a persist would pin them in CacheManager for the session.
+    tf = (
+        toks.groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     df = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     win = W.partitionBy("doc_id").orderBy(

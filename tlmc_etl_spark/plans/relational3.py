@@ -90,7 +90,8 @@ def q4_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+         CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+              AS DOUBLE) AS total_revenue
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01'
     AND l_shipdate <  TIMESTAMP '1996-04-01'
@@ -112,9 +113,12 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     rides an unpartitioned window over the ALREADY-AGGREGATED rows (one
     per supplier — bounded, dimension-sized), so lineitem is scanned
     once and the single-partition window pass touches only small data.
-    Comparing on the ROUNDED revenue keeps the float tie-break identical
-    between engines (registry convention); verified against the oracle
-    at sf0.001 through sf1.
+    The revenue sum accumulates DECIMAL(18,6) before the 2dp round
+    (q11/q19 hardening) — here the rounded value feeds an == against the
+    max, so ulp drift would change which SUPPLIERS appear, not just a
+    displayed digit; the decimal sum makes membership engine- and
+    partitioning-invariant. Verified against the oracle at sf0.001
+    through sf1.
     """
     from pyspark.sql import Window as W
 
@@ -127,9 +131,19 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "total_revenue"
+            # Decimal-sum then round (the q11/q19 ulp-drift hardening):
+            # here the rounded value feeds an EQUALITY against the max,
+            # so a half-cent drift changes ROW MEMBERSHIP, not a digit.
+            F.round(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
             )
+            .cast("double")
+            .alias("total_revenue")
         )
     )
     top = revenue.withColumn(

@@ -145,19 +145,29 @@ class _BinvecReader(DataSourceReader):
         # The manifest (written atomically as the writer's commit point)
         # names the live generation; stale .bin files left by a crash
         # between manifest publish and cleanup are thereby invisible.
-        # Directories without a file-listing manifest (hand-built
-        # fixtures, pre-upgrade writers) fall back to the glob.
-        files: list[str] = []
+        # An explicit "files" key is AUTHORITATIVE: a listed file that is
+        # missing on disk is an integrity error (silent partial reads
+        # must not happen), and an empty committed list means an empty
+        # table — never a license to glob up the stale files the
+        # manifest exists to hide. Only directories without a
+        # file-listing manifest (hand-built fixtures, pre-upgrade
+        # writers) fall back to the glob.
+        listed = None
         try:
             with open(_os.path.join(base, "manifest.json")) as fh:
                 listed = _json.load(fh).get("files")
-            if listed is not None:
-                files = sorted(
-                    p for n in listed if _os.path.exists(p := _os.path.join(base, n))
-                )
         except (OSError, ValueError):
             pass
-        if not files:
+        if listed is not None:
+            files = sorted(_os.path.join(base, n) for n in listed)
+            missing = [p for p in files if not _os.path.exists(p)]
+            if missing:
+                raise FileNotFoundError(
+                    f"binvec: manifest lists {len(missing)} file(s) absent "
+                    f"on disk (first: {missing[0]}); the directory was "
+                    "modified outside the writer's commit protocol"
+                )
+        else:
             files = sorted(_glob.glob(_os.path.join(base, "*.bin")))
         chunks = [
             files[i : i + self.per_part] for i in range(0, len(files), self.per_part)
