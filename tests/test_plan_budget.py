@@ -66,6 +66,26 @@ SHUFFLE_BUDGET = {
     "cosine_topk": 1,
     "two_stage_similarity": 3,
     "kde_bandwidth_calibration": 2,
+    # round-8 additions: the round-7 registry surface folded into the
+    # graded bench (decorrelation + LM families, curation sampling,
+    # serving layout). Budgets measured at the design plan, sf0.001.
+    "q2_min_cost_supplier": 2,
+    "q4_priority_exists": 1,
+    "q11_important_parts": 2,
+    "q13_order_count_distribution": 2,
+    "q15_top_supplier": 1,
+    "q17_small_qty_revenue": 2,
+    "q18_large_orders": 2,
+    "q19_disjunctive_revenue": 0,  # brand/container dims ride broadcast
+    "q21_waiting_suppliers": 2,
+    "q22_idle_customers": 1,
+    "bigram_lm_doc_score": 5,  # model/ctx/score train+apply over a checkpointed explode
+    "tfidf_top_terms": 2,
+    "collocation_pmi_top": 4,
+    "per_source_quota_sample": 1,
+    "quality_resample": 0,
+    "pca_scatter_projection": 0,  # Gram matrix rides treeAggregate, not exchanges
+    "scatter_density_serving": 1,
 }
 
 

@@ -63,20 +63,15 @@ def replicated_inputs(spark, n_albums: int):
     return expand(manifest, man_cols), expand(probe, probe_cols), n_copies
 
 
-def main() -> int:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--albums", type=int, default=1000)
-    args = ap.parse_args()
-
-    from tlmc_etl_spark.session import get_spark
+def run(spark, n_albums: int) -> dict:
+    """Measure the incremental drain on an existing session; returns the
+    artifact dict (importable so bench.py can embed the number without
+    spawning a second JVM)."""
     from tlmc_etl_spark.streaming.incremental import (
         start_incremental_catalog_stream,
     )
 
-    spark = get_spark("tlmc-etl-bench-incremental")
-    spark.sparkContext.setLogLevel("ERROR")
-
-    manifest, probe, n_copies = replicated_inputs(spark, args.albums)
+    manifest, probe, n_copies = replicated_inputs(spark, n_albums)
     manifest = manifest.localCheckpoint(eager=True)
     probe = probe.localCheckpoint(eager=True)
     albums = [
@@ -114,17 +109,25 @@ def main() -> int:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
-    print(
-        json.dumps(
-            {
-                "metric": "incremental_stream_wall",
-                "albums": len(albums),
-                "fixture_copies": n_copies,
-                "sec_total": round(wall, 3),
-                "sec_per_1k_albums": round(wall * 1000.0 / len(albums), 3),
-            }
-        )
-    )
+    return {
+        "metric": "incremental_stream_wall",
+        "albums": len(albums),
+        "fixture_copies": n_copies,
+        "sec_total": round(wall, 3),
+        "sec_per_1k_albums": round(wall * 1000.0 / len(albums), 3),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--albums", type=int, default=1000)
+    args = ap.parse_args()
+
+    from tlmc_etl_spark.session import get_spark
+
+    spark = get_spark("tlmc-etl-bench-incremental")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run(spark, args.albums)))
     return 0
 
 
