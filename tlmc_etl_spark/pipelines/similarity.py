@@ -11,10 +11,12 @@ Spark shapes:
  - pooling: posexplode → groupBy(track, position) mean → renormalize.
    Reducer state is one running sum per (track, position) — never a
    gathered matrix.
- - recall: the pooled matrix is collected and shipped to tasks (at
-   reference scale 164k×1024 fp32 ≈ 640 MB — broadcastable; beyond that,
-   tile anchors or switch to operators/vectors.lsh_topk), candidates
-   stream through mapInPandas, one matmul per Arrow batch.
+ - recall: self-selecting (recall_candidates). Under EXACT_TILE_CEILING
+   driver tiles the pooled matrix is collected tile-by-tile and shipped
+   to tasks (at reference scale 164k×1024 fp32 ≈ 640 MB — broadcastable),
+   candidates streaming through mapInPandas, one matmul per Arrow batch;
+   past the ceiling the IVF candidate path takes over (bounded per-anchor
+   work, recall floor property-gated).
  - rerank: chunk sets gathered per track with a hard cap (the reference
    pads/subsamples at 96 chunks, precompute_similar_tracks.py:84-92 — the
    cap IS the scale contract), pairs scored in applyInPandas.
@@ -52,7 +54,9 @@ def _normalized(col: str):
     return F.transform(F.col(col), lambda x: x / norm)
 
 
-def cosine_recall(pooled: DataFrame, k: int, tile_rows: int = 200_000) -> DataFrame:
+def cosine_recall(
+    pooled: DataFrame, k: int, tile_rows: int = 200_000, n_known: int | None = None
+) -> DataFrame:
     """Exact cosine top-k over the pooled table (tiled matmul; pooled
     vectors are unit-norm so cosine = dot). Output (anchor, neighbor,
     recall_score).
@@ -68,7 +72,7 @@ def cosine_recall(pooled: DataFrame, k: int, tile_rows: int = 200_000) -> DataFr
     """
     import math
 
-    n = pooled.count()
+    n = pooled.count() if n_known is None else n_known
     n_tiles = max(1, math.ceil(n / tile_rows))
     spark = pooled.sparkSession
 
@@ -135,6 +139,76 @@ def cosine_recall(pooled: DataFrame, k: int, tile_rows: int = 200_000) -> DataFr
     for bc_t, _ in partials:
         bc_t.destroy()
     return merged
+
+
+# Ceiling on driver tile collects the exact recall path may pay. Each
+# tile is one collect + one broadcast + one full-corpus matmul pass, so
+# exact cost grows as n_tiles × n — quadratic once tiles grow with the
+# corpus. Past the ceiling the IVF candidate path takes over (the
+# reference's own two-tier design: exact late-interaction only inside a
+# recalled candidate set, SIMILARITY-PLAN.md:63-79).
+EXACT_TILE_CEILING = 8
+
+
+def choose_recall_strategy(
+    n: int, tile_rows: int = 200_000, exact_tile_ceiling: int = EXACT_TILE_CEILING
+) -> str:
+    """'exact' while the corpus fits in <= exact_tile_ceiling broadcast
+    tiles, else 'ivf'. Pure so the takeover point is contract-testable
+    at any n without materializing a corpus that size."""
+    import math
+
+    return (
+        "exact"
+        if max(1, math.ceil(n / tile_rows)) <= exact_tile_ceiling
+        else "ivf"
+    )
+
+
+def recall_candidates(
+    pooled: DataFrame,
+    k: int,
+    tile_rows: int = 200_000,
+    exact_tile_ceiling: int = EXACT_TILE_CEILING,
+    target_cell: int = 4096,
+    n_probe: int = 8,
+    seed: int = 42,
+    n_known: int | None = None,
+) -> DataFrame:
+    """Self-selecting recall stage: exact tiled cosine while the corpus
+    is small enough that every candidate tile fits through a bounded
+    number of driver collects; IVF candidate generation beyond.
+
+    The IVF arm auto-sizes the coarse quantizer to the corpus —
+    n_centroids = ceil(n / target_cell) keeps EXPECTED cell occupancy
+    ~target_cell regardless of n, so per-anchor candidate work is
+    n_probe × target_cell — bounded, not corpus-proportional. Recall
+    against the exact form is property-gated
+    (tests/test_similarity_pipeline.py); scores of emitted candidates
+    are exact cosine in both arms, so the rerank stage sees identical
+    semantics either way.
+    """
+    import math
+
+    n = pooled.count() if n_known is None else n_known
+    if choose_recall_strategy(n, tile_rows, exact_tile_ceiling) == "exact":
+        return cosine_recall(pooled, k, tile_rows, n_known=n)
+    from tlmc_etl_spark.operators.vectors import ivf_topk
+
+    n_centroids = max(16, math.ceil(n / target_cell))
+    return ivf_topk(
+        pooled,
+        "track",
+        "pooled",
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=min(n_probe, n_centroids),
+        seed=seed,
+    ).select(
+        "anchor",
+        "neighbor",
+        F.round(F.col("score"), 6).alias("recall_score"),
+    )
 
 
 def gather_chunks(
@@ -290,10 +364,15 @@ def two_stage_similar_tracks(
     # (n_tracks rows — tiny at any corpus scale) so the explode+aggregate
     # pooling subtree runs once.
     pooled = pooled_unit_mean(chunks, track_col, vec_col).persist()
-    recall = cosine_recall(pooled, k_recall)
-    # cosine_recall consumes pooled eagerly (count, tile collects, and the
-    # per-tile top-k partials are localCheckpointed) — nothing downstream
-    # reads it, so release the cache now rather than leaking it.
+    # Self-selecting: exact tiled cosine under the tile ceiling, IVF
+    # candidates beyond it (recall floor property-gated).
+    n = pooled.count()
+    recall = recall_candidates(pooled, k_recall, n_known=n)
+    # The recall stage consumes pooled eagerly in the exact arm (tile
+    # collects, per-tile top-k partials localCheckpointed); the IVF arm
+    # is lazy, so materialize before releasing the cache.
+    if choose_recall_strategy(n) != "exact":
+        recall = recall.localCheckpoint(eager=True)
     pooled.unpersist()
     sets = gather_chunks(chunks, track_col, vec_col, chunk_cap, order_col=chunk_order_col)
     return chamfer_rerank(recall, sets, k_final)
