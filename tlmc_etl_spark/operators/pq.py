@@ -342,6 +342,103 @@ def ivf_pq_topk(
     )
 
 
+def pq_adc_topk_portable(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_neighbors: int = 10,
+    m: int = 4,
+    n_codes: int = 8,
+    n_anchors: int = 20,
+) -> DataFrame:
+    """ADC top-k with a DETERMINISTIC, SQL-replayable codebook: the
+    codewords of subspace s are the s-th sub-vectors of the `n_codes`
+    unit-normalized corpus vectors with smallest portable md5 hash of
+    their id (hash-sampled medoids, zero k-means iterations), indexed
+    in hash order. Encoding ranks round(|c|^2 - 2 x·c, 6) ascending
+    with index tie-break, so DuckDB replays codebook -> encode -> ADC
+    lookup -> rank exactly — the xengine pattern applied to PQ. Same
+    serving arithmetic as pq_adc_topk (m table reads per pair,
+    candidates never decoded); only codebook training differs."""
+    from pyspark.sql import Window as W
+
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    S = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    d = S.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    # codebooks[s] = (n_codes, ds): subspace s sub-vectors of the seeds
+    codebooks = np.stack([S[:, s * ds : (s + 1) * ds] for s in range(m)])
+    bc = emb.sparkSession.sparkContext.broadcast(codebooks)
+
+    def encode(batches):
+        cb = bc.value
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for s in range(m):
+                Xs = V[:, s * ds : (s + 1) * ds]
+                C = cb[s]
+                # round BEFORE the argmin: the chosen code must depend
+                # only on the 6dp value both engines agree on (ties ->
+                # smallest index, np.argmin's own convention)
+                d2 = np.round((C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T), 6)
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "codes": [c.tolist() for c in codes]}
+            )
+
+    codes = emb.select(id_col, vec_col).mapInPandas(
+        encode, schema=f"{id_col} long, codes array<int>"
+    )
+
+    a_rows = emb.filter(F.col(id_col) < n_anchors).select(id_col, vec_col).collect()
+    a_ids = np.array([r[id_col] for r in a_rows], dtype=np.int64)
+    A = np.array([r[vec_col] for r in a_rows], dtype=np.float64)
+    A = A / np.linalg.norm(A, axis=1, keepdims=True)
+    tables = np.einsum("qsd,scd->qsc", A.reshape(len(A), m, ds), codebooks)
+    bc_t = emb.sparkSession.sparkContext.broadcast((a_ids, tables))
+
+    def score(batches):
+        ids_q, T = bc_t.value
+        for pdf in batches:
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            n_ids = pdf[id_col].to_numpy()
+            Sc = np.zeros((len(pdf), len(ids_q)))
+            for s in range(T.shape[1]):
+                Sc += T[:, s, C[:, s]].T
+            n_c, n_q = Sc.shape
+            yield pd.DataFrame(
+                {
+                    "anchor": np.repeat(ids_q[None, :], n_c, axis=0).ravel(),
+                    "neighbor": np.repeat(n_ids, n_q),
+                    "adc_score": np.round(Sc.ravel(), 6),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, schema="anchor long, neighbor long, adc_score double"
+    ).filter(F.col("anchor") != F.col("neighbor"))
+    w = W.partitionBy("anchor").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("anchor", "neighbor", "adc_score", "rank")
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     id_col: str,

@@ -388,6 +388,77 @@ def lsh_near_dup(
     )
 
 
+def ivf_topk_portable(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer DuckDB can
+    replay: centroids are the `n_centroids` corpus vectors with the
+    smallest portable 60-bit hash of their id (hash-sampled medoids —
+    zero k-means iterations), unit-normalized, indexed in hash order.
+    Cell assignment ranks round(cosine, 6) with centroid-index
+    tie-break, so every step is value-checkable by SQL replay — the
+    xengine pattern applied to the quantizer. Same serving plan shape
+    as ivf_topk (broadcast assignment matmul, cell equi-join, exact
+    cosine on candidates); only the quantizer training differs."""
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(C)
+
+    def assign_cells(batches):
+        cent = bc.value
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # round BEFORE ranking: the rank must depend only on the
+            # 6dp value both engines agree on, tie-broken by index
+            sims = np.round(Vn @ cent.T, 6)
+            pdf = pdf[[id_col, vec_col]].copy()
+            order = np.argsort(-sims, axis=1, kind="stable")
+            pdf["cell"] = order[:, 0]
+            pdf["probe_cells"] = [p.tolist() for p in order[:, :n_probe]]
+            yield pdf
+
+    assigned = _with_unit_norm(
+        emb.select(id_col, vec_col).mapInPandas(
+            assign_cells,
+            schema=(
+                f"{id_col} long, "
+                f"{vec_col} {emb.schema[vec_col].dataType.simpleString()}, "
+                "cell int, probe_cells array<int>"
+            ),
+        ),
+        vec_col,
+    )
+    cands = assigned.select(
+        F.col(id_col).alias("neighbor"),
+        F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"),
+        "cell",
+    )
+    anchors = assigned.select(
+        F.col(id_col).alias("anchor"),
+        F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode("probe_cells").alias("cell"),
+    )
+    pairs = anchors.join(cands, "cell").filter(F.col("anchor") != F.col("neighbor"))
+    return _exact_cosine_topk(pairs, k)
+
+
 def _dim_of(emb: DataFrame, vec_col: str) -> int:
     first = emb.select(F.size(vec_col).alias("d")).first()
     return int(first["d"])

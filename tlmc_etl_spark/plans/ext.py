@@ -186,11 +186,64 @@ def chunk_idf_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_idf_weights(chunks, "vec_id", "track", "embedding").orderBy("id")
 
 
-@query("lsh_ann_topk")
+def _lsh_ann_oracle() -> str:
+    """SQL replay of lsh_ann_topk. The 4x64 hyperplane matrix is
+    seed-fixed and data-INDEPENDENT (make_hyperplanes(64, 4, 42)), so
+    its values embed as literals and DuckDB replays the entire
+    bucket -> radius-1 probe -> exact-cosine -> top-k pipeline — the
+    xengine pattern extended from hashes to the quantizer itself."""
+    from tlmc_etl_spark.operators.vectors import make_hyperplanes
+
+    planes = make_hyperplanes(64, 4, 42)
+    rows = ",\n    ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[i])}])"
+        for i in range(planes.shape[0])
+    )
+    return f"""
+WITH planes(i, p) AS (
+  VALUES
+    {rows}
+), e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), keys AS (
+  SELECT vec_id, sum(CASE WHEN d > 0 THEN (1::BIGINT << i) ELSE 0 END) AS bucket
+  FROM (SELECT e.vec_id, p.i, list_dot_product(e.v, p.p) AS d
+        FROM e CROSS JOIN planes p)
+  GROUP BY vec_id
+), b AS (
+  SELECT e.vec_id, e.v, k.bucket FROM e JOIN keys k USING (vec_id)
+), probes AS (
+  SELECT vec_id, v,
+         unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+                 xor(bucket, 4), xor(bucket, 8)]) AS bucket
+  FROM b
+), pairs AS (
+  SELECT a.vec_id AS anchor, c.vec_id AS neighbor,
+         round(list_dot_product(a.v, c.v) /
+               (sqrt(list_dot_product(a.v, a.v)) *
+                sqrt(list_dot_product(c.v, c.v))), 6) AS score
+  FROM probes a JOIN b c ON a.bucket = c.bucket AND a.vec_id != c.vec_id
+), ranked AS (
+  SELECT anchor, neighbor, score,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY score DESC, neighbor ASC) AS rank
+  FROM pairs
+)
+SELECT anchor, neighbor, score, rank FROM ranked
+WHERE rank <= 10 ORDER BY anchor, rank
+"""
+
+
+@query("lsh_ann_topk", oracle=_lsh_ann_oracle())
 def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 cosine neighbors via sign-LSH buckets — the
     beyond-memory-budget fallback for cosine_topk
-    (SIMILARITY-PLAN.md:52-55 inverted: ANN only when exact doesn't fit)."""
+    (SIMILARITY-PLAN.md:52-55 inverted: ANN only when exact doesn't fit).
+
+    Oracle-backed since round 8: the seeded hyperplanes are
+    data-independent, so the SQL twin embeds them as literals and
+    value-checks the full bucket/probe/score/rank pipeline."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk(emb, "vec_id", "embedding", k=10, n_planes=4).orderBy("anchor", "rank")
 
@@ -645,13 +698,89 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes via ADC lookup tables — the PQ index's serving arithmetic
     (m table reads per pair, candidates never decoded). Exact-rewrite
     identity (ADC == decode-then-dot) and recall floors gated in
-    tests/test_pq.py."""
+    tests/test_pq.py. The k-means codebooks are not SQL-replayable;
+    pq_adc_xengine is the value-checked twin."""
     from tlmc_etl_spark.operators.pq import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_adc_topk(emb, "vec_id", "embedding", k_neighbors=10, n_anchors=20).orderBy(
         "anchor", "rank"
     )
+
+
+_PQ_ADC_XENGINE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), vn AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM e
+), seeds AS (
+  SELECT vec_id, u,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                    vec_id) - 1 AS ci
+  FROM vn
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+  LIMIT 8
+), subs(s) AS (VALUES (0), (1), (2), (3)),
+cw AS (
+  SELECT subs.s, seeds.ci, seeds.u[subs.s * 16 + 1 : (subs.s + 1) * 16] AS c
+  FROM seeds CROSS JOIN subs
+), asg AS (
+  SELECT vn.vec_id, cw.s, cw.ci,
+         round(list_dot_product(cw.c, cw.c) -
+               2 * list_dot_product(
+                     vn.u[cw.s * 16 + 1 : (cw.s + 1) * 16], cw.c), 6) AS d2
+  FROM vn CROSS JOIN cw
+), codes AS (
+  SELECT vec_id, s, ci FROM (
+    SELECT vec_id, s, ci,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, ci ASC) AS rk
+    FROM asg
+  ) WHERE rk = 1
+), anchors AS (
+  SELECT vec_id AS aid, u FROM vn WHERE vec_id < 20
+), contrib AS (
+  SELECT a.aid AS anchor, codes.vec_id AS neighbor,
+         list_dot_product(a.u[codes.s * 16 + 1 : (codes.s + 1) * 16], cw.c)
+           AS part
+  FROM codes
+  JOIN cw ON cw.s = codes.s AND cw.ci = codes.ci
+  CROSS JOIN anchors a
+  WHERE a.aid != codes.vec_id
+), scored AS (
+  SELECT anchor, neighbor, round(sum(part), 6) AS adc_score
+  FROM contrib GROUP BY anchor, neighbor
+), ranked AS (
+  SELECT anchor, neighbor, adc_score,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY adc_score DESC, neighbor ASC) AS rank
+  FROM scored
+)
+SELECT anchor, neighbor, adc_score, rank FROM ranked
+WHERE rank <= 10 ORDER BY anchor, rank
+"""
+
+
+@query("pq_adc_xengine", oracle=_PQ_ADC_XENGINE_ORACLE)
+def pq_adc_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-10, cross-engine oracle form: codebooks are
+    hash-sampled medoid sub-vectors (portable md5 order, zero k-means
+    iterations), encoding ranks round(|c|^2 - 2 x·c, 6) with index
+    tie-break, and the ADC sum rounds once at the end — DuckDB replays
+    codebook -> encode -> m-table-read scoring -> rank exactly, so the
+    driver value-checks the whole serving path. pq_adc_topk (the
+    production k-means form) stays rows-only by necessity and shares
+    the scoring kernel with this twin."""
+    from tlmc_etl_spark.operators.pq import pq_adc_topk_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk_portable(
+        emb, "vec_id", "embedding", k_neighbors=10, m=4, n_codes=8, n_anchors=20
+    ).orderBy("anchor", "rank")
 
 
 @query("catalog_incremental_rebuild", oracle=_CATALOG_INCREMENTAL_ORACLE)
@@ -727,13 +856,77 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 cosine neighbors (k-means coarse quantizer,
     4-cell probe) — the faiss-IVF shape reduced to Spark-native joins
-    (faiss_index_builder.py:10-23)."""
+    (faiss_index_builder.py:10-23). The k-means quantizer is not
+    SQL-replayable; ivf_ann_topk_xengine is the value-checked twin."""
     from tlmc_etl_spark.operators.vectors import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, "vec_id", "embedding", k=10, n_centroids=16, n_probe=4).orderBy(
         "anchor", "rank"
     )
+
+
+_IVF_XENGINE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), seeds AS (
+  SELECT vec_id, v,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                    vec_id) - 1 AS ci
+  FROM e
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+  LIMIT 16
+), cent AS (
+  SELECT ci, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS c
+  FROM seeds
+), sims AS (
+  SELECT e.vec_id, cent.ci,
+         round(list_dot_product(e.v, cent.c) /
+               sqrt(list_dot_product(e.v, e.v)), 6) AS s
+  FROM e CROSS JOIN cent
+), cells AS (
+  SELECT vec_id, ci,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY s DESC, ci ASC) AS rk
+  FROM sims
+), pairs AS (
+  SELECT p.vec_id AS anchor, a.vec_id AS neighbor,
+         round(list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) *
+                sqrt(list_dot_product(eb.v, eb.v))), 6) AS score
+  FROM (SELECT vec_id, ci FROM cells WHERE rk <= 4) p
+  JOIN (SELECT vec_id, ci FROM cells WHERE rk = 1) a USING (ci)
+  JOIN e ea ON ea.vec_id = p.vec_id
+  JOIN e eb ON eb.vec_id = a.vec_id
+  WHERE p.vec_id != a.vec_id
+), ranked AS (
+  SELECT anchor, neighbor, score,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY score DESC, neighbor ASC) AS rank
+  FROM pairs
+)
+SELECT anchor, neighbor, score, rank FROM ranked
+WHERE rank <= 10 ORDER BY anchor, rank
+"""
+
+
+@query("ivf_ann_topk_xengine", oracle=_IVF_XENGINE_ORACLE)
+def ivf_ann_topk_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-10, cross-engine oracle form: the coarse quantizer is
+    hash-sampled medoids (the 16 vectors with smallest portable md5
+    hash of their id, zero k-means iterations) and cell ranking is
+    round(cosine, 6) with index tie-break — every step SQL-replayable,
+    so the driver value-checks the full assign -> probe -> score ->
+    rank pipeline. Identical serving plan shape to ivf_ann_topk (the
+    production k-means form, rows-only by necessity)."""
+    from tlmc_etl_spark.operators.vectors import ivf_topk_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_portable(
+        emb, "vec_id", "embedding", k=10, n_centroids=16, n_probe=4
+    ).orderBy("anchor", "rank")
 
 
 @query(
