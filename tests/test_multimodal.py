@@ -43,7 +43,7 @@ def test_remaining_real_kinds_raise_not_implemented():
             decode_payload("video", b"\x00\x00\x00\x18ftypmp42")
     if not _pil_available():
         with pytest.raises(NotImplementedError):
-            decode_payload("image", b"\x89PNG")
+            decode_payload("image", b"\xff\xd8\xff\xe0JFIF")  # JPEG: no stdlib arm
 
 
 def _ppm_bytes(w, h, rgb):
@@ -97,6 +97,131 @@ class TestImageDecodeArm:
         va = decode_payload("image", _ppm_bytes(7, 10, rgb))
         vb = decode_payload("image", _bmp_bytes(rgb))
         assert np.allclose(va, vb, atol=1e-9)
+
+
+def _png_bytes(px, ctype, filters=None, plte=None):
+    """Hand-built PNG: px is (h, w, channels) uint8 (or (h, w) for gray /
+    palette indices); `filters` picks the per-row filter byte (default 0)
+    and the scanlines are PRE-FILTERED accordingly so the decoder's
+    reconstruction is what the test exercises."""
+    import struct
+    import zlib
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data))
+        )
+
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    filters = filters or [0] * h
+    bpp = ch
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for r in range(h):
+        line = px[r].reshape(-1).astype(np.int32)
+        f = filters[r]
+        enc = line.copy()
+        for i in range(w * ch):
+            a = int(line[i - bpp]) if i >= bpp else 0
+            b = int(prev[i])
+            c = int(prev[i - bpp]) if i >= bpp else 0
+            if f == 1:
+                enc[i] = (line[i] - a) % 256
+            elif f == 2:
+                enc[i] = (line[i] - b) % 256
+            elif f == 3:
+                enc[i] = (line[i] - ((a + b) >> 1)) % 256
+            elif f == 4:
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (line[i] - pred) % 256
+        raw += bytes([f]) + enc.astype(np.uint8).tobytes()
+        prev = line
+    out = b"\x89PNG\r\n\x1a\n"
+    out += chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0))
+    if plte is not None:
+        out += chunk(b"PLTE", plte.astype(np.uint8).tobytes())
+    out += chunk(b"IDAT", zlib.compress(bytes(raw)))
+    out += chunk(b"IEND", b"")
+    return out
+
+
+class TestPngDecodeArm:
+    """The stdlib PNG arm (round-7 VERDICT #5): zlib + filter
+    reconstruction closes the most common compressed-image case in a
+    codec-less container — gated against the uncompressed arms, which
+    the same pixels must feature identically through."""
+
+    def test_gray_png_matches_pgm_exactly(self):
+        g = ((np.arange(256).reshape(16, 16) * 7) % 256).astype(np.uint8)
+        pgm = b"P5\n16 16\n255\n" + g.tobytes()
+        v_png = decode_payload("image", _png_bytes(g, ctype=0))
+        v_pgm = decode_payload("image", pgm)
+        assert np.array_equal(v_png, v_pgm)
+
+    def test_rgb_png_matches_ppm_exactly(self):
+        rng = np.random.default_rng(23)
+        rgb = rng.integers(0, 256, size=(12, 9, 3), dtype=np.uint8)
+        v_png = decode_payload("image", _png_bytes(rgb, ctype=2))
+        v_ppm = decode_payload("image", _ppm_bytes(9, 12, rgb))
+        assert np.array_equal(v_png, v_ppm)
+
+    def test_all_five_filters_reconstruct(self):
+        # one row per filter type (and a wrap of the cycle) — any
+        # reconstruction bug flips pixels and the feature diverges from
+        # the filter-0 encoding of the same image
+        rng = np.random.default_rng(31)
+        rgb = rng.integers(0, 256, size=(10, 8, 3), dtype=np.uint8)
+        plain = decode_payload("image", _png_bytes(rgb, ctype=2))
+        filtered = decode_payload(
+            "image",
+            _png_bytes(rgb, ctype=2, filters=[0, 1, 2, 3, 4, 4, 3, 2, 1, 0]),
+        )
+        assert np.array_equal(plain, filtered)
+
+    def test_palette_png_matches_rgb_form(self):
+        rng = np.random.default_rng(41)
+        plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+        idx = rng.integers(0, 16, size=(9, 9), dtype=np.uint8)
+        v_pal = decode_payload("image", _png_bytes(idx, ctype=3, plte=plte))
+        v_rgb = decode_payload("image", _png_bytes(plte[idx], ctype=2))
+        assert np.array_equal(v_pal, v_rgb)
+
+    def test_alpha_channels_ignored_for_luma(self):
+        rng = np.random.default_rng(43)
+        g = rng.integers(0, 256, size=(8, 8), dtype=np.uint8)
+        ga = np.stack([g, rng.integers(0, 256, size=(8, 8), dtype=np.uint8)], axis=2)
+        v_ga = decode_payload("image", _png_bytes(ga, ctype=4))
+        v_g = decode_payload("image", _png_bytes(g, ctype=0))
+        assert np.array_equal(v_ga, v_g)
+
+    def test_interlaced_and_16bit_raise(self):
+        import struct
+        import zlib
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data))
+                + typ
+                + data
+                + struct.pack(">I", zlib.crc32(typ + data))
+            )
+
+        base = b"\x89PNG\r\n\x1a\n"
+        interlaced = base + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+        )
+        with pytest.raises(ValueError, match="non-interlaced"):
+            decode_payload("image", interlaced)
+        deep = base + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0))
+        with pytest.raises(ValueError, match="8-bit"):
+            decode_payload("image", deep)
 
     def test_tiny_image_smaller_than_pool_grid_is_finite(self):
         rgb = np.full((2, 2, 3), 128, dtype=np.uint8)

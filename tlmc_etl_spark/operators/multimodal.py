@@ -130,6 +130,101 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
     return px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
 
 
+def _parse_png(payload: bytes) -> np.ndarray:
+    """8-bit non-interlaced PNG → float64 grayscale (H, W) in [0, 255].
+
+    Pure stdlib (zlib + struct) + numpy: PNG's pixel layer is just a
+    zlib stream of filter-prefixed scanlines, so the most common
+    COMPRESSED image case closes in a codec-less container the same way
+    the Y4M arm closed video (reference consumer:
+    generate_artwork_variants.py:56-67). Supports color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at bit depth 8; the
+    five standard scanline filters (None/Sub/Up/Average/Paeth) are all
+    reconstructed. Adam7 interlacing and 16-bit depth raise — they are
+    re-encode exotica, not archive-scan reality. RGB collapses through
+    the same 0.299/0.587/0.114 luma as the PNM/BMP arms, so one image
+    encoded as PNG and as PPM yields the IDENTICAL feature."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln, typ = _struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = _struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth != 8 or interlace != 0:
+        raise ValueError(
+            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    raw = _zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) < h * (stride + 1):
+        raise ValueError("truncated PNG pixel data")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels  # bytes per pixel at depth 8
+    p = 0
+    for r in range(h):
+        f = raw[p]
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).copy()
+        p += 1 + stride
+        if f == 0:  # None
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+        elif f == 2:  # Up (vectorized: uint8 addition wraps mod 256)
+            cur += prev
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (cur[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                q = a + b - c
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {f} on row {r}")
+        out[r] = cur
+        prev = cur
+    px = out.reshape(h, w, channels)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        px = plte[px[:, :, 0]]
+        channels = 3
+    px = px.astype(np.float64)
+    if channels == 1:
+        return px[:, :, 0]
+    if channels == 2:  # gray + alpha: alpha does not affect luma
+        return px[:, :, 0]
+    return px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+
+
 def _parse_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP (BI_RGB, BITMAPINFOHEADER) → float64
     grayscale (H, W). Rows are 4-byte aligned; positive height means
@@ -179,12 +274,13 @@ def _unit_centered(v: np.ndarray) -> np.ndarray:
 
 def _decode_image(payload: bytes) -> np.ndarray:
     """Image payload → FEATURE_DIM pooled-luma feature. PIL decodes any
-    format when importable; otherwise a pure stdlib+numpy parser handles
-    uncompressed PPM/PGM/BMP — real pixel decode, not a hash fake, so the
-    image arm is exercised for real even in this container (no PIL). Both
-    paths yield identical pixels for the formats both support, so the
-    feature is environment-independent. The 4x4 mean-pool mirrors the
-    audio arm's 16-window RMS envelope."""
+    format when importable; otherwise pure stdlib+numpy parsers handle
+    uncompressed PPM/PGM/BMP AND zlib-compressed PNG — real pixel
+    decode, not a hash fake, so the image arm (including the common
+    compressed case) is exercised for real even in this container (no
+    PIL). The stdlib paths yield identical pixels to each other for the
+    same image, so the feature is format-independent. The 4x4 mean-pool
+    mirrors the audio arm's 16-window RMS envelope."""
     if _pil_available():
         import io as _io
 
@@ -197,10 +293,12 @@ def _decode_image(payload: bytes) -> np.ndarray:
         gray = _parse_pnm(payload)
     elif payload[:2] == b"BM":
         gray = _parse_bmp(payload)
+    elif payload[:8] == b"\x89PNG\r\n\x1a\n":
+        gray = _parse_png(payload)
     else:
         raise NotImplementedError(
-            "image payload is neither PNM nor BMP and PIL is not installed; "
-            "pip install pillow for compressed formats"
+            "image payload is neither PNM, BMP nor PNG and PIL is not "
+            "installed; pip install pillow for other compressed formats"
         )
     return _unit_centered(_pool_luma(gray))
 
