@@ -1,0 +1,221 @@
+"""MERT-shaped audio embedding pipeline with a CPU stand-in model.
+
+The reference's embedding stage (mert_batched_uuid.py:269-325) is:
+decode → 6 s / 2 s-overlap chunks → DataLoader batches of 64 → MERT
+forward pass (last-4-layer mean) → L2-normalize → per-track stacked
+chunk tensor written to disk → journal record AFTER the write.
+
+Everything around the model is data plumbing Spark expresses directly;
+the model itself needs a GPU. This module keeps the ENTIRE pipeline
+shape — the same chunking contract, the same batch-of-64 collate loop,
+the same normalize-then-stack-then-journal ordering — but slots in a
+deterministic small-kernel featurizer (log-mel band energies via numpy
+rFFT) where the MERT forward pass goes, so the decode → batch → infer →
+journal path is executable and testable end-to-end in a GPU-less
+container. Swapping the real model back is one function: replace
+`mel_embedding_batch` with an applyInPandas that feeds the same
+(batch, samples) matrices to MERT on GPU executors — nothing upstream
+or downstream changes.
+
+Scale shape: one mapInPandas pass over the audio table (payloads stream
+through Arrow batches; nothing collects); chunking is per-row numpy;
+the batch collate packs ragged chunks into fixed-size matrices exactly
+like the reference's collate_fn; the journal append is the repo's
+standard save-then-record parquet journal (streaming/journal.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+# MERT-v1's input contract (mert_batched_uuid.py constants): 24 kHz mono,
+# 6-second chunks advancing by 4 s (2 s overlap), batches of 64.
+SAMPLE_RATE = 24_000
+CHUNK_SECONDS = 6.0
+HOP_SECONDS = 4.0
+BATCH_SIZE = 64
+N_MELS = 16
+
+
+def parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """RIFF/WAVE PCM payload → (float64 mono samples in [-1, 1], rate).
+
+    Pure stdlib (`wave` + numpy): 8/16/32-bit integer PCM and 32-bit
+    float PCM; multi-channel input is mean-downmixed to mono — the
+    stand-in for the reference's `ffmpeg -ac 1` decode leg."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, sw, sr, n_frames = (
+            w.getnchannels(),
+            w.getsampwidth(),
+            w.getframerate(),
+            w.getnframes(),
+        )
+        raw = w.readframes(n_frames)
+    if sw == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif sw == 4:
+        # wave reports only width; 32-bit PCM WAVs in the wild are float
+        # as often as int — disambiguate by amplitude (int32 audio decoded
+        # as float32 reads as astronomically large values, and vice versa
+        # reads as ~0)
+        as_f = np.frombuffer(raw, dtype="<f4").astype(np.float64)
+        if np.all(np.isfinite(as_f)) and (as_f.size == 0 or np.abs(as_f).max() <= 64.0):
+            x = as_f
+        else:
+            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    elif sw == 1:
+        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported WAV sample width {sw}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, sr
+
+
+def chunk_samples(
+    x: np.ndarray,
+    sr: int,
+    chunk_s: float = CHUNK_SECONDS,
+    hop_s: float = HOP_SECONDS,
+) -> np.ndarray:
+    """(n_chunks, chunk_len) matrix of overlapping windows; the final
+    partial window is zero-padded to full length (the reference's
+    processor pads batches — a truncated tail chunk would silently drop
+    up to chunk_s - hop_s seconds of every track)."""
+    chunk_len = int(round(chunk_s * sr))
+    hop = int(round(hop_s * sr))
+    if len(x) == 0:
+        return np.zeros((1, chunk_len))
+    starts = list(range(0, max(len(x) - chunk_len, 0) + 1, hop))
+    if starts[-1] + chunk_len < len(x):
+        starts.append(starts[-1] + hop)
+    out = np.zeros((len(starts), chunk_len))
+    for i, s in enumerate(starts):
+        seg = x[s : s + chunk_len]
+        out[i, : len(seg)] = seg
+    return out
+
+
+def _mel_filterbank(sr: int, n_fft: int, n_mels: int) -> np.ndarray:
+    """(n_mels, n_fft//2 + 1) triangular filterbank on the HTK mel scale
+    (mel = 2595 log10(1 + f/700) — public formula)."""
+    f_max = sr / 2.0
+    mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)
+    inv = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    pts = inv(np.linspace(mel(0.0), mel(f_max), n_mels + 2))
+    bins = np.floor((n_fft + 1) * pts / sr).astype(int)
+    fb = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(1, n_mels + 1):
+        lo, ctr, hi = bins[m - 1], bins[m], bins[m + 1]
+        for k in range(lo, ctr):
+            if ctr > lo:
+                fb[m - 1, k] = (k - lo) / (ctr - lo)
+        for k in range(ctr, hi):
+            if hi > ctr:
+                fb[m - 1, k] = (hi - k) / (hi - ctr)
+    return fb
+
+
+def mel_embedding_batch(
+    chunks: np.ndarray, sr: int, n_mels: int = N_MELS
+) -> np.ndarray:
+    """The stand-in forward pass: (batch, samples) → (batch, n_mels)
+    L2-normalized log-mel band energies, one vectorized rFFT per batch —
+    the same (batch in, [B, C] out, normalize at the end) contract as
+    the MERT call it replaces (mert_batched_uuid.py:282-292). Replace
+    THIS function with the real model on GPU executors; everything else
+    in the pipeline is model-agnostic."""
+    n_fft = chunks.shape[1]
+    spec = np.abs(np.fft.rfft(chunks, axis=1)) ** 2
+    fb = _mel_filterbank(sr, n_fft, n_mels)
+    energies = np.log1p(spec @ fb.T)
+    norms = np.linalg.norm(energies, axis=1, keepdims=True)
+    return energies / np.where(norms > 0, norms, 1.0)
+
+
+def audio_chunk_embeddings(
+    audio: DataFrame,
+    id_col: str = "track_id",
+    payload_col: str = "payload",
+    n_mels: int = N_MELS,
+    batch_size: int = BATCH_SIZE,
+) -> DataFrame:
+    """(track, payload) → (track, chunk_idx, n_chunks, embedding).
+
+    One mapInPandas pass. Inside each Arrow batch the per-track chunk
+    matrices are COLLATED into fixed `batch_size` inference batches
+    across track boundaries — the reference's DataLoader shape, where a
+    batch of 64 chunks typically spans several files and per-track
+    results are regrouped after the forward pass
+    (mert_batched_uuid.py:269-325). Chunk counts and indices ride along
+    so the downstream stack/write needs no second pass over the audio.
+    """
+
+    def run(batches):
+        for pdf in batches:
+            metas: list[tuple] = []  # (track, chunk_idx, n_chunks)
+            mats: list[np.ndarray] = []
+            rates: list[int] = []
+            for tid, payload in zip(pdf[id_col], pdf[payload_col]):
+                x, sr = parse_wav(bytes(payload))
+                m = chunk_samples(x, sr)
+                for ci in range(m.shape[0]):
+                    metas.append((tid, ci, m.shape[0]))
+                    mats.append(m[ci])
+                    rates.append(sr)
+            if rates and len(set(rates)) > 1:
+                # MERT's input contract is uniform 24 kHz; a mixed-rate
+                # corpus must be resampled upstream, not silently
+                # featurized against the wrong filterbank
+                raise ValueError(f"mixed sample rates in batch: {sorted(set(rates))}")
+            out_rows = []
+            for b0 in range(0, len(mats), batch_size):
+                batch = mats[b0 : b0 + batch_size]
+                sr0 = rates[b0]
+                width = max(len(v) for v in batch)
+                M = np.zeros((len(batch), width))
+                for i, v in enumerate(batch):
+                    M[i, : len(v)] = v
+                E = mel_embedding_batch(M, sr0, n_mels)
+                for i, (tid, ci, nc) in enumerate(metas[b0 : b0 + batch_size]):
+                    out_rows.append((tid, ci, nc, E[i].tolist()))
+            yield pd.DataFrame(
+                out_rows, columns=["track_id", "chunk_idx", "n_chunks", "embedding"]
+            )
+
+    return audio.mapInPandas(
+        run,
+        schema="track_id string, chunk_idx int, n_chunks int, "
+        "embedding array<double>",
+    )
+
+
+def run_journaled_embedding_pass(
+    spark: SparkSession,
+    audio: DataFrame,
+    out_dir: str,
+    journal_dir: str,
+    id_col: str = "track_id",
+    payload_col: str = "payload",
+) -> int:
+    """One incremental embedding run: pending tracks (worklist − journal)
+    are decoded, chunked, batch-featurized, written as parquet, and only
+    then journaled — the reference's save-then-record contract
+    (mert_batched_uuid.py:205-226 via streaming/journal.run_incremental).
+    Returns the number of tracks processed. Rerun is a no-op; a crash
+    between write and journal reprocesses, never loses."""
+    from tlmc_etl_spark.streaming.journal import run_incremental
+
+    return run_incremental(
+        spark,
+        audio,
+        lambda todo: audio_chunk_embeddings(todo, id_col, payload_col),
+        out_dir,
+        journal_dir,
+        id_col=id_col,
+    )
