@@ -1,6 +1,7 @@
 """Query catalog. Importing this package registers every plan."""
 
 from tlmc_etl_spark.plans import (  # noqa: F401
+    delivery,
     ext,
     incremental,
     lm,
@@ -12,6 +13,7 @@ from tlmc_etl_spark.plans import (  # noqa: F401
     storage,
     temporal,
     text,
+    tpch_shapes,
     vectors,
 )
 from tlmc_etl_spark.plans.registry import QUERIES, all_oracles, all_queries
