@@ -187,10 +187,7 @@ def run_spark_suite(spark, names: list[str], sf_dir: str, reps: int = 2) -> dict
             t0 = time.perf_counter()
             QUERIES[name].fn(spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)
-        # 2dp: the 55-query map must fit the driver's 2,000-byte stdout
-        # tail next to every other field; full-resolution curves live in
-        # SCALING.json, not here.
-        times[name] = round(best, 2)
+        times[name] = round(best, 3)
     spark.catalog.clearCache()
     return times
 
@@ -291,7 +288,10 @@ def main() -> None:
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
-        "queries": times,
+        # 2dp in the artifact: the 55-query map must fit the driver's
+        # 2,000-byte stdout tail; full-resolution walls feed the ratio
+        # sums and SCALING.json
+        "queries": {n: round(t, 2) for n, t in times.items()},
         "sf": sf,
         "loadavg_start": [round(x, 1) for x in load_start],
         "loadavg_end": [round(x, 1) for x in loadavg()],
