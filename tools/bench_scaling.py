@@ -82,6 +82,20 @@ NOTES = {
         "that amortize with scale (round-8 isolated recheck: 3.03x for "
         "10x rows)"
     ),
+    "bigram_lm_doc_score": (
+        "corpus-trained model: the derived sf1 corpus multiplies the "
+        "vocabulary ~10x (token-suffixed copies), so the model tables "
+        "grow WITH the corpus and the train+score DAG pays both sides - "
+        "sublinear in that double-sided work (round-8 isolated: 4.2x)"
+    ),
+    "tfidf_top_terms": (
+        "corpus-trained model (document frequencies grow with the "
+        "suffixed-vocabulary corpus) - round-8 isolated: 3.4x"
+    ),
+    "collocation_pmi_top": (
+        "corpus-trained model at constant 50-row output - round-8 "
+        "isolated: 3.5x"
+    ),
 }
 
 
