@@ -201,6 +201,33 @@ class TestPngDecodeArm:
         v_g = decode_payload("image", _png_bytes(g, ctype=0))
         assert np.array_equal(v_ga, v_g)
 
+    def test_property_random_images_roundtrip_exactly(self):
+        # hypothesis-style property, deterministic seeds: ANY 8-bit
+        # image under ANY per-row filter assignment must reconstruct to
+        # the exact pixels (decoder checked against the directly
+        # computed luma, not another parser)
+        from tlmc_etl_spark.operators.multimodal import _parse_png
+
+        rng = np.random.default_rng(97)
+        for trial in range(25):
+            h = int(rng.integers(1, 24))
+            w = int(rng.integers(1, 24))
+            ctype, ch = [(0, 1), (2, 3), (6, 4)][int(rng.integers(0, 3))]
+            px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            filters = [int(f) for f in rng.integers(0, 5, size=h)]
+            gray = _parse_png(
+                _png_bytes(px if ch > 1 else px[:, :, 0], ctype, filters=filters)
+            )
+            pxf = px.astype(np.float64)
+            want = (
+                pxf[:, :, 0]
+                if ch == 1
+                else pxf[:, :, 0] * 0.299 + pxf[:, :, 1] * 0.587 + pxf[:, :, 2] * 0.114
+            )
+            assert np.array_equal(gray, want), (
+                f"trial {trial}: h={h} w={w} ctype={ctype} filters={filters}"
+            )
+
     def test_interlaced_and_16bit_raise(self):
         import struct
         import zlib
