@@ -48,10 +48,9 @@ def test_headline_line_fits_driver_tail_window():
         "duckdb_wall": 12345.678,
         "spark_matched_wall": 12345.678,
         "spark_over_duckdb": 123.456,
-        "stress_excluded": {
-            n: {"spark_sec": 12345.678, "duckdb_sec": 12345.678, "ratio": 123.456}
-            for n in bench.STRESS
-        },
+        "incr_sec_per_1k": 123.45,
+        # ratio-only shape, matching what bench.py now emits
+        "stress_excluded": {n: 123.46 for n in bench.STRESS},
         "scaling_suite_ratio": {"0.01": 12.345, "0.1": 1.234, "1": 0.123},
     }
     line = bench.headline_line(out)
@@ -61,3 +60,35 @@ def test_headline_line_fits_driver_tail_window():
     parsed = json.loads(line)
     assert parsed["spark_over_duckdb"] == 123.456  # ratio survives truncation
     assert parsed["scaling_suite_ratio"]["1"] == 0.123
+
+
+def test_realistic_overflow_drops_context_fields_not_queries():
+    """The realistic worst case — every wall at 5 chars plus a contended
+    start's override stamps — must keep ALL 55 per-query entries: the
+    staged truncation drops loadavg/incr/stress context first, and only
+    a pathological artifact ever halves the queries map."""
+    import json
+
+    out = {
+        "metric": "headline_suite_wall",
+        "value": 999.99,
+        "unit": "sec",
+        "queries": {n: 12.34 for n in bench.HEADLINE},
+        "sf": 0.1,
+        "loadavg_start": [99.9, 99.9, 99.9],
+        "loadavg_end": [99.9, 99.9, 99.9],
+        "loadavg_override": True,
+        "loadavg_waited_sec": 180.0,
+        "duckdb_wall": 123.456,
+        "spark_matched_wall": 123.456,
+        "spark_over_duckdb": 1.234,
+        "incr_sec_per_1k": 12.34,
+        "stress_excluded": {n: 12.34 for n in bench.STRESS},
+        "scaling_suite_ratio": {"0.01": 12.34, "0.1": 1.23, "1": 0.12},
+    }
+    line = bench.headline_line(out)
+    parsed = json.loads(line)
+    assert len(line) <= 2000
+    assert not parsed.get("queries_truncated"), "per-query evidence lost"
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
+    assert parsed["spark_over_duckdb"] == 1.234

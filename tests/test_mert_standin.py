@@ -148,16 +148,39 @@ class TestPipeline:
         assert final.filter(F.col("track_id") == "t4").count() == 2
         assert final.count() == 9
 
-    def test_mixed_sample_rates_raise(self, spark):
+    def test_mixed_rates_each_use_their_own_filterbank(self, spark):
+        # per-rate collate buffers: a mixed-rate corpus featurizes each
+        # track against ITS OWN rate's filterbank regardless of which
+        # partition or Arrow batch rows land in (coalesce(1) forces the
+        # hardest case — both rates in one task)
         rows = [
             ("a", _wav_bytes(_tone(440, 2.0), sr=SAMPLE_RATE)),
             ("b", _wav_bytes(_tone(440, 2.0, sr=16000), sr=16000)),
         ]
-        # coalesce(1): the guard protects a single collate batch (one
-        # filterbank per inference batch); rows in separate partitions
-        # each legitimately use their own rate's filterbank
         df = spark.createDataFrame(
             rows, "track_id string, payload binary"
         ).coalesce(1)
-        with pytest.raises(Exception, match="mixed sample rates"):
-            audio_chunk_embeddings(df).collect()
+        got = {
+            r["track_id"]: np.array(r["embedding"])
+            for r in audio_chunk_embeddings(df).collect()
+        }
+        for tid, payload in rows:
+            x, sr = parse_wav(payload)
+            want = mel_embedding_batch(chunk_samples(x, sr), sr)[0]
+            assert np.allclose(got[tid], want, atol=1e-12), tid
+
+    def test_quiet_int32_wav_decodes_correctly(self):
+        # regression: a -40 dBFS int32 track must decode to the signal,
+        # not be misread as float32 garbage by an amplitude heuristic
+        import struct
+
+        x = _tone(440, 0.5) * 0.01  # quiet master
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(4)
+            w.setframerate(SAMPLE_RATE)
+            w.writeframes((x * 2147483647).astype("<i4").tobytes())
+        y, sr = parse_wav(buf.getvalue())
+        assert sr == SAMPLE_RATE
+        assert np.abs(y - x).max() < 1e-8

@@ -342,6 +342,63 @@ def ivf_pq_topk(
     )
 
 
+def _adc_serve(
+    emb: DataFrame,
+    codes: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    k_neighbors: int,
+    n_anchors: int,
+) -> DataFrame:
+    """Shared ADC serving plan: anchors keep full precision, their
+    codebooks collapse to (m x k) lookup tables, every candidate is
+    scored from its m-byte code with m table reads, ranked per anchor.
+    Both codebook forms (k-means pq_adc_topk, hash-medoid
+    pq_adc_topk_portable) feed this — a fix to the serving arithmetic
+    lands once."""
+    m, _, ds = codebooks.shape
+    a_rows = (
+        emb.filter(F.col(id_col) < n_anchors).select(id_col, vec_col).collect()
+    )
+    a_ids = np.array([r[id_col] for r in a_rows], dtype=np.int64)
+    A = np.array([r[vec_col] for r in a_rows], dtype=np.float64)
+    A = A / np.linalg.norm(A, axis=1, keepdims=True)
+    # tables[q, s, c] = dot(anchor_q subspace_s, codebook[s][c])
+    tables = np.einsum("qsd,scd->qsc", A.reshape(len(A), m, ds), codebooks)
+    bc = emb.sparkSession.sparkContext.broadcast((a_ids, tables))
+
+    def score(batches):
+        ids_q, T = bc.value
+        for pdf in batches:
+            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
+            n_ids = pdf[id_col].to_numpy()
+            S = np.zeros((len(pdf), len(ids_q)))
+            for s in range(T.shape[1]):
+                # T[:, s, :] is (Q, k); C[:, s] selects per-candidate cols
+                S += T[:, s, C[:, s]].T
+            n_c, n_q = S.shape
+            yield pd.DataFrame(
+                {
+                    "anchor": np.repeat(ids_q[None, :], n_c, axis=0).ravel(),
+                    "neighbor": np.repeat(n_ids, n_q),
+                    "adc_score": np.round(S.ravel(), 6),
+                }
+            )
+
+    scored = codes.mapInPandas(
+        score, schema="anchor long, neighbor long, adc_score double"
+    ).filter(F.col("anchor") != F.col("neighbor"))
+    w = W.partitionBy("anchor").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("anchor", "neighbor", "adc_score", "rank")
+    )
+
+
 def pq_adc_topk_portable(
     emb: DataFrame,
     id_col: str,
@@ -402,41 +459,7 @@ def pq_adc_topk_portable(
         encode, schema=f"{id_col} long, codes array<int>"
     )
 
-    a_rows = emb.filter(F.col(id_col) < n_anchors).select(id_col, vec_col).collect()
-    a_ids = np.array([r[id_col] for r in a_rows], dtype=np.int64)
-    A = np.array([r[vec_col] for r in a_rows], dtype=np.float64)
-    A = A / np.linalg.norm(A, axis=1, keepdims=True)
-    tables = np.einsum("qsd,scd->qsc", A.reshape(len(A), m, ds), codebooks)
-    bc_t = emb.sparkSession.sparkContext.broadcast((a_ids, tables))
-
-    def score(batches):
-        ids_q, T = bc_t.value
-        for pdf in batches:
-            C = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            n_ids = pdf[id_col].to_numpy()
-            Sc = np.zeros((len(pdf), len(ids_q)))
-            for s in range(T.shape[1]):
-                Sc += T[:, s, C[:, s]].T
-            n_c, n_q = Sc.shape
-            yield pd.DataFrame(
-                {
-                    "anchor": np.repeat(ids_q[None, :], n_c, axis=0).ravel(),
-                    "neighbor": np.repeat(n_ids, n_q),
-                    "adc_score": np.round(Sc.ravel(), 6),
-                }
-            )
-
-    scored = codes.mapInPandas(
-        score, schema="anchor long, neighbor long, adc_score double"
-    ).filter(F.col("anchor") != F.col("neighbor"))
-    w = W.partitionBy("anchor").orderBy(
-        F.col("adc_score").desc(), F.col("neighbor").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_neighbors)
-        .select("anchor", "neighbor", "adc_score", "rank")
-    )
+    return _adc_serve(emb, codes, codebooks, id_col, vec_col, k_neighbors, n_anchors)
 
 
 def pq_adc_topk(
@@ -460,42 +483,4 @@ def pq_adc_topk(
     """
     codebooks = pq_train_codebooks(emb, id_col, vec_col, m=m, k=n_codes, seed=seed)
     codes = pq_encode(emb, id_col, vec_col, codebooks)
-
-    a_rows = (
-        emb.filter(F.col(id_col) < n_anchors).select(id_col, vec_col).collect()
-    )
-    a_ids = np.array([r[id_col] for r in a_rows], dtype=np.int64)
-    A = np.array([r[vec_col] for r in a_rows], dtype=np.float64)
-    A = A / np.linalg.norm(A, axis=1, keepdims=True)
-    mm, kk, ds = codebooks.shape
-    # tables[q, s, c] = dot(anchor_q subspace_s, codebook[s][c])
-    tables = np.einsum("qsd,scd->qsc", A.reshape(len(A), mm, ds), codebooks)
-    bc = emb.sparkSession.sparkContext.broadcast((a_ids, tables))
-
-    def score(batches):
-        ids_q, T = bc.value
-        for pdf in batches:
-            C = np.array(pdf["codes"].tolist(), dtype=np.int64)  # (B, m)
-            n_ids = pdf[id_col].to_numpy()
-            S = np.zeros((len(pdf), len(ids_q)))
-            for s in range(T.shape[1]):
-                # T[:, s, :] is (Q, k); C[:, s] selects per-candidate cols
-                S += T[:, s, C[:, s]].T
-            n_c, n_q = S.shape
-            yield pd.DataFrame(
-                {
-                    "anchor": np.repeat(ids_q[None, :], n_c, axis=0).ravel(),
-                    "neighbor": np.repeat(n_ids, n_q),
-                    "adc_score": np.round(S.ravel(), 6),
-                }
-            )
-
-    scored = codes.mapInPandas(
-        score, schema="anchor long, neighbor long, adc_score double"
-    ).filter(F.col("anchor") != F.col("neighbor"))
-    w = W.partitionBy("anchor").orderBy(F.col("adc_score").desc(), F.col("neighbor").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_neighbors)
-        .select("anchor", "neighbor", "adc_score", "rank")
-    )
+    return _adc_serve(emb, codes, codebooks, id_col, vec_col, k_neighbors, n_anchors)

@@ -388,53 +388,49 @@ def lsh_near_dup(
     )
 
 
-def ivf_topk_portable(
+def _ivf_serve(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    k: int = 10,
-    n_centroids: int = 16,
-    n_probe: int = 4,
+    k: int,
+    centroids: "np.ndarray",
+    n_probe: int,
+    round_assign: bool,
 ) -> DataFrame:
-    """IVF top-k with a DETERMINISTIC coarse quantizer DuckDB can
-    replay: centroids are the `n_centroids` corpus vectors with the
-    smallest portable 60-bit hash of their id (hash-sampled medoids —
-    zero k-means iterations), unit-normalized, indexed in hash order.
-    Cell assignment ranks round(cosine, 6) with centroid-index
-    tie-break, so every step is value-checkable by SQL replay — the
-    xengine pattern applied to the quantizer. Same serving plan shape
-    as ivf_topk (broadcast assignment matmul, cell equi-join, exact
-    cosine on candidates); only the quantizer training differs."""
-    from tlmc_etl_spark.operators.dedup import portable_hash60
-
-    seed_rows = (
-        emb.select(id_col, vec_col)
-        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
-    C = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    """Shared IVF serving plan: broadcast-matmul cell assignment, probe
+    explode, cell equi-join, exact cosine top-k. Both quantizer forms
+    (k-means ivf_topk, hash-medoid ivf_topk_portable) feed this — a fix
+    to the serving path lands once. `round_assign` selects the
+    cross-engine-deterministic ranking (round(cos, 6) + stable index
+    tie-break, SQL-replayable) vs the production raw-sims argmax."""
     spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast(C)
+    bc = spark.sparkContext.broadcast(centroids)
 
     def assign_cells(batches):
         cent = bc.value
         for pdf in batches:
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            # round BEFORE ranking: the rank must depend only on the
-            # 6dp value both engines agree on, tie-broken by index
-            sims = np.round(Vn @ cent.T, 6)
+            sims = Vn @ cent.T
             pdf = pdf[[id_col, vec_col]].copy()
-            order = np.argsort(-sims, axis=1, kind="stable")
-            pdf["cell"] = order[:, 0]
-            pdf["probe_cells"] = [p.tolist() for p in order[:, :n_probe]]
+            if round_assign:
+                # round BEFORE ranking: the rank must depend only on the
+                # 6dp value both engines agree on, tie-broken by index
+                order = np.argsort(-np.round(sims, 6), axis=1, kind="stable")
+                pdf["cell"] = order[:, 0]
+                pdf["probe_cells"] = [p.tolist() for p in order[:, :n_probe]]
+            else:
+                pdf["cell"] = np.argmax(sims, axis=1)
+                probes = np.argsort(-sims, axis=1)[:, :n_probe]
+                pdf["probe_cells"] = [p.tolist() for p in probes]
             yield pdf
 
     assigned = _with_unit_norm(
         emb.select(id_col, vec_col).mapInPandas(
             assign_cells,
+            # element type follows the input (float embeddings stay
+            # float; double pooled vectors from the similarity pipeline
+            # must not silently narrow)
             schema=(
                 f"{id_col} long, "
                 f"{vec_col} {emb.schema[vec_col].dataType.simpleString()}, "
@@ -455,8 +451,39 @@ def ivf_topk_portable(
         F.col("nrm").alias("na"),
         F.explode("probe_cells").alias("cell"),
     )
+    # No pair dedup needed: each neighbor lives in exactly ONE cell and an
+    # anchor's probe cells are distinct, so a pair can match at most once.
     pairs = anchors.join(cands, "cell").filter(F.col("anchor") != F.col("neighbor"))
     return _exact_cosine_topk(pairs, k)
+
+
+def ivf_topk_portable(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF top-k with a DETERMINISTIC coarse quantizer DuckDB can
+    replay: centroids are the `n_centroids` corpus vectors with the
+    smallest portable 60-bit hash of their id (hash-sampled medoids —
+    zero k-means iterations), unit-normalized, indexed in hash order.
+    Cell assignment ranks round(cosine, 6) with centroid-index
+    tie-break, so every step is value-checkable by SQL replay — the
+    xengine pattern applied to the quantizer. Serving is _ivf_serve,
+    the same plan ivf_topk runs; only quantizer training differs."""
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    return _ivf_serve(emb, id_col, vec_col, k, C, n_probe, round_assign=True)
 
 
 def _dim_of(emb: DataFrame, vec_col: str) -> int:
@@ -565,45 +592,4 @@ def ivf_topk(
     M = np.array([r[vec_col] for r in rows], dtype=np.float64)
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     C = kmeans_centroids(Mn, n_centroids, seed=seed)
-    spark = emb.sparkSession
-    bc = spark.sparkContext.broadcast(C)
-
-    def assign_cells(batches):
-        cent = bc.value
-        for pdf in batches:
-            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-            sims = Vn @ cent.T
-            pdf = pdf[[id_col, vec_col]].copy()
-            pdf["cell"] = np.argmax(sims, axis=1)
-            probes = np.argsort(-sims, axis=1)[:, :n_probe]
-            pdf["probe_cells"] = [p.tolist() for p in probes]
-            yield pdf
-
-    assigned = _with_unit_norm(
-        emb.select(id_col, vec_col).mapInPandas(
-            assign_cells,
-            # element type follows the input (float embeddings stay
-            # float; double pooled vectors from the similarity pipeline
-            # must not silently narrow)
-            schema=(
-                f"{id_col} long, "
-                f"{vec_col} {emb.schema[vec_col].dataType.simpleString()}, "
-                "cell int, probe_cells array<int>"
-            ),
-        ),
-        vec_col,
-    )
-    cands = assigned.select(
-        F.col(id_col).alias("neighbor"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"), "cell"
-    )
-    anchors = assigned.select(
-        F.col(id_col).alias("anchor"),
-        F.col(vec_col).alias("va"),
-        F.col("nrm").alias("na"),
-        F.explode("probe_cells").alias("cell"),
-    )
-    # No pair dedup needed: each neighbor lives in exactly ONE cell and an
-    # anchor's probe cells are distinct, so a pair can match at most once.
-    pairs = anchors.join(cands, "cell").filter(F.col("anchor") != F.col("neighbor"))
-    return _exact_cosine_topk(pairs, k)
+    return _ivf_serve(emb, id_col, vec_col, k, C, n_probe, round_assign=False)

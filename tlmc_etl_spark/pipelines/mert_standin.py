@@ -42,9 +42,10 @@ N_MELS = 16
 def parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM payload → (float64 mono samples in [-1, 1], rate).
 
-    Pure stdlib (`wave` + numpy): 8/16/32-bit integer PCM and 32-bit
-    float PCM; multi-channel input is mean-downmixed to mono — the
-    stand-in for the reference's `ffmpeg -ac 1` decode leg."""
+    Pure stdlib (`wave` + numpy): 8/16/32-bit integer PCM (stdlib wave
+    rejects IEEE-float WAVs outright, so float never reaches us);
+    multi-channel input is mean-downmixed to mono — the stand-in for
+    the reference's `ffmpeg -ac 1` decode leg."""
     import io
     import wave
 
@@ -59,15 +60,12 @@ def parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if sw == 2:
         x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif sw == 4:
-        # wave reports only width; 32-bit PCM WAVs in the wild are float
-        # as often as int — disambiguate by amplitude (int32 audio decoded
-        # as float32 reads as astronomically large values, and vice versa
-        # reads as ~0)
-        as_f = np.frombuffer(raw, dtype="<f4").astype(np.float64)
-        if np.all(np.isfinite(as_f)) and (as_f.size == 0 or np.abs(as_f).max() <= 64.0):
-            x = as_f
-        else:
-            x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+        # Always int32: stdlib wave rejects IEEE-float WAVs (format tag
+        # 3 raises "unknown format" before readframes), so this branch
+        # can only ever receive integer PCM — an amplitude heuristic
+        # here would misclassify any quietly-mastered int32 track as
+        # float and silently corrupt it.
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
     elif sw == 1:
         x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     else:
@@ -147,46 +145,54 @@ def audio_chunk_embeddings(
 ) -> DataFrame:
     """(track, payload) → (track, chunk_idx, n_chunks, embedding).
 
-    One mapInPandas pass. Inside each Arrow batch the per-track chunk
-    matrices are COLLATED into fixed `batch_size` inference batches
-    across track boundaries — the reference's DataLoader shape, where a
-    batch of 64 chunks typically spans several files and per-track
-    results are regrouped after the forward pass
-    (mert_batched_uuid.py:269-325). Chunk counts and indices ride along
-    so the downstream stack/write needs no second pass over the audio.
+    One mapInPandas pass. Chunks are COLLATED into fixed `batch_size`
+    inference batches across track boundaries — the reference's
+    DataLoader shape, where a batch of 64 chunks typically spans
+    several files and per-track results are regrouped after the forward
+    pass (mert_batched_uuid.py:269-325). The collate buffer is PER
+    SAMPLE RATE (each inference batch is single-rate, so every chunk is
+    featurized against its own rate's filterbank, independent of how
+    rows landed in partitions) and is FLUSHED as soon as batch_size
+    chunks accumulate — peak memory is one inference batch plus one
+    in-flight decode, not the whole Arrow batch's decoded audio.
+    Cross-rate embeddings are not mutually comparable; the MERT
+    contract resamples to 24 kHz upstream, and this featurizer keeps
+    per-rate correctness either way. Chunk counts and indices ride
+    along so the downstream stack/write needs no second pass.
     """
 
     def run(batches):
+        # per-rate collate buffers: sr -> ([(track, ci, n_chunks)], [chunk])
+        bufs: dict[int, tuple[list, list]] = {}
+
+        def flush(sr: int) -> pd.DataFrame:
+            metas, mats = bufs.pop(sr)
+            width = max(len(v) for v in mats)
+            M = np.zeros((len(mats), width))
+            for i, v in enumerate(mats):
+                M[i, : len(v)] = v
+            E = mel_embedding_batch(M, sr, n_mels)
+            return pd.DataFrame(
+                [(t, ci, nc, E[i].tolist()) for i, (t, ci, nc) in enumerate(metas)],
+                columns=["track_id", "chunk_idx", "n_chunks", "embedding"],
+            )
+
         for pdf in batches:
-            metas: list[tuple] = []  # (track, chunk_idx, n_chunks)
-            mats: list[np.ndarray] = []
-            rates: list[int] = []
             for tid, payload in zip(pdf[id_col], pdf[payload_col]):
                 x, sr = parse_wav(bytes(payload))
                 m = chunk_samples(x, sr)
+                metas, mats = bufs.setdefault(sr, ([], []))
                 for ci in range(m.shape[0]):
                     metas.append((tid, ci, m.shape[0]))
                     mats.append(m[ci])
-                    rates.append(sr)
-            if rates and len(set(rates)) > 1:
-                # MERT's input contract is uniform 24 kHz; a mixed-rate
-                # corpus must be resampled upstream, not silently
-                # featurized against the wrong filterbank
-                raise ValueError(f"mixed sample rates in batch: {sorted(set(rates))}")
-            out_rows = []
-            for b0 in range(0, len(mats), batch_size):
-                batch = mats[b0 : b0 + batch_size]
-                sr0 = rates[b0]
-                width = max(len(v) for v in batch)
-                M = np.zeros((len(batch), width))
-                for i, v in enumerate(batch):
-                    M[i, : len(v)] = v
-                E = mel_embedding_batch(M, sr0, n_mels)
-                for i, (tid, ci, nc) in enumerate(metas[b0 : b0 + batch_size]):
-                    out_rows.append((tid, ci, nc, E[i].tolist()))
-            yield pd.DataFrame(
-                out_rows, columns=["track_id", "chunk_idx", "n_chunks", "embedding"]
-            )
+                    if len(mats) >= batch_size:
+                        yield flush(sr)
+                        metas, mats = bufs.setdefault(sr, ([], []))
+        for sr in sorted(bufs):
+            if bufs[sr][1]:
+                yield flush(sr)
+            else:
+                bufs.pop(sr)
 
     return audio.mapInPandas(
         run,

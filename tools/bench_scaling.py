@@ -138,14 +138,17 @@ def main() -> int:
         "sfs": {},
         "notes": NOTES,
     }
-    # Carry forward the round-8 isolation recheck record: it documents
-    # measured causes, which a re-record must not silently drop.
+    # Carry forward the isolation-recheck record AND any hand-recorded
+    # notes: they document measured causes, which a re-record must not
+    # silently drop (NOTES here wins on conflict — it is the curated
+    # durable form).
     if os.path.exists(args.out):
         try:
             prior = json.load(open(args.out))
             for k in ("outlier_recheck_isolated",):
                 if k in prior:
                     out[k] = prior[k]
+            out["notes"] = {**prior.get("notes", {}), **NOTES}
         except (OSError, ValueError):
             pass
     for sf, d in sfs:
