@@ -39,6 +39,23 @@ BATCH_SIZE = 64
 N_MELS = 16
 
 
+def synth_tone_wav(freq: float, seconds: float, sr: int = SAMPLE_RATE) -> bytes:
+    """Deterministic 16-bit mono sine WAV — the in-container stand-in
+    for real audio payloads (tests, demo queries, fixtures)."""
+    import io
+    import wave
+
+    t = np.arange(int(seconds * sr)) / sr
+    x = 0.5 * np.sin(2 * np.pi * freq * t)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes((x * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
 def parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM payload → (float64 mono samples in [-1, 1], rate).
 

@@ -652,3 +652,122 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("sample_idx") * 2.0 * 24).cast("long").alias("frame_idx"),
         F.round(F.col("sample_idx") * 2.0, 3).alias("t_offset_s"),
     )
+
+
+_AUDIO_CHUNK_PLAN_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200
+), d AS (
+  SELECT vec_id, CAST((1 + (vec_id % 7) * 2) * 24000 AS BIGINT) AS n_samples
+  FROM ids
+), c AS (
+  SELECT vec_id, n_samples,
+         CAST(floor(greatest(n_samples - 144000, 0) / 96000) + 1 AS BIGINT)
+           AS base
+  FROM d
+)
+SELECT vec_id AS track_id,
+       CAST(base + CASE WHEN (base - 1) * 96000 + 144000 < n_samples
+                        THEN 1 ELSE 0 END AS BIGINT) AS n_chunks,
+       CAST(base + CASE WHEN (base - 1) * 96000 + 144000 < n_samples
+                        THEN 1 ELSE 0 END AS BIGINT) AS n_rows
+FROM c ORDER BY track_id
+"""
+
+
+@query("audio_chunk_plan", oracle=_AUDIO_CHUNK_PLAN_ORACLE)
+def audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERT-shaped embedding pipeline's chunking contract,
+    value-checked end-to-end: 200 deterministic synthetic WAV tracks
+    (durations 1-13 s spanning the no-tail / padded-tail cases) run
+    through the REAL decode -> chunk -> batch-infer path
+    (pipelines/mert_standin.py), and the observed per-track chunk
+    counts must equal the closed-form 6 s / 4 s-hop arithmetic the
+    DuckDB oracle computes from the durations alone. n_rows ==
+    n_chunks additionally proves the pipeline emits exactly one row
+    per chunk (no dropped or duplicated chunk indices). Reference
+    contract: mert_batched_uuid.py's 6 s / 2 s-overlap chunker."""
+    import pandas as pd
+
+    from tlmc_etl_spark.pipelines.mert_standin import (
+        audio_chunk_embeddings,
+        synth_tone_wav,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    str(vid),
+                    synth_tone_wav(100.0 + (vid % 50) * 10.0, 1 + (vid % 7) * 2),
+                )
+                for vid in pdf["vec_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["track_id", "payload"])
+
+    audio = ids.mapInPandas(synth, schema="track_id string, payload binary")
+    chunks = audio_chunk_embeddings(audio)
+    return (
+        chunks.groupBy(F.col("track_id").cast("long").alias("track_id"))
+        .agg(
+            F.max("n_chunks").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+        .orderBy("track_id")
+    )
+
+
+@query("audio_mel_embeddings")
+def audio_mel_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-chunk log-mel embeddings from the same synthetic corpus —
+    the full decode -> chunk -> batch-64 collate -> featurize output
+    surface (ext tier: the rFFT kernel has no SQL twin; the chunk
+    arithmetic half IS oracle-checked by audio_chunk_plan, and the
+    kernel's semantics are gated in tests/test_mert_standin.py's
+    tone-in-right-mel-band property)."""
+    import pandas as pd
+
+    from tlmc_etl_spark.pipelines.mert_standin import (
+        audio_chunk_embeddings,
+        synth_tone_wav,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(50)
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            rows = [
+                (
+                    str(vid),
+                    synth_tone_wav(100.0 + (vid % 50) * 10.0, 1 + (vid % 5) * 3),
+                )
+                for vid in pdf["vec_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["track_id", "payload"])
+
+    audio = ids.mapInPandas(synth, schema="track_id string, payload binary")
+    return (
+        audio_chunk_embeddings(audio)
+        .select(
+            F.col("track_id").cast("long").alias("track_id"),
+            "chunk_idx",
+            "n_chunks",
+            F.round(F.element_at("embedding", 1), 6).alias("band0"),
+            F.expr(
+                "array_position(embedding, array_max(embedding))"
+            ).cast("int").alias("peak_band"),
+        )
+        .orderBy("track_id", "chunk_idx")
+    )
