@@ -342,6 +342,123 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_topk_portable(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k_neighbors: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    n_codes: int = 8,
+    n_anchors: int = 200,
+) -> DataFrame:
+    """The full IVF+PQ index shape with BOTH quantizers deterministic
+    and SQL-replayable: coarse centroids are the `n_centroids`
+    hash-medoid unit vectors (portable md5 order), PQ codewords the
+    first `n_codes` of the same seed list sliced per subspace, and
+    every ranking (cell assignment, code assignment) works on
+    round(·, 6) values with index tie-breaks — so DuckDB replays
+    quantize -> encode -> probe -> ADC -> rank end-to-end. Same plan
+    shape as ivf_pq_topk (candidate side ships only m-byte codes, the
+    memory contract that serves a 100 TB corpus); only the quantizer
+    training differs. Anchors are bounded (`id < n_anchors`) to keep
+    the oracle replay's pair count driver-friendly."""
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(max(n_centroids, n_codes))
+        .collect()
+    )
+    S = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    coarse = S[:n_centroids]
+    d = S.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    codebooks = np.stack([S[:n_codes, s * ds : (s + 1) * ds] for s in range(m)])
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast((coarse, codebooks))
+
+    def cell_and_code(batches):
+        C, cb = bc.value
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # round BEFORE ranking everywhere: chosen cells/codes must
+            # depend only on 6dp values both engines agree on
+            sims = np.round(Vn @ C.T, 6)
+            order = np.argsort(-sims, axis=1, kind="stable")
+            codes = np.empty((len(pdf), cb.shape[0]), dtype=np.int32)
+            for s in range(cb.shape[0]):
+                Xs = Vn[:, s * ds : (s + 1) * ds]
+                d2 = np.round(
+                    (cb[s] * cb[s]).sum(axis=1)[None, :] - 2.0 * (Xs @ cb[s].T), 6
+                )
+                codes[:, s] = np.argmin(d2, axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": order[:, 0],
+                    "probe_cells": [p.tolist() for p in order[:, :n_probe]],
+                    "codes": [c.tolist() for c in codes],
+                }
+            )
+
+    vt = emb.schema[vec_col].dataType.simpleString()
+    indexed = emb.select(id_col, vec_col).mapInPandas(
+        cell_and_code,
+        schema=(
+            f"{id_col} long, {vec_col} {vt}, cell int, "
+            "probe_cells array<int>, codes array<int>"
+        ),
+    ).localCheckpoint(eager=True)
+
+    cands = indexed.select(
+        F.col(id_col).alias("neighbor"), "cell", F.col("codes").alias("nb_codes")
+    )
+    anchors = indexed.filter(F.col(id_col) < n_anchors).select(
+        F.col(id_col).alias("anchor"),
+        F.col(vec_col).alias("va"),
+        F.explode("probe_cells").alias("cell"),
+    )
+    pairs = anchors.join(cands, "cell").filter(F.col("anchor") != F.col("neighbor"))
+
+    def adc(batches):
+        _, cb = bc.value
+        mm = cb.shape[0]
+        for pdf in batches:
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            An = A / np.linalg.norm(A, axis=1, keepdims=True)
+            C = np.array(pdf["nb_codes"].tolist(), dtype=np.int64)
+            Sc = np.zeros(len(pdf))
+            for s in range(mm):
+                Sc += (An[:, s * ds : (s + 1) * ds] * cb[s][C[:, s]]).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "anchor": pdf["anchor"],
+                    "neighbor": pdf["neighbor"],
+                    "adc_score": np.round(Sc, 6),
+                }
+            )
+
+    scored = fanout(pairs.select("anchor", "va", "neighbor", "nb_codes")).mapInPandas(
+        adc, schema="anchor long, neighbor long, adc_score double"
+    )
+    w = W.partitionBy("anchor").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k_neighbors)
+        .select("anchor", "neighbor", "adc_score", "rank")
+    )
+
+
 def _adc_serve(
     emb: DataFrame,
     codes: DataFrame,

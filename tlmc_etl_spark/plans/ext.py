@@ -765,6 +765,99 @@ WHERE rank <= 10 ORDER BY anchor, rank
 """
 
 
+_IVF_PQ_XENGINE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), vn AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM e
+), seeds AS (
+  SELECT vec_id, u,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                    vec_id) - 1 AS ci
+  FROM vn
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+  LIMIT 16
+), coarse AS (
+  SELECT ci, u AS c FROM seeds
+), subs(s) AS (VALUES (0), (1), (2), (3)),
+cw AS (
+  SELECT subs.s, seeds.ci, seeds.u[subs.s * 16 + 1 : (subs.s + 1) * 16] AS c
+  FROM seeds CROSS JOIN subs WHERE seeds.ci < 8
+), sims AS (
+  SELECT vn.vec_id, coarse.ci,
+         round(list_dot_product(vn.u, coarse.c), 6) AS sim
+  FROM vn CROSS JOIN coarse
+), cells AS (
+  SELECT vec_id, ci,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, ci ASC) AS rk
+  FROM sims
+), codes AS (
+  SELECT vec_id, s, ci FROM (
+    SELECT vn.vec_id, cw.s, cw.ci,
+           round(list_dot_product(cw.c, cw.c) -
+                 2 * list_dot_product(
+                       vn.u[cw.s * 16 + 1 : (cw.s + 1) * 16], cw.c), 6) AS d2,
+           row_number() OVER (PARTITION BY vn.vec_id, cw.s
+                              ORDER BY round(list_dot_product(cw.c, cw.c) -
+                                2 * list_dot_product(
+                                  vn.u[cw.s * 16 + 1 : (cw.s + 1) * 16],
+                                  cw.c), 6) ASC, cw.ci ASC) AS rk
+    FROM vn CROSS JOIN cw
+  ) WHERE rk = 1
+), pairs AS (
+  SELECT p.vec_id AS anchor, a.vec_id AS neighbor
+  FROM (SELECT vec_id, ci FROM cells WHERE rk <= 4
+        AND vec_id < 200) p
+  JOIN (SELECT vec_id, ci FROM cells WHERE rk = 1) a USING (ci)
+  WHERE p.vec_id != a.vec_id
+), contrib AS (
+  SELECT pr.anchor, pr.neighbor,
+         list_dot_product(
+           an.u[codes.s * 16 + 1 : (codes.s + 1) * 16], cw.c) AS part
+  FROM pairs pr
+  JOIN codes ON codes.vec_id = pr.neighbor
+  JOIN cw ON cw.s = codes.s AND cw.ci = codes.ci
+  JOIN vn an ON an.vec_id = pr.anchor
+), scored AS (
+  SELECT anchor, neighbor, round(sum(part), 6) AS adc_score
+  FROM contrib GROUP BY anchor, neighbor
+), ranked AS (
+  SELECT anchor, neighbor, adc_score,
+         row_number() OVER (PARTITION BY anchor
+                            ORDER BY adc_score DESC, neighbor ASC) AS rank
+  FROM scored
+)
+SELECT anchor, neighbor, adc_score, rank FROM ranked
+WHERE rank <= 10 ORDER BY anchor, rank
+"""
+
+
+@query("ivf_pq_xengine", oracle=_IVF_PQ_XENGINE_ORACLE)
+def ivf_pq_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full index shape (IVF cells + PQ codes + ADC,
+    faiss_index_builder.py:10-23), cross-engine oracle form: BOTH
+    quantizers are hash-sampled medoids (coarse = 16 seed unit vectors,
+    codebooks = the first 8 seeds' sub-vectors) and every ranking works
+    on round(·, 6) values with index tie-breaks — DuckDB replays
+    quantize -> encode -> probe -> ADC -> rank end-to-end, so the
+    driver value-checks the complete serving path of the production
+    ivf_pq_topk (which keeps its k-means quantizers and stays
+    rows-only by necessity; the two share the ADC plan shape)."""
+    from tlmc_etl_spark.operators.pq import ivf_pq_topk_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_topk_portable(
+        emb, "vec_id", "embedding",
+        k_neighbors=10, n_centroids=16, n_probe=4, m=4, n_codes=8,
+        n_anchors=200,
+    ).orderBy("anchor", "rank")
+
+
 @query("pq_adc_xengine", oracle=_PQ_ADC_XENGINE_ORACLE)
 def pq_adc_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ADC top-10, cross-engine oracle form: codebooks are
