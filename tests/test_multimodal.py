@@ -43,7 +43,7 @@ def test_remaining_real_kinds_raise_not_implemented():
             decode_payload("video", b"\x00\x00\x00\x18ftypmp42")
     if not _pil_available():
         with pytest.raises(NotImplementedError):
-            decode_payload("image", b"\xff\xd8\xff\xe0JFIF")  # JPEG: no stdlib arm
+            decode_payload("image", b"GIF89a\x01\x00\x01\x00")  # GIF: no stdlib arm
 
 
 def _ppm_bytes(w, h, rgb):
@@ -260,8 +260,13 @@ class TestPngDecodeArm:
 
         if _pil_available():
             pytest.skip("PIL present; it may sniff other formats")
-        with pytest.raises(NotImplementedError):
+        # truncated JPEG: reaches the stdlib JPEG arm, which must error
+        # (never fake pixels)
+        with pytest.raises(ValueError):
             decode_payload("image", b"\xff\xd8\xff\xe0JFIF-ish")
+        # unknown magic: no arm claims it
+        with pytest.raises(NotImplementedError):
+            decode_payload("image", b"\x00\x01not-an-image")
 
 
 def _y4m_bytes(frames, cs="420"):

@@ -165,3 +165,38 @@ def test_real_7z_lists_created_archive(spark, tmp_path):
     assert any(e.endswith("a.txt") and not d for e, d in entries.items())
     assert any(e.endswith("b.txt") and not d for e, d in entries.items())
     assert any(e.endswith("disc1") and d for e, d in entries.items())
+
+
+@needs_ffmpeg
+def test_real_ffmpeg_agrees_with_stdlib_jpeg_codec(tmp_path):
+    """Breaks the encoder<->decoder self-consistency loop: the
+    hand-built test encoder's JPEG must decode to the same pixels
+    through REAL ffmpeg as through operators/jpeg.py (a shared spec
+    misreading on both in-repo sides — wrong zigzag, wrong predictor —
+    would survive the in-container tests but not a third-party
+    decoder)."""
+    import numpy as np
+
+    from test_jpeg import encode_gray_jpeg
+    from tlmc_etl_spark.operators.jpeg import parse_jpeg_luma
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, size=(24, 16)).astype(np.float64)
+    payload = encode_gray_jpeg(img)
+    ours = parse_jpeg_luma(payload)
+
+    jpg = tmp_path / "x.jpg"
+    jpg.write_bytes(payload)
+    r = subprocess.run(
+        [
+            "ffmpeg", "-hide_banner", "-v", "error", "-i", str(jpg),
+            "-f", "rawvideo", "-pix_fmt", "gray", "-",
+        ],
+        capture_output=True,
+        timeout=60,
+    )
+    assert r.returncode == 0, r.stderr.decode()[:300]
+    theirs = np.frombuffer(r.stdout, dtype=np.uint8).reshape(24, 16).astype(np.float64)
+    # libjpeg's integer IDCT differs from the exact float transform by a
+    # couple of code values per pixel
+    assert np.abs(ours - theirs).max() <= 3.0

@@ -1,0 +1,296 @@
+"""Baseline JPEG luma decode, pure stdlib + numpy.
+
+Closes the last common compressed-image case at the codec boundary
+(reference consumer: generate_artwork_variants.py:56-67 — album artwork
+is overwhelmingly JPEG). The feature pipeline needs only LUMA, and
+JFIF's Y channel IS the 0.299R + 0.587G + 0.114B luma, so this decodes
+the Y component exactly and skips chroma reconstruction entirely —
+chroma blocks are still entropy-decoded (the interleaved bitstream
+cannot be skipped), but never dequantized or IDCT'd.
+
+Scope: baseline sequential DCT (SOF0), 8-bit, any sampling factors,
+restart markers, multi-table DHT/DQT. Progressive (SOF2), arithmetic
+coding, and 12-bit precision raise ValueError — they are re-encode
+exotica relative to the archive-scan reality this arm serves. When PIL
+is importable the multimodal dispatch prefers it; this is the
+in-container arm, exercised for real by an encoder-independent test
+harness (tests/test_jpeg.py builds spec-conformant JPEGs by hand).
+
+The IDCT is the exact orthonormal float transform (one 8x8 matrix
+sandwich per block, vectorized over all blocks at once) — libjpeg's
+integer approximations differ by ±1-2 per pixel, which the 4x4
+mean-pool feature downstream is insensitive to.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K zigzag: zigzag_order[i] = position in the 8x8 block (row-major)
+# of the i-th coefficient in transmission order.
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Orthonormal 8-point DCT matrix: block = D.T @ coeff @ D inverts
+# coeff = D @ block @ D.T.
+_D = np.array(
+    [
+        [
+            (np.sqrt(0.5) if i == 0 else 1.0)
+            * np.cos((2 * j + 1) * i * np.pi / 16.0)
+            / 2.0
+            for j in range(8)
+        ]
+        for i in range(8)
+    ]
+)
+
+
+class _Huff:
+    """Canonical JPEG Huffman table: (code_length, code) -> symbol."""
+
+    def __init__(self, counts: list[int], symbols: bytes):
+        self.lookup: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                self.lookup[(length, code)] = symbols[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+
+class _BitReader:
+    """Entropy-coded segment reader: un-stuffs 0xFF00, stops at markers."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.n_bits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            else:
+                # marker: synthesize padding so a final partial MCU's
+                # trailing reads don't run off the segment
+                self.bits = (self.bits << 8) | 0xFF
+                self.n_bits += 8
+                return
+        else:
+            self.pos += 1
+        self.bits = (self.bits << 8) | b
+        self.n_bits += 8
+
+    def read_bit(self) -> int:
+        if self.n_bits == 0:
+            self._fill()
+        self.n_bits -= 1
+        return (self.bits >> self.n_bits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def decode(self, table: _Huff) -> int:
+        length = 0
+        code = 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.lookup.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+    def align_to_marker(self) -> None:
+        """Discard buffered bits and skip to the next marker boundary
+        (used at restart intervals)."""
+        self.bits = 0
+        self.n_bits = 0
+        while self.data[self.pos] != 0xFF or self.data[self.pos + 1] == 0x00:
+            self.pos += 1
+
+
+def _extend(v: int, size: int) -> int:
+    """JPEG magnitude decode: `size`-bit value -> signed coefficient."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+def parse_jpeg_luma(payload: bytes) -> np.ndarray:
+    """Baseline JPEG payload -> float64 luma plane (H, W) in [0, 255]."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _Huff] = {}
+    huff_ac: dict[int, _Huff] = {}
+    restart_interval = 0
+    frame = None
+    pos = 2
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker sync at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        seg_len = struct.unpack_from(">H", payload, pos)[0]
+        seg = payload[pos + 2 : pos + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.float64)
+                    i += 64
+                else:
+                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.float64)
+                    i += 128
+                qt[tid] = tbl
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                symbols = seg[i + 17 : i + 17 + n]
+                (huff_dc if cls == 0 else huff_ac)[tid] = _Huff(counts, symbols)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
+            if prec != 8:
+                raise ValueError(f"only 8-bit JPEG supported (precision {prec})")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
+            frame = {"h": h, "w": w, "comps": comps}
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"only baseline sequential JPEG supported (SOF{marker - 0xC0})"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cid] = (tables >> 4, tables & 0x0F)
+            return _decode_scan(
+                payload, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        pos += seg_len
+    raise ValueError("JPEG has no scan data")
+
+
+def _decode_scan(
+    payload, data_pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+):
+    comps = frame["comps"]
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * h_max))
+    mcus_y = -(-frame["h"] // (8 * v_max))
+    y_comp = comps[0]  # first component is Y by JFIF convention
+    yw, yv = y_comp["h"], y_comp["v"]
+    plane_w, plane_h = mcus_x * yw * 8, mcus_y * yv * 8
+    # collect Y blocks as (block_index -> 64 coeffs), IDCT'd in one
+    # vectorized pass at the end
+    n_y_blocks = mcus_x * mcus_y * yw * yv
+    coeffs = np.zeros((n_y_blocks, 64))
+    positions = np.empty((n_y_blocks, 2), dtype=np.int64)
+
+    reader = _BitReader(payload, data_pos)
+    preds = {c["id"]: 0 for c in comps}
+    qy = qt[y_comp["tq"]]
+    bi = 0
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                reader.align_to_marker()
+                m = payload[reader.pos + 1]
+                if not (0xD0 <= m <= 0xD7):
+                    raise ValueError(f"expected restart marker, got {m:02x}")
+                reader.pos += 2
+                preds = {c["id"]: 0 for c in comps}
+            mcu_count += 1
+            for comp in comps:
+                dc_t = huff_dc[scan[comp["id"]][0]]
+                ac_t = huff_ac[scan[comp["id"]][1]]
+                is_y = comp is y_comp
+                for by in range(comp["v"]):
+                    for bx in range(comp["h"]):
+                        block = _decode_block(reader, dc_t, ac_t, preds, comp["id"])
+                        if is_y:
+                            coeffs[bi] = block
+                            positions[bi] = (
+                                (my * yv + by) * 8,
+                                (mx * yw + bx) * 8,
+                            )
+                            bi += 1
+    # dequant + inverse zigzag + IDCT, vectorized over every Y block
+    dq = coeffs * qy[None, :]
+    mat = np.zeros((bi, 64))
+    mat[:, ZIGZAG] = dq[:bi]
+    blocks = mat.reshape(bi, 8, 8)
+    pixels = np.einsum("ij,njk,kl->nil", _D.T, blocks, _D) + 128.0
+    plane = np.zeros((plane_h, plane_w))
+    for n in range(bi):
+        r, c = positions[n]
+        plane[r : r + 8, c : c + 8] = pixels[n]
+    return np.clip(plane[: frame["h"], : frame["w"]], 0.0, 255.0)
+
+
+def _decode_block(reader, dc_t, ac_t, preds, cid) -> np.ndarray:
+    out = np.zeros(64)
+    size = reader.decode(dc_t)
+    diff = _extend(reader.read_bits(size), size)
+    preds[cid] += diff
+    out[0] = preds[cid]
+    k = 1
+    while k < 64:
+        sym = reader.decode(ac_t)
+        if sym == 0x00:  # EOB
+            break
+        run, size = sym >> 4, sym & 0x0F
+        if size == 0:
+            if run != 15:
+                raise ValueError(f"bad AC symbol {sym:02x}")
+            k += 16  # ZRL
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC coefficient index out of range")
+        out[k] = _extend(reader.read_bits(size), size)
+        k += 1
+    return out

@@ -295,10 +295,14 @@ def _decode_image(payload: bytes) -> np.ndarray:
         gray = _parse_bmp(payload)
     elif payload[:8] == b"\x89PNG\r\n\x1a\n":
         gray = _parse_png(payload)
+    elif payload[:2] == b"\xff\xd8":
+        from tlmc_etl_spark.operators.jpeg import parse_jpeg_luma
+
+        gray = parse_jpeg_luma(payload)
     else:
         raise NotImplementedError(
-            "image payload is neither PNM, BMP nor PNG and PIL is not "
-            "installed; pip install pillow for other compressed formats"
+            "image payload is neither PNM, BMP, PNG nor baseline JPEG and "
+            "PIL is not installed; pip install pillow for other formats"
         )
     return _unit_centered(_pool_luma(gray))
 
