@@ -225,6 +225,35 @@ def _parse_png(payload: bytes) -> np.ndarray:
     return px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
 
 
+def encode_gray_png(img: "np.ndarray") -> bytes:
+    """Grayscale 8-bit PNG (filter 0 per row) — stdlib zlib + struct.
+    The encode half of the PNG arm: the media plans use it to
+    synthesize in-container compressed payloads whose decode is
+    value-checked against closed-form pixel math."""
+    import struct as _struct
+    import zlib as _zlib
+
+    h, w = img.shape
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            _struct.pack(">I", len(data))
+            + typ
+            + data
+            + _struct.pack(">I", _zlib.crc32(typ + data))
+        )
+
+    raw = b"".join(
+        b"\x00" + img[r].astype(np.uint8).tobytes() for r in range(h)
+    )
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", _zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _parse_bmp(payload: bytes) -> np.ndarray:
     """Uncompressed 24-bit BMP (BI_RGB, BITMAPINFOHEADER) → float64
     grayscale (H, W). Rows are 4-byte aligned; positive height means

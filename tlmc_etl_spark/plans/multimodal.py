@@ -771,3 +771,95 @@ def audio_mel_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("track_id", "chunk_idx")
     )
+
+
+_IMAGE_DECODE_ORACLE = """
+WITH ids AS (
+  SELECT vec_id AS img FROM embeddings ORDER BY vec_id LIMIT 32
+), px AS (
+  -- the PNG pattern: per-pixel gradient (i*31 + r*7 + c*13) mod 256
+  SELECT ids.img, r.r, c.c,
+         CAST((ids.img * 31 + r.r * 7 + c.c * 13) % 256 AS DOUBLE) AS v
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS r) r
+  CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS c) c
+), png_pool AS (
+  SELECT img, 'png' AS kind, (r // 8) * 4 + (c // 8) AS pos, avg(v) AS m
+  FROM px GROUP BY img, (r // 8) * 4 + (c // 8)
+), jpeg_pool AS (
+  -- the JPEG pattern is block-constant (8x8 blocks), so each pooled
+  -- cell IS the generator value
+  SELECT ids.img, 'jpeg' AS kind, br.b * 4 + bc.b AS pos,
+         CAST((ids.img * 31 + br.b * 7 + bc.b * 13) % 256 AS DOUBLE) AS m
+  FROM ids
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) br
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bc
+), pooled AS (
+  SELECT * FROM png_pool UNION ALL SELECT * FROM jpeg_pool
+), centered AS (
+  SELECT img, kind, pos, m - avg(m) OVER (PARTITION BY img, kind) AS d
+  FROM pooled
+), norms AS (
+  SELECT img, kind, sqrt(sum(d * d)) AS nrm
+  FROM centered GROUP BY img, kind
+)
+SELECT c.img AS img_id, c.kind AS kind, c.pos AS pos,
+       round(CASE WHEN n.nrm > 0 THEN c.d / n.nrm ELSE c.d END, 6) AS val
+FROM centered c JOIN norms n ON c.img = n.img AND c.kind = n.kind
+ORDER BY img_id, c.kind, pos
+"""
+
+
+@query("image_decode_features", oracle=_IMAGE_DECODE_ORACLE)
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The compressed-image decode arms, value-checked end to end: 32
+    deterministic images are ENCODED in-plan (a per-pixel gradient as
+    real zlib PNG; a block-constant pattern as real baseline JPEG —
+    constant 8x8 blocks decode bit-exactly through the DC path, so the
+    lossy format becomes value-checkable), pushed through the SAME
+    decode_payload dispatch production uses, and the pooled-luma
+    features must equal the closed-form pixel arithmetic DuckDB
+    computes from the generator formulas alone. Any defect anywhere in
+    the zlib/filter reconstruction, the Huffman/IDCT path, the pooling
+    or the normalization shifts a value."""
+    import numpy as np
+    import pandas as pd
+
+    from tlmc_etl_spark.operators.jpeg import encode_gray_jpeg
+    from tlmc_etl_spark.operators.multimodal import (
+        decode_payload,
+        encode_gray_png,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(32)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for img in pdf["vec_id"]:
+                r = np.arange(32)[:, None]
+                c = np.arange(32)[None, :]
+                png_img = (img * 31 + r * 7 + c * 13) % 256
+                br = np.repeat(np.arange(4), 8)[:, None]
+                bc = np.repeat(np.arange(4), 8)[None, :]
+                jpg_img = (img * 31 + br * 7 + bc * 13) % 256
+                for kind, payload in (
+                    ("png", encode_gray_png(png_img.astype(np.uint8))),
+                    ("jpeg", encode_gray_jpeg(jpg_img.astype(np.float64))),
+                ):
+                    feat = decode_payload("image", payload)
+                    for pos, val in enumerate(feat):
+                        rows.append((int(img), kind, pos, round(float(val), 6)))
+            yield pd.DataFrame(
+                rows, columns=["img_id", "kind", "pos", "val"]
+            )
+
+    return (
+        ids.mapInPandas(run, schema="img_id long, kind string, pos int, val double")
+        .orderBy("img_id", "kind", "pos")
+    )
