@@ -854,12 +854,15 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ):
                     feat = decode_payload("image", payload)
                     for pos, val in enumerate(feat):
-                        rows.append((int(img), kind, pos, round(float(val), 6)))
+                        rows.append((int(img), kind, pos, float(val)))
             yield pd.DataFrame(
                 rows, columns=["img_id", "kind", "pos", "val"]
             )
 
+    # F.round (HALF_UP), matching DuckDB's round — Python round() is
+    # banker's and would diverge on an exact half boundary
     return (
         ids.mapInPandas(run, schema="img_id long, kind string, pos int, val double")
+        .withColumn("val", F.round("val", 6))
         .orderBy("img_id", "kind", "pos")
     )
