@@ -158,6 +158,8 @@ def parse_jpeg_luma(payload: bytes) -> np.ndarray:
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
+        if marker == 0xD9:  # EOI before any scan: nothing to decode
+            break
         seg_len = struct.unpack_from(">H", payload, pos)[0]
         seg = payload[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
