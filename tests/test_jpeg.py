@@ -105,3 +105,106 @@ class TestJpegDecode:
         v = decode_payload("image", encode_gray_jpeg(img))
         assert v.shape == (16,)
         assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+
+
+class TestSpecEdgeCases:
+    def test_fill_bytes_before_markers_are_skipped(self):
+        # spec B.1.1.2: any number of 0xFF fill bytes may precede a
+        # marker code — inject padding before every segment marker
+        rng = np.random.default_rng(37)
+        img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+        payload = encode_gray_jpeg(img)
+        plain = parse_jpeg_luma(payload)
+        padded = bytearray()
+        i = 0
+        while i < len(payload):
+            if (
+                payload[i] == 0xFF
+                and i + 1 < len(payload)
+                and payload[i + 1] in (0xDB, 0xC0, 0xC4, 0xDA)
+            ):
+                padded += b"\xff\xff"  # two fill bytes, then the marker
+            padded.append(payload[i])
+            i += 1
+        assert np.array_equal(parse_jpeg_luma(bytes(padded)), plain)
+
+    def test_truncation_anywhere_raises_valueerror(self):
+        # the must-error-never-fake contract holds at EVERY cut point:
+        # inside a segment header, inside the entropy stream, at the tail
+        rng = np.random.default_rng(41)
+        img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+        payload = encode_gray_jpeg(img)
+        for cut in range(2, len(payload) - 1, 7):
+            try:
+                parse_jpeg_luma(payload[:cut])
+            except ValueError:
+                pass  # the contract
+            except Exception as e:
+                raise AssertionError(
+                    f"cut at {cut}: {type(e).__name__} leaked: {e}"
+                )
+            # a clean decode of a prefix is acceptable only when the cut
+            # is past the entropy data (trailing-marker truncation)
+
+    def test_multi_scan_noninterleaved_returns_luma(self):
+        # a 3-component baseline file encoded one scan per component:
+        # single-component scans use non-interleaved geometry (one block
+        # per MCU) and the decoder returns after the Y scan
+        rng = np.random.default_rng(43)
+        img = rng.integers(0, 256, size=(16, 24)).astype(np.float64)
+        q = np.ones(64)
+        from tlmc_etl_spark.operators.jpeg import (
+            FLAT_AC_COUNTS,
+            FLAT_AC_SYMBOLS,
+            FLAT_DC_COUNTS,
+            FLAT_DC_SYMBOLS,
+            _BitWriter,
+            _canonical_codes,
+            _dht,
+            _encode_block,
+            _fdct_quant,
+        )
+
+        dc_codes = _canonical_codes(FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+        ac_codes = _canonical_codes(FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+        out = bytearray(b"\xff\xd8")
+        out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+        out += _seg(
+            0xC0,
+            bytes([8])
+            + struct.pack(">HH", 16, 24)
+            + bytes([3, 1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        )
+        out += _dht(0, 0, FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+        out += _dht(1, 0, FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+        out += _seg(0xDA, bytes([1, 1, 0x00]) + b"\x00\x3f\x00")  # Y-only scan
+        bw = _BitWriter()
+        pred = 0
+        for r in range(0, 16, 8):
+            for c in range(0, 24, 8):
+                pred = _encode_block(
+                    bw, _fdct_quant(img[r : r + 8, c : c + 8], q), pred,
+                    dc_codes, ac_codes,
+                )
+        bw.flush()
+        out += bw.out
+        # chroma scans would follow here; the decoder must return after
+        # the Y scan without ever parsing them
+        out += b"\xff\xd9"
+        dec = parse_jpeg_luma(bytes(out))
+        assert dec.shape == (16, 24)
+        assert np.abs(dec - img).max() < 4.0
+
+    def test_partial_interleaved_scan_raises(self):
+        body = (
+            bytes([8])
+            + struct.pack(">HH", 8, 8)
+            + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0])
+        )
+        payload = (
+            b"\xff\xd8"
+            + _seg(0xC0, body)
+            + _seg(0xDA, bytes([2, 1, 0x00, 2, 0x00]) + b"\x00\x3f\x00")
+        )
+        with pytest.raises(ValueError, match="partial interleaved"):
+            parse_jpeg_luma(payload)

@@ -142,7 +142,19 @@ def _extend(v: int, size: int) -> int:
 
 
 def parse_jpeg_luma(payload: bytes) -> np.ndarray:
-    """Baseline JPEG payload -> float64 luma plane (H, W) in [0, 255]."""
+    """Baseline JPEG payload -> float64 luma plane (H, W) in [0, 255].
+
+    Every malformed/truncated input surfaces as ValueError (the image
+    arm's must-error-never-fake contract) — a payload cut off inside a
+    segment header or the entropy stream otherwise leaks IndexError /
+    struct.error from the readers."""
+    try:
+        return _parse_jpeg_luma(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e}") from e
+
+
+def _parse_jpeg_luma(payload: bytes) -> np.ndarray:
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -154,6 +166,10 @@ def parse_jpeg_luma(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"bad marker sync at {pos}")
+        # spec B.1.1.2: markers may be preceded by any number of 0xFF
+        # fill bytes — skip padding until the marker code byte
+        while payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -206,6 +222,29 @@ def parse_jpeg_luma(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan[cid] = (tables >> 4, tables & 0x0F)
+            comps = frame["comps"]
+            if ns == 1:
+                # single-component scans are ALWAYS non-interleaved
+                # (spec A.2.2: MCU = one data unit, sampling factors
+                # describe only the component's relative resolution).
+                # Luma decode needs the FIRST scan to be Y; multi-scan
+                # baseline files order Y first in practice, and we
+                # return after it without parsing the chroma scans.
+                cid = next(iter(scan))
+                if cid != comps[0]["id"]:
+                    raise ValueError(
+                        "first scan is not the luma component "
+                        f"(component {cid})"
+                    )
+                return _decode_scan_single(
+                    payload, pos + seg_len, frame, scan, qt, huff_dc,
+                    huff_ac, restart_interval,
+                )
+            if ns != len(comps):
+                raise ValueError(
+                    f"unsupported partial interleaved scan ({ns} of "
+                    f"{len(comps)} components)"
+                )
             return _decode_scan(
                 payload, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval,
@@ -271,6 +310,47 @@ def _decode_scan(
         r, c = positions[n]
         plane[r : r + 8, c : c + 8] = pixels[n]
     return np.clip(plane[: frame["h"], : frame["w"]], 0.0, 255.0)
+
+
+def _decode_scan_single(
+    payload, data_pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+):
+    """Non-interleaved scan of the first (luma) component: one data unit
+    per MCU, block grid = ceil(comp_w/8) x ceil(comp_h/8) over the
+    component's own resolution ceil(W*h_i/h_max) x ceil(H*v_i/v_max)."""
+    comps = frame["comps"]
+    y_comp = comps[0]
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
+    comp_w = -(-frame["w"] * y_comp["h"] // h_max)
+    comp_h = -(-frame["h"] * y_comp["v"] // v_max)
+    blocks_x = -(-comp_w // 8)
+    blocks_y = -(-comp_h // 8)
+    dc_t = huff_dc[scan[y_comp["id"]][0]]
+    ac_t = huff_ac[scan[y_comp["id"]][1]]
+    qy = qt[y_comp["tq"]]
+    n_blocks = blocks_x * blocks_y
+    coeffs = np.zeros((n_blocks, 64))
+    reader = _BitReader(payload, data_pos)
+    preds = {y_comp["id"]: 0}
+    for bi in range(n_blocks):
+        if restart_interval and bi and bi % restart_interval == 0:
+            reader.align_to_marker()
+            m = payload[reader.pos + 1]
+            if not (0xD0 <= m <= 0xD7):
+                raise ValueError(f"expected restart marker, got {m:02x}")
+            reader.pos += 2
+            preds = {y_comp["id"]: 0}
+        coeffs[bi] = _decode_block(reader, dc_t, ac_t, preds, y_comp["id"])
+    dq = coeffs * qy[None, :]
+    mat = np.zeros((n_blocks, 64))
+    mat[:, ZIGZAG] = dq
+    pixels = np.einsum("ij,njk,kl->nil", _D.T, mat.reshape(n_blocks, 8, 8), _D) + 128.0
+    plane = np.zeros((blocks_y * 8, blocks_x * 8))
+    for n in range(n_blocks):
+        r, c = (n // blocks_x) * 8, (n % blocks_x) * 8
+        plane[r : r + 8, c : c + 8] = pixels[n]
+    return np.clip(plane[:comp_h, :comp_w], 0.0, 255.0)
 
 
 def _decode_block(reader, dc_t, ac_t, preds, cid) -> np.ndarray:

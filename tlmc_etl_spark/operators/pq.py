@@ -301,11 +301,33 @@ def ivf_pq_topk(
         ),
     ).localCheckpoint(eager=True)
 
-    # candidate side ships ONLY (id, cell, codes) — m ints, not the vector
+    return _ivf_pq_serve(indexed, codebooks, id_col, vec_col, k_neighbors)
+
+
+def _ivf_pq_serve(
+    indexed: DataFrame,
+    codebooks: np.ndarray,
+    id_col: str,
+    vec_col: str,
+    k_neighbors: int,
+    anchor_cap: int | None = None,
+) -> DataFrame:
+    """Shared IVF+PQ serving tail over an indexed table (id, vec, cell,
+    probe_cells, codes): candidate side ships only m-byte codes, anchors
+    explode over probe cells, ADC scores per pair, per-anchor rank.
+    Both quantizer forms (k-means ivf_pq_topk, hash-medoid
+    ivf_pq_topk_portable) feed this — the serving arithmetic exists
+    once. `anchor_cap` bounds the anchor set (id < cap) for the
+    oracle-replayable form."""
+    m = codebooks.shape[0]
+    ds = codebooks.shape[2]
+    bc = indexed.sparkSession.sparkContext.broadcast(codebooks)
+
     cands = indexed.select(
         F.col(id_col).alias("neighbor"), "cell", F.col("codes").alias("nb_codes")
     )
-    anchors = indexed.select(
+    a_src = indexed if anchor_cap is None else indexed.filter(F.col(id_col) < anchor_cap)
+    anchors = a_src.select(
         F.col(id_col).alias("anchor"),
         F.col(vec_col).alias("va"),
         F.explode("probe_cells").alias("cell"),
@@ -313,14 +335,13 @@ def ivf_pq_topk(
     pairs = anchors.join(cands, "cell").filter(F.col("anchor") != F.col("neighbor"))
 
     def adc(batches):
-        _, cb = bc.value
-        mm = cb.shape[0]
+        cb = bc.value
         for pdf in batches:
             A = np.array(pdf["va"].tolist(), dtype=np.float64)
             An = A / np.linalg.norm(A, axis=1, keepdims=True)
             C = np.array(pdf["nb_codes"].tolist(), dtype=np.int64)
             S = np.zeros(len(pdf))
-            for s in range(mm):
+            for s in range(m):
                 # per-row subspace dot against the candidate's chosen centroid
                 S += (An[:, s * ds : (s + 1) * ds] * cb[s][C[:, s]]).sum(axis=1)
             yield pd.DataFrame(
@@ -334,7 +355,9 @@ def ivf_pq_topk(
     scored = fanout(pairs.select("anchor", "va", "neighbor", "nb_codes")).mapInPandas(
         adc, schema="anchor long, neighbor long, adc_score double"
     )
-    w = W.partitionBy("anchor").orderBy(F.col("adc_score").desc(), F.col("neighbor").asc())
+    w = W.partitionBy("anchor").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor").asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k_neighbors)
@@ -418,44 +441,8 @@ def ivf_pq_topk_portable(
         ),
     ).localCheckpoint(eager=True)
 
-    cands = indexed.select(
-        F.col(id_col).alias("neighbor"), "cell", F.col("codes").alias("nb_codes")
-    )
-    anchors = indexed.filter(F.col(id_col) < n_anchors).select(
-        F.col(id_col).alias("anchor"),
-        F.col(vec_col).alias("va"),
-        F.explode("probe_cells").alias("cell"),
-    )
-    pairs = anchors.join(cands, "cell").filter(F.col("anchor") != F.col("neighbor"))
-
-    def adc(batches):
-        _, cb = bc.value
-        mm = cb.shape[0]
-        for pdf in batches:
-            A = np.array(pdf["va"].tolist(), dtype=np.float64)
-            An = A / np.linalg.norm(A, axis=1, keepdims=True)
-            C = np.array(pdf["nb_codes"].tolist(), dtype=np.int64)
-            Sc = np.zeros(len(pdf))
-            for s in range(mm):
-                Sc += (An[:, s * ds : (s + 1) * ds] * cb[s][C[:, s]]).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    "anchor": pdf["anchor"],
-                    "neighbor": pdf["neighbor"],
-                    "adc_score": np.round(Sc, 6),
-                }
-            )
-
-    scored = fanout(pairs.select("anchor", "va", "neighbor", "nb_codes")).mapInPandas(
-        adc, schema="anchor long, neighbor long, adc_score double"
-    )
-    w = W.partitionBy("anchor").orderBy(
-        F.col("adc_score").desc(), F.col("neighbor").asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k_neighbors)
-        .select("anchor", "neighbor", "adc_score", "rank")
+    return _ivf_pq_serve(
+        indexed, codebooks, id_col, vec_col, k_neighbors, anchor_cap=n_anchors
     )
 
 
