@@ -208,3 +208,15 @@ class TestSpecEdgeCases:
         )
         with pytest.raises(ValueError, match="partial interleaved"):
             parse_jpeg_luma(payload)
+
+    def test_subsampled_grayscale_declaration_ignored(self):
+        # a 1-component frame declaring hv=0x22: per spec the single-
+        # component scan is non-interleaved and sampling factors don't
+        # change the block grid — pixels must equal the hv=0x11 form
+        # (the old interleaved path would have decoded 4 blocks per MCU
+        # and misplaced everything)
+        rng = np.random.default_rng(47)
+        img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+        plain = parse_jpeg_luma(encode_gray_jpeg(img))
+        sub = parse_jpeg_luma(encode_gray_jpeg(img, sampling=0x22))
+        assert np.array_equal(plain, sub)

@@ -496,8 +496,12 @@ def encode_gray_jpeg(
     dc_counts=FLAT_DC_COUNTS,
     dc_symbols=FLAT_DC_SYMBOLS,
     restart_interval: int = 0,
+    sampling: int = 0x11,
 ) -> bytes:
-    """Grayscale baseline JPEG (1 component, 8x8 sampling)."""
+    """Grayscale baseline JPEG (1 component). `sampling` sets the SOF
+    sampling byte — a single-component scan is non-interleaved per spec,
+    so the declared factors must not change decoded geometry (gated in
+    tests/test_jpeg.py)."""
     h, w = img.shape
     q = np.ones(64) if quant is None else quant.astype(np.float64)
     dc_codes = _canonical_codes(dc_counts, dc_symbols)
@@ -505,7 +509,7 @@ def encode_gray_jpeg(
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
     out += _seg(
-        0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+        0xC0, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, sampling, 0])
     )
     out += _dht(0, 0, dc_counts, dc_symbols)
     out += _dht(1, 0, FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
