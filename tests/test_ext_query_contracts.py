@@ -65,3 +65,14 @@ def test_approx_percentiles_track_exact_within_rank_error(spark, sf_dir):
         # summary is effectively exact; allow a loose 2% value slack anyway
         for q in ("p50", "p90", "p99"):
             assert abs(a[q] - e[q]) <= 0.02 * abs(e[q]) + 1e-6, (key, q, a[q], e[q])
+
+
+def test_portable_hll_estimate_accuracy(spark, sf_dir):
+    """The xengine HLL twin must be a real estimator, not just
+    oracle-consistent: relative error within 3 standard errors of the
+    m=256 sketch (3 * 1.04/sqrt(256) ~ 19.5%)."""
+    from tlmc_etl_spark.plans import QUERIES
+
+    for r in QUERIES["hll_user_rollup_xengine"].fn(spark, sf_dir).collect():
+        rel = abs(r["est_hll"] - r["n_exact"]) / max(r["n_exact"], 1)
+        assert rel < 0.195, f"{r['event_type']}: rel err {rel:.3f}"

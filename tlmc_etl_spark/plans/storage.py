@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tlmc_etl_spark.operators.dedup import portable_hash60 as _portable_hash60
 from tlmc_etl_spark.plans.registry import query
 from tlmc_etl_spark.scratch import scratch_dir
 from tlmc_etl_spark.sinks.partitioned import read_partitioned, write_partitioned
@@ -120,5 +121,119 @@ def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         merged.join(direct, "event_type")
         .select("event_type", "n_exact", "est_merged", "est_direct", "sum_shard_users")
+        .orderBy("event_type")
+    )
+
+
+_HLL_XENGINE_ORACLE = """
+WITH h AS (
+  SELECT event_type,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS hh
+  FROM (SELECT DISTINCT event_type, user_id FROM events)
+), parts AS (
+  SELECT event_type, hh >> 52 AS bucket,
+         hh & 4503599627370495 AS suffix
+  FROM h
+), rho AS (
+  SELECT event_type, bucket,
+         CASE WHEN suffix = 0 THEN 53
+              ELSE 52 - length(bin(suffix)) + 1 END AS r
+  FROM parts
+), regs AS (
+  SELECT event_type, bucket, max(r) AS reg FROM rho GROUP BY event_type, bucket
+), agg AS (
+  SELECT event_type,
+         sum(power(2.0, -reg)) + (256 - count(*)) AS s,
+         256 - count(*) AS v,
+         count(*) AS n_buckets
+  FROM regs GROUP BY event_type
+), est AS (
+  SELECT event_type, n_buckets,
+         (0.7213 / (1 + 1.079 / 256)) * 256.0 * 256.0 / s AS e_raw, v
+  FROM agg
+), corrected AS (
+  SELECT event_type, n_buckets,
+         CASE WHEN e_raw <= 2.5 * 256 AND v > 0
+              THEN 256.0 * ln(256.0 / v) ELSE e_raw END AS e
+  FROM est
+), exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events
+  GROUP BY event_type
+)
+SELECT c.event_type AS event_type, x.n_exact AS n_exact,
+       round(c.e, 4) AS est_hll, CAST(c.n_buckets AS BIGINT) AS n_buckets
+FROM corrected c JOIN exact x ON c.event_type = x.event_type
+ORDER BY event_type
+"""
+
+
+@query("hll_user_rollup_xengine", oracle=_HLL_XENGINE_ORACLE)
+def hll_user_rollup_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate, cross-engine oracle form: the
+    SKETCH ALGORITHM itself (Flajolet et al. 2007, public) implemented
+    as declarative aggregates over the portable md5-prefix hash — bucket
+    = top 8 hash bits (m=256), rank = leading-zero count of the 52-bit
+    suffix via bin-string length (bit-identical in both engines), max
+    per register, harmonic-mean estimate with the standard small-range
+    correction. DuckDB replays every step, so the driver value-checks
+    the full sketch pipeline — where the production `hll_user_rollup`
+    rides Spark's built-in Datasketches HLL_4 (mergeable binary
+    sketches; a different implementation than DuckDB's, hence rows-only
+    by necessity). The estimate column is the algorithm's own output:
+    within ~1.04/sqrt(256) ≈ 6.5% of n_exact in distribution."""
+    events = load_table(spark, sf_dir, "events")
+    h = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .select(
+            "event_type",
+            _portable_hash60(F.col("user_id").cast("string")).alias("hh"),
+        )
+    )
+    parts = h.select(
+        "event_type",
+        F.shiftrightunsigned("hh", 52).alias("bucket"),
+        F.expr("hh & 4503599627370495").alias("suffix"),
+    )
+    rho = parts.select(
+        "event_type",
+        "bucket",
+        F.when(F.col("suffix") == 0, F.lit(53))
+        .otherwise(F.lit(52) - F.length(F.bin("suffix")) + 1)
+        .alias("r"),
+    )
+    regs = rho.groupBy("event_type", "bucket").agg(F.max("r").alias("reg"))
+    agg = regs.groupBy("event_type").agg(
+        (F.sum(F.pow(F.lit(2.0), -F.col("reg"))) + (256 - F.count(F.lit(1)))).alias("s"),
+        (256 - F.count(F.lit(1))).alias("v"),
+        F.count(F.lit(1)).alias("n_buckets"),
+    )
+    alpha = 0.7213 / (1 + 1.079 / 256)
+    est = agg.select(
+        "event_type",
+        "n_buckets",
+        (F.lit(alpha * 256.0 * 256.0) / F.col("s")).alias("e_raw"),
+        "v",
+    ).select(
+        "event_type",
+        "n_buckets",
+        F.when(
+            (F.col("e_raw") <= 2.5 * 256) & (F.col("v") > 0),
+            F.lit(256.0) * F.log(F.lit(256.0) / F.col("v")),
+        )
+        .otherwise(F.col("e_raw"))
+        .alias("e"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round("e", 4).alias("est_hll"),
+            F.col("n_buckets").cast("long").alias("n_buckets"),
+        )
         .orderBy("event_type")
     )
