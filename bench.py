@@ -99,6 +99,14 @@ HEADLINE = [
     # serving-map layout (plans/serving.py; ext tier — timed, not matched)
     "pca_scatter_projection",
     "scatter_density_serving",
+    # round-9 curation surface (plans/curation2.py): semantic dedup,
+    # PII scrub, and the xengine twins that made the LSH near-dup /
+    # minhash-CC / PQ-recon families driver value-checkable
+    "pii_redaction_stats",
+    "semantic_dedup_clusters",
+    "embedding_near_dup_lsh_xengine",
+    "minhash_cc_xengine",
+    "pq_recon_xengine",
 ]
 
 # Deliberately-forced scale-stress entries: still timed and reported

@@ -566,6 +566,59 @@ def pq_adc_topk_portable(
     return _adc_serve(emb, codes, codebooks, id_col, vec_col, k_neighbors, n_anchors)
 
 
+def pq_recon_portable(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    n_codes: int = 8,
+) -> DataFrame:
+    """(id, recon_cosine) lossiness audit with the DETERMINISTIC,
+    SQL-replayable codebook of pq_adc_topk_portable: hash-medoid
+    codewords (portable md5 order, zero k-means iterations),
+    round-before-argmin encoding, and recon_cosine computed as the sum
+    of per-subspace dots over the decode norm — the exact association
+    order the DuckDB twin replays — rounded once at the end. Production
+    k-means form: pq_reconstruction."""
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_codes)
+        .collect()
+    )
+    S = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    d = S.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    codebooks = np.stack([S[:, s * ds : (s + 1) * ds] for s in range(m)])
+    bc = emb.sparkSession.sparkContext.broadcast(codebooks)
+
+    def recon(batches):
+        cb = bc.value
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            num = np.zeros(len(pdf))
+            den2 = np.zeros(len(pdf))
+            for s in range(m):
+                Xs = V[:, s * ds : (s + 1) * ds]
+                C = cb[s]
+                d2 = np.round((C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T), 6)
+                code = np.argmin(d2, axis=1)
+                num += (Xs * C[code]).sum(axis=1)
+                den2 += (C[code] * C[code]).sum(axis=1)
+            cos = np.round(num / np.sqrt(den2), 6)
+            yield pd.DataFrame({id_col: pdf[id_col], "recon_cosine": cos})
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        recon, schema=f"{id_col} long, recon_cosine double"
+    )
+
+
 def pq_adc_topk(
     emb: DataFrame,
     id_col: str,

@@ -536,6 +536,111 @@ def _exact_cosine_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def semantic_dedup_portable(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int | None = None,
+    threshold: float = 0.9,
+    target_cell: int = 128,
+) -> DataFrame:
+    """SemDeDup-style cluster-scoped dedup with a DETERMINISTIC,
+    SQL-replayable quantizer: coarse centroids are hash-medoids
+    (portable md5 order, zero k-means iterations), each vector joins its
+    argmax-cosine cell (round(·,6) with index tie-break), and within a
+    cell a vector is dropped when an EARLIER-id member's rounded cosine
+    reaches the threshold — dup_of is the smallest such id, NULL for
+    kept rows.
+
+    Plan shape: assignment is one broadcast matmul per Arrow batch; the
+    pairwise stage is a self equi-join on the cell id, so work is
+    sum(cell^2) — the quantizer bounds it the way IVF bounds serving —
+    and nothing ever cross-joins the corpus. The keep/drop comparison
+    uses the ROUNDED cosine so both engines decide from the same 6dp
+    value (the xengine convention).
+
+    `n_centroids=None` auto-sizes to ceil(n / target_cell) (floor 16):
+    EXPECTED cell occupancy stays ~target_cell as the corpus grows, so
+    the in-cell pair join — the operator's cost — stays ~linear in n
+    instead of quadratic (the same scale rule the LSH key width follows;
+    a pinned centroid count means cells fill ∝ n and pairs ∝ n²). The
+    sizing rule is itself SQL-replayable (a count, a ceil), so the
+    oracle stays pinned to the operator at every sf."""
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+
+    if n_centroids is None:
+        import math as _math
+
+        n_centroids = max(16, _math.ceil(emb.count() / target_cell))
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    C = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    bc = emb.sparkSession.sparkContext.broadcast(C)
+
+    def assign(batches):
+        cent = bc.value
+        for pdf in batches:
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            sims = np.round(Vn @ cent.T, 6)
+            order = np.argsort(-sims, axis=1, kind="stable")
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = order[:, 0]
+            yield out
+
+    vt = emb.schema[vec_col].dataType.simpleString()
+    assigned = _with_unit_norm(
+        emb.select(id_col, vec_col).mapInPandas(
+            assign, schema=f"{id_col} long, {vec_col} {vt}, cell int"
+        ),
+        vec_col,
+    ).localCheckpoint(eager=True)
+
+    a = assigned.select(
+        F.col(id_col).alias("__ida"), F.col(vec_col).alias("va"),
+        F.col("nrm").alias("na"), "cell",
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__idb"), F.col(vec_col).alias("vb"),
+        F.col("nrm").alias("nb"), "cell",
+    )
+    pairs = a.join(b, "cell").filter(F.col("__idb") < F.col("__ida"))
+
+    def score(batches):
+        for pdf in batches:
+            A = np.array(pdf["va"].tolist(), dtype=np.float64)
+            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
+            cos = np.round(
+                (A * B).sum(axis=1) / (pdf["na"].to_numpy() * pdf["nb"].to_numpy()), 6
+            )
+            keep = cos >= threshold
+            yield pd.DataFrame(
+                {
+                    "__ida": pdf["__ida"].to_numpy()[keep],
+                    "__idb": pdf["__idb"].to_numpy()[keep],
+                }
+            )
+
+    dups = (
+        pairs.select("__ida", "va", "na", "__idb", "vb", "nb")
+        .mapInPandas(score, schema="__ida long, __idb long")
+        .groupBy("__ida")
+        .agg(F.min("__idb").alias("dup_of"))
+    )
+    return (
+        assigned.select(F.col(id_col), "cell")
+        .join(dups.withColumnRenamed("__ida", id_col), id_col, "left")
+        .select(
+            id_col, "cell", "dup_of", F.col("dup_of").isNull().alias("is_kept")
+        )
+    )
+
+
 def kmeans_centroids(
     M: np.ndarray, n_centroids: int, n_iter: int = 8, seed: int = 42
 ) -> np.ndarray:

@@ -1,6 +1,7 @@
 """Query catalog. Importing this package registers every plan."""
 
 from tlmc_etl_spark.plans import (  # noqa: F401
+    curation2,
     delivery,
     ext,
     incremental,

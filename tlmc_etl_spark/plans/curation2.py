@@ -1,0 +1,447 @@
+"""Curation surface, round 9: cluster-scoped semantic dedup, PII
+redaction, and three cross-engine oracle twins that convert previously
+rows-only ext queries into driver value-checked rows.
+
+The xengine pattern (established by minhash_lsh_xengine /
+ivf_pq_xengine): pin every data-dependent or engine-native ingredient —
+hashes become the portable md5-prefix hash, trained quantizers become
+hash-sampled medoids or seed-fixed hyperplane literals, and every
+ranking works on round(·, 6) values with index tie-breaks — so DuckDB
+replays the complete algorithm and the driver hash-compares values, not
+just row counts. The production (xxhash64 / k-means / auto-sized)
+siblings keep their registrations and share the plan shape with these
+twins line for line.
+
+Reference parity notes live on each query: the semantic-dedup collapse
+is the reference's similar-track keep/drop decision
+(precompute_similar_tracks.py:244-275) applied corpus-wide; redaction is
+the scrub-before-publish step of any export sink (SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.plans.ext import _plant_near_dups
+from tlmc_etl_spark.plans.registry import query
+from tlmc_etl_spark.sources.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# embedding_near_dup_lsh_xengine
+# --------------------------------------------------------------------------
+
+# 10-bit keys x 2 tables: at the sf-range the twin is graded on
+# (5.5e2..2.2e4 vectors) buckets stay sparse enough that candidate work
+# is ~linear, while radius-1 probing x 2 tables holds planted-pair
+# (cos~0.98, per-plane p~0.936) catch probability at ~0.98 — and
+# whatever either engine catches, BOTH catch: the twin's correctness is
+# agreement, not recall (recall is the auto-sized sibling's gate).
+_LSH_XENGINE_PLANES = 10
+_LSH_XENGINE_TABLES = 2
+
+
+def _plant_sql(inner: str = "embeddings") -> str:
+    """SQL replay of ext._plant_near_dups: every 10th vector re-appears
+    (id + 10M) with element i scaled by 1 + ((i mod 7) - 3)/10, rounded
+    through FLOAT exactly as Spark's .cast("float") does — double
+    multiply, round-to-nearest float32, so both engines hold the
+    bit-identical planted corpus."""
+    return f"""
+  SELECT vec_id, embedding AS ef FROM {inner}
+  UNION ALL
+  SELECT vec_id + 10000000 AS vec_id,
+         list_transform(generate_series(1, len(embedding)),
+           i -> CAST(CAST(embedding[i] AS DOUBLE)
+                     * (1.0 + (((i - 1) % 7) - 3.0) / 10.0) AS FLOAT)) AS ef
+  FROM {inner} WHERE vec_id % 10 = 0
+"""
+
+
+def _lsh_near_dup_xengine_oracle() -> str:
+    """SQL replay of lsh_near_dup with PINNED knobs (10 planes x 2
+    tables): the seed-fixed hyperplanes are data-independent so they
+    embed as literals; per-table 6-bit sign keys, Hamming<=1 candidate
+    join via the 7-entry probe unnest, DISTINCT pair set (equal to the
+    operator's first-matching-table emission), exact cosine >= 0.9.
+    The planted pairs sit at cos~0.98 and true pairs at <=0.51, so the
+    threshold comparison is margin-safe against summation-order ulps."""
+    from tlmc_etl_spark.operators.vectors import make_hyperplanes
+
+    planes = make_hyperplanes(64, _LSH_XENGINE_PLANES * _LSH_XENGINE_TABLES, 42)
+    rows = ",\n    ".join(
+        f"({r // _LSH_XENGINE_PLANES}, {r % _LSH_XENGINE_PLANES}, "
+        f"[{', '.join(repr(float(x)) for x in planes[r])}])"
+        for r in range(planes.shape[0])
+    )
+    flips = ", ".join(
+        ["key"] + [f"xor(key, {1 << i})" for i in range(_LSH_XENGINE_PLANES)]
+    )
+    return f"""
+WITH planes(t, i, p) AS (
+  VALUES
+    {rows}
+), corpus AS ({_plant_sql()}
+), e AS (
+  SELECT vec_id, list_transform(ef, x -> CAST(x AS DOUBLE)) AS v FROM corpus
+), keys AS (
+  SELECT vec_id, t,
+         sum(CASE WHEN d > 0 THEN (1::BIGINT << i) ELSE 0 END) AS key
+  FROM (SELECT e.vec_id, p.t, p.i, list_dot_product(e.v, p.p) AS d
+        FROM e CROSS JOIN planes p)
+  GROUP BY vec_id, t
+), probes AS (
+  SELECT vec_id, t, unnest([{flips}]) AS key FROM keys
+), cand AS (
+  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+  FROM probes a JOIN keys b ON a.t = b.t AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.keep_id, c.dup_id,
+         list_dot_product(ea.v, eb.v) /
+           (sqrt(list_dot_product(ea.v, ea.v)) *
+            sqrt(list_dot_product(eb.v, eb.v))) AS cos
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.keep_id
+  JOIN e eb ON eb.vec_id = c.dup_id
+)
+SELECT keep_id, dup_id, round(cos, 6) AS score
+FROM scored WHERE cos >= 0.9 ORDER BY keep_id, dup_id
+"""
+
+
+@query("embedding_near_dup_lsh_xengine", oracle=_lsh_near_dup_xengine_oracle())
+def embedding_near_dup_lsh_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table sign-LSH embedding near-dup, cross-engine oracle form.
+
+    Identical algorithm to embedding_near_dup_lsh_hi (multi-table sign
+    keys -> Hamming<=1 probe join -> exact cosine >= 0.9 over the planted
+    corpus) but with BOTH knobs pinned (10 planes x 2 tables) instead of
+    auto-sized, so the seed-fixed hyperplanes embed in the oracle as
+    literals and DuckDB replays key -> probe -> candidate -> score
+    end-to-end. The auto-sized production sibling stays recall-gated
+    (tests/test_ext_operators.py at sf1); this twin is what turns its
+    driver row from rows-only to value-checked. Reference two-tier
+    design: Docs/SIMILARITY-PLAN.md:63-79.
+    """
+    from tlmc_etl_spark.operators.vectors import lsh_near_dup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_near_dup(
+        _plant_near_dups(emb), "vec_id", "embedding", threshold=0.9,
+        n_planes=_LSH_XENGINE_PLANES, n_tables=_LSH_XENGINE_TABLES,
+    ).orderBy("keep_id", "dup_id")
+
+
+# --------------------------------------------------------------------------
+# minhash_cc_xengine
+# --------------------------------------------------------------------------
+
+_MINHASH_CC_XENGINE_ORACLE = """
+WITH RECURSIVE ws AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), docs AS (
+  SELECT doc_id, w FROM ws WHERE len(w) >= 2
+), sh AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(w) - 1),
+                               i -> w[i] || ' ' || w[i + 1])) AS shingle
+  FROM docs
+), shh AS (
+  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh
+), perms AS (
+  SELECT doc_id, p.i,
+         min(('0x' || substr(md5(p.i::VARCHAR || ':' || shh.h::VARCHAR), 1, 15))::BIGINT) AS mh
+  FROM shh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS i) p
+  GROUP BY doc_id, p.i
+), sigs AS (
+  SELECT doc_id, list(mh ORDER BY i) AS sig FROM perms GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.b AS band_idx,
+         md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ':')) AS band_key
+  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) b
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band_idx, band_key)
+  WHERE a.doc_id < b.doc_id
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  JOIN sigs sa ON sa.doc_id = c.id_a
+  JOIN sigs sb ON sb.doc_id = c.id_b
+  WHERE len(list_filter(generate_series(1, 16),
+                        i -> sa.sig[i] = sb.sig[i])) / 16.0 >= 0.25
+), edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM pairs
+), cc AS (
+  SELECT doc_id AS node, doc_id AS label FROM documents
+  UNION
+  SELECT e.b AS node, cc.label FROM cc JOIN edges e ON cc.node = e.a
+)
+SELECT node AS doc_id,
+       min(label) AS cluster_id,
+       (min(label) = node) AS is_representative
+FROM cc GROUP BY node ORDER BY doc_id
+"""
+
+
+@query("minhash_cc_xengine", oracle=_MINHASH_CC_XENGINE_ORACLE)
+def minhash_cc_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete scale-path near-dup clustering pipeline —
+    MinHash signatures -> LSH bands -> candidate pairs -> connected
+    components -> representative election — as ONE cross-engine
+    value-checked row.
+
+    minhash_dedup_clusters (the production xxhash64 form) composes the
+    same two stages but each was previously verified separately (the
+    portable-hash pair set via minhash_lsh_xengine, the CC collapse via
+    doc_dedup_clusters' recursive-CTE oracle); this twin checks their
+    COMPOSITION: the oracle recomputes portable signatures, banding,
+    agreement filter, then closes the pair graph with a recursive CTE —
+    so a regression anywhere from shingling to label election flips the
+    driver row.
+    """
+    from tlmc_etl_spark.operators.dedup import minhash_near_dupes_portable
+    from tlmc_etl_spark.operators.graph import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_dupes_portable(
+        docs, "doc_id", "text", n_hashes=16, n_bands=4, threshold=0.25
+    ).select("id_a", "id_b")
+    comp = connected_components(docs, pairs, "doc_id", "id_a", "id_b")
+    return comp.select(
+        "doc_id",
+        F.col("component").alias("cluster_id"),
+        (F.col("component") == F.col("doc_id")).alias("is_representative"),
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# pq_recon_xengine
+# --------------------------------------------------------------------------
+
+_PQ_RECON_XENGINE_ORACLE = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), vn AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM e
+), seeds AS (
+  SELECT vec_id, u,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                    vec_id) - 1 AS ci
+  FROM vn
+  ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+  LIMIT 8
+), subs(s) AS (VALUES (0), (1), (2), (3)),
+cw AS (
+  SELECT subs.s, seeds.ci, seeds.u[subs.s * 16 + 1 : (subs.s + 1) * 16] AS c
+  FROM seeds CROSS JOIN subs
+), asg AS (
+  SELECT vn.vec_id, cw.s, cw.ci,
+         round(list_dot_product(cw.c, cw.c) -
+               2 * list_dot_product(
+                     vn.u[cw.s * 16 + 1 : (cw.s + 1) * 16], cw.c), 6) AS d2
+  FROM vn CROSS JOIN cw
+), codes AS (
+  SELECT vec_id, s, ci FROM (
+    SELECT vec_id, s, ci,
+           row_number() OVER (PARTITION BY vec_id, s
+                              ORDER BY d2 ASC, ci ASC) AS rk
+    FROM asg
+  ) WHERE rk = 1
+), recon AS (
+  SELECT codes.vec_id,
+         sum(list_dot_product(
+               vn.u[codes.s * 16 + 1 : (codes.s + 1) * 16], cw.c)) AS num,
+         sum(list_dot_product(cw.c, cw.c)) AS den2
+  FROM codes
+  JOIN cw ON cw.s = codes.s AND cw.ci = codes.ci
+  JOIN vn ON vn.vec_id = codes.vec_id
+  GROUP BY codes.vec_id
+)
+SELECT vec_id, round(num / sqrt(den2), 6) AS recon_cosine
+FROM recon ORDER BY vec_id
+"""
+
+
+@query("pq_recon_xengine", oracle=_PQ_RECON_XENGINE_ORACLE)
+def pq_recon_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector PQ lossiness audit, cross-engine oracle form: the
+    hash-medoid codebooks of pq_adc_xengine (8 portable-hash seeds' 4x16
+    sub-vectors, zero k-means iterations), round-before-argmin encoding,
+    recon_cosine = sum of per-subspace dots over the decode norm —
+    DuckDB replays codebook -> encode -> decode -> cosine exactly, so
+    the driver value-checks the audit arithmetic that
+    pq_reconstruction_audit (the production k-means form, rows-only by
+    necessity) ships to monitoring. Same audited quantity as the
+    reference's index-quality monitoring over its OPQ64,IVF16384,PQ64x8
+    index (faiss_index_builder.py:10-23)."""
+    from tlmc_etl_spark.operators.pq import pq_recon_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_recon_portable(emb, "vec_id", "embedding", m=4, n_codes=8).orderBy(
+        "vec_id"
+    )
+
+
+# --------------------------------------------------------------------------
+# semantic_dedup_clusters
+# --------------------------------------------------------------------------
+
+_SEMANTIC_DEDUP_ORACLE = f"""
+WITH corpus AS ({_plant_sql()}
+), e AS (
+  SELECT vec_id, list_transform(ef, x -> CAST(x AS DOUBLE)) AS v FROM corpus
+), vn AS (
+  SELECT vec_id,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM e
+), seeds AS (
+  SELECT u,
+         row_number() OVER (
+           ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
+                    vec_id) - 1 AS ci
+  FROM vn
+  QUALIFY ci < (SELECT greatest(16, CAST(ceil(count(*) / 128.0) AS BIGINT))
+                FROM corpus)
+), cells AS (
+  SELECT vec_id, ci AS cell FROM (
+    SELECT vn.vec_id, seeds.ci,
+           row_number() OVER (
+             PARTITION BY vn.vec_id
+             ORDER BY round(list_dot_product(vn.u, seeds.u), 6) DESC,
+                      seeds.ci ASC) AS rk
+    FROM vn CROSS JOIN seeds
+  ) WHERE rk = 1
+), dups AS (
+  SELECT a.vec_id, min(b.vec_id) AS dup_of
+  FROM cells a
+  JOIN cells b ON a.cell = b.cell AND b.vec_id < a.vec_id
+  JOIN vn ua ON ua.vec_id = a.vec_id
+  JOIN vn ub ON ub.vec_id = b.vec_id
+  WHERE round(list_dot_product(ua.u, ub.u), 6) >= 0.9
+  GROUP BY a.vec_id
+)
+SELECT c.vec_id, c.cell, d.dup_of, d.dup_of IS NULL AS is_kept
+FROM cells c LEFT JOIN dups d ON d.vec_id = c.vec_id
+ORDER BY c.vec_id
+"""
+
+
+@query("semantic_dedup_clusters", oracle=_SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style cluster-scoped embedding dedup (Abbas et al. 2023,
+    public): coarse-cluster the corpus, then within each cluster drop
+    any vector whose cosine to an earlier-id member reaches the
+    threshold — pairwise work is confined to cells, so cost is
+    sum(cell^2), never corpus^2, and each cell's pair join is an
+    equi-join on the cell id (the same shuffle-locality contract as the
+    IVF serving path).
+
+    Deterministic (and SQL-replayable) end to end: centroids are
+    hash-medoids in portable-md5 order, assignment ranks round(cos, 6)
+    with index tie-break, and the keep/drop rule compares the ROUNDED
+    cosine — both engines decide from the same 6dp value. The centroid
+    count auto-sizes to ceil(n/128) (floor 16) so expected cell
+    occupancy — and with it the pair join's cost per row — stays
+    CONSTANT as the corpus grows; the rule is a count + a ceil, so the
+    oracle replays the sizing too. Near-dups are planted (cos~0.98 vs
+    <=0.51 background) since the synthetic table has none. dup_of = the
+    smallest earlier in-cell near-duplicate, the kept representative's
+    id; the cluster-scoped miss (a planted pair split across cells) is
+    the documented SemDeDup recall trade, not a bug — the oracle
+    replays the same decision.
+    """
+    from tlmc_etl_spark.operators.vectors import semantic_dedup_portable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup_portable(
+        _plant_near_dups(emb), "vec_id", "embedding", threshold=0.9
+    ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# pii_redaction_stats
+# --------------------------------------------------------------------------
+
+_PII_ORACLE = """
+WITH synth AS (
+  SELECT c_custkey,
+         'contact ' || c_name || ' <user' || c_custkey ||
+         '@mail.example.com> phone 555-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0') ||
+         ' ip 10.0.' || (c_custkey % 256)::VARCHAR || '.1 ref ' || c_mktsegment AS text
+  FROM customer
+), redacted AS (
+  SELECT c_custkey, text,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+         len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones,
+         len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ips,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
+           '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+  FROM synth
+)
+SELECT c_custkey, n_emails, n_phones, n_ips, redacted
+FROM redacted ORDER BY c_custkey
+"""
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+_PHONE_RE = r"555-[0-9]{4}"
+
+
+@query("pii_redaction_stats", oracle=_PII_ORACLE)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub before export: count and redact emails, IPv4 addresses
+    and phone-shaped tokens with chained JVM-side regexp_replace — the
+    scrub-before-publish step a training-data export sink runs over
+    every text shard (the engine's export surfaces: sinks/shards.py,
+    sinks/copybin.py). Entirely whole-stage-codegen (regexp_count /
+    regexp_replace built-ins, no UDF) so the pass runs at scan
+    throughput at 100 TB.
+
+    PII-bearing text is synthesized deterministically from the customer
+    table (the corpus tables carry none) — the same
+    synthesize-then-operate pattern as cue_split_plan. Patterns stay in
+    the RE2∩Java-regex common subset (explicit classes, no
+    backreferences) so both engines match identically; replacement
+    order (email -> ip -> phone) is pinned on both sides because the
+    rewrites can overlap.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("contact "), F.col("c_name"),
+        F.lit(" <user"), F.col("c_custkey").cast("string"),
+        F.lit("@mail.example.com> phone 555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10.0."), (F.col("c_custkey") % 256).cast("string"),
+        F.lit(".1 ref "), F.col("c_mktsegment"),
+    )
+    synth = cust.select("c_custkey", text.alias("text"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
+            _IP_RE, "<IP>",
+        ),
+        _PHONE_RE, "<PHONE>",
+    )
+    return synth.select(
+        "c_custkey",
+        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count("text", F.lit(_IP_RE)).cast("long").alias("n_ips"),
+        redacted.alias("redacted"),
+    ).orderBy("c_custkey")
