@@ -282,7 +282,18 @@ def minhash_near_dupes_portable(
     hash the same bytes); the production path hashes word-wise without
     materializing bigrams (word_bigram_hashes)."""
     rows = n_hashes // n_bands
-    ws = df.select(id_col, F.split(F.col(text_col), " ").alias("ws")).filter(F.size("ws") >= 2)
+    # Round-robin repartition before the shingle explode: a small parquet
+    # input is ONE scan partition, and the n_hashes md5+conv evaluations
+    # per shingle — the portable path's deliberate 4x-md5 cost — would
+    # otherwise all run inside that single pre-shuffle partial-agg task.
+    # The shuffled payload is the slim (id, words) rows, and the stage has
+    # a single consumer (the signature agg), so no exchange reuse is lost.
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    ws = (
+        df.select(id_col, F.split(F.col(text_col), " ").alias("ws"))
+        .filter(F.size("ws") >= 2)
+        .repartition(n_part)
+    )
     sh = ws.select(
         id_col,
         F.explode(
