@@ -99,10 +99,9 @@ HEADLINE = [
     # serving-map layout (plans/serving.py; ext tier — timed, not matched)
     "pca_scatter_projection",
     "scatter_density_serving",
-    # round-9 curation surface (plans/curation2.py): semantic dedup,
-    # PII scrub, and the xengine twins that made the LSH near-dup /
-    # minhash-CC / PQ-recon families driver value-checkable
-    "pii_redaction_stats",
+    # round-9 curation surface (plans/curation2.py): semantic dedup and
+    # the xengine twins that made the LSH near-dup / minhash-CC /
+    # PQ-recon families driver value-checkable
     "semantic_dedup_clusters",
     "embedding_near_dup_lsh_xengine",
     "minhash_cc_xengine",

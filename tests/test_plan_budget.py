@@ -87,7 +87,6 @@ SHUFFLE_BUDGET = {
     "pca_scatter_projection": 0,  # Gram matrix rides treeAggregate, not exchanges
     "scatter_density_serving": 1,
     # round-9 additions (plans/curation2.py)
-    "pii_redaction_stats": 0,  # pure map: regexp count/replace at scan throughput
     "semantic_dedup_clusters": 2,  # cell equi-join + dup_of left join
     "embedding_near_dup_lsh_xengine": 0,  # candidate join rides broadcast at this sf
     "minhash_cc_xengine": 0,  # banded join + CC rounds run via checkpoints

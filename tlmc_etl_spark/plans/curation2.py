@@ -1,6 +1,6 @@
-"""Curation surface, round 9: cluster-scoped semantic dedup, PII
-redaction, and three cross-engine oracle twins that convert previously
-rows-only ext queries into driver value-checked rows.
+"""Curation surface, round 9: cluster-scoped semantic dedup and three
+cross-engine oracle twins that convert previously rows-only ext queries
+into driver value-checked rows.
 
 The xengine pattern (established by minhash_lsh_xengine /
 ivf_pq_xengine): pin every data-dependent or engine-native ingredient —
@@ -12,10 +12,9 @@ just row counts. The production (xxhash64 / k-means / auto-sized)
 siblings keep their registrations and share the plan shape with these
 twins line for line.
 
-Reference parity notes live on each query: the semantic-dedup collapse
-is the reference's similar-track keep/drop decision
-(precompute_similar_tracks.py:244-275) applied corpus-wide; redaction is
-the scrub-before-publish step of any export sink (SURVEY.md §2.2).
+Reference parity note: the semantic-dedup collapse is the reference's
+similar-track keep/drop decision (precompute_similar_tracks.py:244-275)
+applied corpus-wide.
 """
 
 from __future__ import annotations
@@ -65,8 +64,8 @@ def _plant_sql(inner: str = "embeddings") -> str:
 def _lsh_near_dup_xengine_oracle() -> str:
     """SQL replay of lsh_near_dup with PINNED knobs (10 planes x 2
     tables): the seed-fixed hyperplanes are data-independent so they
-    embed as literals; per-table 6-bit sign keys, Hamming<=1 candidate
-    join via the 7-entry probe unnest, DISTINCT pair set (equal to the
+    embed as literals; per-table 10-bit sign keys, Hamming<=1 candidate
+    join via the 11-entry probe unnest, DISTINCT pair set (equal to the
     operator's first-matching-table emission), exact cosine >= 0.9.
     The planted pairs sit at cos~0.98 and true pairs at <=0.51, so the
     threshold comparison is margin-safe against summation-order ulps."""
@@ -368,80 +367,3 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_portable(
         _plant_near_dups(emb), "vec_id", "embedding", threshold=0.9
     ).orderBy("vec_id")
-
-
-# --------------------------------------------------------------------------
-# pii_redaction_stats
-# --------------------------------------------------------------------------
-
-_PII_ORACLE = """
-WITH synth AS (
-  SELECT c_custkey,
-         'contact ' || c_name || ' <user' || c_custkey ||
-         '@mail.example.com> phone 555-' || lpad((c_custkey % 10000)::VARCHAR, 4, '0') ||
-         ' ip 10.0.' || (c_custkey % 256)::VARCHAR || '.1 ref ' || c_mktsegment AS text
-  FROM customer
-), redacted AS (
-  SELECT c_custkey, text,
-         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
-         len(regexp_extract_all(text, '555-[0-9]{4}')) AS n_phones,
-         len(regexp_extract_all(text, '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS n_ips,
-         regexp_replace(
-           regexp_replace(
-             regexp_replace(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-             '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}', '<IP>', 'g'),
-           '555-[0-9]{4}', '<PHONE>', 'g') AS redacted
-  FROM synth
-)
-SELECT c_custkey, n_emails, n_phones, n_ips, redacted
-FROM redacted ORDER BY c_custkey
-"""
-
-_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_IP_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
-_PHONE_RE = r"555-[0-9]{4}"
-
-
-@query("pii_redaction_stats", oracle=_PII_ORACLE)
-def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub before export: count and redact emails, IPv4 addresses
-    and phone-shaped tokens with chained JVM-side regexp_replace — the
-    scrub-before-publish step a training-data export sink runs over
-    every text shard (the engine's export surfaces: sinks/shards.py,
-    sinks/copybin.py). Entirely whole-stage-codegen (regexp_count /
-    regexp_replace built-ins, no UDF) so the pass runs at scan
-    throughput at 100 TB.
-
-    PII-bearing text is synthesized deterministically from the customer
-    table (the corpus tables carry none) — the same
-    synthesize-then-operate pattern as cue_split_plan. Patterns stay in
-    the RE2∩Java-regex common subset (explicit classes, no
-    backreferences) so both engines match identically; replacement
-    order (email -> ip -> phone) is pinned on both sides because the
-    rewrites can overlap.
-    """
-    cust = load_table(spark, sf_dir, "customer")
-    text = F.concat(
-        F.lit("contact "), F.col("c_name"),
-        F.lit(" <user"), F.col("c_custkey").cast("string"),
-        F.lit("@mail.example.com> phone 555-"),
-        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
-        F.lit(" ip 10.0."), (F.col("c_custkey") % 256).cast("string"),
-        F.lit(".1 ref "), F.col("c_mktsegment"),
-    )
-    synth = cust.select("c_custkey", text.alias("text"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace("text", _EMAIL_RE, "<EMAIL>"),
-            _IP_RE, "<IP>",
-        ),
-        _PHONE_RE, "<PHONE>",
-    )
-    return synth.select(
-        "c_custkey",
-        F.regexp_count("text", F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
-        F.regexp_count("text", F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
-        F.regexp_count("text", F.lit(_IP_RE)).cast("long").alias("n_ips"),
-        redacted.alias("redacted"),
-    ).orderBy("c_custkey")
