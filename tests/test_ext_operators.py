@@ -426,14 +426,14 @@ def test_lsh_near_dup_hi_recall_gate_at_sf1(spark):
     """The recall gate BEYOND small sf (round-6 ADVICE): at sf1's 50k
     embeddings the auto-sized key is ~13 planes wide — wide enough that
     recall depends on the auto-chosen OR depth, not the old pinned L=6.
-    _plant_near_dups pairs every 10th vec_id with vec_id + 10_000_000
+    _plant_near_dups pairs every 10th vec_id with vec_id + 1_000_000_000
     (cos ~= 0.98 >= 0.9), so the planted set is known without an exact
     all-pairs pass (2.5e9 pairs at this sf)."""
     from tlmc_etl_spark.sources.tables import load_table
 
     sf1 = "/root/repo/benchdata/sf1"
     planted = {
-        (r["vec_id"], r["vec_id"] + 10_000_000)
+        (r["vec_id"], r["vec_id"] + 1_000_000_000)
         for r in load_table(spark, sf1, "embeddings")
         .filter("vec_id % 10 = 0")
         .select("vec_id")

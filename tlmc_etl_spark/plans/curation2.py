@@ -46,14 +46,15 @@ _LSH_XENGINE_TABLES = 2
 
 def _plant_sql(inner: str = "embeddings") -> str:
     """SQL replay of ext._plant_near_dups: every 10th vector re-appears
-    (id + 10M) with element i scaled by 1 + ((i mod 7) - 3)/10, rounded
-    through FLOAT exactly as Spark's .cast("float") does — double
-    multiply, round-to-nearest float32, so both engines hold the
-    bit-identical planted corpus."""
+    (id + 1e9 — clear of the scale generator's copy*10M+base id space)
+    with element i scaled by 1 + ((i mod 7) - 3)/10, rounded through
+    FLOAT exactly as Spark's .cast("float") does — double multiply,
+    round-to-nearest float32, so both engines hold the bit-identical
+    planted corpus."""
     return f"""
   SELECT vec_id, embedding AS ef FROM {inner}
   UNION ALL
-  SELECT vec_id + 10000000 AS vec_id,
+  SELECT vec_id + 1000000000 AS vec_id,
          list_transform(generate_series(1, len(embedding)),
            i -> CAST(CAST(embedding[i] AS DOUBLE)
                      * (1.0 + (((i - 1) % 7) - 3.0) / 10.0) AS FLOAT)) AS ef

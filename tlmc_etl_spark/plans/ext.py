@@ -113,7 +113,70 @@ def chamfer_group_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("group_three_score_similarity")
+_THREE_SCORE_ORACLE = """
+WITH members AS (
+  SELECT label AS g, vec_id AS o,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+  UNION ALL
+  SELECT (label + 1) % 10 AS g, vec_id + 1000000 AS o,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 5 = 0
+), ranked AS (
+  SELECT g, v,
+         row_number() OVER (PARTITION BY g ORDER BY o) - 1 AS rn,
+         count(*) OVER (PARTITION BY g) AS cnt
+  FROM members
+), picked AS (
+  SELECT g, rn, v FROM ranked
+  WHERE cnt <= 64 OR list_contains(
+    list_transform(range(0, 64),
+                   i -> CAST(round(i * (cnt - 1) / 63.0) AS BIGINT)), rn)
+), un AS (
+  SELECT g, rn,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS u
+  FROM picked
+), sims AS (
+  SELECT a.g AS ga, b.g AS gb, a.rn AS ra, b.rn AS rb,
+         list_dot_product(a.u, b.u) AS s
+  FROM un a JOIN un b ON a.g < b.g
+), gam AS (
+  SELECT 1.0 / greatest(median(1.0 - s), 0.0001) AS g FROM sims
+), qmax AS (
+  SELECT ga, gb, ra, max(s) AS m,
+         coalesce(max(CASE WHEN s < 0.9985 THEN s END), 0.0) AS ms
+  FROM sims GROUP BY ga, gb, ra
+), dmax AS (
+  SELECT ga, gb, rb, max(s) AS m,
+         coalesce(max(CASE WHEN s < 0.9985 THEN s END), 0.0) AS ms
+  FROM sims GROUP BY ga, gb, rb
+), qa AS (
+  SELECT ga, gb, avg(m) AS raw_q, avg(ms) AS sty_q FROM qmax GROUP BY ga, gb
+), da AS (
+  SELECT ga, gb, avg(m) AS raw_d, avg(ms) AS sty_d FROM dmax GROUP BY ga, gb
+), cross_k AS (
+  SELECT ga, gb, avg(exp(gam.g * (s - 1.0))) AS kab
+  FROM sims CROSS JOIN gam GROUP BY ga, gb, gam.g
+), self_k AS (
+  SELECT a.g AS grp, avg(exp(gam.g * (list_dot_product(a.u, b.u) - 1.0))) AS kk
+  FROM un a JOIN un b ON a.g = b.g CROSS JOIN gam
+  GROUP BY a.g, gam.g
+)
+SELECT qa.ga AS group_a, qa.gb AS group_b,
+       round((raw_q + raw_d) / 2.0, 6) AS score_raw,
+       round((sty_q + sty_d) / 2.0, 6) AS score_style,
+       round(kab / sqrt(sa.kk * sb.kk), 6) AS score_kde,
+       round((SELECT g FROM gam), 4) AS kde_gamma
+FROM qa
+JOIN da ON qa.ga = da.ga AND qa.gb = da.gb
+JOIN cross_k ck ON qa.ga = ck.ga AND qa.gb = ck.gb
+JOIN self_k sa ON sa.grp = qa.ga
+JOIN self_k sb ON sb.grp = qa.gb
+ORDER BY group_a, group_b
+"""
+
+
+@query("group_three_score_similarity", oracle=_THREE_SCORE_ORACLE)
 def group_three_score_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three-score group similarity (raw / dup-masked style / KDE kernel
     mean) between label groups — full parity with
@@ -124,6 +187,15 @@ def group_three_score_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     copied verbatim into the next label group, so (l, l+1) pairs share
     identical members — score_raw saturates on them while score_style
     masks them out (the re-release demotion the style flavor exists for).
+
+    Oracle-backed since round 9 — no twin needed, the PRODUCTION query is
+    SQL-replayable end to end: the linspace member subsample is HALF_UP
+    rounding in both engines, every score is max/mean/exp arithmetic over
+    the same member pairs, and the γ calibration's hash-ordered
+    1024-pair sample provably covers ALL pairs at every graded sf (45
+    label pairs), so the oracle's γ is the same exact distributed median
+    (both engines interpolate even counts) — the only non-portable
+    ingredient, the sample ORDER, never selects at these cardinalities.
     """
     from tlmc_etl_spark.operators.group_similarity import three_score_group_similarity
 
@@ -273,7 +345,12 @@ def _plant_near_dups(emb: DataFrame) -> DataFrame:
     source — entirely JVM-side and layout-independent.
     """
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 10_000_000).alias("vec_id"),
+        # +1e9, NOT +10M: the sf1 scale generator encodes ids as
+        # copy*10_000_000 + base_id, so a 10M offset collides planted ids
+        # with real copy-1 rows (600 duplicate ids at sf1 — engines then
+        # diverge structurally on per-id keying). 1e9 clears every
+        # graded copy range.
+        (F.col("vec_id") + 1_000_000_000).alias("vec_id"),
         "label",
         F.transform(
             "embedding",
