@@ -212,19 +212,23 @@ def headline_line(out: dict, limit: int = 2000) -> str:
     "parsed": null (it did, in rounds 5-6, hiding two rounds of scale
     evidence). Truncation is staged: ungraded context fields drop first
     (_DROP_ORDER), and only then does the per-query map halve — a
-    loadavg stamp must never cost per-query evidence."""
-    line = json.dumps(out)
+    loadavg stamp must never cost per-query evidence. Compact
+    separators throughout: at 59 queries the default ", "/": " padding
+    alone (~150 bytes) was the difference between a worst-case line
+    that keeps its per-query map and one that halves it."""
+    compact = {"separators": (",", ":")}
+    line = json.dumps(out, **compact)
     for field in _DROP_ORDER:
         if len(line) <= limit:
             break
         if field in out:
             del out[field]
             out["fields_dropped"] = True
-            line = json.dumps(out)
+            line = json.dumps(out, **compact)
     while len(line) > limit and out.get("queries"):
         out["queries_truncated"] = True
         out["queries"] = dict(list(out["queries"].items())[: len(out["queries"]) // 2])
-        line = json.dumps(out)
+        line = json.dumps(out, **compact)
     return line
 
 

@@ -446,3 +446,50 @@ def test_lsh_near_dup_hi_recall_gate_at_sf1(spark):
         sym.add((r["dup_id"], r["keep_id"]))
     recall = sum(1 for p in planted if p in sym) / len(planted)
     assert recall >= 0.95, f"sf1 planted recall {recall:.3f} < 0.95"
+
+
+def test_planted_ids_disjoint_from_corpus_everywhere():
+    """The +1e9 plant offset must clear every graded corpus's id space —
+    the sf1 scale generator encodes ids as copy*10_000_000 + base_id, and
+    the round-9 sf1 sweep caught the old +10M offset landing 600 planted
+    ids on real copy-1 rows (engines diverge structurally on duplicate
+    keys: DuckDB's per-id window partitions merge the collided rows,
+    Spark's row-wise assignment does not). Pure-parquet check, no Spark."""
+    import os
+
+    dirs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    sf1 = os.path.join(os.path.dirname(__file__), "..", "benchdata", "sf1")
+    if os.path.exists(os.path.join(sf1, "embeddings.parquet")):
+        dirs.append(sf1)
+    for d in dirs:
+        n = duckdb.sql(
+            f"""
+            WITH base AS (SELECT vec_id FROM '{d}/embeddings.parquet')
+            SELECT count(*) FROM base
+            WHERE vec_id % 10 = 0 AND vec_id + 1000000000 IN (SELECT vec_id FROM base)
+            """
+        ).fetchone()[0]
+        assert n == 0, f"{d}: {n} planted ids collide with corpus ids"
+
+
+def test_semantic_dedup_finds_cohabiting_planted_pairs(spark):
+    """Contract beyond oracle parity: every planted near-dup that lands in
+    its source's cell MUST be dropped with dup_of <= source id (the
+    earlier-id rule), and a planted vector may only survive by the
+    documented SemDeDup cell-split miss — never while sharing a cell with
+    its source. Kept rows without a plant stay kept."""
+    from tlmc_etl_spark.plans import QUERIES
+
+    out = QUERIES["semantic_dedup_clusters"].fn(spark, "/root/testdata/sf0.01").toPandas()
+    by_id = out.set_index("vec_id")
+    planted = out[out["vec_id"] >= 1_000_000_000]
+    assert len(planted) > 0
+    cohabiting = [
+        int(v)
+        for v in planted["vec_id"]
+        if by_id.loc[v, "cell"] == by_id.loc[v - 1_000_000_000, "cell"]
+    ]
+    assert len(cohabiting) > 0, "no planted pair shares a cell — vacuous corpus"
+    for v in cohabiting:
+        assert not by_id.loc[v, "is_kept"], f"cohabiting plant {v} was kept"
+        assert by_id.loc[v, "dup_of"] <= v - 1_000_000_000

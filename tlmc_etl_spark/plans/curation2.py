@@ -19,10 +19,7 @@ applied corpus-wide.
 
 from __future__ import annotations
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tlmc_etl_spark.plans.ext import _plant_near_dups

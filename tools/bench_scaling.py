@@ -96,6 +96,28 @@ NOTES = {
         "corpus-trained model at constant 50-row output - round-8 "
         "isolated: 3.5x"
     ),
+    "benchmark_contamination": (
+        "5-gram inverted join against the FIXED-size benchmark set; the "
+        "overlap pair count still grows with the corpus - measured "
+        "sublinear (round-9 isolated: 4.1x wall for 10x rows; the "
+        "round-7 fix capped what used to be 13.3x)"
+    ),
+    "doc_dedup_clusters": (
+        "pair generation is df-cap-bounded (linear) but CC label "
+        "propagation rounds grow with cluster diameter on the derived "
+        "corpus - round-9 isolated: 2.65x for 10x rows, at-worst-linear "
+        "per row"
+    ),
+    "minhash_cc_xengine": (
+        "portable-hash minhash pairs + the same CC collapse - round-9 "
+        "isolated: 2.19x for 10x rows (sublinear; md5 hash work "
+        "parallelizes across cores after the round-9 repartition fix)"
+    ),
+    "dedup_keep_winner": (
+        "sub-second walls dominated by fixed scheduler floors; the "
+        "7.07x suite reading was a host stall (round-9 isolated: 1.47x "
+        "for 10x rows)"
+    ),
 }
 
 
