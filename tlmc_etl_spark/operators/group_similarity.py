@@ -220,9 +220,8 @@ def three_score_group_similarity(
             for _, row in pdf.iterrows():
                 A = np.stack([np.asarray(v) for v in row["vecs_a"]])
                 B = np.stack([np.asarray(v) for v in row["vecs_b"]])
-                raw, style, kde = three_scores_numpy(A, B, dup_thresh, g)
                 out.append(
-                    (row["group_a"], row["group_b"], round(raw, 6), round(style, 6), round(kde, 6))
+                    (row["group_a"], row["group_b"], *three_scores_numpy(A, B, dup_thresh, g))
                 )
             yield pd.DataFrame(
                 out, columns=["group_a", "group_b", "score_raw", "score_style", "score_kde"]
@@ -230,11 +229,22 @@ def three_score_group_similarity(
 
     # The persisted pairs table already carries the fanout'd full-width
     # layout (above) — re-fanning here would re-shuffle the cached table
-    # on every scorer evaluation for nothing.
-    return pairs.mapInPandas(
+    # on every scorer evaluation for nothing. Rounding happens JVM-side
+    # AFTER the scorer: the scores are oracle-compared, and Python/numpy
+    # round is half-even where F.round and DuckDB round are HALF_UP — a
+    # .5-boundary 6th decimal must round the same way in both engines.
+    scored = pairs.mapInPandas(
         score,
         schema="group_a int, group_b int, score_raw double, score_style double, score_kde double",
-    ).withColumn("kde_gamma", F.round(F.lit(g), 4))
+    )
+    return scored.select(
+        "group_a",
+        "group_b",
+        F.round("score_raw", 6).alias("score_raw"),
+        F.round("score_style", 6).alias("score_style"),
+        F.round("score_kde", 6).alias("score_kde"),
+        F.round(F.lit(g), 4).alias("kde_gamma"),
+    )
 
 
 def chunk_idf_weights(

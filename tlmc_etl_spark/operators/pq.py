@@ -365,6 +365,32 @@ def _ivf_pq_serve(
     )
 
 
+def _subspace_codebooks(S: np.ndarray, m: int, n_codes: int) -> np.ndarray:
+    """(m, n_codes, d/m) codebook tensor = the first `n_codes` unit seed
+    vectors sliced per subspace — the oracle-pinned portable codebook
+    recipe, shared by every *_portable PQ operator so the rule the SQL
+    twins replay lives in exactly one place."""
+    d = S.shape[1]
+    if d % m != 0:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    ds = d // m
+    return np.stack([S[:n_codes, s * ds : (s + 1) * ds] for s in range(m)])
+
+
+def _encode_rounded(Vn: np.ndarray, cb: np.ndarray) -> np.ndarray:
+    """Round-before-argmin PQ encoding (the xengine convention): the
+    chosen code must depend only on the 6dp d2 value both engines agree
+    on; ties go to the smallest index (np.argmin == the oracle's
+    (d2 ASC, ci ASC) window). Shared by every *_portable PQ operator."""
+    m, _, ds = cb.shape
+    codes = np.empty((len(Vn), m), dtype=np.int32)
+    for s in range(m):
+        Xs = Vn[:, s * ds : (s + 1) * ds]
+        d2 = np.round((cb[s] * cb[s]).sum(axis=1)[None, :] - 2.0 * (Xs @ cb[s].T), 6)
+        codes[:, s] = np.argmin(d2, axis=1)
+    return codes
+
+
 def ivf_pq_topk_portable(
     emb: DataFrame,
     id_col: str,
@@ -387,22 +413,11 @@ def ivf_pq_topk_portable(
     memory contract that serves a 100 TB corpus); only the quantizer
     training differs. Anchors are bounded (`id < n_anchors`) to keep
     the oracle replay's pair count driver-friendly."""
-    from tlmc_etl_spark.operators.dedup import portable_hash60
+    from tlmc_etl_spark.operators.vectors import hash_medoid_centroids
 
-    seed_rows = (
-        emb.select(id_col, vec_col)
-        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(max(n_centroids, n_codes))
-        .collect()
-    )
-    S = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
-    S = S / np.linalg.norm(S, axis=1, keepdims=True)
+    S = hash_medoid_centroids(emb, id_col, vec_col, max(n_centroids, n_codes))
     coarse = S[:n_centroids]
-    d = S.shape[1]
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    ds = d // m
-    codebooks = np.stack([S[:n_codes, s * ds : (s + 1) * ds] for s in range(m)])
+    codebooks = _subspace_codebooks(S, m, n_codes)
     spark = emb.sparkSession
     bc = spark.sparkContext.broadcast((coarse, codebooks))
 
@@ -415,13 +430,7 @@ def ivf_pq_topk_portable(
             # depend only on 6dp values both engines agree on
             sims = np.round(Vn @ C.T, 6)
             order = np.argsort(-sims, axis=1, kind="stable")
-            codes = np.empty((len(pdf), cb.shape[0]), dtype=np.int32)
-            for s in range(cb.shape[0]):
-                Xs = Vn[:, s * ds : (s + 1) * ds]
-                d2 = np.round(
-                    (cb[s] * cb[s]).sum(axis=1)[None, :] - 2.0 * (Xs @ cb[s].T), 6
-                )
-                codes[:, s] = np.argmin(d2, axis=1)
+            codes = _encode_rounded(Vn, cb)
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -521,24 +530,10 @@ def pq_adc_topk_portable(
     lookup -> rank exactly — the xengine pattern applied to PQ. Same
     serving arithmetic as pq_adc_topk (m table reads per pair,
     candidates never decoded); only codebook training differs."""
-    from pyspark.sql import Window as W
+    from tlmc_etl_spark.operators.vectors import hash_medoid_centroids
 
-    from tlmc_etl_spark.operators.dedup import portable_hash60
-
-    seed_rows = (
-        emb.select(id_col, vec_col)
-        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_codes)
-        .collect()
-    )
-    S = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
-    S = S / np.linalg.norm(S, axis=1, keepdims=True)
-    d = S.shape[1]
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    ds = d // m
-    # codebooks[s] = (n_codes, ds): subspace s sub-vectors of the seeds
-    codebooks = np.stack([S[:, s * ds : (s + 1) * ds] for s in range(m)])
+    S = hash_medoid_centroids(emb, id_col, vec_col, n_codes)
+    codebooks = _subspace_codebooks(S, m, n_codes)
     bc = emb.sparkSession.sparkContext.broadcast(codebooks)
 
     def encode(batches):
@@ -546,15 +541,7 @@ def pq_adc_topk_portable(
         for pdf in batches:
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             V = V / np.linalg.norm(V, axis=1, keepdims=True)
-            codes = np.empty((len(pdf), m), dtype=np.int32)
-            for s in range(m):
-                Xs = V[:, s * ds : (s + 1) * ds]
-                C = cb[s]
-                # round BEFORE the argmin: the chosen code must depend
-                # only on the 6dp value both engines agree on (ties ->
-                # smallest index, np.argmin's own convention)
-                d2 = np.round((C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T), 6)
-                codes[:, s] = np.argmin(d2, axis=1)
+            codes = _encode_rounded(V, cb)
             yield pd.DataFrame(
                 {id_col: pdf[id_col], "codes": [c.tolist() for c in codes]}
             )
@@ -580,37 +567,26 @@ def pq_recon_portable(
     of per-subspace dots over the decode norm — the exact association
     order the DuckDB twin replays — rounded once at the end. Production
     k-means form: pq_reconstruction."""
-    from tlmc_etl_spark.operators.dedup import portable_hash60
+    from tlmc_etl_spark.operators.vectors import hash_medoid_centroids
 
-    seed_rows = (
-        emb.select(id_col, vec_col)
-        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_codes)
-        .collect()
-    )
-    S = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
-    S = S / np.linalg.norm(S, axis=1, keepdims=True)
-    d = S.shape[1]
-    if d % m != 0:
-        raise ValueError(f"dim {d} not divisible by m={m}")
-    ds = d // m
-    codebooks = np.stack([S[:, s * ds : (s + 1) * ds] for s in range(m)])
+    S = hash_medoid_centroids(emb, id_col, vec_col, n_codes)
+    codebooks = _subspace_codebooks(S, m, n_codes)
     bc = emb.sparkSession.sparkContext.broadcast(codebooks)
 
     def recon(batches):
         cb = bc.value
+        _, _, ds = cb.shape
         for pdf in batches:
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             V = V / np.linalg.norm(V, axis=1, keepdims=True)
+            codes = _encode_rounded(V, cb)
             num = np.zeros(len(pdf))
             den2 = np.zeros(len(pdf))
             for s in range(m):
                 Xs = V[:, s * ds : (s + 1) * ds]
-                C = cb[s]
-                d2 = np.round((C * C).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T), 6)
-                code = np.argmin(d2, axis=1)
-                num += (Xs * C[code]).sum(axis=1)
-                den2 += (C[code] * C[code]).sum(axis=1)
+                cw = cb[s][codes[:, s]]
+                num += (Xs * cw).sum(axis=1)
+                den2 += (cw * cw).sum(axis=1)
             cos = np.round(num / np.sqrt(den2), 6)
             yield pd.DataFrame({id_col: pdf[id_col], "recon_cosine": cos})
 

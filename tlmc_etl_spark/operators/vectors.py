@@ -473,16 +473,7 @@ def ivf_topk_portable(
     tie-break, so every step is value-checkable by SQL replay — the
     xengine pattern applied to the quantizer. Serving is _ivf_serve,
     the same plan ivf_topk runs; only quantizer training differs."""
-    from tlmc_etl_spark.operators.dedup import portable_hash60
-
-    seed_rows = (
-        emb.select(id_col, vec_col)
-        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
-    C = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    C = hash_medoid_centroids(emb, id_col, vec_col, n_centroids)
     return _ivf_serve(emb, id_col, vec_col, k, C, n_probe, round_assign=True)
 
 
@@ -536,6 +527,26 @@ def _exact_cosine_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+def hash_medoid_centroids(
+    emb: DataFrame, id_col: str, vec_col: str, n: int
+) -> np.ndarray:
+    """The oracle-pinned hash-medoid quantizer recipe, in ONE place: the
+    `n` corpus vectors with smallest portable 60-bit hash of their id
+    (id tie-break), unit-normalized, indexed in hash order. Every
+    xengine oracle that replays a quantizer replays exactly this —
+    keep the recipe here so a change lands in every consumer or none."""
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+
+    seed_rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n)
+        .collect()
+    )
+    C = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
 def semantic_dedup_portable(
     emb: DataFrame,
     id_col: str,
@@ -566,20 +577,11 @@ def semantic_dedup_portable(
     a pinned centroid count means cells fill ∝ n and pairs ∝ n²). The
     sizing rule is itself SQL-replayable (a count, a ceil), so the
     oracle stays pinned to the operator at every sf."""
-    from tlmc_etl_spark.operators.dedup import portable_hash60
-
     if n_centroids is None:
         import math as _math
 
         n_centroids = max(16, _math.ceil(emb.count() / target_cell))
-    seed_rows = (
-        emb.select(id_col, vec_col)
-        .orderBy(portable_hash60(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
-    C = np.array([r[vec_col] for r in seed_rows], dtype=np.float64)
-    C /= np.linalg.norm(C, axis=1, keepdims=True)
+    C = hash_medoid_centroids(emb, id_col, vec_col, n_centroids)
     bc = emb.sparkSession.sparkContext.broadcast(C)
 
     def assign(batches):
@@ -587,10 +589,13 @@ def semantic_dedup_portable(
         for pdf in batches:
             V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
             Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+            # argmax of the ROUNDED sims: first max = smallest index on
+            # ties, the same rank the oracle's (sim DESC, ci ASC) window
+            # produces — and O(k) per row where an argsort would pay
+            # O(k log k) for a column we'd throw away (k grows ~n/128)
             sims = np.round(Vn @ cent.T, 6)
-            order = np.argsort(-sims, axis=1, kind="stable")
             out = pdf[[id_col, vec_col]].copy()
-            out["cell"] = order[:, 0]
+            out["cell"] = np.argmax(sims, axis=1)
             yield out
 
     vt = emb.schema[vec_col].dataType.simpleString()
@@ -600,6 +605,10 @@ def semantic_dedup_portable(
         ),
         vec_col,
     ).localCheckpoint(eager=True)
+    # assignment is fully materialized by the eager checkpoint — free the
+    # centroid matrix now (it auto-sizes ~n/128 x dim, corpus-proportional)
+    # instead of pinning it for the returned lazy plan's lifetime
+    bc.destroy()
 
     a = assigned.select(
         F.col(id_col).alias("__ida"), F.col(vec_col).alias("va"),
