@@ -112,6 +112,7 @@ def similar_track_lifecycle(
     k_recall: int = 15,
     k_final: int = 5,
     n_shards: int = 8,
+    portable_shards: bool = False,
 ) -> DataFrame:
     """Run catalog-gate → similarity → shard sink; return per-shard stats.
 
@@ -123,5 +124,7 @@ def similar_track_lifecycle(
     rel, ranked, n_rel = lifecycle_pre_sink(
         spark, release, chunks, track_col, vec_col, k_recall, k_final
     )
-    write_similar_track_shards(ranked, out_dir, n_shards=n_shards)
+    write_similar_track_shards(
+        ranked, out_dir, n_shards=n_shards, portable=portable_shards
+    )
     return lifecycle_post_sink(spark, out_dir, rel, n_rel)

@@ -19,6 +19,8 @@ applied corpus-wide.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -365,3 +367,128 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_portable(
         _plant_near_dups(emb), "vec_id", "embedding", threshold=0.9
     ).orderBy("vec_id")
+
+
+# --------------------------------------------------------------------------
+# lifecycle_shards_xengine
+# --------------------------------------------------------------------------
+
+
+def _lifecycle_xengine_oracle() -> str:
+    """Composed SQL replay of the ENTIRE §3.1→§3.2 lifecycle: the
+    flagship catalog oracle runs as a nested CTE, the review gate and
+    track→release keying are re-derived arithmetic, the two-stage
+    similarity CTEs are the two_stage_similarity oracle over the GATED
+    chunk set, and the shard mapping replays the portable 60-bit hash
+    the twin's sink uses — so the per-shard stats the query returns
+    after its CSV round-trip are value-checked end to end (a garbled
+    sink read-back, a wrong gate, a changed rank tie-break all flip the
+    row)."""
+    from tlmc_etl_spark.plans.ext import _METADATA_RELEASE_ORACLE
+
+    return f"""
+WITH release AS (
+{_METADATA_RELEASE_ORACLE}
+), rel AS (
+  SELECT album_name,
+         row_number() OVER (ORDER BY circle_dir, album_dir) - 1 AS release_idx,
+         (needs_review_reasons = '') AS clean
+  FROM release
+), nrel AS (SELECT count(*) AS n FROM rel),
+chunks AS (
+  SELECT vec_id % 50 AS track, vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+  FROM embeddings
+  WHERE (vec_id % 50) % (SELECT n FROM nrel) IN
+        (SELECT release_idx FROM rel WHERE clean)
+), mean_v AS (
+  SELECT track, idx, avg(val) AS m FROM (
+    SELECT track, unnest(vec) AS val, generate_subscripts(vec, 1) AS idx FROM chunks
+  ) GROUP BY track, idx
+), pooled AS (
+  SELECT track,
+         list_transform(list(m ORDER BY idx),
+           x -> x / sqrt(list_dot_product(list(m ORDER BY idx), list(m ORDER BY idx)))) AS p
+  FROM mean_v GROUP BY track
+), recall AS (
+  SELECT anchor, neighbor FROM (
+    SELECT a.track AS anchor, b.track AS neighbor,
+           row_number() OVER (
+             PARTITION BY a.track
+             ORDER BY round(list_dot_product(a.p, b.p), 6) DESC, b.track ASC
+           ) AS rk
+    FROM pooled a JOIN pooled b ON a.track != b.track
+  ) WHERE rk <= 15
+), cos AS (
+  SELECT r.anchor, r.neighbor, ca.vec_id AS ia, cb.vec_id AS ib,
+         list_dot_product(ca.vec, cb.vec) /
+         (sqrt(list_dot_product(ca.vec, ca.vec)) * sqrt(list_dot_product(cb.vec, cb.vec))) AS s
+  FROM recall r
+  JOIN chunks ca ON ca.track = r.anchor
+  JOIN chunks cb ON cb.track = r.neighbor
+), d1 AS (
+  SELECT anchor, neighbor, avg(ms) AS ma FROM (
+    SELECT anchor, neighbor, ia, max(s) AS ms FROM cos GROUP BY anchor, neighbor, ia
+  ) GROUP BY anchor, neighbor
+), d2 AS (
+  SELECT anchor, neighbor, avg(ms) AS mb FROM (
+    SELECT anchor, neighbor, ib, max(s) AS ms FROM cos GROUP BY anchor, neighbor, ib
+  ) GROUP BY anchor, neighbor
+), ranked AS (
+  SELECT d1.anchor, round((ma + mb) / 2.0, 6) AS score,
+         row_number() OVER (PARTITION BY d1.anchor
+                            ORDER BY round((ma + mb) / 2.0, 6) DESC,
+                                     d1.neighbor ASC) AS rank
+  FROM d1 JOIN d2 USING (anchor, neighbor)
+), kept AS (
+  SELECT anchor FROM ranked WHERE rank <= 5
+), sharded AS (
+  SELECT ('0x' || substr(md5(anchor::VARCHAR), 1, 15))::BIGINT % 8 AS shard,
+         anchor
+  FROM kept
+), hydrated AS (
+  SELECT s.shard, s.anchor, r.album_name
+  FROM sharded s
+  LEFT JOIN rel r ON s.anchor % (SELECT n FROM nrel) = r.release_idx
+)
+SELECT CAST(shard AS INT) AS shard,
+       count(*) AS n_rows,
+       count(DISTINCT anchor) AS n_anchors,
+       count(DISTINCT album_name) AS n_albums
+FROM hydrated GROUP BY shard ORDER BY shard
+"""
+
+
+@query("lifecycle_shards_xengine", oracle=_lifecycle_xengine_oracle())
+def lifecycle_shards_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed catalog → review-gate → two-stage similarity → CSV
+    shard sink → read-back lifecycle, cross-engine oracle form: same
+    pipeline as lifecycle_similar_shards but the shard mapping uses the
+    portable 60-bit hash (`assign_shard(portable=True)`) instead of
+    xxhash64, so the final per-shard stats — the only production output
+    the sink's consumers see — are value-checked by one composed SQL
+    replay of every stage, INCLUDING the CSV round-trip (the oracle
+    computes the stats from first principles; a sink that garbled or
+    dropped rows cannot match). The xxhash64 production form stays
+    registered and bench-measured; this twin is its driver-visible
+    value check. Reference lifecycle: STEPS.md review loop →
+    precompute_similar_tracks.py:244-275 → SimilarTrackProcessor.cs:62-67.
+    """
+    from tlmc_etl_spark.pipelines.lifecycle import similar_track_lifecycle
+    from tlmc_etl_spark.pipelines.metadata import build_catalog
+    from tlmc_etl_spark.plans.ext import _FIXTURE_DIR
+    from tlmc_etl_spark.scratch import scratch_dir
+
+    manifest = spark.read.parquet(os.path.join(_FIXTURE_DIR, "manifest.parquet"))
+    probe = spark.read.parquet(os.path.join(_FIXTURE_DIR, "probe.parquet"))
+    release = build_catalog(manifest, probe).release.withColumn(
+        "needs_review_reasons", F.concat_ws("|", F.col("needs_review_reasons"))
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    chunks = emb.select(
+        (F.col("vec_id") % 50).alias("track"), "vec_id", F.col("embedding").alias("vec")
+    )
+    out_dir = scratch_dir(spark, "lifecycle_shards_xengine", sf_dir)
+    return similar_track_lifecycle(
+        spark, release, chunks, out_dir, portable_shards=True
+    )

@@ -24,10 +24,23 @@ from pyspark.sql import functions as F
 SIMILAR_TRACK_COLS = ["anchor_id", "neighbor_id", "rank", "score"]
 
 
-def assign_shard(df: DataFrame, key_col: str, n_shards: int) -> DataFrame:
+def assign_shard(
+    df: DataFrame, key_col: str, n_shards: int, portable: bool = False
+) -> DataFrame:
     """Deterministic shard id from the anchor key (xxhash64 — stable
-    across executors/runs, the blake2b%N analogue, hls_runner.py:53-66)."""
-    return df.withColumn("shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)))
+    across executors/runs, the blake2b%N analogue, hls_runner.py:53-66).
+
+    `portable=True` swaps in the cross-engine 60-bit md5-prefix hash
+    (operators/dedup.portable_hash60) so a DuckDB oracle can replay the
+    shard mapping — the xengine convention applied to the sink. The
+    production default stays on the fast hash."""
+    if portable:
+        from tlmc_etl_spark.operators.dedup import portable_hash60
+
+        key = portable_hash60(F.col(key_col))
+    else:
+        key = F.xxhash64(F.col(key_col))
+    return df.withColumn("shard", F.pmod(key, F.lit(n_shards)))
 
 
 def existing_shards(out_dir: str) -> set[int]:
@@ -44,7 +57,12 @@ def existing_shards(out_dir: str) -> set[int]:
 
 
 def write_shards_resumable(
-    df: DataFrame, key_col: str, out_dir: str, n_shards: int, fmt: str = "csv"
+    df: DataFrame,
+    key_col: str,
+    out_dir: str,
+    n_shards: int,
+    fmt: str = "csv",
+    portable: bool = False,
 ) -> list[int]:
     """Write df as `shard=K/` partitions, skipping shards already present.
 
@@ -53,7 +71,7 @@ def write_shards_resumable(
     only the missing shards. Each shard directory appears atomically
     (job-commit rename), so 'present' implies 'complete'.
     """
-    sharded = assign_shard(df, key_col, n_shards)
+    sharded = assign_shard(df, key_col, n_shards, portable=portable)
     done = existing_shards(out_dir)
     todo = sorted(set(range(n_shards)) - done)
     if not todo:
@@ -68,7 +86,7 @@ def write_shards_resumable(
 
 
 def write_similar_track_shards(
-    ranked: DataFrame, out_dir: str, n_shards: int = 16
+    ranked: DataFrame, out_dir: str, n_shards: int = 16, portable: bool = False
 ) -> list[int]:
     """similar_track shard sink: columns pinned to the loader contract
     (anchor_id,neighbor_id,rank,score — SimilarTrackProcessor.cs:62-67),
@@ -80,7 +98,9 @@ def write_similar_track_shards(
         F.col("score").cast("double").alias("score"),
     )
     ordered = cols.sortWithinPartitions("anchor_id", "rank")
-    return write_shards_resumable(ordered, "anchor_id", out_dir, n_shards, fmt="csv")
+    return write_shards_resumable(
+        ordered, "anchor_id", out_dir, n_shards, fmt="csv", portable=portable
+    )
 
 
 def read_similar_track_shards(spark: SparkSession, out_dir: str) -> DataFrame:
