@@ -106,6 +106,8 @@ HEADLINE = [
     "embedding_near_dup_lsh_xengine",
     "minhash_cc_xengine",
     "pq_recon_xengine",
+    # storage-layout curve arithmetic (the write_zordered primitive)
+    "zorder_curve_assign",
 ]
 
 # Deliberately-forced scale-stress entries: still timed and reported

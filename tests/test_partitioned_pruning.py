@@ -151,3 +151,75 @@ class TestCompaction:
             .toString()
         )
         assert "Exchange" not in plan
+
+
+class TestZOrderLayout:
+    """write_zordered must make row-group min/max selective in BOTH
+    dimensions at once. A lexicographic (a, b) sort is the control and
+    its failure mode is the point: a is narrow per row group but b spans
+    its FULL range inside every a-run, so a predicate on b alone prunes
+    nothing — while any contiguous Z-curve range is a near-tile in the
+    2-D space, narrow in a AND b (top Morton bits fix both prefixes)."""
+
+    @staticmethod
+    def _mean_width(path, col, full):
+        """Mean normalized row-group stat width for one dimension: ~1.0
+        means a predicate on this column alone skips nothing, small
+        means most point/range predicates skip most row groups."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        widths = []
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                widths.append(min((st.max - st.min + 1) / full, 1.0))
+        assert widths
+        return sum(widths) / len(widths)
+
+    def test_zorder_is_selective_in_both_dims_where_lex_sort_is_not(
+        self, spark, sf_dir
+    ):
+        from tlmc_etl_spark.scratch import scratch_dir
+        from tlmc_etl_spark.sinks.partitioned import write_sorted, write_zordered
+        from tlmc_etl_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        # hash-spread keys over the full 0..255 range at every sf (the
+        # natural sf0.001 key ranges are far narrower than any modulus)
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.pmod(F.xxhash64("l_orderkey"), F.lit(256)).cast("int").alias("a"),
+            F.pmod(F.xxhash64("l_partkey", "l_orderkey"), F.lit(256))
+            .cast("int")
+            .alias("b"),
+            "l_quantity",
+        )
+        base = scratch_dir(spark, "zorder_layout", sf_dir)
+        z_path, lex_path = f"{base}/zorder", f"{base}/lex"
+        write_zordered(li, z_path, "a", "b", bits=8, n_files=16)
+        write_sorted(li, lex_path, ["a", "b"], n_files=16)
+
+        lex_wa = self._mean_width(lex_path, "a", 256)
+        lex_wb = self._mean_width(lex_path, "b", 256)
+        z_wa = self._mean_width(z_path, "a", 256)
+        z_wb = self._mean_width(z_path, "b", 256)
+
+        # control behaves as documented: selective in a, blind in b
+        assert lex_wa <= 0.3, (lex_wa, lex_wb)
+        assert lex_wb >= 0.85, (lex_wa, lex_wb)
+        # Z layout: BOTH dimensions selective (16 range-split groups fix
+        # the top two Morton bits of each dimension, ~quarter-range tiles
+        # plus quantile-straddle slop)
+        assert z_wa <= 0.7, (z_wa, z_wb)
+        assert z_wb <= 0.7, (z_wa, z_wb)
+        assert z_wb < 0.8 * lex_wb, (z_wb, lex_wb)
+
+        # and the layout round-trips identically
+        back = spark.read.parquet(z_path)
+        assert back.count() == li.count()
+        assert back.agg(F.sum("l_quantity")).first()[0] == li.agg(
+            F.sum("l_quantity")
+        ).first()[0]

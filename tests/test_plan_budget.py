@@ -91,6 +91,7 @@ SHUFFLE_BUDGET = {
     "embedding_near_dup_lsh_xengine": 0,  # candidate join rides broadcast at this sf
     "minhash_cc_xengine": 0,  # banded join + CC rounds run via checkpoints
     "pq_recon_xengine": 0,  # encode+decode is one map stage, codebooks broadcast
+    "zorder_curve_assign": 0,  # unrolled shift/mask sum, pure map
 }
 
 

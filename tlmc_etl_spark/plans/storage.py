@@ -237,3 +237,41 @@ def hll_user_rollup_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_ZORDER_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_partkey % 1024 AS a, l_suppkey % 1024 AS b,
+       CAST(list_sum(list_transform(range(0, 10),
+         i -> (((l_partkey % 1024) >> i) & 1) * (1::BIGINT << (2 * i))
+            + (((l_suppkey % 1024) >> i) & 1) * (1::BIGINT << (2 * i + 1))))
+         AS BIGINT) AS zval
+FROM lineitem
+ORDER BY l_orderkey, l_linenumber
+"""
+
+
+@query("zorder_curve_assign", oracle=_ZORDER_ORACLE)
+def zorder_curve_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order curve assignment over a two-key fact: bit i of the
+    first key lands at position 2i, of the second at 2i+1 — ONE sort key
+    whose locality covers BOTH dimensions, the layout primitive behind
+    `sinks/partitioned.write_zordered` (its row-group skipping effect is
+    metadata-gated in tests/test_partitioned_pruning.py::TestZOrderLayout;
+    THIS query value-checks the curve arithmetic itself against SQL —
+    an unrolled shift/mask/sum, whole-stage codegen, no UDF). The
+    multi-dimensional generalization of write_sorted's 1-D range layout,
+    which the reference maintains by hand as date-named snapshot dirs
+    (unextracted_snapshot.py)."""
+    from tlmc_etl_spark.sinks.partitioned import z_value
+
+    li = load_table(spark, sf_dir, "lineitem")
+    a = (F.col("l_partkey") % 1024).cast("int")
+    b = (F.col("l_suppkey") % 1024).cast("int")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        a.alias("a"),
+        b.alias("b"),
+        z_value(a, b, bits=10).alias("zval"),
+    ).orderBy("l_orderkey", "l_linenumber")
