@@ -199,7 +199,7 @@ class TestZOrderLayout:
         )
         base = scratch_dir(spark, "zorder_layout", sf_dir)
         z_path, lex_path = f"{base}/zorder", f"{base}/lex"
-        write_zordered(li, z_path, "a", "b", bits=8, n_files=16)
+        write_zordered(li, z_path, "a", "b", n_files=16)  # bits auto-sized to 8
         write_sorted(li, lex_path, ["a", "b"], n_files=16)
 
         lex_wa = self._mean_width(lex_path, "a", 256)
@@ -223,3 +223,26 @@ class TestZOrderLayout:
         assert back.agg(F.sum("l_quantity")).first()[0] == li.agg(
             F.sum("l_quantity")
         ).first()[0]
+
+    def test_undersized_or_negative_keys_refuse_instead_of_silently_truncating(
+        self, spark, sf_dir, tmp_path
+    ):
+        import pytest as _pytest
+
+        from tlmc_etl_spark.sinks.partitioned import write_zordered
+        from tlmc_etl_spark.sources.tables import load_table
+        from pyspark.sql import functions as F
+
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_partkey").cast("int").alias("a"),
+            F.col("l_suppkey").cast("int").alias("b"),
+        )
+        # raw TPC-H keys need more than 5 bits: an explicit undersized
+        # width must raise (z_value would drop the high bits and the
+        # layout would look fine while skipping nothing)
+        with _pytest.raises(ValueError, match="silently drop high bits"):
+            write_zordered(li, str(tmp_path / "z1"), "a", "b", bits=5)
+        with _pytest.raises(ValueError, match="non-negative"):
+            write_zordered(
+                li.withColumn("a", -F.col("a")), str(tmp_path / "z2"), "a", "b"
+            )

@@ -126,7 +126,12 @@ def z_value(a, b, bits: int = 10):
 
 
 def write_zordered(
-    df: DataFrame, path: str, col_a: str, col_b: str, bits: int = 10, n_files: int = 4
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    bits: int | None = None,
+    n_files: int = 4,
 ) -> None:
     """Write parquet Z-ordered on (col_a, col_b): range-partition + sort
     by the interleaved curve value, then drop the helper column.
@@ -138,8 +143,37 @@ def write_zordered(
     dimensions at once, which is what a 100 TB fact filtered by either
     of two independent keys needs from its layout. Gated by
     tests/test_partitioned_pruning.py::TestZOrderLayout on pyarrow
-    row-group metadata: expected 2-D box selectivity under the Z layout
-    must beat the single-column sort by a wide margin."""
+    row-group metadata: per-dimension row-group stat widths under the Z
+    layout must be selective where the single-column-sort control is
+    blind.
+
+    `bits=None` (default) sizes the interleave width from the ACTUAL key
+    range: z_value drops every bit above `bits`, so an undersized
+    explicit width would silently collapse distant keys onto the same
+    curve position and the promised skipping would degrade to none —
+    undersized or negative keys raise instead. The one bounds agg is a
+    single cheap pass; the write is a full pass anyway."""
+    import math
+
+    lo_a, hi_a, lo_b, hi_b = df.selectExpr(
+        f"min({col_a})", f"max({col_a})", f"min({col_b})", f"max({col_b})"
+    ).first()
+    if min(lo_a, lo_b) < 0:
+        raise ValueError(
+            f"write_zordered keys must be non-negative: min({col_a})={lo_a}, "
+            f"min({col_b})={lo_b}"
+        )
+    need = max(1, int(max(hi_a, hi_b)).bit_length())
+    if bits is None:
+        bits = need
+    elif bits < need:
+        raise ValueError(
+            f"bits={bits} cannot represent keys up to {max(hi_a, hi_b)} "
+            f"({need} bits needed) — z_value would silently drop high bits "
+            "and the layout would skip nothing"
+        )
+    if 2 * bits > 62:
+        raise ValueError(f"bits={bits}: interleaved key exceeds a 63-bit long")
     zc = "__z"
     (
         df.withColumn(zc, z_value(col_a, col_b, bits))
