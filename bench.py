@@ -108,6 +108,8 @@ HEADLINE = [
     "pq_recon_xengine",
     # storage-layout curve arithmetic (the write_zordered primitive)
     "zorder_curve_assign",
+    # OPQ chain twin (rotate -> encode -> decode, signed-perm rotation)
+    "opq_recon_xengine",
 ]
 
 # Deliberately-forced scale-stress entries: still timed and reported

@@ -92,6 +92,7 @@ SHUFFLE_BUDGET = {
     "minhash_cc_xengine": 0,  # banded join + CC rounds run via checkpoints
     "pq_recon_xengine": 0,  # encode+decode is one map stage, codebooks broadcast
     "zorder_curve_assign": 0,  # unrolled shift/mask sum, pure map
+    "opq_recon_xengine": 0,  # rotate map + encode/decode map, codebooks broadcast
 }
 
 

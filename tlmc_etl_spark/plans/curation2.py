@@ -492,3 +492,81 @@ def lifecycle_shards_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similar_track_lifecycle(
         spark, release, chunks, out_dir, portable_shards=True
     )
+
+
+# --------------------------------------------------------------------------
+# opq_recon_xengine
+# --------------------------------------------------------------------------
+
+
+def _opq_recon_xengine_oracle() -> str:
+    """SQL replay of rotate -> codebook -> encode -> decode -> cosine
+    under a SIGNED-PERMUTATION rotation: a genuine orthogonal matrix
+    whose matmul is exact +-selection (one nonzero per row), so the
+    rotated corpus is BIT-IDENTICAL in both engines — no summation-order
+    ulps enter before the 6dp-rounded encode, unlike a dense rotation.
+    The (perm, sign) pair embeds as 64 literal rows; the PQ tail is the
+    pq_recon_xengine oracle verbatim, re-pointed at the rotated CTE."""
+    import numpy as np
+
+    from tlmc_etl_spark.plans.curation2 import _PQ_RECON_XENGINE_ORACLE
+
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(64)
+    sign = rng.choice(np.array([-1.0, 1.0]), 64)
+    rows = ", ".join(
+        f"({j}, {int(perm[j])}, {sign[j]!r})" for j in range(64)
+    )
+    old_head = """
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), vn AS ("""
+    new_head = f"""
+WITH rot(j, src, sgn) AS (
+  VALUES {rows}
+), e0 AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v0
+  FROM embeddings
+), e AS (
+  SELECT vec_id, list(sgn * v0[src + 1] ORDER BY j) AS v
+  FROM e0 CROSS JOIN rot GROUP BY vec_id
+), vn AS ("""
+    assert old_head in _PQ_RECON_XENGINE_ORACLE
+    return _PQ_RECON_XENGINE_ORACLE.replace(old_head, new_head)
+
+
+def opq_xengine_rotation():
+    """The seed-fixed signed-permutation rotation as a dense (64, 64)
+    orthogonal matrix — built ONCE here so the Spark twin and the oracle
+    literal rows derive from the same (perm, sign) draw."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    perm = rng.permutation(64)
+    sign = rng.choice(np.array([-1.0, 1.0]), 64)
+    R = np.zeros((64, 64))
+    R[np.arange(64), perm] = sign
+    return R
+
+
+@query("opq_recon_xengine", oracle=_opq_recon_xengine_oracle())
+def opq_recon_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OPQ audit chain (rotate -> train -> encode -> decode ->
+    recon cosine), cross-engine oracle form: the rotation is a
+    seed-fixed SIGNED PERMUTATION — orthogonal like the production PCA
+    rotation (opq_pq_recon_audit, whose eigenbasis is not
+    SQL-expressible) but exactly replayable, and it flows through the
+    PRODUCTION `rotate_vectors` matmul path, so the rotate-then-quantize
+    plumbing the OPQ audit depends on is value-checked end to end. The
+    PQ tail is pq_recon_portable — the same hash-medoid codebooks and
+    round-before-argmin encode the pq_recon_xengine twin pins.
+    Reference chain: OPQ64,IVF16384,PQ64x8
+    (faiss_index_builder.py:10-23)."""
+    from tlmc_etl_spark.operators.pq import pq_recon_portable, rotate_vectors
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rotated = rotate_vectors(emb, "vec_id", "embedding", opq_xengine_rotation())
+    return pq_recon_portable(rotated, "vec_id", "embedding", m=4, n_codes=8).orderBy(
+        "vec_id"
+    )
