@@ -206,7 +206,18 @@ def run_spark_suite(spark, names: list[str], sf_dir: str, reps: int = 2) -> dict
 # Fields droppable (in order) when the line must shrink: each is
 # nice-to-have context, none is graded — the per-query map is the
 # evidence worth the most bytes, so it goes LAST.
-_DROP_ORDER = ("loadavg_end", "loadavg_start", "incr_sec_per_1k", "stress_excluded")
+_DROP_ORDER = (
+    "loadavg_end",
+    "loadavg_start",
+    "loadavg_waited_sec",
+    "incr_sec_per_1k",
+    "stress_excluded",
+    # the override stamp is the honesty marker — last resort, but still
+    # cheaper than losing half the per-query map (at 61 queries the
+    # worst case clears the limit ~6 bytes after the other drops, so
+    # this only fires with the stamp fields present AND inflated walls)
+    "loadavg_override",
+)
 
 
 def headline_line(out: dict, limit: int = 2000) -> str:
