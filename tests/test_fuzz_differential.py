@@ -392,3 +392,107 @@ def test_random_set_operation_matches_duckdb(spark, duck, sf_dir, spec):
     }[spec["op"]]
     want = sorted(duck.execute(f"({sa}) {duck_op} ({sb})").fetchall())
     assert got == want, (spec, len(got), len(want))
+
+
+# ---------------------------------------------------------------------------
+# Higher-order array-expression fuzzing: random pipelines of
+# transform/filter/sort/slice over the documents word arrays, collapsed
+# to a per-doc scalar and compared exactly. This is the expression
+# family the dedup/LSH/packing plans lean on hardest (JVM higher-order
+# lambdas on one side, DuckDB list_* on the other) and the one the five
+# original families never touched. `distinct` is always paired with an
+# immediate sort in BOTH engines: first-occurrence order of
+# array_distinct vs list_distinct is not a contract either engine
+# documents, and no plan in the repo relies on it.
+# ---------------------------------------------------------------------------
+
+array_ops = st.lists(
+    st.one_of(
+        st.just(("upper",)),
+        st.tuples(st.just("len_ge"), st.integers(1, 8)),
+        st.just(("distinct_sorted",)),
+        st.just(("sort",)),
+        st.tuples(st.just("prefix"), st.integers(1, 12)),
+    ),
+    min_size=0,
+    max_size=3,
+)
+
+array_specs = st.fixed_dictionaries(
+    {
+        "ops": array_ops,
+        "terminal": st.sampled_from(["size", "total_len", "first", "joined"]),
+    }
+)
+
+
+def _spark_array_expr(spec):
+    col = F.split(F.col("text"), " ")
+    for op in spec["ops"]:
+        if op[0] == "upper":
+            col = F.transform(col, lambda x: F.upper(x))
+        elif op[0] == "len_ge":
+            k = op[1]
+            col = F.filter(col, lambda x: F.length(x) >= k)
+        elif op[0] == "distinct_sorted":
+            col = F.array_sort(F.array_distinct(col))
+        elif op[0] == "sort":
+            col = F.array_sort(col)
+        elif op[0] == "prefix":
+            col = F.slice(col, 1, op[1])
+    t = spec["terminal"]
+    if t == "size":
+        return F.size(col).cast("long")
+    if t == "total_len":
+        return F.aggregate(
+            col, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        )
+    if t == "first":
+        return F.element_at(col, 1)
+    return F.concat_ws("-", col)
+
+
+def _duck_array_expr(spec):
+    e = "string_split(text, ' ')"
+    for op in spec["ops"]:
+        if op[0] == "upper":
+            e = f"list_transform({e}, x -> upper(x))"
+        elif op[0] == "len_ge":
+            e = f"list_filter({e}, x -> len(x) >= {op[1]})"
+        elif op[0] == "distinct_sorted":
+            e = f"list_sort(list_distinct({e}))"
+        elif op[0] == "sort":
+            e = f"list_sort({e})"
+        elif op[0] == "prefix":
+            e = f"({e})[1:{op[1]}]"
+    t = spec["terminal"]
+    if t == "size":
+        return f"CAST(len({e}) AS BIGINT)"
+    if t == "total_len":
+        return f"CAST(coalesce(list_sum(list_transform({e}, x -> len(x))), 0) AS BIGINT)"
+    if t == "first":
+        return f"({e})[1]"
+    return f"array_to_string({e}, '-')"
+
+
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(spec=array_specs)
+def test_random_array_pipeline_matches_duckdb(spark, duck, sf_dir, spec):
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        (r["doc_id"], r["v"])
+        for r in docs.select("doc_id", _spark_array_expr(spec).alias("v")).collect()
+    )
+    want = sorted(
+        duck.execute(
+            f"SELECT doc_id, {_duck_array_expr(spec)} AS v FROM documents"
+        ).fetchall()
+    )
+    assert len(got) == len(want)
+    for (gk, gv), (wk, wv) in zip(got, want):
+        assert gk == wk
+        assert gv == wv, (spec, gk, gv, wv)
