@@ -448,7 +448,7 @@ def _spark_array_expr(spec):
             col, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
         )
     if t == "first":
-        return F.element_at(col, 1)
+        return F.try_element_at(col, F.lit(1))
     return F.concat_ws("-", col)
 
 
@@ -472,7 +472,7 @@ def _duck_array_expr(spec):
         return f"CAST(coalesce(list_sum(list_transform({e}, x -> len(x))), 0) AS BIGINT)"
     if t == "first":
         return f"({e})[1]"
-    return f"array_to_string({e}, '-')"
+    return f"coalesce(array_to_string({e}, '-'), '')"
 
 
 @settings(
