@@ -212,12 +212,11 @@ _DROP_ORDER = (
     "loadavg_waited_sec",
     "incr_sec_per_1k",
     "stress_excluded",
-    # the override stamp is the honesty marker — last resort, but still
-    # cheaper than losing half the per-query map (at 61 queries the
-    # worst case clears the limit ~6 bytes after the other drops, so
-    # this only fires with the stamp fields present AND inflated walls)
-    "loadavg_override",
 )
+# NOT in _DROP_ORDER: "loadavg_override". The override stamp is the
+# honesty marker that the walls may be inflated by contention — if the
+# line still overflows after the drops above, the per-query map halves
+# (below) rather than ever letting a contended run present as clean.
 
 
 def headline_line(out: dict, limit: int = 2000) -> str:

@@ -158,12 +158,30 @@ def gather_group_members(
     )
 
 
-def calibrate_pair_gamma(pairs: DataFrame, sample_pairs: int = 1024) -> float:
+def calibrate_pair_gamma(
+    pairs: DataFrame, sample_pairs: int = 1024, require_exhaustive: bool = False
+) -> float:
     """Median-heuristic γ = 1 / median cross-pair member cosine distance
     (calibrate_gamma, precompute_similar_groups.py:156-178), measured over
     the pairs the kernel has to discriminate. The pair sample is a
     deterministic hash-ordered take; the median is an exact distributed
-    aggregate; only the single scalar reaches the driver."""
+    aggregate; only the single scalar reaches the driver.
+
+    `require_exhaustive=True` asserts the population fits inside the
+    sample (pairs.count() <= sample_pairs). An oracle that replays γ as
+    the median over ALL pairs is only pinned to this operator while the
+    non-portable xxhash64 sample order never actually selects — the
+    guard turns that silent divergence (label cardinality outgrowing the
+    sample) into a loud error at the operator."""
+    if require_exhaustive:
+        n_pairs = pairs.count()
+        if n_pairs > sample_pairs:
+            raise ValueError(
+                f"calibrate_pair_gamma: {n_pairs} pairs exceed the "
+                f"{sample_pairs}-pair sample — the exhaustive-median oracle "
+                "contract no longer holds (the xxhash64 sample order would "
+                "now select, which DuckDB cannot replay)"
+            )
     sampled = pairs.orderBy(F.xxhash64("group_a", "group_b")).limit(sample_pairs)
 
     def dists(batches):
@@ -190,6 +208,7 @@ def three_score_group_similarity(
     dup_thresh: float = 0.9985,
     gamma: float | None = None,
     pad: int = 64,
+    gamma_sample_exhaustive: bool = False,
 ) -> DataFrame:
     """All-pairs (a<b) three-score similarity between member-vector groups.
 
@@ -211,7 +230,9 @@ def three_score_group_similarity(
     pairs = fanout(a.join(b, F.col("group_a") < F.col("group_b"))).persist()
 
     if gamma is None:
-        gamma = calibrate_pair_gamma(pairs)
+        gamma = calibrate_pair_gamma(
+            pairs, require_exhaustive=gamma_sample_exhaustive
+        )
     g = float(gamma)
 
     def score(batches):

@@ -527,6 +527,14 @@ def _exact_cosine_topk(pairs: DataFrame, k: int) -> DataFrame:
     )
 
 
+# Absolute ceiling on the auto-sized hash-medoid centroid count: the
+# centroid matrix is collect()ed + broadcast and the assignment matmul is
+# O(n·k·d), so k must not keep growing with the corpus (the DF_CAP_CEILING
+# rule: every relative cap needs an absolute one). 4096×768 float64 ≈ 25 MB
+# broadcast — comfortably executor-resident at 100 TB.
+SEMDEDUP_CENTROID_CEILING = 4096
+
+
 def hash_medoid_centroids(
     emb: DataFrame, id_col: str, vec_col: str, n: int
 ) -> np.ndarray:
@@ -570,17 +578,29 @@ def semantic_dedup_portable(
     uses the ROUNDED cosine so both engines decide from the same 6dp
     value (the xengine convention).
 
-    `n_centroids=None` auto-sizes to ceil(n / target_cell) (floor 16):
-    EXPECTED cell occupancy stays ~target_cell as the corpus grows, so
-    the in-cell pair join — the operator's cost — stays ~linear in n
-    instead of quadratic (the same scale rule the LSH key width follows;
-    a pinned centroid count means cells fill ∝ n and pairs ∝ n²). The
-    sizing rule is itself SQL-replayable (a count, a ceil), so the
-    oracle stays pinned to the operator at every sf."""
+    `n_centroids=None` auto-sizes to ceil(n / target_cell) (floor 16,
+    ceiling SEMDEDUP_CENTROID_CEILING): EXPECTED cell occupancy stays
+    ~target_cell as the corpus grows, so the in-cell pair join — the
+    operator's cost — stays ~linear in n instead of quadratic (the same
+    scale rule the LSH key width follows; a pinned centroid count means
+    cells fill ∝ n and pairs ∝ n²). The ABSOLUTE ceiling bounds the
+    other axis (the DF_CAP_CEILING rule): hash_medoid_centroids
+    collect()s + broadcasts k full vectors and the assignment matmul is
+    O(n·k·d), so an uncapped k ∝ n makes assignment quadratic and grows
+    the driver/broadcast footprint with the corpus. Beyond the ceiling
+    cell occupancy grows ∝ n/k — at that scale swap the hash-medoid
+    quantizer for the sampled-kmeans IVF one (kmeans_centroids) and
+    shard the matmul, which is a serving-index decision, not a dedup
+    semantics change. The sizing rule is itself SQL-replayable (a count,
+    a ceil, a least/greatest), so the oracle stays pinned to the
+    operator at every sf."""
     if n_centroids is None:
         import math as _math
 
-        n_centroids = max(16, _math.ceil(emb.count() / target_cell))
+        n_centroids = min(
+            SEMDEDUP_CENTROID_CEILING,
+            max(16, _math.ceil(emb.count() / target_cell)),
+        )
     C = hash_medoid_centroids(emb, id_col, vec_col, n_centroids)
     bc = emb.sparkSession.sparkContext.broadcast(C)
 

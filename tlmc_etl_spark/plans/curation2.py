@@ -311,7 +311,8 @@ WITH corpus AS ({_plant_sql()}
            ORDER BY ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::BIGINT,
                     vec_id) - 1 AS ci
   FROM vn
-  QUALIFY ci < (SELECT greatest(16, CAST(ceil(count(*) / 128.0) AS BIGINT))
+  QUALIFY ci < (SELECT least(4096, greatest(16, CAST(ceil(count(*) / 128.0)
+                                                      AS BIGINT)))
                 FROM corpus)
 ), cells AS (
   SELECT vec_id, ci AS cell FROM (
@@ -351,10 +352,11 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-medoids in portable-md5 order, assignment ranks round(cos, 6)
     with index tie-break, and the keep/drop rule compares the ROUNDED
     cosine — both engines decide from the same 6dp value. The centroid
-    count auto-sizes to ceil(n/128) (floor 16) so expected cell
-    occupancy — and with it the pair join's cost per row — stays
-    CONSTANT as the corpus grows; the rule is a count + a ceil, so the
-    oracle replays the sizing too. Near-dups are planted (cos~0.98 vs
+    count auto-sizes to ceil(n/128) (floor 16, absolute ceiling 4096 —
+    the broadcast matrix and O(n·k·d) assignment must not grow with the
+    corpus) so expected cell occupancy — and with it the pair join's
+    cost per row — stays CONSTANT as the corpus grows; the rule is a
+    count + a ceil + a least, so the oracle replays the sizing too. Near-dups are planted (cos~0.98 vs
     <=0.51 background) since the synthetic table has none. dup_of = the
     smallest earlier in-cell near-duplicate, the kept representative's
     id; the cluster-scoped miss (a planted pair split across cells) is

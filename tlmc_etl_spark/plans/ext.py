@@ -208,7 +208,11 @@ def group_three_score_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     members = base.unionByName(planted)
     return three_score_group_similarity(
-        members, "label", "embedding", order_col="vec_id", dup_thresh=0.9985
+        members, "label", "embedding", order_col="vec_id", dup_thresh=0.9985,
+        # the oracle replays γ as the median over ALL pairs — loudly fail
+        # (rather than silently diverge) if label cardinality ever makes
+        # the 1024-pair hash-ordered sample actually select
+        gamma_sample_exhaustive=True,
     ).orderBy("group_a", "group_b")
 
 

@@ -158,6 +158,11 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.selectExpr(
         f"min({col_a})", f"max({col_a})", f"min({col_b})", f"max({col_b})"
     ).first()
+    if lo_a is None or lo_b is None:
+        raise ValueError(
+            "write_zordered: empty input (or all-NULL keys) — no key range "
+            "to size the curve from"
+        )
     if min(lo_a, lo_b) < 0:
         raise ValueError(
             f"write_zordered keys must be non-negative: min({col_a})={lo_a}, "

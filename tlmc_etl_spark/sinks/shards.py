@@ -37,7 +37,10 @@ def assign_shard(
     if portable:
         from tlmc_etl_spark.operators.dedup import portable_hash60
 
-        key = portable_hash60(F.col(key_col))
+        # cast to string so the hash (md5: string/binary only) accepts any
+        # key type and always matches the documented key::VARCHAR DuckDB
+        # replay — a numeric key must not analyze-fail or hash differently
+        key = portable_hash60(F.col(key_col).cast("string"))
     else:
         key = F.xxhash64(F.col(key_col))
     return df.withColumn("shard", F.pmod(key, F.lit(n_shards)))
