@@ -101,3 +101,82 @@ class TestDeterminism:
         assert orphans.count() == 0
         orphan_tracks = catalog.track.join(catalog.release, "release_id", "left_anti")
         assert orphan_tracks.count() == 0
+
+
+class TestUuid7IdMode:
+    """SURVEY §7.2-3: a uuid7-format production id mode (the reference
+    mints uuid7, id_assign_and_merge.py:74-83) that changes ID FORMAT
+    ONLY — row content and referential joins must match the default
+    deterministic mode exactly."""
+
+    MINT_MS = 1_755_216_000_000  # 2025-08-15T00:00:00Z
+
+    @pytest.fixture(scope="class")
+    def both(self, spark):
+        manifest, probe = dataframes(spark, seed=42, n_albums=12)
+        det = build_catalog(manifest, probe)
+        u7 = build_catalog(manifest, probe, id_mode="uuid7", mint_ts_ms=self.MINT_MS)
+        return det, u7
+
+    def test_uuid7_wire_format(self, both):
+        _, u7 = both
+        ids = [r["release_id"] for r in u7.release.collect()] + [
+            r["track_id"] for r in u7.track.collect()
+        ]
+        assert ids
+        import uuid as _uuid
+
+        for h in ids:
+            assert len(h) == 32
+            u = _uuid.UUID(hex=h)
+            assert u.version == 7
+            assert u.variant == _uuid.RFC_4122
+            # 48-bit sortable prefix is the run's mint time
+            assert int(h[:12], 16) == self.MINT_MS
+
+    def test_typeid_roundtrip_on_uuid7(self, both):
+        from tlmc_etl_spark.functions.text import typeid_decode, typeid_encode
+
+        _, u7 = both
+        h = u7.track.select("track_id").first()["track_id"]
+        tid = typeid_encode(h, "trk")
+        assert typeid_decode(tid) == ("trk", h)
+
+    def test_mode_changes_format_not_content(self, both):
+        det, u7 = both
+        # content parity: strip every id column, compare the remaining rows
+        id_cols = {"release_id", "circle_id", "disc_id", "track_id"}
+        for name in ("release", "disc", "track"):
+            a = getattr(det, name)
+            b = getattr(u7, name)
+            keep = [c for c in a.columns if c not in id_cols]
+            assert sorted(map(tuple, a.select(keep).collect())) == sorted(
+                map(tuple, b.select(keep).collect())
+            )
+
+    def test_referential_joins_identical(self, both):
+        det, u7 = both
+        # join-back parity: the (release content, disc content) pairs the
+        # FK graph produces are mode-independent even though the key
+        # values differ
+        def pairs(cat):
+            d = cat.disc.select(
+                "release_id", "disc_number",
+                F.col("track_count").alias("disc_track_count"),
+            )
+            j = d.join(cat.release, "release_id").select(
+                "circle_dir", "album_dir", "disc_number", "disc_track_count"
+            )
+            return sorted(map(tuple, j.collect()))
+
+        assert pairs(det) == pairs(u7)
+
+    def test_uuid7_rerun_idempotent(self, spark, both):
+        _, u7 = both
+        manifest, probe = dataframes(spark, seed=42, n_albums=12)
+        again = build_catalog(
+            manifest, probe, id_mode="uuid7", mint_ts_ms=self.MINT_MS
+        )
+        assert sorted(r["track_id"] for r in u7.track.collect()) == sorted(
+            r["track_id"] for r in again.track.collect()
+        )

@@ -160,3 +160,39 @@ def typeid_udf(prefix: str):
 def stable_id(*cols) -> F.Column:
     """Hex id from the natural key — deterministic across runs/executors."""
     return F.lower(F.hex(F.xxhash64(*[F.col(c) if isinstance(c, str) else c for c in cols])))
+
+
+def uuid7_hex(mint_ts_ms: int, *cols) -> F.Column:
+    """Production-format id: a 32-char hex string laid out as RFC-9562
+    UUIDv7 (the reference mints uuid7 for album/disc/track/asset ids —
+    id_assign_and_merge.py:74-83 — for B-tree insert locality and
+    time-sortable TypeIDs).
+
+    Layout: 48-bit `mint_ts_ms` (the RUN's mint time — every id of a run
+    shares the prefix, which is exactly the bulk-insert locality the
+    reference wants), version nibble 7, then 74 entropy bits drawn from
+    two seeded xxhash64 passes over the natural key instead of a PRNG.
+    Deterministic entropy keeps the pipeline idempotent (a rerun with the
+    same mint_ts re-mints identical ids, so resume/merge stay exact-once)
+    while the wire format — version, variant, sortable prefix — is
+    byte-compatible with uuid7: `typeid_encode` produces valid TypeIDs
+    from it and any RFC-9562 parser accepts it. Fully JVM-side.
+    """
+    key = [F.col(c) if isinstance(c, str) else c for c in cols]
+    ts48 = F.lpad(F.hex(F.lit(int(mint_ts_ms) & 0xFFFF_FFFF_FFFF)), 12, "0")
+    h1 = F.xxhash64(F.lit(0x7A), *key)
+    h2 = F.xxhash64(F.lit(0x7B), *key)
+    rand_a = h1.bitwiseAND(F.lit(0xFFF))  # 12 bits
+    var_hi = h2.bitwiseAND(F.lit(0x3FFF)).bitwiseOR(F.lit(0x8000))  # '10' variant
+    rand_b_lo = F.shiftrightunsigned(h2, 16).bitwiseAND(
+        F.lit(0xFFFF_FFFF_FFFF)
+    )  # 48 bits
+    return F.lower(
+        F.concat(
+            ts48,
+            F.lit("7"),
+            F.lpad(F.hex(rand_a), 3, "0"),
+            F.lpad(F.hex(var_hi), 4, "0"),
+            F.lpad(F.hex(rand_b_lo), 12, "0"),
+        )
+    )

@@ -26,6 +26,7 @@ from tlmc_etl_spark.functions.text import (
     parse_track_filename,
     remove_brackets_udf,
     stable_id,
+    uuid7_hex,
 )
 from tlmc_etl_spark.operators.windows import gap_fill_numbers
 from tlmc_etl_spark.sources.manifest import AUDIO_EXTS
@@ -187,8 +188,31 @@ class CatalogTables:
     track: DataFrame
 
 
-def build_catalog(manifest: DataFrame, probe: DataFrame) -> CatalogTables:
-    """Full pipeline composition → gold release/disc/track tables."""
+def build_catalog(
+    manifest: DataFrame,
+    probe: DataFrame,
+    id_mode: str = "deterministic",
+    mint_ts_ms: int = 0,
+) -> CatalogTables:
+    """Full pipeline composition → gold release/disc/track tables.
+
+    `id_mode` selects the id minting strategy (SURVEY §7.2-3):
+    "deterministic" (default) = xxhash64-hex of the natural key, the
+    oracle-replayable form; "uuid7" = production parity with the
+    reference's uuid7 ids (id_assign_and_merge.py:74-83) — RFC-9562
+    uuid7-format hex with the run's `mint_ts_ms` as the sortable 48-bit
+    prefix and hash-derived entropy, so reruns of the same mint stay
+    idempotent while downstream B-trees / TypeIDs see real uuid7s. The
+    mode changes ID FORMAT ONLY: row content and referential joins are
+    identical (tests/test_metadata_pipeline.py pins join-back parity).
+    """
+    if id_mode == "uuid7":
+        def mint_id(*cols):
+            return uuid7_hex(mint_ts_ms, *cols)
+    elif id_mode == "deterministic":
+        mint_id = stable_id
+    else:
+        raise ValueError(f"unknown id_mode: {id_mode!r}")
     discs = resolve_disc_numbers(classify_dirs(manifest))
     tracks = parse_tracks(manifest, probe)
     albums = vote_albums(tracks)
@@ -212,9 +236,9 @@ def build_catalog(manifest: DataFrame, probe: DataFrame) -> CatalogTables:
         out_col="track_number",
     ).drop("valid_no", "no_or_zero")
 
-    release_id = stable_id("circle_dir", "album_dir")
+    release_id = mint_id("circle_dir", "album_dir")
     track_rows = numbered.select(
-        stable_id("path").alias("track_id"),
+        mint_id("path").alias("track_id"),
         release_id.alias("release_id"),
         "disc_number",
         "track_number",
@@ -236,8 +260,8 @@ def build_catalog(manifest: DataFrame, probe: DataFrame) -> CatalogTables:
             ["circle_dir", "album_dir"],
         )
         .select(
-            stable_id("circle_dir", "album_dir").alias("release_id"),
-            stable_id("circle_dir").alias("circle_id"),
+            mint_id("circle_dir", "album_dir").alias("release_id"),
+            mint_id("circle_dir").alias("circle_id"),
             "circle_dir",
             "album_dir",
             F.col("album_name"),
@@ -263,8 +287,8 @@ def build_catalog(manifest: DataFrame, probe: DataFrame) -> CatalogTables:
         numbered.groupBy("circle_dir", "album_dir", "disc_number")
         .agg(F.count(F.lit(1)).alias("track_count"), F.round(F.sum("duration_s"), 3).alias("total_duration_s"))
         .select(
-            stable_id("circle_dir", "album_dir", "disc_number").alias("disc_id"),
-            stable_id("circle_dir", "album_dir").alias("release_id"),
+            mint_id("circle_dir", "album_dir", "disc_number").alias("disc_id"),
+            mint_id("circle_dir", "album_dir").alias("release_id"),
             "disc_number",
             "track_count",
             "total_duration_s",

@@ -184,6 +184,15 @@ def main() -> int:
         entry = {
             "dir": d,
             "queries": times,
+            # per-query DuckDB walls + ratios: the <2x bar is auditable
+            # per query, not only in aggregate (the headline line has no
+            # room for 60 more numbers; this artifact does)
+            "duckdb_queries": duck_times,
+            "per_query_ratio": {
+                n: round(times[n] / duck_times[n], 2)
+                for n in matched
+                if duck_times.get(n)
+            },
             "total": round(sum(times.values()), 3),
             "duckdb_wall": duck,
             "spark_matched_wall": round(sum(times[n] for n in core), 3),
