@@ -72,6 +72,7 @@ HEADLINE = [
     "embedding_near_dup_lsh_hi",
     "multimodal_features",
     "frame_sample_plan",
+    "adts_chunk_plan",
     # similarity pipeline
     "cosine_topk",
     "two_stage_similarity",

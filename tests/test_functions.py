@@ -181,3 +181,75 @@ class TestStreaminfoFastPath:
         assert streaminfo_duration(None) is None
         assert streaminfo_duration(b"ID3\x04" + bytes(100)) is None
         assert streaminfo_duration(b"fLa") is None
+
+
+class TestAdtsFraming:
+    """ADTS framing parser (functions/media.py): the seekable frame index
+    for the HLS/AAC MERT input (reference encodes libfdk_aac,
+    hls_assignment.py; input choice V6-MIGRATION-HANDOFF issue G5)."""
+
+    def test_roundtrip_offsets_and_fields(self):
+        from tlmc_etl_spark.functions.media import (
+            make_adts_stream,
+            parse_adts_frames,
+        )
+
+        sizes = [64, 80, 100, 7, 1000]
+        frames = parse_adts_frames(make_adts_stream(sizes))
+        assert [f["idx"] for f in frames] == [0, 1, 2, 3, 4]
+        assert [f["byte_length"] for f in frames] == [s + 7 for s in sizes]
+        offs = [f["byte_offset"] for f in frames]
+        assert offs == [0, 71, 158, 265, 279]
+        assert all(f["sample_rate"] == 24000 for f in frames)  # sf_index 6
+        assert all(f["channels"] == 2 for f in frames)
+        assert all(f["n_samples"] == 1024 for f in frames)
+
+    def test_sample_rate_table(self):
+        from tlmc_etl_spark.functions.media import (
+            make_adts_stream,
+            parse_adts_frames,
+        )
+
+        assert parse_adts_frames(make_adts_stream([10], sf_index=3))[0][
+            "sample_rate"
+        ] == 48000
+        assert parse_adts_frames(make_adts_stream([10], sf_index=4))[0][
+            "sample_rate"
+        ] == 44100
+
+    def test_non_adts_returns_empty(self):
+        from tlmc_etl_spark.functions.media import parse_adts_frames
+
+        assert parse_adts_frames(None) == []
+        assert parse_adts_frames(b"") == []
+        assert parse_adts_frames(b"fLaC" + bytes(50)) == []
+
+    def test_corrupt_midstream_raises(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_adts_stream,
+            parse_adts_frames,
+        )
+
+        s = make_adts_stream([64, 64])
+        with pytest.raises(ValueError, match="adts"):
+            parse_adts_frames(s[:-10])  # truncated final frame
+        torn = bytearray(s)
+        torn[71] = 0x00  # lose sync at frame 2
+        with pytest.raises(ValueError, match="lost sync"):
+            parse_adts_frames(bytes(torn))
+        layered = bytearray(s)
+        layered[1] = 0xF7  # layer bits nonzero
+        with pytest.raises(ValueError, match="layer"):
+            parse_adts_frames(bytes(layered))
+
+    def test_13bit_length_bound(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import make_adts_frame
+
+        with pytest.raises(ValueError):
+            make_adts_frame((1 << 13) - 7)  # frame_len == 8192 overflows
+        frame = make_adts_frame((1 << 13) - 8)  # max representable
+        assert len(frame) == (1 << 13) - 1

@@ -63,6 +63,7 @@ SHUFFLE_BUDGET = {
     "embedding_near_dup_lsh_hi": 0,
     "multimodal_features": 0,
     "frame_sample_plan": 0,
+    "adts_chunk_plan": 0,  # build+parse map, row-local explode; sort is range-part
     "cosine_topk": 1,
     "two_stage_similarity": 3,
     "kde_bandwidth_calibration": 2,

@@ -121,3 +121,124 @@ def make_flac_header(sample_rate: int, total_samples: int) -> bytes:
     block = (sample_rate << 44) | (1 << 41) | (15 << 36) | total_samples
     si = bytes(10) + struct.pack(">Q", block) + bytes(16)
     return b"fLaC" + bytes([0x80, 0, 0, 34]) + si
+
+
+# ---------------------------------------------------------------------------
+# ADTS (AAC transport) framing. The HLS pipeline's real MERT input is AAC
+# segments (V6-MIGRATION-HANDOFF.md issue G5; hls_assignment.py encodes
+# libfdk_aac) — chunking audio for inference needs the frame index: which
+# byte ranges hold which sample ranges, WITHOUT decoding. Same
+# "column pruning on a binary format" idea as the FLAC fast-path above.
+# ---------------------------------------------------------------------------
+
+# MPEG-4 sampling_frequency_index table (ISO/IEC 14496-3).
+ADTS_SAMPLE_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350, None, None, None,
+)
+ADTS_SAMPLES_PER_FRAME = 1024  # AAC-LC, per raw data block
+
+
+def parse_adts_frames(data: bytes | None) -> list[dict]:
+    """Walk an ADTS elementary stream and return one dict per frame:
+    {idx, byte_offset, byte_length, sample_rate, channels, n_blocks,
+    n_samples} — the seekable frame index a distributed chunk reader
+    needs to turn (sample range) into (byte range).
+
+    Strict: returns [] for None/empty/non-ADTS input; raises ValueError
+    on a corrupt mid-stream header (lost sync, layer != 0, bad sampling
+    index, or a frame that overruns the buffer) — a torn stream must
+    fail loudly, not yield a silently short index.
+    """
+    if not data:
+        return []
+    if len(data) < 7 or data[0] != 0xFF or (data[1] & 0xF0) != 0xF0:
+        return []
+    frames: list[dict] = []
+    pos, idx = 0, 0
+    n = len(data)
+    while pos < n:
+        if pos + 7 > n:
+            raise ValueError(f"adts: truncated header at byte {pos}")
+        b = data[pos : pos + 7]
+        if b[0] != 0xFF or (b[1] & 0xF0) != 0xF0:
+            raise ValueError(f"adts: lost sync at byte {pos}")
+        layer = (b[1] >> 1) & 0x3
+        if layer != 0:
+            raise ValueError(f"adts: nonzero layer at byte {pos}")
+        sf_index = (b[2] >> 2) & 0xF
+        sr = ADTS_SAMPLE_RATES[sf_index]
+        if sr is None:
+            raise ValueError(f"adts: reserved sampling index {sf_index} at {pos}")
+        channels = ((b[2] & 0x1) << 2) | (b[3] >> 6)
+        frame_len = ((b[3] & 0x3) << 11) | (b[4] << 3) | (b[5] >> 5)
+        n_blocks = (b[6] & 0x3) + 1
+        if frame_len < 7 or pos + frame_len > n:
+            raise ValueError(
+                f"adts: frame at {pos} claims {frame_len} bytes, "
+                f"{n - pos} remain"
+            )
+        frames.append(
+            {
+                "idx": idx,
+                "byte_offset": pos,
+                "byte_length": frame_len,
+                "sample_rate": sr,
+                "channels": channels,
+                "n_blocks": n_blocks,
+                "n_samples": n_blocks * ADTS_SAMPLES_PER_FRAME,
+            }
+        )
+        pos += frame_len
+        idx += 1
+    return frames
+
+
+ADTS_FRAME_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("idx", T.IntegerType()),
+            T.StructField("byte_offset", T.LongType()),
+            T.StructField("byte_length", T.IntegerType()),
+            T.StructField("sample_rate", T.IntegerType()),
+            T.StructField("channels", T.IntegerType()),
+            T.StructField("n_blocks", T.IntegerType()),
+            T.StructField("n_samples", T.IntegerType()),
+        ]
+    )
+)
+
+
+def adts_frames_udf():
+    """UDF: ADTS binary column → array<struct> frame index (explode after).
+    Row-at-a-time is licensed here (SURVEY §7.3): a stateful byte-walk
+    over variable-length frames, the same family as the bracket parser."""
+    return F.udf(parse_adts_frames, ADTS_FRAME_SCHEMA)
+
+
+def make_adts_frame(
+    payload_len: int, sf_index: int = 6, channels: int = 2, profile: int = 1
+) -> bytes:
+    """One valid ADTS frame (MPEG-4, AAC-LC profile=1, no CRC) with a
+    deterministic filler payload — test double, same role as
+    make_flac_header."""
+    frame_len = 7 + payload_len
+    if not 7 <= frame_len < (1 << 13):
+        raise ValueError(f"frame length {frame_len} out of 13-bit range")
+    hdr = bytes(
+        [
+            0xFF,
+            0xF1,  # MPEG-4, layer 0, protection_absent=1
+            (profile << 6) | (sf_index << 2) | ((channels >> 2) & 0x1),
+            ((channels & 0x3) << 6) | ((frame_len >> 11) & 0x3),
+            (frame_len >> 3) & 0xFF,
+            ((frame_len & 0x7) << 5) | 0x1F,  # buffer fullness hi (VBR 0x7FF)
+            (0x3F << 2) | 0x0,  # fullness lo + (raw blocks - 1) = 0
+        ]
+    )
+    return hdr + bytes((i * 37) & 0xFF for i in range(payload_len))
+
+
+def make_adts_stream(payload_lens: list[int], sf_index: int = 6) -> bytes:
+    """Concatenate frames into a valid elementary stream."""
+    return b"".join(make_adts_frame(p, sf_index=sf_index) for p in payload_lens)

@@ -866,3 +866,155 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("val", F.round("val", 6))
         .orderBy("img_id", "kind", "pos")
     )
+
+
+# --------------------------------------------------------------------------
+# adts_chunk_plan — AAC/ADTS frame-indexed byte-range chunk work-list
+# --------------------------------------------------------------------------
+
+_ADTS_CHUNK_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200
+), t AS (
+  SELECT vec_id, CAST(24 + (vec_id % 7) * 47 AS BIGINT) AS n_frames FROM ids
+), fr AS (
+  SELECT vec_id, n_frames, f.i AS fidx,
+         71 + ((vec_id + f.i) % 32) AS flen
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0, n_frames - 1)) AS i
+  ) f
+), off AS (
+  SELECT vec_id, fidx, flen,
+         COALESCE(SUM(flen) OVER (
+           PARTITION BY vec_id ORDER BY fidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS foff
+  FROM fr
+), d AS (
+  SELECT vec_id, n_frames, n_frames * 1024 AS n_samples FROM t
+), c AS (
+  SELECT vec_id, n_frames, n_samples,
+         CAST(floor(greatest(n_samples - 144000, 0) / 96000) + 1 AS BIGINT)
+           AS base
+  FROM d
+), nch AS (
+  SELECT vec_id, n_frames, n_samples,
+         base + CASE WHEN (base - 1) * 96000 + 144000 < n_samples
+                     THEN 1 ELSE 0 END AS n_chunks
+  FROM c
+), ch AS (
+  SELECT vec_id, n_frames, n_samples, g.k AS chunk_idx
+  FROM nch, LATERAL (
+    SELECT unnest(generate_series(0, n_chunks - 1)) AS k
+  ) g
+), geo AS (
+  SELECT vec_id, chunk_idx,
+         CAST(floor(chunk_idx * 96000 / 1024.0) AS BIGINT) AS first_frame,
+         CAST(ceil(least(chunk_idx * 96000 + 144000, n_samples) / 1024.0)
+              AS BIGINT) - 1 AS last_frame
+  FROM ch
+)
+SELECT g.vec_id AS track_id,
+       CAST(g.chunk_idx AS BIGINT) AS chunk_idx,
+       g.first_frame,
+       g.last_frame - g.first_frame + 1 AS n_frames,
+       CAST(a.foff AS BIGINT) AS byte_start,
+       CAST(b.foff + b.flen - a.foff AS BIGINT) AS byte_len
+FROM geo g
+JOIN off a ON a.vec_id = g.vec_id AND a.fidx = g.first_frame
+JOIN off b ON b.vec_id = g.vec_id AND b.fidx = g.last_frame
+ORDER BY track_id, chunk_idx
+"""
+
+
+@query("adts_chunk_plan", oracle=_ADTS_CHUNK_ORACLE)
+def adts_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AAC/ADTS chunk work-list, value-checked through the REAL framing
+    parser: 200 deterministic ADTS elementary streams (variable frame
+    payloads, AAC-LC @ 24 kHz) are BUILT as bytes, walked by
+    functions/media.parse_adts_frames (sync, layer, 13-bit frame_length
+    per header), and the parsed frame index is turned into the 6 s /
+    4 s-hop chunk plan over FRAME-ALIGNED BYTE RANGES — per chunk: first
+    frame, frame count, byte_start, byte_len. This is the seekable
+    work-list the MERT pipeline consumes for its real HLS/AAC input
+    (V6-MIGRATION-HANDOFF.md issue G5; hls_assignment.py encodes
+    libfdk_aac): a 100 TB audio scan fetches exactly these ranges, never
+    whole files. The DuckDB oracle re-derives every byte offset
+    arithmetically (cumulative window sum over the deterministic frame
+    lengths), so a single bit of disagreement between the byte-walk and
+    the closed form fails the hash.
+
+    Plan shape: one map stage (build + parse per track, Arrow-batched),
+    then a row-local explode — no shuffle until the final presentation
+    sort. Frame geometry lookups are element_at into the parsed array,
+    JVM-side."""
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import make_adts_stream, parse_adts_frames
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def build_and_parse(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                n_frames = 24 + (vid % 7) * 47
+                stream = make_adts_stream(
+                    [64 + ((vid + i) % 32) for i in range(n_frames)]
+                )
+                frames = parse_adts_frames(stream)
+                rows.append(
+                    (
+                        vid,
+                        [f["byte_offset"] for f in frames],
+                        [f["byte_length"] for f in frames],
+                        sum(f["n_samples"] for f in frames),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["track_id", "offs", "lens", "n_samples"]
+            )
+
+    parsed = ids.mapInPandas(
+        build_and_parse,
+        schema="track_id long, offs array<long>, lens array<int>, n_samples long",
+    )
+
+    base = F.floor(F.greatest(F.col("n_samples") - 144000, F.lit(0)) / 96000) + 1
+    n_chunks = base + F.when(
+        (base - 1) * 96000 + 144000 < F.col("n_samples"), 1
+    ).otherwise(0)
+    start = F.col("chunk_idx") * 96000
+    end = F.least(start + 144000, F.col("n_samples"))
+    ff = F.floor(start / 1024.0)
+    lf = F.ceil(end / 1024.0) - 1
+    return (
+        parsed.withColumn("n_chunks", n_chunks)
+        .select(
+            "track_id",
+            "offs",
+            "lens",
+            "n_samples",
+            F.explode(F.sequence(F.lit(0), F.col("n_chunks") - 1)).alias(
+                "chunk_idx"
+            ),
+        )
+        .select(
+            "track_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            ff.alias("first_frame"),
+            (lf - ff + 1).alias("n_frames"),
+            F.element_at("offs", (ff + 1).cast("int")).alias("byte_start"),
+            (
+                F.element_at("offs", (lf + 1).cast("int"))
+                + F.element_at("lens", (lf + 1).cast("int"))
+                - F.element_at("offs", (ff + 1).cast("int"))
+            ).cast("long").alias("byte_len"),
+        )
+        .orderBy("track_id", "chunk_idx")
+    )
