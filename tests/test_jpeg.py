@@ -87,10 +87,16 @@ class TestJpegDecode:
         with_rst = parse_jpeg_luma(encode_gray_jpeg(img, restart_interval=2))
         assert np.array_equal(plain, with_rst)
 
-    def test_progressive_raises(self):
+    def test_progressive_without_scans_raises(self):
         body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
-        payload = b"\xff\xd8" + _seg(0xC2, body)
-        with pytest.raises(ValueError, match="baseline"):
+        payload = b"\xff\xd8" + _seg(0xC2, body) + b"\xff\xd9"
+        with pytest.raises(ValueError, match="no scan data"):
+            parse_jpeg_luma(payload)
+
+    def test_lossless_sof_still_raises(self):
+        body = bytes([8]) + struct.pack(">HH", 8, 8) + bytes([1, 1, 0x11, 0])
+        payload = b"\xff\xd8" + _seg(0xC3, body)
+        with pytest.raises(ValueError, match="SOF3"):
             parse_jpeg_luma(payload)
 
     def test_not_jpeg_raises(self):
@@ -220,3 +226,111 @@ class TestSpecEdgeCases:
         plain = parse_jpeg_luma(encode_gray_jpeg(img))
         sub = parse_jpeg_luma(encode_gray_jpeg(img, sampling=0x22))
         assert np.array_equal(plain, sub)
+
+
+class TestProgressiveDecode:
+    """SOF2 progressive decode, gated by a spec-built progressive encoder
+    (Annex G scan scripts, EOB runs, successive-approximation refinement)
+    — same encoder-independence argument as the baseline harness. The
+    load-bearing check everywhere: progressive decode must equal the
+    BASELINE decode of the same image bit-for-bit, since both pipelines
+    share only the quantized coefficients."""
+
+    def _gray_pair(self, img, quant=None, scans=None):
+        from tlmc_etl_spark.operators.jpeg import encode_gray_progressive
+
+        kw = {} if scans is None else {"scans": scans}
+        base = parse_jpeg_luma(encode_gray_jpeg(img, quant=quant))
+        prog = parse_jpeg_luma(
+            encode_gray_progressive(img, quant=quant, **kw)
+        )
+        return base, prog
+
+    def test_default_script_equals_baseline(self):
+        rng = np.random.default_rng(41)
+        img = rng.integers(0, 256, size=(40, 33)).astype(np.float64)
+        base, prog = self._gray_pair(img)
+        assert np.array_equal(base, prog)
+
+    def test_realistic_quant_exercises_refinement_history(self):
+        # non-trivial quant → coefficients of many magnitudes → the
+        # refinement scans carry real correction bits, not just signs
+        rng = np.random.default_rng(43)
+        img = rng.integers(0, 256, size=(48, 48)).astype(np.float64)
+        quant = np.clip(np.arange(64) * 2 + 4, 1, 120).astype(np.float64)
+        base, prog = self._gray_pair(img, quant=quant)
+        assert np.array_equal(base, prog)
+
+    def test_deep_successive_approximation(self):
+        rng = np.random.default_rng(47)
+        img = rng.integers(0, 256, size=(24, 24)).astype(np.float64)
+        scans = (
+            (0, 0, 0, 3), (1, 63, 0, 3),
+            (1, 63, 3, 2), (0, 0, 3, 2),
+            (1, 63, 2, 1), (0, 0, 2, 1),
+            (1, 63, 1, 0), (0, 0, 1, 0),
+        )
+        base, prog = self._gray_pair(img, scans=scans)
+        assert np.array_equal(base, prog)
+
+    def test_fine_spectral_bands(self):
+        rng = np.random.default_rng(53)
+        img = rng.integers(0, 256, size=(16, 56)).astype(np.float64)
+        scans = (
+            (0, 0, 0, 0),
+            (1, 1, 0, 0), (2, 4, 0, 0), (5, 12, 0, 0),
+            (13, 35, 0, 0), (36, 63, 0, 0),
+        )
+        base, prog = self._gray_pair(img, scans=scans)
+        assert np.array_equal(base, prog)
+
+    def test_long_eob_runs_on_smooth_image(self):
+        # heavy quant on a smooth gradient zeroes most AC → EOBn symbols
+        # with multi-bit run counts span many blocks
+        img = np.tile(np.linspace(40, 200, 64), (64, 1))
+        quant = np.full(64, 60.0)
+        quant[0] = 8.0
+        base, prog = self._gray_pair(img, quant=quant)
+        assert np.array_equal(base, prog)
+
+    def test_color_420_interleaved_dc_and_chroma_skip(self):
+        from tlmc_etl_spark.operators.jpeg import encode_420_progressive
+
+        rng = np.random.default_rng(59)
+        for shape in [(32, 32), (24, 40), (20, 18)]:
+            img = rng.integers(0, 256, size=shape).astype(np.float64)
+            base = parse_jpeg_luma(encode_420_jpeg(img))
+            prog = parse_jpeg_luma(encode_420_progressive(img))
+            assert np.array_equal(base, prog), shape
+
+    def test_truncated_progressive_raises(self):
+        from tlmc_etl_spark.operators.jpeg import encode_gray_progressive
+
+        rng = np.random.default_rng(61)
+        img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+        payload = encode_gray_progressive(img)
+        for cut in (len(payload) // 3, len(payload) // 2, len(payload) - 3):
+            with pytest.raises(ValueError):
+                parse_jpeg_luma(payload[:cut])
+
+    def test_dc_only_script_gives_block_means(self):
+        # solid-gray: DC-only progression reconstructs the exact value,
+        # pinning the Al shift arithmetic by hand (value 100 -> DC
+        # -28*8 = -224; Al=1 first pass stores -112<<1 = -224 exactly)
+        from tlmc_etl_spark.operators.jpeg import encode_gray_progressive
+
+        img = np.full((16, 16), 100.0)
+        payload = encode_gray_progressive(
+            img, scans=((0, 0, 0, 1), (0, 0, 1, 0))
+        )
+        dec = parse_jpeg_luma(payload)
+        assert np.abs(dec - 100.0).max() < 1e-9
+
+    def test_dispatch_progressive_through_decode_image(self):
+        from tlmc_etl_spark.operators.jpeg import encode_gray_progressive
+        from tlmc_etl_spark.operators.multimodal import decode_payload
+
+        rng = np.random.default_rng(67)
+        img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
+        v = decode_payload("image", encode_gray_progressive(img))
+        assert v is not None

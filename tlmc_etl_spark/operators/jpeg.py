@@ -8,11 +8,18 @@ the Y component exactly and skips chroma reconstruction entirely —
 chroma blocks are still entropy-decoded (the interleaved bitstream
 cannot be skipped), but never dequantized or IDCT'd.
 
-Scope: baseline sequential DCT (SOF0), 8-bit, any sampling factors,
-restart markers, multi-table DHT/DQT. Progressive (SOF2), arithmetic
-coding, and 12-bit precision raise ValueError — they are re-encode
-exotica relative to the archive-scan reality this arm serves. When PIL
-is importable the multimodal dispatch prefers it; this is the
+Scope: baseline sequential DCT (SOF0/1) AND progressive DCT (SOF2 —
+spectral selection + successive approximation, DC/AC first and
+refinement scans, EOB runs), 8-bit, any sampling factors, restart
+markers, multi-table DHT/DQT. Real artwork scans are frequently
+progressive (PIL-saved web images default to it at quality>=90), so the
+reference's PIL path (generate_artwork_variants.py:56-67) handles them;
+this arm now does too. Chroma AC scans are non-interleaved by spec, so
+the luma-only decode SKIPS their entropy segments entirely — scan-level
+column pruning the baseline interleaved format can't offer. Arithmetic
+coding, hierarchical, lossless, and 12-bit precision raise ValueError —
+re-encode exotica relative to the archive-scan reality this arm serves.
+When PIL is importable the multimodal dispatch prefers it; this is the
 in-container arm, exercised for real by an encoder-independent test
 harness (tests/test_jpeg.py builds spec-conformant JPEGs by hand).
 
@@ -199,7 +206,7 @@ def _parse_jpeg_luma(payload: bytes) -> np.ndarray:
                 symbols = seg[i + 17 : i + 17 + n]
                 (huff_dc if cls == 0 else huff_ac)[tid] = _Huff(counts, symbols)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise ValueError(f"only 8-bit JPEG supported (precision {prec})")
@@ -207,16 +214,22 @@ def _parse_jpeg_luma(payload: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            frame = {"h": h, "w": w, "comps": comps, "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError(
-                f"only baseline sequential JPEG supported (SOF{marker - 0xC0})"
+                "only baseline/progressive DCT JPEG supported "
+                f"(SOF{marker - 0xC0})"
             )
         elif marker == 0xDD:  # DRI
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
+            if frame["progressive"]:
+                return _decode_progressive(
+                    payload, pos - 2, frame, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
             ns = seg[0]
             scan = {}
             for c in range(ns):
@@ -378,6 +391,302 @@ def _decode_block(reader, dc_t, ac_t, preds, cid) -> np.ndarray:
     return out
 
 
+# ---- progressive (SOF2) ---------------------------------------------------
+
+
+def _next_marker(payload: bytes, pos: int) -> int:
+    """Scan forward to the next real marker (skips stuffed 0xFF00 and
+    restart markers RST0-7, which live inside entropy data)."""
+    n = len(payload)
+    while pos < n - 1:
+        if payload[pos] == 0xFF:
+            nxt = payload[pos + 1]
+            if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+                pos += 2
+                continue
+            if nxt == 0xFF:
+                pos += 1
+                continue
+            return pos
+        pos += 1
+    raise ValueError("unterminated JPEG entropy segment")
+
+
+def _decode_progressive(
+    payload, pos, frame, qt, huff_dc, huff_ac, restart_interval
+):
+    """Progressive scan loop: accumulate the LUMA component's coefficients
+    across DC/AC first+refinement scans, then dequant+IDCT once at EOI.
+
+    Per spec: DC scans (Ss=0) may interleave all components — those are
+    fully entropy-decoded (chroma DC values discarded); AC scans are
+    single-component by spec, so chroma AC scans — the bulk of a color
+    file's bytes — are SKIPPED to the next marker without decoding."""
+    comps = frame["comps"]
+    y_comp = comps[0]
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
+    mcus_x = -(-frame["w"] // (8 * h_max))
+    mcus_y = -(-frame["h"] // (8 * v_max))
+    wide = mcus_x * y_comp["h"]
+    high = mcus_y * y_comp["v"]
+    # coefficient accumulator in zigzag (transmission) index space,
+    # raster-indexed by (block_row * wide + block_col); int64 because
+    # refinement does bit tests on exact values
+    coef = np.zeros((high * wide, 64), dtype=np.int64)
+    comp_w = -(-frame["w"] * y_comp["h"] // h_max)
+    comp_h = -(-frame["h"] * y_comp["v"] // v_max)
+    saw_scan = False
+
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"bad marker sync at {pos}")
+        while payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack_from(">H", payload, pos)[0]
+        seg = payload[pos + 2 : pos + seg_len]
+        if marker == 0xC4:  # DHT — progressive files redefine per scan
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0x0F
+                counts = list(seg[i + 1 : i + 17])
+                n = sum(counts)
+                (huff_dc if cls == 0 else huff_ac)[tid] = _Huff(
+                    counts, seg[i + 17 : i + 17 + n]
+                )
+                i += 17 + n
+        elif marker == 0xDB:
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if prec == 0:
+                    qt[tid] = np.frombuffer(seg, np.uint8, 64, i).astype(
+                        np.float64
+                    )
+                    i += 64
+                else:
+                    qt[tid] = np.frombuffer(seg, ">u2", 64, i).astype(
+                        np.float64
+                    )
+                    i += 128
+        elif marker == 0xDD:
+            restart_interval = struct.unpack_from(">H", seg, 0)[0]
+        elif marker == 0xDA:
+            saw_scan = True
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cid, tables >> 4, tables & 0x0F))
+            ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+            ah, al = a >> 4, a & 0x0F
+            data_pos = pos + seg_len
+            if ss == 0:  # DC scan (interleaved or not)
+                if se != 0:
+                    raise ValueError("progressive DC scan with Se != 0")
+                pos = _prog_dc_scan(
+                    payload, data_pos, frame, scan, huff_dc, ah, al,
+                    restart_interval, coef, wide, mcus_x, mcus_y, h_max,
+                    v_max,
+                )
+            else:  # AC scan: single component by spec
+                if ns != 1:
+                    raise ValueError("progressive AC scan must be 1 component")
+                cid, _, ac_tid = scan[0]
+                if cid != y_comp["id"]:
+                    pos = _next_marker(payload, data_pos)  # chroma: skip
+                else:
+                    pos = _prog_ac_scan(
+                        payload, data_pos, huff_ac[ac_tid], ss, se, ah, al,
+                        restart_interval, coef, wide,
+                        -(-comp_w // 8), -(-comp_h // 8),
+                    )
+            continue
+        else:
+            pass  # APPn/COM/etc — skip
+        pos += seg_len
+
+    if not saw_scan:
+        raise ValueError("progressive JPEG has no scan data")
+    qy = qt[y_comp["tq"]]
+    dq = coef.astype(np.float64) * qy[None, :]
+    n_blocks = coef.shape[0]
+    mat = np.zeros((n_blocks, 64))
+    mat[:, ZIGZAG] = dq
+    pixels = (
+        np.einsum("ij,njk,kl->nil", _D.T, mat.reshape(n_blocks, 8, 8), _D)
+        + 128.0
+    )
+    plane = np.zeros((high * 8, wide * 8))
+    for n in range(n_blocks):
+        r, c = (n // wide) * 8, (n % wide) * 8
+        plane[r : r + 8, c : c + 8] = pixels[n]
+    return np.clip(plane[:comp_h, :comp_w], 0.0, 255.0)
+
+
+def _prog_restart(reader, payload) -> None:
+    reader.align_to_marker()
+    m = payload[reader.pos + 1]
+    if not (0xD0 <= m <= 0xD7):
+        raise ValueError(f"expected restart marker, got {m:02x}")
+    reader.pos += 2
+
+
+def _prog_dc_scan(
+    payload, data_pos, frame, scan, huff_dc, ah, al, restart_interval,
+    coef, wide, mcus_x, mcus_y, h_max, v_max,
+):
+    """DC first (Ah=0: Huffman diffs, value = pred << Al) or refinement
+    (Ah>0: one appended bit per block). Luma coefficients land in `coef`;
+    chroma blocks are entropy-consumed and discarded."""
+    comps = frame["comps"]
+    y_id = comps[0]["id"]
+    by_id = {c["id"]: c for c in comps}
+    reader = _BitReader(payload, data_pos)
+    preds = {cid: 0 for cid, _, _ in scan}
+    unit = 0
+
+    if len(scan) == 1:
+        # non-interleaved: raster over the component's OWN block grid
+        cid, dc_tid, _ = scan[0]
+        comp = by_id[cid]
+        cw = -(-frame["w"] * comp["h"] // h_max)
+        chh = -(-frame["h"] * comp["v"] // v_max)
+        bx, by = -(-cw // 8), -(-chh // 8)
+        for bi in range(bx * by):
+            if restart_interval and bi and bi % restart_interval == 0:
+                _prog_restart(reader, payload)
+                preds = {cid: 0}
+            if ah == 0:
+                size = reader.decode(huff_dc[dc_tid])
+                preds[cid] += _extend(reader.read_bits(size), size)
+                val = preds[cid] << al
+            if cid == y_id:
+                idx = (bi // bx) * wide + (bi % bx)
+                if ah == 0:
+                    coef[idx, 0] = val
+                else:
+                    coef[idx, 0] |= reader.read_bit() << al
+            elif ah != 0:
+                reader.read_bit()
+        return _next_marker(payload, reader.pos)
+
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and unit and unit % restart_interval == 0:
+                _prog_restart(reader, payload)
+                preds = {cid: 0 for cid, _, _ in scan}
+            unit += 1
+            for cid, dc_tid, _ in scan:
+                comp = by_id[cid]
+                for vy in range(comp["v"]):
+                    for vx in range(comp["h"]):
+                        if ah == 0:
+                            size = reader.decode(huff_dc[dc_tid])
+                            preds[cid] += _extend(
+                                reader.read_bits(size), size
+                            )
+                            if cid == y_id:
+                                idx = (my * comp["v"] + vy) * wide + (
+                                    mx * comp["h"] + vx
+                                )
+                                coef[idx, 0] = preds[cid] << al
+                        else:
+                            bit = reader.read_bit()
+                            if cid == y_id:
+                                idx = (my * comp["v"] + vy) * wide + (
+                                    mx * comp["h"] + vx
+                                )
+                                coef[idx, 0] |= bit << al
+    return _next_marker(payload, reader.pos)
+
+
+def _prog_ac_scan(
+    payload, data_pos, ac_t, ss, se, ah, al, restart_interval, coef,
+    wide, blocks_x, blocks_y,
+):
+    """AC first scan (Ah=0: run/size symbols + EOBn run-length codes,
+    value = v << Al) or refinement (Ah>0: spec G.1.2.3 — newly-significant
+    coefficients carry a sign bit, already-nonzero ones a correction bit,
+    EOB runs still consume correction bits across the rest of each band)."""
+    reader = _BitReader(payload, data_pos)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+    for bi in range(blocks_x * blocks_y):
+        if restart_interval and bi and bi % restart_interval == 0:
+            _prog_restart(reader, payload)
+            eobrun = 0
+        idx = (bi // blocks_x) * wide + (bi % blocks_x)
+        row = coef[idx]
+        if ah == 0:
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = reader.decode(ac_t)
+                r, s = sym >> 4, sym & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                k += r
+                if k > se:
+                    raise ValueError("AC index out of band")
+                row[k] = _extend(reader.read_bits(s), s) << al
+                k += 1
+        else:
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    sym = reader.decode(ac_t)
+                    r, s = sym >> 4, sym & 0x0F
+                    val = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += reader.read_bits(r)
+                            break
+                        # r == 15: ZRL in refinement — skip 16 zero-history
+                    else:
+                        if s != 1:
+                            raise ValueError("refinement size must be 1")
+                        val = p1 if reader.read_bit() else m1
+                    while k <= se:
+                        c = row[k]
+                        if c != 0:
+                            if reader.read_bit() and (int(c) & p1) == 0:
+                                row[k] = c + (p1 if c >= 0 else m1)
+                        else:
+                            r -= 1
+                            if r < 0:
+                                break
+                        k += 1
+                    if s and k <= se:
+                        row[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    c = row[k]
+                    if c != 0 and reader.read_bit() and (int(c) & p1) == 0:
+                        row[k] = c + (p1 if c >= 0 else m1)
+                    k += 1
+                eobrun -= 1
+    return _next_marker(payload, reader.pos)
+
+
 # ---- encoder -------------------------------------------------------------
 #
 # Baseline encoder (grayscale + 4:2:0 constant-chroma): written directly
@@ -429,9 +738,12 @@ def _canonical_codes(counts, symbols):
 # flat tables: all DC size-symbols at length 4, all AC symbols at length 8
 FLAT_DC_COUNTS = [0, 0, 0, 12] + [0] * 12
 FLAT_DC_SYMBOLS = list(range(12))
-_AC_SYMS = [0x00, 0xF0] + [
-    (run << 4) | size for run in range(16) for size in range(1, 11)
-]
+_AC_SYMS = (
+    [0x00, 0xF0]
+    + [(run << 4) | size for run in range(16) for size in range(1, 11)]
+    # EOBn symbols (RRRR<<4, SSSS=0) for progressive scans' EOB runs
+    + [run << 4 for run in range(1, 15)]
+)
 FLAT_AC_COUNTS = [0] * 7 + [len(_AC_SYMS)] + [0] * 8
 FLAT_AC_SYMBOLS = _AC_SYMS
 # Annex K.3.1 luminance DC table (real variable-length codes)
@@ -571,6 +883,269 @@ def encode_420_jpeg(y: np.ndarray, chroma_val: int = 128) -> bytes:
             for cid in (2, 3):
                 zz = _fdct_quant(chroma, q)
                 preds[cid] = _encode_block(bw, zz, preds[cid], dc_codes, ac_codes)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---- progressive encoder --------------------------------------------------
+#
+# Spec-built progressive grayscale/4:2:0 encoders, written from Annex G
+# independently of the decoder above (same role as encode_gray_jpeg: the
+# in-container test double that keeps the decode arm honest without PIL).
+
+# libjpeg's "simple progression" script shape: DC first at Al=1, low/high
+# AC bands at Al=2..1, then refinements down to Al=0.
+DEFAULT_PROG_SCANS = (
+    (0, 0, 0, 1),   # DC first, Al=1
+    (1, 5, 0, 2),   # AC 1-5 first, Al=2
+    (6, 63, 0, 2),  # AC 6-63 first, Al=2
+    (1, 63, 2, 1),  # AC refine Al 2->1
+    (0, 0, 1, 0),   # DC refine Al 1->0
+    (1, 63, 1, 0),  # AC refine Al 1->0
+)
+
+
+class _ProgACState:
+    """EOB-run + buffered-correction-bit state for one AC scan
+    (G.1.2.2-3): EOBn symbols count runs of end-of-band blocks, and in
+    refinement scans the correction bits of history coefficients ride
+    behind the symbol that terminates the run."""
+
+    def __init__(self, w: _BitWriter, ac_codes):
+        self.w = w
+        self.ac_codes = ac_codes
+        self.eobrun = 0
+        self.pending_bits: list[int] = []
+
+    def emit_sym(self, sym: int) -> None:
+        length, code = self.ac_codes[sym]
+        self.w.write(code, length)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            r = self.eobrun.bit_length() - 1
+            if r > 14:
+                raise ValueError("EOB run exceeds EOB14")
+            self.emit_sym(r << 4)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for b in self.pending_bits:
+            self.w.write(b, 1)
+        self.pending_bits = []
+
+
+def _enc_ac_first(state: _ProgACState, zz, ss, se, al) -> None:
+    w, run = state.w, 0
+    for k in range(ss, se + 1):
+        v = int(zz[k])
+        v = -((-v) >> al) if v < 0 else v >> al  # toward-zero point transform
+        if v == 0:
+            run += 1
+            continue
+        state.flush_eobrun()
+        while run > 15:
+            state.emit_sym(0xF0)
+            run -= 16
+        size, bits = _mag(v)
+        state.emit_sym((run << 4) | size)
+        w.write(bits, size)
+        run = 0
+    if run > 0:
+        state.eobrun += 1
+        if state.eobrun == 0x7FFF:
+            state.flush_eobrun()
+
+
+def _enc_ac_refine(state: _ProgACState, zz, ss, se, al) -> None:
+    w = state.w
+    absv = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+    signs = [1 if int(zz[k]) >= 0 else 0 for k in range(ss, se + 1)]
+    # last newly-significant index (history coefs never end the pass)
+    eob = -1
+    for i, t in enumerate(absv):
+        if t == 1:
+            eob = i
+    run = 0
+    br: list[int] = []
+    for i, t in enumerate(absv):
+        if t == 0:
+            run += 1
+            continue
+        if t > 1:  # history coefficient: correction bit
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1)
+        while run > 15 and i <= eob:
+            state.flush_eobrun()
+            state.emit_sym(0xF0)
+            run -= 16
+            for b in br:
+                w.write(b, 1)
+            br = []
+        state.flush_eobrun()
+        state.emit_sym((run << 4) | 1)
+        w.write(signs[i], 1)
+        for b in br:
+            w.write(b, 1)
+        br = []
+        run = 0
+    if run > 0 or br:
+        state.eobrun += 1
+        state.pending_bits.extend(br)
+        if state.eobrun == 0x7FFF or len(state.pending_bits) > 937:
+            state.flush_eobrun()
+
+
+def encode_gray_progressive(
+    img: np.ndarray,
+    quant: np.ndarray | None = None,
+    scans=DEFAULT_PROG_SCANS,
+) -> bytes:
+    """Grayscale progressive JPEG (SOF2) over the given scan script of
+    (Ss, Se, Ah, Al) tuples. Uses the flat Huffman tables throughout."""
+    h, w = img.shape
+    q = np.ones(64) if quant is None else quant.astype(np.float64)
+    dc_codes = _canonical_codes(FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+    ac_codes = _canonical_codes(FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+    padded = np.pad(
+        img.astype(np.float64), ((0, -h % 8), (0, -w % 8)), mode="edge"
+    )
+    blocks = [
+        _fdct_quant(padded[r : r + 8, c : c + 8], q)
+        for r in range(0, padded.shape[0], 8)
+        for c in range(0, padded.shape[1], 8)
+    ]
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    out += _seg(
+        0xC2, bytes([8]) + struct.pack(">HH", h, w) + bytes([1, 1, 0x11, 0])
+    )
+    out += _dht(0, 0, FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+    out += _dht(1, 0, FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+    for ss, se, ah, al in scans:
+        out += _seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+        bw = _BitWriter()
+        if ss == 0:  # DC scan
+            if ah == 0:
+                pred = 0
+                for zz in blocks:
+                    sh = int(zz[0]) >> al
+                    size, bits = _mag(sh - pred)
+                    length, code = dc_codes[size]
+                    bw.write(code, length)
+                    if size:
+                        bw.write(bits, size)
+                    pred = sh
+            else:
+                for zz in blocks:
+                    bw.write((int(zz[0]) >> al) & 1, 1)
+        else:
+            state = _ProgACState(bw, ac_codes)
+            for zz in blocks:
+                if ah == 0:
+                    _enc_ac_first(state, zz, ss, se, al)
+                else:
+                    _enc_ac_refine(state, zz, ss, se, al)
+            state.flush_eobrun()
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_420_progressive(y: np.ndarray, chroma_val: int = 128) -> bytes:
+    """YCbCr 4:2:0 progressive JPEG with constant chroma: interleaved DC
+    first + refinement scans (3 components, 4 Y blocks + Cb + Cr per
+    MCU) and per-component AC scans — the structure a real color
+    progressive file has, so the decoder's interleaved-DC path and its
+    chroma-AC-scan SKIP are both exercised against a spec-built stream."""
+    h, w = y.shape
+    q = np.ones(64)
+    dc_codes = _canonical_codes(FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+    ac_codes = _canonical_codes(FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+    padded = np.pad(
+        y.astype(np.float64), ((0, -h % 16), (0, -w % 16)), mode="edge"
+    )
+    bw16, bh16 = padded.shape[1] // 8, padded.shape[0] // 8
+    yblocks = [
+        _fdct_quant(padded[r : r + 8, c : c + 8], q)
+        for r in range(0, padded.shape[0], 8)
+        for c in range(0, padded.shape[1], 8)
+    ]
+    czz = _fdct_quant(np.full((8, 8), float(chroma_val)), q)
+    mcus_x, mcus_y = bw16 // 2, bh16 // 2
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    out += _seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, 0x22, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _dht(0, 0, FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+    out += _dht(1, 0, FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+
+    def mcu_blocks():
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                ys = [
+                    yblocks[(2 * my + by) * bw16 + 2 * mx + bx]
+                    for by in (0, 1)
+                    for bx in (0, 1)
+                ]
+                yield ys
+
+    # interleaved DC first scan, Al=1
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]))
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+
+    def put_dc(zz, cid, al):
+        sh = int(zz[0]) >> al
+        size, bits = _mag(sh - preds[cid])
+        length, code = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+        preds[cid] = sh
+
+    for ys in mcu_blocks():
+        for zz in ys:
+            put_dc(zz, 1, 1)
+        put_dc(czz, 2, 1)
+        put_dc(czz, 3, 1)
+    bw.flush()
+    out += bw.out
+
+    # per-component AC first scans (Al=0), luma over its OWN grid
+    for cid, blocks, gw, gh in (
+        (1, yblocks, -(-w // 8), -(-h // 8)),
+        (2, [czz] * (mcus_x * mcus_y), mcus_x, mcus_y),
+        (3, [czz] * (mcus_x * mcus_y), mcus_x, mcus_y),
+    ):
+        out += _seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x00]))
+        bw = _BitWriter()
+        state = _ProgACState(bw, ac_codes)
+        for r in range(gh):
+            for c in range(gw):
+                zz = blocks[r * (bw16 if cid == 1 else mcus_x) + c]
+                _enc_ac_first(state, zz, 1, 63, 0)
+        state.flush_eobrun()
+        bw.flush()
+        out += bw.out
+
+    # interleaved DC refinement scan, Ah=1 -> Al=0
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]))
+    bw = _BitWriter()
+    for ys in mcu_blocks():
+        for zz in ys:
+            bw.write(int(zz[0]) & 1, 1)
+        bw.write(int(czz[0]) & 1, 1)
+        bw.write(int(czz[0]) & 1, 1)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"

@@ -788,10 +788,13 @@ WITH ids AS (
   FROM px GROUP BY img, (r // 8) * 4 + (c // 8)
 ), jpeg_pool AS (
   -- the JPEG pattern is block-constant (8x8 blocks), so each pooled
-  -- cell IS the generator value
-  SELECT ids.img, 'jpeg' AS kind, br.b * 4 + bc.b AS pos,
+  -- cell IS the generator value; the same closed form covers BOTH the
+  -- baseline ('jpeg') and progressive ('jprog') encodes of it — the
+  -- two bitstreams share only the quantized coefficients
+  SELECT ids.img, k.kind, br.b * 4 + bc.b AS pos,
          CAST((ids.img * 31 + br.b * 7 + bc.b * 13) % 256 AS DOUBLE) AS m
   FROM ids
+  CROSS JOIN (SELECT unnest(['jpeg', 'jprog']) AS kind) k
   CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) br
   CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS b) bc
 ), pooled AS (
@@ -814,9 +817,11 @@ ORDER BY img_id, c.kind, pos
 def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The compressed-image decode arms, value-checked end to end: 32
     deterministic images are ENCODED in-plan (a per-pixel gradient as
-    real zlib PNG; a block-constant pattern as real baseline JPEG —
-    constant 8x8 blocks decode bit-exactly through the DC path, so the
-    lossy format becomes value-checkable), pushed through the SAME
+    real zlib PNG; a block-constant pattern as real baseline AND
+    progressive JPEG — constant 8x8 blocks decode bit-exactly through
+    the DC path, so the lossy format becomes value-checkable; the
+    progressive arm additionally walks SOF2 multi-scan successive
+    approximation + EOB-run decode for real), pushed through the SAME
     decode_payload dispatch production uses, and the pooled-luma
     features must equal the closed-form pixel arithmetic DuckDB
     computes from the generator formulas alone. Any defect anywhere in
@@ -825,7 +830,10 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from tlmc_etl_spark.operators.jpeg import encode_gray_jpeg
+    from tlmc_etl_spark.operators.jpeg import (
+        encode_gray_jpeg,
+        encode_gray_progressive,
+    )
     from tlmc_etl_spark.operators.multimodal import (
         decode_payload,
         encode_gray_png,
@@ -851,6 +859,7 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for kind, payload in (
                     ("png", encode_gray_png(png_img.astype(np.uint8))),
                     ("jpeg", encode_gray_jpeg(jpg_img.astype(np.float64))),
+                    ("jprog", encode_gray_progressive(jpg_img.astype(np.float64))),
                 ):
                     feat = decode_payload("image", payload)
                     for pos, val in enumerate(feat):
