@@ -73,6 +73,7 @@ HEADLINE = [
     "multimodal_features",
     "frame_sample_plan",
     "adts_chunk_plan",
+    "mp3_chunk_plan",
     # similarity pipeline
     "cosine_topk",
     "two_stage_similarity",

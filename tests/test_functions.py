@@ -253,3 +253,106 @@ class TestAdtsFraming:
             make_adts_frame((1 << 13) - 7)  # frame_len == 8192 overflows
         frame = make_adts_frame((1 << 13) - 8)  # max representable
         assert len(frame) == (1 << 13) - 1
+
+
+class TestMp3Framing:
+    """MPEG-1 Layer III framing (functions/media.py): the mutagen-grade
+    frame index + the bit-reservoir seek rule. PCM decode is deliberately
+    out of scope (COVERAGE: spec Huffman tables unsourceable here)."""
+
+    def test_frame_geometry_and_fields(self):
+        from tlmc_etl_spark.functions.media import (
+            make_mp3_stream,
+            parse_mp3_frames,
+        )
+
+        fr = parse_mp3_frames(
+            make_mp3_stream([(9, 0, 0), (9, 1, 0), (14, 0, 511)])
+        )
+        assert [f["byte_length"] for f in fr] == [
+            144 * 128000 // 44100,
+            144 * 128000 // 44100 + 1,
+            144 * 320000 // 44100,
+        ]
+        assert [f["bitrate_kbps"] for f in fr] == [128, 128, 320]
+        assert fr[2]["main_data_begin"] == 511
+        assert all(f["n_samples"] == 1152 for f in fr)
+        assert all(
+            f["main_data_bytes"] == f["byte_length"] - 36 for f in fr
+        )
+
+    def test_id3v2_prefix_skipped_and_offsets_shift(self):
+        from tlmc_etl_spark.functions.media import (
+            make_mp3_stream,
+            parse_mp3_frames,
+        )
+
+        plain = parse_mp3_frames(make_mp3_stream([(5, 0, 0), (5, 0, 0)]))
+        tagged = parse_mp3_frames(
+            make_mp3_stream([(5, 0, 0), (5, 0, 0)], id3v2_bytes=200)
+        )
+        assert tagged[0]["byte_offset"] == plain[0]["byte_offset"] + 210
+        assert [f["byte_length"] for f in tagged] == [
+            f["byte_length"] for f in plain
+        ]
+
+    def test_id3v1_trailer_ends_walk(self):
+        from tlmc_etl_spark.functions.media import (
+            make_mp3_stream,
+            parse_mp3_frames,
+        )
+
+        s = make_mp3_stream([(5, 0, 0)]) + b"TAG" + bytes(125)
+        assert len(parse_mp3_frames(s)) == 1
+
+    def test_reservoir_walkback(self):
+        from tlmc_etl_spark.functions.media import (
+            make_mp3_stream,
+            mp3_reservoir_start,
+            parse_mp3_frames,
+        )
+
+        # frame main-data sizes: idx1=32kbps -> 104-36=68 bytes each
+        fr = parse_mp3_frames(
+            make_mp3_stream(
+                [(1, 0, 0), (1, 0, 0), (1, 0, 50), (1, 0, 100), (1, 0, 500)]
+            )
+        )
+        assert mp3_reservoir_start(fr, 0) == 0
+        assert mp3_reservoir_start(fr, 1) == 1  # mdb 0: starts at itself
+        assert mp3_reservoir_start(fr, 2) == 1  # 50 <= 68: one frame back
+        assert mp3_reservoir_start(fr, 3) == 1  # 100 <= 68+68: two back
+        assert mp3_reservoir_start(fr, 4) == 0  # 500 > all: floor at head
+
+    def test_strictness(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_mp3_stream,
+            parse_mp3_frames,
+        )
+
+        assert parse_mp3_frames(None) == []
+        assert parse_mp3_frames(b"") == []
+        assert parse_mp3_frames(b"RIFFxxxxWAVE") == []
+        s = make_mp3_stream([(5, 0, 0), (5, 0, 0)])
+        with pytest.raises(ValueError, match="mp3"):
+            parse_mp3_frames(s[:-20])
+        torn = bytearray(s)
+        torn[len(s) // 2 - 2 : len(s) // 2 + 2] = b"\x00\x00\x00\x00"
+        # corrupting mid-stream either loses sync or truncates — ValueError
+        with pytest.raises(ValueError):
+            parse_mp3_frames(bytes(torn[: len(s) - 10]))
+
+    def test_layer2_rejected(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_mp3_frame,
+            parse_mp3_frames,
+        )
+
+        f = bytearray(make_mp3_frame(5))
+        f[1] = 0xFD  # layer bits -> Layer II
+        with pytest.raises(ValueError, match="Layer III"):
+            parse_mp3_frames(bytes(f))

@@ -242,3 +242,189 @@ def make_adts_frame(
 def make_adts_stream(payload_lens: list[int], sf_index: int = 6) -> bytes:
     """Concatenate frames into a valid elementary stream."""
     return b"".join(make_adts_frame(p, sf_index=sf_index) for p in payload_lens)
+
+
+# ---------------------------------------------------------------------------
+# MPEG-1 Layer III (MP3) framing. The corpus is 10,084 mp3 files
+# (Docs/v6-run-record/README.md:127); the reference's own in-process mp3
+# handling is mutagen duration (= this framing math,
+# backfill_file_metadata.py) — PCM decode is ffmpeg's job there and in the
+# engine's real-tool lane. Full in-container Layer III entropy decode is
+# deliberately NOT attempted: it requires the spec's 34 Huffman tables and
+# the 512-tap synthesis window verbatim, and constants that can't be
+# sourced in this environment must not be approximated (a wrong table
+# decodes confidently and wrongly — the exact failure mode the
+# must-error-never-fake contract exists to prevent).
+#
+# What IS here: the full frame geometry (seekable index), ID3v2 skip, and
+# the side-info main_data_begin parse — which makes the BIT-RESERVOIR
+# visible: frame k's audio may live in earlier frames' main data, so a
+# chunk reader that starts at frame k must back up to the reservoir start
+# or the first chunk decodes garbage. mp3_chunk_plan computes that
+# reservoir-aware byte range per chunk.
+# ---------------------------------------------------------------------------
+
+# MPEG-1 Layer III bitrates (kbit/s), index 1-14; 0=free, 15=bad.
+MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+    None,
+)
+MP3_SAMPLE_RATES = (44100, 48000, 32000, None)  # MPEG-1 index 0-3
+MP3_SAMPLES_PER_FRAME = 1152  # MPEG-1 Layer III
+
+
+def _mp3_skip_id3v2(data: bytes) -> int:
+    """Return the offset past an ID3v2 tag, 0 if none. Size is 4
+    syncsafe bytes at offset 6; +10 more if the footer flag is set."""
+    if len(data) < 10 or data[:3] != b"ID3":
+        return 0
+    size = 0
+    for b in data[6:10]:
+        if b & 0x80:
+            return 0  # not syncsafe: treat as no tag
+        size = (size << 7) | b
+    return 10 + size + (10 if data[5] & 0x10 else 0)
+
+
+def parse_mp3_frames(data: bytes | None) -> list[dict]:
+    """Walk an MPEG-1 Layer III stream into a frame index: one dict per
+    frame with {idx, byte_offset, byte_length, bitrate_kbps, sample_rate,
+    n_samples, main_data_begin, main_data_bytes, channels}.
+
+    main_data_begin (the first 9 bits of side info) points INTO THE BIT
+    RESERVOIR: this frame's audio begins that many bytes BEFORE this
+    frame's own main data, inside previous frames — the field that makes
+    mid-file seeking non-trivial and that mp3_chunk_plan consumes.
+
+    Same strictness contract as parse_adts_frames: [] for non-MP3 input,
+    ValueError for a stream that goes bad mid-walk. An ID3v2 prefix is
+    skipped; a trailing ID3v1 tag ('TAG', 128 bytes) ends the walk."""
+    if not data:
+        return []
+    pos = _mp3_skip_id3v2(data)
+    n = len(data)
+    if pos + 4 > n or data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+        return []
+    frames: list[dict] = []
+    idx = 0
+    while pos < n:
+        if data[pos : pos + 3] == b"TAG" and n - pos == 128:
+            break  # ID3v1 trailer
+        if pos + 4 > n:
+            raise ValueError(f"mp3: truncated header at byte {pos}")
+        b = data[pos : pos + 4]
+        if b[0] != 0xFF or (b[1] & 0xE0) != 0xE0:
+            raise ValueError(f"mp3: lost sync at byte {pos}")
+        version = (b[1] >> 3) & 0x3
+        layer = (b[1] >> 1) & 0x3
+        if version != 0x3 or layer != 0x1:
+            raise ValueError(
+                f"mp3: only MPEG-1 Layer III supported "
+                f"(version bits {version}, layer bits {layer} at {pos})"
+            )
+        protection = b[1] & 0x1  # 0 = CRC present
+        br_idx = (b[2] >> 4) & 0xF
+        sr_idx = (b[2] >> 2) & 0x3
+        padding = (b[2] >> 1) & 0x1
+        mode = (b[3] >> 6) & 0x3
+        bitrate = MP3_BITRATES[br_idx]
+        sr = MP3_SAMPLE_RATES[sr_idx]
+        if bitrate is None or sr is None:
+            raise ValueError(f"mp3: bad bitrate/samplerate index at {pos}")
+        frame_len = (144 * bitrate * 1000) // sr + padding
+        if pos + frame_len > n:
+            raise ValueError(
+                f"mp3: frame at {pos} claims {frame_len} bytes, "
+                f"{n - pos} remain"
+            )
+        channels = 1 if mode == 0x3 else 2
+        side_len = 17 if channels == 1 else 32
+        crc_len = 0 if protection else 2
+        si_off = pos + 4 + crc_len
+        # main_data_begin = first 9 bits of side info
+        mdb = (data[si_off] << 1) | (data[si_off + 1] >> 7)
+        frames.append(
+            {
+                "idx": idx,
+                "byte_offset": pos,
+                "byte_length": frame_len,
+                "bitrate_kbps": bitrate,
+                "sample_rate": sr,
+                "n_samples": MP3_SAMPLES_PER_FRAME,
+                "main_data_begin": mdb,
+                "main_data_bytes": frame_len - 4 - crc_len - side_len,
+                "channels": channels,
+            }
+        )
+        pos += frame_len
+        idx += 1
+    return frames
+
+
+def make_mp3_frame(
+    bitrate_idx: int,
+    sr_idx: int = 0,
+    padding: int = 0,
+    main_data_begin: int = 0,
+    mono: bool = False,
+) -> bytes:
+    """One geometrically valid MPEG-1 Layer III frame (no CRC) whose side
+    info carries `main_data_begin`; main data is deterministic filler.
+    Test double — the geometry (header fields, frame length formula,
+    side-info layout) is real, the entropy payload is not."""
+    if not 0 <= main_data_begin < 512:
+        raise ValueError("main_data_begin is a 9-bit field")
+    bitrate = MP3_BITRATES[bitrate_idx]
+    sr = MP3_SAMPLE_RATES[sr_idx]
+    if bitrate is None or sr is None:
+        raise ValueError("bad bitrate/samplerate index")
+    frame_len = (144 * bitrate * 1000) // sr + padding
+    mode = 0x3 if mono else 0x0
+    hdr = bytes(
+        [
+            0xFF,
+            0xFB,  # MPEG-1, Layer III, no CRC
+            (bitrate_idx << 4) | (sr_idx << 2) | (padding << 1),
+            mode << 6,
+        ]
+    )
+    side_len = 17 if mono else 32
+    side = bytearray(side_len)
+    side[0] = main_data_begin >> 1
+    side[1] = (main_data_begin & 0x1) << 7
+    body_len = frame_len - 4 - side_len
+    body = bytes((i * 41) & 0xFF for i in range(body_len))
+    return hdr + bytes(side) + body
+
+
+def make_mp3_stream(
+    specs: list[tuple[int, int, int]], sr_idx: int = 0, id3v2_bytes: int = 0
+) -> bytes:
+    """Frames from (bitrate_idx, padding, main_data_begin) triples,
+    optionally behind a synthetic ID3v2 tag of the given payload size."""
+    out = bytearray()
+    if id3v2_bytes:
+        size = id3v2_bytes
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+             (size >> 7) & 0x7F, size & 0x7F]
+        )
+        out += bytes(id3v2_bytes)
+    for br, pad, mdb in specs:
+        out += make_mp3_frame(br, sr_idx, pad, mdb)
+    return bytes(out)
+
+
+def mp3_reservoir_start(frames: list[dict], k: int) -> int:
+    """Index of the frame where frame k's audio ACTUALLY begins: walk back
+    until the preceding frames' main data covers main_data_begin — the
+    seek rule every gapless/chunked MP3 reader implements. Floor 0 (a
+    stream head can't satisfy the reservoir; decoders mute those
+    granules)."""
+    need = frames[k]["main_data_begin"]
+    j = k
+    have = 0
+    while need > 0 and j > 0 and have < need:
+        j -= 1
+        have += frames[j]["main_data_bytes"]
+    return j

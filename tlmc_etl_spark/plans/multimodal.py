@@ -1027,3 +1027,173 @@ def adts_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("track_id", "chunk_idx")
     )
+
+
+# --------------------------------------------------------------------------
+# mp3_chunk_plan — bit-reservoir-aware MP3 chunk work-list
+# --------------------------------------------------------------------------
+
+_MP3_CHUNK_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200
+), t AS (
+  SELECT vec_id,
+         CAST(80 + (vec_id % 7) * 60 AS BIGINT) AS n_frames,
+         CASE WHEN vec_id % 97 > 0
+              THEN 10 + (vec_id % 97) ELSE 0 END AS prefix_len
+  FROM ids
+), fr AS (
+  SELECT vec_id, n_frames, prefix_len, f.i AS fidx,
+         (144 * ([32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                 [CAST(1 + ((vec_id + f.i) % 14) AS INT)]) * 1000) // 44100
+           + ((vec_id + f.i * 3) % 2) AS flen,
+         (vec_id * 7 + f.i * 53) % 512 AS mdb
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0, n_frames - 1)) AS i
+  ) f
+), geo AS (
+  SELECT vec_id, n_frames, prefix_len, fidx, flen, mdb,
+         flen - 36 AS mbytes,
+         prefix_len + COALESCE(SUM(flen) OVER (
+           PARTITION BY vec_id ORDER BY fidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS foff,
+         COALESCE(SUM(flen - 36) OVER (
+           PARTITION BY vec_id ORDER BY fidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_main
+  FROM fr
+), d AS (
+  SELECT vec_id, n_frames, n_frames * 1152 AS n_samples FROM t
+), c AS (
+  SELECT vec_id, n_samples,
+         CAST(floor(greatest(n_samples - 264600, 0) / 176400.0) + 1
+              AS BIGINT) AS base
+  FROM d
+), nch AS (
+  SELECT vec_id, n_samples,
+         base + CASE WHEN (base - 1) * 176400 + 264600 < n_samples
+                     THEN 1 ELSE 0 END AS n_chunks
+  FROM c
+), ch AS (
+  SELECT vec_id, n_samples, g.k AS chunk_idx,
+         CAST(floor(g.k * 176400 / 1152.0) AS BIGINT) AS first_frame,
+         CAST(ceil(least(g.k * 176400 + 264600, n_samples) / 1152.0)
+              AS BIGINT) - 1 AS last_frame
+  FROM nch, LATERAL (
+    SELECT unnest(generate_series(0, n_chunks - 1)) AS k
+  ) g
+), res AS (
+  -- reservoir rule: decode starts at the LARGEST j with
+  -- cum_main(j) <= cum_main(first_frame) - main_data_begin(first_frame),
+  -- floored at 0 when the stream head can't satisfy the reservoir
+  SELECT ch.vec_id, ch.chunk_idx, ch.first_frame, ch.last_frame,
+         COALESCE(max(j.fidx), 0) AS decode_start_frame
+  FROM ch
+  JOIN geo ff ON ff.vec_id = ch.vec_id AND ff.fidx = ch.first_frame
+  LEFT JOIN geo j ON j.vec_id = ch.vec_id AND j.fidx <= ch.first_frame
+                 AND j.cum_main <= ff.cum_main - ff.mdb
+  GROUP BY ALL
+)
+SELECT r.vec_id AS track_id,
+       CAST(r.chunk_idx AS BIGINT) AS chunk_idx,
+       r.first_frame, r.decode_start_frame,
+       CAST(s.foff AS BIGINT) AS byte_start,
+       CAST(e.foff + e.flen - s.foff AS BIGINT) AS byte_len
+FROM res r
+JOIN geo s ON s.vec_id = r.vec_id AND s.fidx = r.decode_start_frame
+JOIN geo e ON e.vec_id = r.vec_id AND e.fidx = r.last_frame
+ORDER BY track_id, chunk_idx
+"""
+
+
+@query("mp3_chunk_plan", oracle=_MP3_CHUNK_ORACLE)
+def mp3_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-reservoir-aware MP3 chunk work-list, value-checked through the
+    REAL framing parser: 200 deterministic MPEG-1 Layer III streams
+    (per-frame bitrate/padding variation, 9-bit main_data_begin planted
+    in real side-info bytes, ID3v2 prefixes of varying size) are BUILT
+    as bytes, walked by functions/media.parse_mp3_frames, and chunked on
+    the 6 s / 4 s-hop grid — where, unlike AAC, a chunk's byte range
+    must START EARLIER than its first frame: Layer III's bit reservoir
+    puts frame k's audio up to 511 bytes back inside previous frames'
+    main data, so the plan backs each chunk up to the reservoir start
+    (mp3_reservoir_start — the seek rule every gapless MP3 reader
+    implements; a reader that fetches only [first_frame..] decodes
+    garbage for the first granules). The corpus this serves is 10,084
+    mp3 files (Docs/v6-run-record/README.md:127); PCM decode itself
+    stays on the declared ffmpeg lane (COVERAGE: the Layer III Huffman
+    tables can't be sourced in-container and must not be approximated).
+
+    The DuckDB oracle re-derives the frame geometry, the cumulative
+    main-data ledger, AND the reservoir walk-back (as a max-join over
+    the cum ledger) from the key arithmetic alone — the Python byte-walk
+    and the SQL closed form must agree on every byte.
+
+    Plan shape: one map stage (build + parse + chunk per track — file
+    locality is the point: at 100 TB each worker indexes its own files),
+    row explode inside the stage, presentation sort only."""
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import (
+        make_mp3_stream,
+        mp3_reservoir_start,
+        parse_mp3_frames,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+    W, H, SPF = 264600, 176400, 1152  # 6 s / 4 s hop at 44.1 kHz
+
+    def plan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                n_frames = 80 + (vid % 7) * 60
+                specs = [
+                    (
+                        1 + ((vid + i) % 14),
+                        (vid + i * 3) % 2,
+                        (vid * 7 + i * 53) % 512,
+                    )
+                    for i in range(n_frames)
+                ]
+                stream = make_mp3_stream(specs, id3v2_bytes=vid % 97)
+                frames = parse_mp3_frames(stream)
+                n_samples = sum(f["n_samples"] for f in frames)
+                base = max(n_samples - W, 0) // H + 1
+                n_chunks = base + (1 if (base - 1) * H + W < n_samples else 0)
+                for k in range(n_chunks):
+                    ff = (k * H) // SPF
+                    lf = -(-min(k * H + W, n_samples) // SPF) - 1
+                    ds = mp3_reservoir_start(frames, ff)
+                    rows.append(
+                        (
+                            vid,
+                            k,
+                            ff,
+                            ds,
+                            frames[ds]["byte_offset"],
+                            frames[lf]["byte_offset"]
+                            + frames[lf]["byte_length"]
+                            - frames[ds]["byte_offset"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "chunk_idx", "first_frame",
+                    "decode_start_frame", "byte_start", "byte_len",
+                ],
+            )
+
+    return ids.mapInPandas(
+        plan,
+        schema=(
+            "track_id long, chunk_idx long, first_frame long, "
+            "decode_start_frame long, byte_start long, byte_len long"
+        ),
+    ).orderBy("track_id", "chunk_idx")
