@@ -29,7 +29,8 @@ from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 
 class JournalTailDataSource(DataSource):
-    """Options: `path` (the JSONL journal file)."""
+    """Options: `path` (the JSONL journal file); `max_bytes_per_batch`
+    (optional backpressure bound — see _JournalTailReader)."""
 
     @classmethod
     def name(cls) -> str:
@@ -43,10 +44,24 @@ class JournalTailDataSource(DataSource):
 
 
 class _JournalTailReader(SimpleDataSourceStreamReader):
+    """`max_bytes_per_batch` is the backpressure bound (the reference's
+    bounded work queue, SURVEY §2.9; Spark's maxOffsetsPerTrigger
+    analogue): one micro-batch advances the offset at most that many
+    bytes, aligned DOWN to a complete-line boundary, so a large backlog
+    drains as a sequence of bounded batches instead of one unbounded one
+    — in-flight memory per batch is capped no matter how far behind the
+    consumer is. A single line longer than the bound is still delivered
+    whole (the offset must make progress or the stream stalls); that one
+    batch exceeds the bound and is the documented exception."""
+
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("journal_tail: option('path', <jsonl file>) required")
+        mb = options.get("max_bytes_per_batch")
+        self.max_bytes = int(mb) if mb is not None else None
+        if self.max_bytes is not None and self.max_bytes <= 0:
+            raise ValueError("journal_tail: max_bytes_per_batch must be > 0")
 
     def initialOffset(self):
         return {"pos": 0}
@@ -82,8 +97,30 @@ class _JournalTailReader(SimpleDataSourceStreamReader):
             nl = data.rfind(b"\n")
             return nl + 1 if nl >= 0 else 0
 
+    def _bounded_end(self, start_pos: int, eof: int) -> int:
+        """Largest complete-line boundary within the backpressure bound;
+        extends past the bound only when the FIRST pending line alone
+        exceeds it (progress guarantee)."""
+        if self.max_bytes is None or eof - start_pos <= self.max_bytes:
+            return eof
+        with open(self.path, "rb") as fh:
+            fh.seek(start_pos)
+            window = fh.read(self.max_bytes)
+            nl = window.rfind(b"\n")
+            if nl >= 0:
+                return start_pos + nl + 1
+            # oversized first line: scan forward to its newline
+            while True:
+                chunk = fh.read(1 << 16)
+                if not chunk:
+                    return eof
+                nl = chunk.find(b"\n")
+                if nl >= 0:
+                    return fh.tell() - len(chunk) + nl + 1
+
     def read(self, start):
-        end = {"pos": max(self._complete_eof(), start["pos"])}
+        eof = max(self._complete_eof(), start["pos"])
+        end = {"pos": self._bounded_end(start["pos"], eof)}
         # MUST be an iterator, not a list: when the journal has nothing
         # new (end == start), Spark's prefetch wrapper validates
         # emptiness with next(it) — a bare list raises TypeError there,
