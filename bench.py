@@ -74,6 +74,7 @@ HEADLINE = [
     "frame_sample_plan",
     "adts_chunk_plan",
     "mp3_chunk_plan",
+    "h264_chunk_plan",
     # similarity pipeline
     "cosine_topk",
     "two_stage_similarity",

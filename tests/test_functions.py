@@ -356,3 +356,71 @@ class TestMp3Framing:
         f[1] = 0xFD  # layer bits -> Layer II
         with pytest.raises(ValueError, match="Layer III"):
             parse_mp3_frames(bytes(f))
+
+
+class TestH264Framing:
+    """Annex-B NAL framing + the keyframe-alignment seek rule
+    (functions/media.py). Entropy decode stays at the codec boundary."""
+
+    def test_nal_walk_fields(self):
+        from tlmc_etl_spark.functions.media import make_nal, parse_annexb_nals
+
+        s = (
+            make_nal(7, 10) + make_nal(8, 4)
+            + make_nal(5, 100, long_code=True) + make_nal(1, 50, ref_idc=2)
+        )
+        nals = parse_annexb_nals(s)
+        assert [f["nal_type"] for f in nals] == [7, 8, 5, 1]
+        assert nals[2]["start_code_len"] == 4
+        assert nals[2]["is_keyframe"] and not nals[3]["is_keyframe"]
+        assert nals[3]["nal_ref_idc"] == 2
+        assert sum(f["byte_length"] for f in nals) == len(s)
+        offs = [f["byte_offset"] for f in nals]
+        assert offs == sorted(offs) and offs[0] == 0
+
+    def test_four_byte_code_zero_stays_with_next_unit(self):
+        from tlmc_etl_spark.functions.media import make_nal, parse_annexb_nals
+
+        s = make_nal(1, 8) + make_nal(1, 8, long_code=True)
+        a, b = parse_annexb_nals(s)
+        # the long code's leading zero belongs to unit b, not unit a
+        assert a["byte_length"] == 3 + 1 + 8
+        assert b["start_code_len"] == 4
+        assert a["byte_length"] + b["byte_length"] == len(s)
+
+    def test_keyframe_start_rule(self):
+        from tlmc_etl_spark.functions.media import (
+            h264_keyframe_start,
+            make_nal,
+            parse_annexb_nals,
+        )
+
+        s = (
+            make_nal(7, 6) + make_nal(8, 4) + make_nal(5, 80)  # gop 0
+            + make_nal(1, 30) + make_nal(1, 30)
+            + make_nal(6, 5)                                    # SEI
+            + make_nal(7, 6) + make_nal(8, 4) + make_nal(5, 80)  # gop 1
+            + make_nal(1, 30)
+        )
+        nals = parse_annexb_nals(s)
+        # frames in gop 1 back up through IDR(8) + PPS(7)+SPS(6)+SEI(5)
+        assert h264_keyframe_start(nals, 9) == 5
+        assert h264_keyframe_start(nals, 8) == 5
+        # frames in gop 0 back up to the head
+        assert h264_keyframe_start(nals, 4) == 0
+        # a stream with no preceding IDR floors at 0
+        only_p = parse_annexb_nals(make_nal(1, 10) + make_nal(1, 10))
+        assert h264_keyframe_start(only_p, 1) == 0
+
+    def test_strictness(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import make_nal, parse_annexb_nals
+
+        assert parse_annexb_nals(None) == []
+        assert parse_annexb_nals(b"") == []
+        assert parse_annexb_nals(b"mdat....") == []
+        bad = bytearray(make_nal(1, 8))
+        bad[3] |= 0x80  # forbidden_zero_bit
+        with pytest.raises(ValueError, match="forbidden"):
+            parse_annexb_nals(bytes(bad))

@@ -65,6 +65,7 @@ SHUFFLE_BUDGET = {
     "frame_sample_plan": 0,
     "adts_chunk_plan": 0,  # build+parse map, row-local explode; sort is range-part
     "mp3_chunk_plan": 0,  # per-file index+chunk in one map stage
+    "h264_chunk_plan": 0,  # per-file NAL index + keyframe chunking, one map
     "cosine_topk": 1,
     "two_stage_similarity": 3,
     "kde_bandwidth_calibration": 2,

@@ -428,3 +428,104 @@ def mp3_reservoir_start(frames: list[dict], k: int) -> int:
         j -= 1
         have += frames[j]["main_data_bytes"]
     return j
+
+
+# ---------------------------------------------------------------------------
+# H.264 Annex-B NAL framing. Video chunking's seek rule is keyframe
+# alignment: a chunk must start at an IDR access unit and carry the
+# active SPS/PPS, or the decoder has no reference frames / no parameter
+# sets and the head of the chunk is garbage — the video analogue of
+# MP3's bit-reservoir walk-back. Entropy decode (CABAC/CAVLC) stays at
+# the declared codec boundary; the framing layer below is structural and
+# fully verifiable.
+# ---------------------------------------------------------------------------
+
+H264_NAL_TYPES = {
+    1: "slice", 5: "idr", 6: "sei", 7: "sps", 8: "pps", 9: "aud",
+}
+
+
+def parse_annexb_nals(data: bytes | None) -> list[dict]:
+    """Walk an Annex-B elementary stream into a NAL index: one dict per
+    NAL unit with {idx, byte_offset (of the start code), start_code_len,
+    byte_length (start code + payload), nal_type, nal_ref_idc,
+    is_keyframe (IDR slice)}.
+
+    Start codes are 0x000001 or 0x00000001; emulation-prevention bytes
+    guarantee no start code occurs inside a payload, so a plain scan is
+    exact. Returns [] for input that doesn't begin with a start code;
+    raises ValueError on a forbidden_zero_bit violation (a corrupt
+    header must not index silently)."""
+    if not data or len(data) < 4:
+        return []
+    def sc_len(p: int) -> int:
+        if data[p : p + 3] == b"\x00\x00\x01":
+            return 3
+        if data[p : p + 4] == b"\x00\x00\x00\x01":
+            return 4
+        return 0
+    first = sc_len(0)
+    if first == 0:
+        return []
+    nals: list[dict] = []
+    n = len(data)
+    pos, idx = 0, 0
+    while pos < n:
+        sl = sc_len(pos)
+        if sl == 0:
+            raise ValueError(f"annexb: expected start code at byte {pos}")
+        hdr = data[pos + sl]
+        if hdr & 0x80:
+            raise ValueError(
+                f"annexb: forbidden_zero_bit set at byte {pos + sl}"
+            )
+        nal_type = hdr & 0x1F
+        # scan to the next start code (or EOF)
+        nxt = data.find(b"\x00\x00\x01", pos + sl)
+        if nxt == -1:
+            end = n
+        else:
+            # a 4-byte code is a zero byte + a 3-byte code: back up over
+            # the leading zero so it stays with the NEXT unit
+            end = nxt - 1 if nxt > 0 and data[nxt - 1] == 0 else nxt
+        nals.append(
+            {
+                "idx": idx,
+                "byte_offset": pos,
+                "start_code_len": sl,
+                "byte_length": end - pos,
+                "nal_type": nal_type,
+                "nal_ref_idc": (hdr >> 5) & 0x3,
+                "is_keyframe": nal_type == 5,
+            }
+        )
+        pos = end
+        idx += 1
+    return nals
+
+
+def make_nal(nal_type: int, payload_len: int, ref_idc: int = 3,
+             long_code: bool = False) -> bytes:
+    """One Annex-B NAL with deterministic filler payload. The filler is
+    emulation-safe by construction (no byte is 0x00), so no start code
+    can appear inside it."""
+    sc = b"\x00\x00\x00\x01" if long_code else b"\x00\x00\x01"
+    hdr = bytes([((ref_idc & 0x3) << 5) | (nal_type & 0x1F)])
+    return sc + hdr + bytes(1 + ((i * 29) % 255) for i in range(payload_len))
+
+
+def h264_keyframe_start(nals: list[dict], k: int) -> int:
+    """Index of the NAL where a chunk wanting to begin at NAL k must
+    ACTUALLY begin: back up to the latest IDR at-or-before k, then
+    further to the SPS (and its PPS) that immediately precede that IDR
+    access unit — the parameter sets a mid-stream decoder needs. Floor 0
+    when no IDR precedes (the whole prefix is required)."""
+    j = k
+    while j > 0 and nals[j]["nal_type"] != 5:
+        j -= 1
+    if nals[j]["nal_type"] != 5:
+        return 0
+    # include immediately preceding PPS/SPS/SEI/AUD run
+    while j > 0 and nals[j - 1]["nal_type"] in (6, 7, 8, 9):
+        j -= 1
+    return j

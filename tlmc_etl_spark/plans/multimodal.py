@@ -1197,3 +1197,153 @@ def mp3_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "decode_start_frame long, byte_start long, byte_len long"
         ),
     ).orderBy("track_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# h264_chunk_plan — keyframe-aligned video chunk work-list
+# --------------------------------------------------------------------------
+
+_H264_CHUNK_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200
+), t AS (
+  SELECT vec_id,
+         CAST(3 + vec_id % 5 AS BIGINT) AS n_gops,
+         CAST(12 + (vec_id % 4) * 6 AS BIGINT) AS fpg
+  FROM ids
+), nal AS (
+  -- NAL j of GOP g: j=0 SPS, j=1 PPS, j=2 IDR, j>=3 P-slice; lengths =
+  -- 4 (start code 0x000001 + header) + deterministic payload
+  SELECT vec_id, n_gops, fpg, g.g, j.j,
+         (g.g * (2 + fpg) + j.j) AS nidx,
+         4 + CASE
+               WHEN j.j = 0 THEN 10 + vec_id % 7
+               WHEN j.j = 1 THEN 4
+               WHEN j.j = 2 THEN 200 + (vec_id + g.g) % 50
+               ELSE 60 + (vec_id * 3 + g.g * 7 + (j.j - 3)) % 40
+             END AS nlen
+  FROM t,
+  LATERAL (SELECT unnest(generate_series(0, n_gops - 1)) AS g) g,
+  LATERAL (SELECT unnest(generate_series(0, fpg + 1)) AS j) j
+), off AS (
+  SELECT vec_id, n_gops, fpg, nidx, nlen,
+         COALESCE(SUM(nlen) OVER (
+           PARTITION BY vec_id ORDER BY nidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS noff
+  FROM nal
+), d AS (
+  SELECT vec_id, n_gops, fpg, n_gops * fpg AS total_frames FROM t
+), ch AS (
+  SELECT vec_id, fpg, total_frames, g.k AS chunk_idx,
+         g.k * 36 AS first_frame,
+         least((g.k + 1) * 36, total_frames) - 1 AS last_frame
+  FROM d, LATERAL (
+    SELECT unnest(generate_series(
+      0, CAST(ceil(total_frames / 36.0) AS BIGINT) - 1)) AS k
+  ) g
+), geo AS (
+  -- frame f lives in GOP floor(f/fpg); its NAL = g*(2+fpg) + 2 + f%fpg;
+  -- the decode start is that GOP's SPS = NAL g*(2+fpg)
+  SELECT vec_id, chunk_idx, first_frame,
+         (first_frame // fpg) * (2 + fpg) AS start_nal,
+         (last_frame // fpg) * (2 + fpg) + 2 + (last_frame % fpg)
+           AS last_nal
+  FROM ch
+)
+SELECT g.vec_id AS track_id,
+       CAST(g.chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(g.first_frame AS BIGINT) AS first_frame,
+       CAST(g.start_nal AS BIGINT) AS start_nal,
+       CAST(a.noff AS BIGINT) AS byte_start,
+       CAST(b.noff + b.nlen - a.noff AS BIGINT) AS byte_len
+FROM geo g
+JOIN off a ON a.vec_id = g.vec_id AND a.nidx = g.start_nal
+JOIN off b ON b.vec_id = g.vec_id AND b.nidx = g.last_nal
+ORDER BY track_id, chunk_idx
+"""
+
+
+@query("h264_chunk_plan", oracle=_H264_CHUNK_ORACLE)
+def h264_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyframe-aligned H.264 chunk work-list through the REAL Annex-B
+    framing parser: 200 deterministic GOP-structured elementary streams
+    (SPS+PPS+IDR+P-slices per GOP, varying payload sizes) are BUILT as
+    bytes, walked by functions/media.parse_annexb_nals (start-code scan,
+    NAL headers, forbidden-bit check), and chunked on a 36-frame grid —
+    where each chunk's byte range backs up to h264_keyframe_start: the
+    latest IDR at-or-before the chunk's first frame plus the SPS/PPS run
+    in front of it, because a mid-stream decoder without reference
+    frames and parameter sets produces garbage (the video analogue of
+    MP3's bit-reservoir walk-back; same seek rule HLS segmenters apply).
+    Entropy decode (CABAC/CAVLC) stays at the declared codec boundary —
+    the framing layer is structural and exactly verifiable.
+
+    The DuckDB oracle re-derives the full NAL layout (per-GOP generate_
+    series, cumulative offset ledger) and the keyframe rule as closed-
+    form arithmetic — byte-walk vs closed form must agree exactly.
+
+    Plan shape: per-file build+parse+chunk in one map stage, explode
+    inside it, presentation sort only — file locality, zero shuffles."""
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import (
+        h264_keyframe_start,
+        make_nal,
+        parse_annexb_nals,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def plan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                n_gops = 3 + vid % 5
+                fpg = 12 + (vid % 4) * 6
+                stream = bytearray()
+                for g in range(n_gops):
+                    stream += make_nal(7, 10 + vid % 7)
+                    stream += make_nal(8, 4)
+                    stream += make_nal(5, 200 + (vid + g) % 50)
+                    for i in range(fpg - 1):
+                        stream += make_nal(
+                            1, 60 + (vid * 3 + g * 7 + i) % 40
+                        )
+                nals = parse_annexb_nals(bytes(stream))
+                total_frames = n_gops * fpg
+                for k in range(-(-total_frames // 36)):
+                    ff = k * 36
+                    lf = min((k + 1) * 36, total_frames) - 1
+                    ff_nal = (ff // fpg) * (2 + fpg) + 2 + (ff % fpg)
+                    lf_nal = (lf // fpg) * (2 + fpg) + 2 + (lf % fpg)
+                    sn = h264_keyframe_start(nals, ff_nal)
+                    rows.append(
+                        (
+                            vid, k, ff, sn,
+                            nals[sn]["byte_offset"],
+                            nals[lf_nal]["byte_offset"]
+                            + nals[lf_nal]["byte_length"]
+                            - nals[sn]["byte_offset"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "chunk_idx", "first_frame", "start_nal",
+                    "byte_start", "byte_len",
+                ],
+            )
+
+    return ids.mapInPandas(
+        plan,
+        schema=(
+            "track_id long, chunk_idx long, first_frame long, "
+            "start_nal long, byte_start long, byte_len long"
+        ),
+    ).orderBy("track_id", "chunk_idx")
