@@ -228,8 +228,10 @@ def headline_line(out: dict, limit: int = 2000) -> str:
     stdout; a longer line means the graded artifact stores
     "parsed": null (it did, in rounds 5-6, hiding two rounds of scale
     evidence). Truncation is staged: ungraded context fields drop first
-    (_DROP_ORDER), and only then does the per-query map halve — a
-    loadavg stamp must never cost per-query evidence. Compact
+    (_DROP_ORDER, which deliberately EXCLUDES loadavg_override — the
+    contended-run stamp never drops), then per-query walls coarsen to
+    1dp (every query keeps its entry), and only a pathological artifact
+    ever halves the queries map. Compact
     separators throughout: at 59 queries the default ", "/": " padding
     alone (~150 bytes) was the difference between a worst-case line
     that keeps its per-query map and one that halves it."""
@@ -242,6 +244,12 @@ def headline_line(out: dict, limit: int = 2000) -> str:
             del out[field]
             out["fields_dropped"] = True
             line = json.dumps(out, **compact)
+    # next pressure stage: 1dp walls — EVERY query keeps its entry (a
+    # coarser wall beats a missing one; at 64 queries this is what keeps
+    # the override-stamped worst case under the limit)
+    if len(line) > limit and out.get("queries"):
+        out["queries"] = {n: round(t, 1) for n, t in out["queries"].items()}
+        line = json.dumps(out, **compact)
     while len(line) > limit and out.get("queries"):
         out["queries_truncated"] = True
         out["queries"] = dict(list(out["queries"].items())[: len(out["queries"]) // 2])

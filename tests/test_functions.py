@@ -424,3 +424,41 @@ class TestH264Framing:
         bad[3] |= 0x80  # forbidden_zero_bit
         with pytest.raises(ValueError, match="forbidden"):
             parse_annexb_nals(bytes(bad))
+
+
+class TestXingHeader:
+    def test_vbr_header_roundtrip(self):
+        from tlmc_etl_spark.functions.media import (
+            make_mp3_frame,
+            make_xing_frame,
+            parse_xing_header,
+        )
+
+        toc = [min(255, i * 256 // 100) for i in range(100)]
+        x = parse_xing_header(
+            make_xing_frame(5000, 1_000_000, toc) + make_mp3_frame(5)
+        )
+        assert x["tag"] == "Xing" and x["vbr"]
+        assert x["n_frames"] == 5000 and x["n_bytes"] == 1_000_000
+        assert x["toc"] == toc
+        assert x["duration_s"] == round(5000 * 1152 / 44100, 6)
+
+    def test_info_tag_and_no_toc(self):
+        from tlmc_etl_spark.functions.media import (
+            make_xing_frame,
+            parse_xing_header,
+        )
+
+        x = parse_xing_header(make_xing_frame(10, 999, None, vbr=False))
+        assert x["tag"] == "Info" and not x["vbr"]
+        assert "toc" not in x
+
+    def test_absent_tag_returns_none(self):
+        from tlmc_etl_spark.functions.media import (
+            make_mp3_frame,
+            parse_xing_header,
+        )
+
+        assert parse_xing_header(make_mp3_frame(5)) is None
+        assert parse_xing_header(b"junk") is None
+        assert parse_xing_header(None) is None

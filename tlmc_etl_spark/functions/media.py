@@ -529,3 +529,67 @@ def h264_keyframe_start(nals: list[dict], k: int) -> int:
     while j > 0 and nals[j - 1]["nal_type"] in (6, 7, 8, 9):
         j -= 1
     return j
+
+
+def parse_xing_header(data: bytes | None) -> dict | None:
+    """Xing/Info VBR header from an MP3's FIRST frame: total frame/byte
+    counts and the 100-point seek TOC, giving O(1) duration and coarse
+    seek WITHOUT walking the stream — what mutagen reports for VBR files
+    and what a 100 TB scan reads instead of every frame. Returns None
+    when the first frame carries no tag (CBR without Info tag); the
+    caller falls back to frame-walk (parse_mp3_frames) or bitrate math.
+
+    Layout: the tag sits right after the side info of frame 0 —
+    'Xing' (VBR) or 'Info' (CBR), 4 flag bytes, then optional
+    frames(4)/bytes(4)/TOC(100)/quality(4) in flag order."""
+    if not data:
+        return None
+    pos = _mp3_skip_id3v2(data)
+    # parse just frame 0's header fields (cheap, no full walk)
+    if pos + 40 > len(data) or data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
+        return None
+    b = data[pos : pos + 4]
+    protection = b[1] & 0x1
+    mode = (b[3] >> 6) & 0x3
+    side_len = 17 if mode == 0x3 else 32
+    off = pos + 4 + (0 if protection else 2) + side_len
+    tag = data[off : off + 4]
+    if tag not in (b"Xing", b"Info"):
+        return None
+    flags = int.from_bytes(data[off + 4 : off + 8], "big")
+    p = off + 8
+    out: dict = {"tag": tag.decode(), "vbr": tag == b"Xing"}
+    if flags & 0x1:
+        out["n_frames"] = int.from_bytes(data[p : p + 4], "big")
+        p += 4
+    if flags & 0x2:
+        out["n_bytes"] = int.from_bytes(data[p : p + 4], "big")
+        p += 4
+    if flags & 0x4:
+        out["toc"] = list(data[p : p + 100])
+        p += 100
+    if flags & 0x8:
+        out["quality"] = int.from_bytes(data[p : p + 4], "big")
+    sr = MP3_SAMPLE_RATES[(b[2] >> 2) & 0x3]
+    if "n_frames" in out and sr:
+        out["duration_s"] = round(out["n_frames"] * MP3_SAMPLES_PER_FRAME / sr, 6)
+    return out
+
+
+def make_xing_frame(
+    n_frames: int, n_bytes: int, toc: list[int] | None = None,
+    vbr: bool = True, bitrate_idx: int = 5, sr_idx: int = 0,
+) -> bytes:
+    """Frame 0 carrying a Xing/Info tag (test double)."""
+    base = bytearray(make_mp3_frame(bitrate_idx, sr_idx))
+    off = 4 + 32  # stereo, no CRC
+    tag = b"Xing" if vbr else b"Info"
+    flags = 0x1 | 0x2 | (0x4 if toc is not None else 0)
+    blob = tag + flags.to_bytes(4, "big")
+    blob += n_frames.to_bytes(4, "big") + n_bytes.to_bytes(4, "big")
+    if toc is not None:
+        if len(toc) != 100:
+            raise ValueError("TOC must have 100 entries")
+        blob += bytes(toc)
+    base[off : off + len(blob)] = blob
+    return bytes(base)
