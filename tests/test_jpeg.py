@@ -334,3 +334,57 @@ class TestProgressiveDecode:
         img = rng.integers(0, 256, size=(16, 16)).astype(np.float64)
         v = decode_payload("image", encode_gray_progressive(img))
         assert v is not None
+
+    def test_refinement_history_deep_in_zero_run(self):
+        """Regression: a history coefficient sitting >15 zeros into a run,
+        followed by a newly-significant coefficient, must keep the ZRL /
+        correction-bit interleave aligned (spec G.1.2.3: pending ZRLs
+        flush at every nonzero, so no history bit lands beyond the
+        decoder's 16-zero advance window). The block is crafted in DCT
+        domain to pin the coefficient pattern exactly."""
+        from tlmc_etl_spark.operators.jpeg import (
+            _D,
+            ZIGZAG,
+            encode_gray_progressive,
+        )
+
+        zz = np.zeros(64)
+        zz[17] = 4.0   # history (|4|>>1 = 2 lands in the Al=1 first pass)
+        zz[23] = 1.0   # newly significant only at the Al=0 refinement
+        zz[40] = -3.0  # negative history deep in a later run
+        zz[55] = 1.0   # another late new-significant
+        m = np.zeros(64)
+        m[ZIGZAG] = zz
+        img = _D.T @ m.reshape(8, 8) @ _D + 128.0
+        scans = ((0, 0, 0, 1), (1, 63, 0, 1), (0, 0, 1, 0), (1, 63, 1, 0))
+        dec = parse_jpeg_luma(encode_gray_progressive(img, scans=scans))
+        base = parse_jpeg_luma(encode_gray_jpeg(img))
+        assert np.array_equal(dec, base)
+
+    def test_refinement_fuzz_sparse_blocks(self):
+        """Sparse random coefficient blocks (the regime where long zero
+        runs, EOB runs, history and new-significant coefficients all
+        interleave) — 60 seeds, progressive must equal baseline decode."""
+        from tlmc_etl_spark.operators.jpeg import (
+            _D,
+            ZIGZAG,
+            encode_gray_progressive,
+        )
+
+        rng = np.random.default_rng(97)
+        scans = (
+            (0, 0, 0, 2), (1, 63, 0, 2),
+            (1, 63, 2, 1), (0, 0, 2, 1),
+            (1, 63, 1, 0), (0, 0, 1, 0),
+        )
+        for trial in range(60):
+            zz = np.zeros(64)
+            n_nz = rng.integers(1, 7)
+            pos = rng.choice(np.arange(1, 64), size=n_nz, replace=False)
+            zz[pos] = rng.integers(-6, 7, size=n_nz)
+            m = np.zeros(64)
+            m[ZIGZAG] = zz
+            img = _D.T @ m.reshape(8, 8) @ _D + 128.0
+            dec = parse_jpeg_luma(encode_gray_progressive(img, scans=scans))
+            base = parse_jpeg_luma(encode_gray_jpeg(img))
+            assert np.array_equal(dec, base), f"trial {trial}: zz={zz[pos]} at {pos}"

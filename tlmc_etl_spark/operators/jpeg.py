@@ -974,10 +974,10 @@ def _enc_ac_refine(state: _ProgACState, zz, ss, se, al) -> None:
         if t == 0:
             run += 1
             continue
-        if t > 1:  # history coefficient: correction bit
-            br.append(t & 1)
-            continue
-        # newly significant (t == 1)
+        # pending ZRLs flush at EVERY nonzero (G.1.2.3 / libjpeg note):
+        # a history coefficient must never sit more than 15 zeros deep in
+        # the pending run, or the correction bits buffered behind a later
+        # ZRL would land beyond the decoder's 16-zero advance window
         while run > 15 and i <= eob:
             state.flush_eobrun()
             state.emit_sym(0xF0)
@@ -985,6 +985,10 @@ def _enc_ac_refine(state: _ProgACState, zz, ss, se, al) -> None:
             for b in br:
                 w.write(b, 1)
             br = []
+        if t > 1:  # history coefficient: correction bit
+            br.append(t & 1)
+            continue
+        # newly significant (t == 1)
         state.flush_eobrun()
         state.emit_sym((run << 4) | 1)
         w.write(signs[i], 1)
