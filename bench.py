@@ -75,6 +75,7 @@ HEADLINE = [
     "adts_chunk_plan",
     "mp3_chunk_plan",
     "h264_chunk_plan",
+    "flac_cue_seek_plan",
     # similarity pipeline
     "cosine_topk",
     "two_stage_similarity",

@@ -462,3 +462,46 @@ class TestXingHeader:
         assert parse_xing_header(make_mp3_frame(5)) is None
         assert parse_xing_header(b"junk") is None
         assert parse_xing_header(None) is None
+
+
+class TestFlacSeektable:
+    def test_metadata_walk(self):
+        from tlmc_etl_spark.functions.media import (
+            make_flac_with_seektable,
+            parse_flac_metadata,
+        )
+
+        pts = [(0, 0, 4096), (441000, 180013, 4096), (882000, 360220, 4096)]
+        f = make_flac_with_seektable(44100, 44100 * 60, pts, n_placeholders=2)
+        m = parse_flac_metadata(f)
+        assert m["sample_rate"] == 44100
+        assert m["total_samples"] == 44100 * 60
+        assert m["seekpoints"] == pts  # placeholders dropped
+        assert m["audio_offset"] == len(f)
+
+    def test_non_flac_and_truncation(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_flac_with_seektable,
+            parse_flac_metadata,
+        )
+
+        assert parse_flac_metadata(None) is None
+        assert parse_flac_metadata(b"ID3\x04" + bytes(60)) is None
+        f = make_flac_with_seektable(44100, 1000, [(0, 0, 4096)])
+        with pytest.raises(ValueError, match="flac"):
+            parse_flac_metadata(f[:-6])
+
+    def test_bad_seektable_length_raises(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import parse_flac_metadata
+
+        bad = (
+            b"fLaC"
+            + bytes([0x00, 0, 0, 34]) + bytes(34)
+            + bytes([0x80 | 0x03, 0, 0, 17]) + bytes(17)  # not 18-multiple
+        )
+        with pytest.raises(ValueError, match="SEEKTABLE"):
+            parse_flac_metadata(bad)

@@ -593,3 +593,77 @@ def make_xing_frame(
         blob += bytes(toc)
     base[off : off + len(blob)] = blob
     return bytes(base)
+
+
+# ---------------------------------------------------------------------------
+# FLAC metadata-block walk + SEEKTABLE. The lossless corpus is FLAC (the
+# collection the catalog pipeline scans), and the reference's CueSplitter
+# cuts album FLACs into tracks from cue sheets (cue_designator.py via
+# ffmpeg). FLAC frames don't carry their length (finding a frame boundary
+# requires decoding subframes), so sample-accurate seek goes through the
+# SEEKTABLE metadata block — seek points are (sample, byte offset into
+# audio data, samples-in-frame) triples at block type 3. Composing the cue
+# parser (time ranges) with the seek table (byte ranges) plans a cue split
+# as pure byte-range reads, no decode: flac_cue_seek_plan.
+# ---------------------------------------------------------------------------
+
+FLAC_PLACEHOLDER_SAMPLE = 0xFFFF_FFFF_FFFF_FFFF
+
+
+def parse_flac_metadata(data: bytes | None) -> dict | None:
+    """Walk a FLAC file's metadata blocks: returns {sample_rate,
+    total_samples, seekpoints: [(sample, byte_offset, n_samples)...],
+    audio_offset (byte of the first audio frame)} or None for non-FLAC
+    input. Placeholder seek points (sample == 2^64-1) are dropped.
+    Raises ValueError on a malformed block walk (a truncated header must
+    not yield a silently short table)."""
+    if not data or len(data) < 8 or data[:4] != b"fLaC":
+        return None
+    out = {"sample_rate": None, "total_samples": None, "seekpoints": []}
+    pos = 4
+    while True:
+        if pos + 4 > len(data):
+            raise ValueError(f"flac: truncated block header at {pos}")
+        hdr = data[pos]
+        last = bool(hdr & 0x80)
+        btype = hdr & 0x7F
+        blen = int.from_bytes(data[pos + 1 : pos + 4], "big")
+        body_at = pos + 4
+        if body_at + blen > len(data):
+            raise ValueError(f"flac: block at {pos} overruns the buffer")
+        if btype == 0:  # STREAMINFO
+            si = data[body_at : body_at + 34]
+            (block,) = struct.unpack(">Q", si[10:18])
+            out["sample_rate"] = block >> 44
+            out["total_samples"] = block & ((1 << 36) - 1)
+        elif btype == 3:  # SEEKTABLE
+            if blen % 18:
+                raise ValueError("flac: SEEKTABLE length not a multiple of 18")
+            for i in range(0, blen, 18):
+                s, off, ns = struct.unpack_from(">QQH", data, body_at + i)
+                if s != FLAC_PLACEHOLDER_SAMPLE:
+                    out["seekpoints"].append((s, off, ns))
+        pos = body_at + blen
+        if last:
+            break
+    out["audio_offset"] = pos
+    return out
+
+
+def make_flac_with_seektable(
+    sample_rate: int,
+    total_samples: int,
+    seekpoints: list[tuple[int, int, int]],
+    n_placeholders: int = 0,
+) -> bytes:
+    """Minimal valid FLAC prefix: STREAMINFO + SEEKTABLE (+ trailing
+    placeholder points, as real encoders pre-allocate). Test double."""
+    block = (sample_rate << 44) | (1 << 41) | (15 << 36) | total_samples
+    si = bytes(10) + struct.pack(">Q", block) + bytes(16)
+    pts = b"".join(struct.pack(">QQH", s, o, n) for s, o, n in seekpoints)
+    pts += struct.pack(">QQH", FLAC_PLACEHOLDER_SAMPLE, 0, 0) * n_placeholders
+    return (
+        b"fLaC"
+        + bytes([0x00, 0, 0, 34]) + si
+        + bytes([0x80 | 0x03]) + len(pts).to_bytes(3, "big") + pts
+    )

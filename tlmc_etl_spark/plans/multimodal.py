@@ -1347,3 +1347,159 @@ def h264_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "start_nal long, byte_start long, byte_len long"
         ),
     ).orderBy("track_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# flac_cue_seek_plan — cue-sheet split as byte ranges via FLAC SEEKTABLE
+# --------------------------------------------------------------------------
+
+_FLAC_CUE_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200
+), t AS (
+  SELECT vec_id,
+         CAST(4 + vec_id % 6 AS BIGINT) AS n_tracks,
+         CAST(40 + vec_id % 23 AS BIGINT) AS seg_s
+  FROM ids
+), dims AS (
+  SELECT vec_id, n_tracks, seg_s,
+         n_tracks * seg_s * 44100 + 30 * 44100 AS total_samples
+  FROM t
+), geo AS (
+  SELECT vec_id, n_tracks, seg_s, total_samples,
+         CAST(ceil(total_samples / 441000.0) AS BIGINT) AS k_max,
+         -- audio data starts after fLaC(4) + STREAMINFO(4+34) +
+         -- SEEKTABLE header(4) + 18 bytes per point incl. 2 placeholders
+         46 + 18 * (CAST(ceil(total_samples / 441000.0) AS BIGINT) + 1 + 2)
+           AS audio_offset
+  FROM dims
+), tr AS (
+  SELECT g.vec_id, g.seg_s, g.total_samples, g.k_max, g.audio_offset,
+         n.t AS track_number,
+         (n.t - 1) * g.seg_s * 75 + ((g.vec_id + n.t) % 75) AS start_frames
+  FROM geo g, LATERAL (
+    SELECT unnest(generate_series(1, g.n_tracks)) AS t
+  ) n
+), rng AS (
+  SELECT vec_id, track_number, k_max, audio_offset,
+         start_frames * 588 AS start_sample,
+         COALESCE(
+           lead(start_frames * 588) OVER (
+             PARTITION BY vec_id ORDER BY track_number),
+           total_samples) AS end_sample
+  FROM tr
+)
+SELECT vec_id AS track_id,
+       CAST(track_number AS INT) AS track_number,
+       CAST(start_sample AS BIGINT) AS start_sample,
+       CAST(end_sample AS BIGINT) AS end_sample,
+       (start_sample // 441000) * 441000 AS seek_sample,
+       CAST(audio_offset
+            + (start_sample // 441000) * 180000
+            + (vec_id + 3 * (start_sample // 441000)) % 1000
+            AS BIGINT) AS byte_start,
+       CAST(audio_offset
+            + CAST(ceil(end_sample / 441000.0) AS BIGINT) * 180000
+            + (vec_id + 3 * CAST(ceil(end_sample / 441000.0) AS BIGINT))
+              % 1000
+            AS BIGINT) AS byte_end
+FROM rng
+ORDER BY track_id, track_number
+"""
+
+
+@query("flac_cue_seek_plan", oracle=_FLAC_CUE_ORACLE)
+def flac_cue_seek_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cue-sheet split of a FLAC album as PURE BYTE RANGES, composing two
+    real parsers: the cue parser (functions/media.parse_cue — the
+    CueSharp replacement, cue_designator.py's job) yields each track's
+    start in 75 fps cue frames, and the FLAC metadata walk
+    (parse_flac_metadata) yields the SEEKTABLE — the only way to seek a
+    FLAC without decoding, since FLAC frame headers don't carry frame
+    length. Each cue track becomes [latest seek point <= track start,
+    earliest seek point >= track end): the decode-and-trim window the
+    reference's CueSplitter hands to ffmpeg per track, here planned as a
+    byte-range read per 100 TB-scan conventions. 200 deterministic
+    albums: cue TEXT and FLAC HEADER BYTES are built, parsed by the real
+    parsers, and joined; the DuckDB oracle re-derives cue frame
+    arithmetic (588 samples per cue frame), the seek-point ladder, and
+    the byte offsets in closed form.
+
+    Plan shape: one map stage per album (build + two parses + range
+    join driver-side per file), row explode inside, presentation sort."""
+    import bisect
+
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import (
+        make_flac_with_seektable,
+        parse_cue,
+        parse_flac_metadata,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def plan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                n_tracks = 4 + vid % 6
+                seg_s = 40 + vid % 23
+                total = n_tracks * seg_s * 44100 + 30 * 44100
+                # build the cue text and parse it with the REAL parser
+                lines = ['FILE "album.flac" WAVE']
+                for tno in range(1, n_tracks + 1):
+                    fr = (tno - 1) * seg_s * 75 + ((vid + tno) % 75)
+                    mm, rem = divmod(fr // 75, 60)
+                    lines.append(f"  TRACK {tno:02d} AUDIO")
+                    lines.append(
+                        f"    INDEX 01 {fr // 75 // 60:02d}:"
+                        f"{(fr // 75) % 60:02d}:{fr % 75:02d}"
+                    )
+                cue_tracks = parse_cue("\n".join(lines))
+                # build the FLAC header and parse it with the REAL parser
+                k_max = -(-total // 441000)
+                pts = [
+                    (k * 441000, k * 180000 + (vid + 3 * k) % 1000, 4096)
+                    for k in range(k_max + 1)
+                ]
+                meta = parse_flac_metadata(
+                    make_flac_with_seektable(44100, total, pts, n_placeholders=2)
+                )
+                samples = [p[0] for p in meta["seekpoints"]]
+                offs = [p[1] for p in meta["seekpoints"]]
+                ao = meta["audio_offset"]
+                starts = [ct["index01_frames"] * 588 for ct in cue_tracks]
+                for i, ct in enumerate(cue_tracks):
+                    s = starts[i]
+                    e = starts[i + 1] if i + 1 < len(starts) else total
+                    k0 = bisect.bisect_right(samples, s) - 1
+                    k1 = bisect.bisect_left(samples, e)
+                    rows.append(
+                        (
+                            vid, ct["track_number"], s, e, samples[k0],
+                            ao + offs[k0], ao + offs[k1],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "track_number", "start_sample",
+                    "end_sample", "seek_sample", "byte_start", "byte_end",
+                ],
+            )
+
+    return ids.mapInPandas(
+        plan,
+        schema=(
+            "track_id long, track_number int, start_sample long, "
+            "end_sample long, seek_sample long, byte_start long, "
+            "byte_end long"
+        ),
+    ).orderBy("track_id", "track_number")

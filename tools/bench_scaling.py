@@ -62,6 +62,9 @@ NOTES = {
     "h264_chunk_plan": (
         "flat ~1x across sfs - same per-file design as adts_chunk_plan"
     ),
+    "flac_cue_seek_plan": (
+        "flat ~1x across sfs - same per-file design as adts_chunk_plan"
+    ),
     "per_query_ratio_caveat": (
         "sf0.1 per-query spark/duckdb ratios on sub-second walls mostly "
         "measure Spark's fixed per-query scheduling floor (~0.2-0.4s), "
