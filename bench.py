@@ -216,6 +216,8 @@ _DROP_ORDER = (
     "loadavg_waited_sec",
     "incr_sec_per_1k",
     "stress_excluded",
+    # derivable: spark_matched_wall == spark_over_duckdb * duckdb_wall
+    "spark_matched_wall",
 )
 # NOT in _DROP_ORDER: "loadavg_override". The override stamp is the
 # honesty marker that the walls may be inflated by contention — if the
