@@ -505,3 +505,109 @@ class TestFlacSeektable:
         )
         with pytest.raises(ValueError, match="SEEKTABLE"):
             parse_flac_metadata(bad)
+
+
+class TestFramingParserRobustness:
+    """Fuzz the binary framing parsers: arbitrary bytes must yield []
+    (not-this-format), None, or ValueError — NEVER a wrong index, an
+    uncaught IndexError/struct.error, or a hang. Mutated valid streams
+    must never parse to a DIFFERENT geometry silently (they either still
+    parse to a prefix-consistent index or raise)."""
+
+    def _parsers(self):
+        from tlmc_etl_spark.functions.media import (
+            parse_adts_frames,
+            parse_annexb_nals,
+            parse_flac_metadata,
+            parse_mp3_frames,
+            parse_xing_header,
+        )
+
+        return [
+            parse_adts_frames,
+            parse_mp3_frames,
+            parse_annexb_nals,
+            parse_flac_metadata,
+            parse_xing_header,
+        ]
+
+    def test_random_bytes_never_leak_exceptions(self):
+        import numpy as np
+
+        rng = np.random.default_rng(101)
+        for parser in self._parsers():
+            for trial in range(200):
+                blob = bytes(rng.integers(0, 256, size=rng.integers(0, 400),
+                                          dtype=np.uint8))
+                try:
+                    parser(blob)
+                except ValueError:
+                    pass
+                except Exception as e:
+                    raise AssertionError(
+                        f"{parser.__name__} leaked {type(e).__name__} on "
+                        f"trial {trial}: {e}"
+                    )
+
+    def test_mutated_valid_streams_fail_loudly_or_stay_consistent(self):
+        import numpy as np
+
+        from tlmc_etl_spark.functions.media import (
+            make_adts_stream,
+            make_mp3_stream,
+            make_nal,
+            parse_adts_frames,
+            parse_mp3_frames,
+            parse_annexb_nals,
+        )
+
+        rng = np.random.default_rng(103)
+        streams = [
+            (parse_adts_frames, make_adts_stream([64, 80, 100, 32, 200])),
+            (parse_mp3_frames, make_mp3_stream(
+                [(5, 0, 0), (9, 1, 100), (2, 0, 300)])),
+            (parse_annexb_nals, make_nal(7, 8) + make_nal(5, 60)
+             + make_nal(1, 40) + make_nal(1, 40)),
+        ]
+        for parser, s in streams:
+            clean = parser(s)
+            total = sum(f["byte_length"] for f in clean)
+            assert total == len(s)
+            for trial in range(150):
+                mut = bytearray(s)
+                i = int(rng.integers(0, len(s)))
+                mut[i] = int(rng.integers(0, 256))
+                try:
+                    got = parser(bytes(mut))
+                except ValueError:
+                    continue  # loud failure: the contract
+                # parsed without error: the walk must still be
+                # internally consistent (contiguous, inside the buffer)
+                pos = got[0]["byte_offset"] if got else 0
+                for f in got:
+                    assert f["byte_offset"] == pos, (parser.__name__, i)
+                    assert f["byte_length"] > 0
+                    pos += f["byte_length"]
+                assert pos <= len(mut), (parser.__name__, i)
+
+    def test_truncation_sweep(self):
+        from tlmc_etl_spark.functions.media import (
+            make_adts_stream,
+            make_mp3_stream,
+            parse_adts_frames,
+            parse_mp3_frames,
+        )
+
+        for parser, s in (
+            (parse_adts_frames, make_adts_stream([64, 80, 100])),
+            (parse_mp3_frames, make_mp3_stream([(5, 0, 0), (9, 1, 7)])),
+        ):
+            full = parser(s)
+            for cut in range(1, len(s)):
+                try:
+                    got = parser(s[:cut])
+                except ValueError:
+                    continue
+                # a clean parse of a prefix must be a PREFIX of the full
+                # index (complete frames only), never a reinterpretation
+                assert got == full[: len(got)], (parser.__name__, cut)
