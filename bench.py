@@ -62,6 +62,7 @@ HEADLINE = [
     "doc_chunking",
     "sequence_packing",
     "corpus_mix_sample",
+    "bpe_train_merges",
     "curation_lifecycle",
     "benchmark_contamination",
     "minhash_lsh_dedup",
@@ -218,6 +219,8 @@ _DROP_ORDER = (
     "stress_excluded",
     # derivable: spark_matched_wall == spark_over_duckdb * duckdb_wall
     "spark_matched_wall",
+    # redundant: the committed SCALING.json holds the full curve
+    "scaling_suite_ratio",
 )
 # NOT in _DROP_ORDER: "loadavg_override". The override stamp is the
 # honesty marker that the walls may be inflated by contention — if the

@@ -53,6 +53,7 @@ SHUFFLE_BUDGET = {
     "doc_chunking": 0,
     "sequence_packing": 1,
     "corpus_mix_sample": 0,
+    "bpe_train_merges": 0,  # iterative: rounds run via checkpoints, result is a local table
     "curation_lifecycle": 2,
     "benchmark_contamination": 1,
     "minhash_lsh_dedup": 2,

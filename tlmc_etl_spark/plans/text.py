@@ -1301,3 +1301,27 @@ def curation_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_seq_lower_bound"),
     )
+
+
+@query("bpe_train_merges")
+def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer training (Sennrich et al. 2016) as an iterative
+    Spark job: 8 rounds of [distributed pair count over the (distinct
+    word, count) fold -> 1-row deterministic argmax -> JVM-side
+    F.aggregate merge fold], lineage truncated per round. Ext tier (an
+    iterative argmax loop has no SQL replay); the differential gate is
+    tests/test_bpe.py::TestBpeTraining — a from-scratch pure-
+    Python reference implementation must produce the IDENTICAL merge
+    table on the same corpus, and the encode path must re-tokenize
+    fixtures identically."""
+    from tlmc_etl_spark.operators.bpe import train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=8)
+    return spark.createDataFrame(
+        [
+            (m["merge_round"], m["left"], m["right"], m["merged"], m["n_weighted"])
+            for m in merges
+        ],
+        "merge_round int, left string, right string, merged string, n_weighted long",
+    ).orderBy("merge_round")
