@@ -59,7 +59,12 @@ def test_headline_line_fits_driver_tail_window():
 
     parsed = json.loads(line)
     assert parsed["spark_over_duckdb"] == 123.456  # ratio survives truncation
-    assert parsed["scaling_suite_ratio"]["1"] == 0.123
+    # scaling_suite_ratio is droppable (the committed SCALING.json holds
+    # the full curve) — but if present it must be intact, and the
+    # contended-run stamp must ALWAYS survive
+    if "scaling_suite_ratio" in parsed:
+        assert parsed["scaling_suite_ratio"]["1"] == 0.123
+    assert parsed["loadavg_override"] is True
 
 
 def test_realistic_overflow_drops_context_fields_not_queries():
