@@ -81,6 +81,7 @@ HEADLINE = [
     "cosine_topk",
     "two_stage_similarity",
     "kde_bandwidth_calibration",
+    "int8_quant_audit",
     # composed §3.1→§3.2 lifecycle (catalog → similarity → shard sink)
     "lifecycle_similar_shards",
     # TPC-H correlated-subquery decorrelation family (plans/relational3.py)

@@ -71,6 +71,7 @@ SHUFFLE_BUDGET = {
     "cosine_topk": 1,
     "two_stage_similarity": 3,
     "kde_bandwidth_calibration": 2,
+    "int8_quant_audit": 0,  # pure higher-order array map; sort is range-part
     # round-8 additions: the round-7 registry surface folded into the
     # graded bench (decorrelation + LM families, curation sampling,
     # serving layout). Budgets measured at the design plan, sf0.001.

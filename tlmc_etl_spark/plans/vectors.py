@@ -615,3 +615,78 @@ def kde_bandwidth_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("d"), 6).alias("median_dist"),
         F.round(F.lit(1.0) / F.median("d"), 6).alias("gamma"),
     )
+
+
+@query(
+    "int8_quant_audit",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), scaled AS (
+  SELECT vec_id, v,
+         greatest(list_max(list_transform(v, x -> abs(x))), 1e-12) / 127.0
+           AS scale
+  FROM e
+), q AS (
+  SELECT vec_id, v, scale,
+         list_transform(v, x -> round(x / scale)) AS qv
+  FROM scaled
+), recon AS (
+  SELECT vec_id, scale,
+         list_max(list_transform(qv, x -> abs(x))) AS q_absmax,
+         sqrt(list_sum(list_transform(
+           list_zip(v, qv), p -> (p[1] - p[2] * scale) ** 2))) AS err_l2,
+         sqrt(list_sum(list_transform(v, x -> x * x))) AS norm_l2
+  FROM q
+)
+SELECT vec_id,
+       round(scale, 9)                          AS scale,
+       CAST(q_absmax AS BIGINT)                 AS q_absmax,
+       round(err_l2 / norm_l2, 9)               AS rel_err
+FROM recon
+ORDER BY vec_id
+""",
+)
+def int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization audit — the 4× storage
+    compression a 100 TB embedding corpus ships (scale = absmax/127,
+    q = round(x/scale)), verified end to end: quantize, reconstruct,
+    and report per-vector scale, quantized absmax (must be ≤ 127 — the
+    range proof), and relative L2 reconstruction error. Everything is
+    JVM-side higher-order array expressions (transform/aggregate/
+    zip_with) — one map stage, no shuffle before the presentation sort;
+    the DuckDB oracle replays the same arithmetic with list functions.
+    round() is HALF_UP in both engines (the banker's-rounding trap the
+    repo's conventions pin), so quantized codes match exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+    scale = F.greatest(
+        F.expr(
+            "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        ),
+        F.lit(1e-12),
+    ) / F.lit(127.0)
+    d = emb.select("vec_id", v.alias("v"), scale.alias("scale"))
+    d = d.withColumn(
+        "qv", F.expr("transform(v, x -> round(x / scale))")
+    )
+    return d.select(
+        "vec_id",
+        F.round("scale", 9).alias("scale"),
+        F.expr("array_max(transform(qv, x -> abs(x)))")
+        .cast("long")
+        .alias("q_absmax"),
+        F.round(
+            F.sqrt(
+                F.expr(
+                    "aggregate(zip_with(v, qv, (a, q) -> pow(a - q * scale, 2)), "
+                    "0D, (acc, x) -> acc + x)"
+                )
+            )
+            / F.sqrt(
+                F.expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")
+            ),
+            9,
+        ).alias("rel_err"),
+    ).orderBy("vec_id")
