@@ -86,6 +86,20 @@ class TestBpeTraining:
         ]
         assert got == [["aa", "a"], ["aa", "aa"], ["a", "b", "a"], []]
 
+    def test_fully_merged_word_does_not_crash_next_round(self, spark):
+        """Regression: once a 2-char word's own pair wins a merge, the
+        word collapses to ONE symbol; the next round's pair explode must
+        skip it (sequence(1,0) is DESCENDING in Spark — unguarded it
+        indexes element_at(toks, 0) and throws under ANSI)."""
+        from tlmc_etl_spark.operators.bpe import train_bpe_merges
+
+        docs = spark.createDataFrame(
+            [("of of of of of course offer",)], "text string"
+        )
+        merges = train_bpe_merges(docs, 3)
+        assert merges[0]["left"] == "o" and merges[0]["right"] == "f"
+        assert len(merges) >= 1  # round 2 ran without crashing
+
     def test_encode_path_matches_reference_tokenization(self, spark, sf_dir):
         import duckdb
 
@@ -109,7 +123,7 @@ class TestBpeTraining:
         _, ref_vocab = _reference_bpe(wc, 8)
         words = sorted(wc)[:200]
         df = spark.createDataFrame([(w,) for w in words], "w string").select(
-            "w", F.expr("transform(split(w, ''), c -> c)").alias("toks")
+            "w", F.split("w", "").alias("toks")
         )
         enc = {
             r["w"]: tuple(r["e"])

@@ -611,3 +611,41 @@ class TestFramingParserRobustness:
                 # a clean parse of a prefix must be a PREFIX of the full
                 # index (complete frames only), never a reinterpretation
                 assert got == full[: len(got)], (parser.__name__, cut)
+
+
+class TestParserContractRegressions:
+    """Round-10 review findings: parser-contract leaks reproduced and
+    pinned — each scenario previously leaked IndexError/struct.error or
+    fabricated zeros instead of the documented ValueError."""
+
+    def test_annexb_trailing_bare_start_code(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import parse_annexb_nals
+
+        with pytest.raises(ValueError):
+            parse_annexb_nals(
+                b"\x00\x00\x01\x41\x01\x02" + b"\x00\x00\x01"
+            )
+
+    def test_flac_short_streaminfo_block(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import parse_flac_metadata
+
+        with pytest.raises(ValueError):
+            parse_flac_metadata(b"fLaC" + bytes([0x80, 0, 0, 10]) + bytes(10))
+
+    def test_xing_truncated_after_flags_never_fabricates_zeros(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_xing_frame,
+            parse_xing_header,
+        )
+
+        full = make_xing_frame(5000, 1_000_000)
+        with pytest.raises(ValueError, match="xing"):
+            parse_xing_header(full[:44])  # cut right after tag+flags
+        # a cut before the tag is 'absent tag', not an error
+        assert parse_xing_header(full[:20]) is None

@@ -18,6 +18,24 @@ import struct
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _valueerror_boundary(fn):
+    """Binary parsers promise "[]/None or ValueError" — a truncated
+    buffer must not leak IndexError/struct.error from the byte readers
+    (the same wrapper contract operators/jpeg.py:parse_jpeg_luma pins)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        try:
+            return fn(*a, **kw)
+        except (IndexError, struct.error) as e:
+            raise ValueError(
+                f"{fn.__name__}: truncated or corrupt input: {e}"
+            ) from e
+
+    return wrapped
+
+
 _FILE_RE = re.compile(r'^\s*FILE\s+"(?P<path>[^"]*)"\s+(?P<ftype>\S+)', re.I)
 _TRACK_RE = re.compile(r"^\s*TRACK\s+(?P<num>\d+)\s+(?P<mode>\S+)", re.I)
 _INDEX_RE = re.compile(
@@ -114,13 +132,19 @@ def streaminfo_duration(header: bytes | None) -> float | None:
     return round(total_samples / sample_rate, 6)
 
 
+def _streaminfo_body(sample_rate: int, total_samples: int) -> bytes:
+    """The 34-byte STREAMINFO payload both FLAC test builders share
+    (stereo: channels-1=1 @bit41; 16-bit: bps-1=15 @bit36)."""
+    block = (sample_rate << 44) | (1 << 41) | (15 << 36) | total_samples
+    return bytes(10) + struct.pack(">Q", block) + bytes(16)
+
+
 def make_flac_header(sample_rate: int, total_samples: int) -> bytes:
     """Build a minimal valid 42-byte FLAC prefix (deterministic test double
     for real files — this container ships no audio fixtures)."""
-    # stereo (channels-1=1 @bit41), 16-bit (bps-1=15 @bit36)
-    block = (sample_rate << 44) | (1 << 41) | (15 << 36) | total_samples
-    si = bytes(10) + struct.pack(">Q", block) + bytes(16)
-    return b"fLaC" + bytes([0x80, 0, 0, 34]) + si
+    return b"fLaC" + bytes([0x80, 0, 0, 34]) + _streaminfo_body(
+        sample_rate, total_samples
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -139,6 +163,7 @@ ADTS_SAMPLE_RATES = (
 ADTS_SAMPLES_PER_FRAME = 1024  # AAC-LC, per raw data block
 
 
+@_valueerror_boundary
 def parse_adts_frames(data: bytes | None) -> list[dict]:
     """Walk an ADTS elementary stream and return one dict per frame:
     {idx, byte_offset, byte_length, sample_rate, channels, n_blocks,
@@ -286,6 +311,7 @@ def _mp3_skip_id3v2(data: bytes) -> int:
     return 10 + size + (10 if data[5] & 0x10 else 0)
 
 
+@_valueerror_boundary
 def parse_mp3_frames(data: bytes | None) -> list[dict]:
     """Walk an MPEG-1 Layer III stream into a frame index: one dict per
     frame with {idx, byte_offset, byte_length, bitrate_kbps, sample_rate,
@@ -445,6 +471,7 @@ H264_NAL_TYPES = {
 }
 
 
+@_valueerror_boundary
 def parse_annexb_nals(data: bytes | None) -> list[dict]:
     """Walk an Annex-B elementary stream into a NAL index: one dict per
     NAL unit with {idx, byte_offset (of the start code), start_code_len,
@@ -531,6 +558,7 @@ def h264_keyframe_start(nals: list[dict], k: int) -> int:
     return j
 
 
+@_valueerror_boundary
 def parse_xing_header(data: bytes | None) -> dict | None:
     """Xing/Info VBR header from an MP3's FIRST frame: total frame/byte
     counts and the 100-point seek TOC, giving O(1) duration and coarse
@@ -556,7 +584,18 @@ def parse_xing_header(data: bytes | None) -> dict | None:
     tag = data[off : off + 4]
     if tag not in (b"Xing", b"Info"):
         return None
+    if off + 8 > len(data):
+        raise ValueError("xing: tag truncated before the flag word")
     flags = int.from_bytes(data[off + 4 : off + 8], "big")
+    # every flag-indicated field must actually fit — int.from_bytes on a
+    # short slice would fabricate zeros (duration 0.0 for a real file:
+    # the confidently-wrong output the must-error contract forbids)
+    need = 4 * bool(flags & 0x1) + 4 * bool(flags & 0x2)         + 100 * bool(flags & 0x4) + 4 * bool(flags & 0x8)
+    if off + 8 + need > len(data):
+        raise ValueError(
+            f"xing: flags 0x{flags:x} promise {need} bytes, "
+            f"{len(data) - off - 8} remain"
+        )
     p = off + 8
     out: dict = {"tag": tag.decode(), "vbr": tag == b"Xing"}
     if flags & 0x1:
@@ -610,6 +649,7 @@ def make_xing_frame(
 FLAC_PLACEHOLDER_SAMPLE = 0xFFFF_FFFF_FFFF_FFFF
 
 
+@_valueerror_boundary
 def parse_flac_metadata(data: bytes | None) -> dict | None:
     """Walk a FLAC file's metadata blocks: returns {sample_rate,
     total_samples, seekpoints: [(sample, byte_offset, n_samples)...],
@@ -658,12 +698,11 @@ def make_flac_with_seektable(
 ) -> bytes:
     """Minimal valid FLAC prefix: STREAMINFO + SEEKTABLE (+ trailing
     placeholder points, as real encoders pre-allocate). Test double."""
-    block = (sample_rate << 44) | (1 << 41) | (15 << 36) | total_samples
-    si = bytes(10) + struct.pack(">Q", block) + bytes(16)
     pts = b"".join(struct.pack(">QQH", s, o, n) for s, o, n in seekpoints)
     pts += struct.pack(">QQH", FLAC_PLACEHOLDER_SAMPLE, 0, 0) * n_placeholders
     return (
         b"fLaC"
-        + bytes([0x00, 0, 0, 34]) + si
+        + bytes([0x00, 0, 0, 34])
+        + _streaminfo_body(sample_rate, total_samples)
         + bytes([0x80 | 0x03]) + len(pts).to_bytes(3, "big") + pts
     )

@@ -44,7 +44,12 @@ def words_with_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def _pair_counts(symbols: DataFrame) -> DataFrame:
-    pairs = symbols.select(
+    # words already collapsed to ONE symbol contribute no pairs — and
+    # sequence(1, 0) is DESCENDING in Spark, so without this filter the
+    # explode would index element_at(toks, 0) and throw under ANSI (the
+    # conventions-memory sequence pitfall; a frequent 2-char word like
+    # 'of' hits it on the round after its own pair wins)
+    pairs = symbols.filter(F.size("toks") >= 2).select(
         F.explode(
             F.expr(
                 "transform(sequence(1, size(toks) - 1), "
@@ -85,7 +90,7 @@ def train_bpe_merges(
 
     Stops early if no pair occurs twice (degenerate corpus)."""
     symbols = words_with_counts(docs, text_col).select(
-        F.expr("transform(split(w, ''), c -> c)").alias("toks"), "wc"
+        F.split("w", "").alias("toks"), "wc"
     )
     symbols = symbols.localCheckpoint(eager=True)
     out: list[dict] = []

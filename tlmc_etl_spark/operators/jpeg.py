@@ -139,6 +139,35 @@ class _BitReader:
             self.pos += 1
 
 
+def _parse_dqt_into(seg: bytes, qt: dict) -> None:
+    """DQT segment → quant tables (8- or 16-bit precision), shared by the
+    baseline and progressive marker loops."""
+    i = 0
+    while i < len(seg):
+        prec, tid = seg[i] >> 4, seg[i] & 0x0F
+        i += 1
+        if prec == 0:
+            qt[tid] = np.frombuffer(seg, np.uint8, 64, i).astype(np.float64)
+            i += 64
+        else:
+            qt[tid] = np.frombuffer(seg, ">u2", 64, i).astype(np.float64)
+            i += 128
+
+
+def _parse_dht_into(seg: bytes, huff_dc: dict, huff_ac: dict) -> None:
+    """DHT segment → canonical Huffman tables, shared by both loops
+    (progressive files redefine tables between scans)."""
+    i = 0
+    while i < len(seg):
+        cls, tid = seg[i] >> 4, seg[i] & 0x0F
+        counts = list(seg[i + 1 : i + 17])
+        n = sum(counts)
+        (huff_dc if cls == 0 else huff_ac)[tid] = _Huff(
+            counts, seg[i + 17 : i + 17 + n]
+        )
+        i += 17 + n
+
+
 def _extend(v: int, size: int) -> int:
     """JPEG magnitude decode: `size`-bit value -> signed coefficient."""
     if size == 0:
@@ -186,26 +215,9 @@ def _parse_jpeg_luma(payload: bytes) -> np.ndarray:
         seg_len = struct.unpack_from(">H", payload, pos)[0]
         seg = payload[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
-            i = 0
-            while i < len(seg):
-                prec, tid = seg[i] >> 4, seg[i] & 0x0F
-                i += 1
-                if prec == 0:
-                    tbl = np.frombuffer(seg, np.uint8, 64, i).astype(np.float64)
-                    i += 64
-                else:
-                    tbl = np.frombuffer(seg, ">u2", 64, i).astype(np.float64)
-                    i += 128
-                qt[tid] = tbl
+            _parse_dqt_into(seg, qt)
         elif marker == 0xC4:  # DHT
-            i = 0
-            while i < len(seg):
-                cls, tid = seg[i] >> 4, seg[i] & 0x0F
-                counts = list(seg[i + 1 : i + 17])
-                n = sum(counts)
-                symbols = seg[i + 17 : i + 17 + n]
-                (huff_dc if cls == 0 else huff_ac)[tid] = _Huff(counts, symbols)
-                i += 17 + n
+            _parse_dht_into(seg, huff_dc, huff_ac)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
@@ -452,30 +464,9 @@ def _decode_progressive(
         seg_len = struct.unpack_from(">H", payload, pos)[0]
         seg = payload[pos + 2 : pos + seg_len]
         if marker == 0xC4:  # DHT — progressive files redefine per scan
-            i = 0
-            while i < len(seg):
-                cls, tid = seg[i] >> 4, seg[i] & 0x0F
-                counts = list(seg[i + 1 : i + 17])
-                n = sum(counts)
-                (huff_dc if cls == 0 else huff_ac)[tid] = _Huff(
-                    counts, seg[i + 17 : i + 17 + n]
-                )
-                i += 17 + n
+            _parse_dht_into(seg, huff_dc, huff_ac)
         elif marker == 0xDB:
-            i = 0
-            while i < len(seg):
-                prec, tid = seg[i] >> 4, seg[i] & 0x0F
-                i += 1
-                if prec == 0:
-                    qt[tid] = np.frombuffer(seg, np.uint8, 64, i).astype(
-                        np.float64
-                    )
-                    i += 64
-                else:
-                    qt[tid] = np.frombuffer(seg, ">u2", 64, i).astype(
-                        np.float64
-                    )
-                    i += 128
+            _parse_dqt_into(seg, qt)
         elif marker == 0xDD:
             restart_interval = struct.unpack_from(">H", seg, 0)[0]
         elif marker == 0xDA:

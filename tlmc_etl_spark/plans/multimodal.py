@@ -1456,7 +1456,6 @@ def flac_cue_seek_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lines = ['FILE "album.flac" WAVE']
                 for tno in range(1, n_tracks + 1):
                     fr = (tno - 1) * seg_s * 75 + ((vid + tno) % 75)
-                    mm, rem = divmod(fr // 75, 60)
                     lines.append(f"  TRACK {tno:02d} AUDIO")
                     lines.append(
                         f"    INDEX 01 {fr // 75 // 60:02d}:"

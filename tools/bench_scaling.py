@@ -215,10 +215,16 @@ def main() -> int:
             # per query, not only in aggregate (the headline line has no
             # room for 60 more numbers; this artifact does)
             "duckdb_queries": duck_times,
+            # null (never dropped) when the DuckDB wall rounds to 0.0 —
+            # a missing entry would silently under-report exactly the
+            # extreme ratios this map exists to expose
             "per_query_ratio": {
-                n: round(times[n] / duck_times[n], 2)
+                n: (
+                    round(times[n] / duck_times[n], 2)
+                    if duck_times[n]
+                    else None
+                )
                 for n in matched
-                if duck_times.get(n)
             },
             "total": round(sum(times.values()), 3),
             "duckdb_wall": duck,
