@@ -649,3 +649,56 @@ class TestParserContractRegressions:
             parse_xing_header(full[:44])  # cut right after tag+flags
         # a cut before the tag is 'absent tag', not an error
         assert parse_xing_header(full[:20]) is None
+
+
+class TestSpsParse:
+    """H.264 SPS resolution parse. The hand-assembled byte test pins the
+    Exp-Golomb layout independently of make_sps (same argument as the
+    solid-gray JPEG DC test: a shared layout bug in writer+reader can't
+    survive a byte string computed by hand from the spec)."""
+
+    def test_hand_assembled_sps_64x48(self):
+        from tlmc_etl_spark.functions.media import make_sps, parse_sps
+
+        # profile 66, level 30, 4x3 macroblocks, no crop:
+        # fields 1|1|011|010|0|00100|011|1|1|0|0|stop1 pad -> DA 11 E4
+        hand = bytes([0x67, 66, 0x00, 30, 0xDA, 0x11, 0xE4])
+        got = parse_sps(hand)
+        assert (got["width"], got["height"]) == (64, 48)
+        assert got["profile_idc"] == 66 and got["level_idc"] == 30
+        assert make_sps(64, 48, level_idc=30) == hand
+
+    def test_roundtrip_with_cropping(self):
+        from tlmc_etl_spark.functions.media import make_sps, parse_sps
+
+        for wh in [(1920, 1080), (1280, 720), (1918, 1078), (320, 240)]:
+            got = parse_sps(make_sps(*wh))
+            assert (got["width"], got["height"]) == wh, wh
+
+    def test_high_profile_raises_not_guesses(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import make_sps, parse_sps
+
+        sps = bytearray(make_sps(640, 480))
+        sps[1] = 100  # High profile: chroma-format branch we refuse
+        with pytest.raises(ValueError, match="profile_idc 100"):
+            parse_sps(bytes(sps))
+
+    def test_non_sps_and_torn_input(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import make_sps, parse_sps
+
+        assert parse_sps(None) is None
+        assert parse_sps(b"\x41\x99\x88") is None  # non-IDR slice NAL
+        with pytest.raises(ValueError):
+            parse_sps(make_sps(1920, 1080)[:4])
+
+    def test_emulation_prevention_stripped(self):
+        from tlmc_etl_spark.functions.media import (
+            _strip_emulation,
+        )
+
+        assert _strip_emulation(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
+        assert _strip_emulation(b"ab\x00\x00\x03\x00\x00\x03c") == b"ab\x00\x00\x00\x00c"

@@ -706,3 +706,161 @@ def make_flac_with_seektable(
         + _streaminfo_body(sample_rate, total_samples)
         + bytes([0x80 | 0x03]) + len(pts).to_bytes(3, "big") + pts
     )
+
+
+# ---------------------------------------------------------------------------
+# H.264 SPS parse (Exp-Golomb): source WIDTH/HEIGHT from the parameter
+# set — the metadata the HLS ladder planner keys on (ladder rungs are
+# chosen against source resolution; hls_assignment.py probes it via
+# ffprobe). Scope: baseline/main/extended profiles (66/77/88), whose SPS
+# layout has no chroma_format/scaling-list branch; high-profile SPS
+# raises rather than guessing field order (the honest-boundary rule).
+# ---------------------------------------------------------------------------
+
+
+class _ExpGolombReader:
+    """MSB-first bit reader over an RBSP (emulation-prevention bytes
+    0x000003 already removed) with ue(v)/se(v) decode."""
+
+    def __init__(self, rbsp: bytes):
+        self.d = rbsp
+        self.bit = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.d[self.bit >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.bit & 7))) & 1)
+            self.bit += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("sps: exp-golomb run too long")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _strip_emulation(payload: bytes) -> bytes:
+    return payload.replace(b"\x00\x00\x03", b"\x00\x00")
+
+
+@_valueerror_boundary
+def parse_sps(nal: bytes | None) -> dict | None:
+    """SPS NAL payload (header byte included, start code NOT) →
+    {profile_idc, level_idc, width, height}. Returns None when the byte
+    isn't an SPS NAL; raises ValueError on high-profile SPS (the
+    chroma-format branch is out of scope — never guess field order) or
+    a torn bitstream."""
+    if not nal or (nal[0] & 0x1F) != 7:
+        return None
+    r = _ExpGolombReader(_strip_emulation(nal[1:]))
+    profile_idc = r.u(8)
+    r.u(8)  # constraint flags + reserved
+    level_idc = r.u(8)
+    r.ue()  # sps_id
+    if profile_idc not in (66, 77, 88):
+        raise ValueError(
+            f"sps: profile_idc {profile_idc} carries the chroma-format "
+            "branch — out of this parser's declared scope"
+        )
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    w_mbs = r.ue() + 1
+    h_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # 4:2:0 crop units: X=2, Y=2*(2-frame_mbs_only)
+    height_units = 2 - frame_mbs_only
+    return {
+        "profile_idc": profile_idc,
+        "level_idc": level_idc,
+        "width": w_mbs * 16 - (crop_l + crop_r) * 2,
+        "height": height_units * h_units * 16
+        - (crop_t + crop_b) * 2 * height_units,
+    }
+
+
+class _ExpGolombWriter:
+    def __init__(self):
+        self.bits: list[int] = []
+
+    def u(self, v: int, n: int):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int):
+        k = v + 1
+        n = k.bit_length()
+        self.u(0, n - 1)
+        self.u(k, n)
+
+    def tobytes(self) -> bytes:
+        self.bits.append(1)  # rbsp_stop_one_bit
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for bit in self.bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def make_sps(
+    width: int, height: int, profile_idc: int = 66, level_idc: int = 30
+) -> bytes:
+    """Baseline-profile SPS NAL payload (header byte included) for a
+    4:2:0 frame_mbs_only stream of the given pixel dimensions (crop
+    encodes non-multiple-of-16 sizes). Test double."""
+    w_mbs = -(-width // 16)
+    h_units = -(-height // 16)
+    crop_r = (w_mbs * 16 - width) // 2
+    crop_b = (h_units * 16 - height) // 2
+    if (w_mbs * 16 - width) % 2 or (h_units * 16 - height) % 2:
+        raise ValueError("sps: odd crop not representable at 4:2:0")
+    w = _ExpGolombWriter()
+    w.u(profile_idc, 8)
+    w.u(0, 8)
+    w.u(level_idc, 8)
+    w.ue(0)  # sps_id
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(2)  # pic_order_cnt_type = 2 (no extra fields)
+    w.ue(1)  # max_num_ref_frames
+    w.u(0, 1)  # gaps flag
+    w.ue(w_mbs - 1)
+    w.ue(h_units - 1)
+    w.u(1, 1)  # frame_mbs_only
+    w.u(1, 1)  # direct_8x8_inference
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(0, 1)
+    w.u(0, 1)  # vui_parameters_present
+    return bytes([0x67]) + w.tobytes()

@@ -1502,3 +1502,89 @@ def flac_cue_seek_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "byte_end long"
         ),
     ).orderBy("track_id", "track_number")
+
+
+# --------------------------------------------------------------------------
+# sps_resolution_ladder — SPS-parsed source resolution gating HLS rungs
+# --------------------------------------------------------------------------
+
+_SPS_LADDER_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200
+), src AS (
+  SELECT vec_id,
+         CAST(16 * (40 + (vec_id % 5) * 20) AS BIGINT) AS width,
+         CAST(16 * (23 + (vec_id % 4) * 11) - 2 * (vec_id % 4) AS BIGINT)
+           AS height
+  FROM ids
+), rung AS (
+  SELECT unnest([2160, 1440, 1080, 720, 480, 360]) AS rung_h
+)
+SELECT s.vec_id AS track_id, s.width, s.height,
+       CAST(r.rung_h AS BIGINT) AS rung_h,
+       -- scale preserving aspect, rounded to the nearest EVEN width
+       CAST(2 * round(s.width * r.rung_h / s.height / 2.0) AS BIGINT)
+         AS rung_w
+FROM src s JOIN rung r ON r.rung_h <= s.height
+ORDER BY track_id, rung_h DESC
+"""
+
+
+@query("sps_resolution_ladder", oracle=_SPS_LADDER_ORACLE)
+def sps_resolution_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLS ladder rungs gated by SOURCE resolution parsed from a REAL
+    H.264 SPS: per track an SPS NAL is BUILT (baseline profile,
+    Exp-Golomb, crop bits for non-multiple-of-16 heights), parsed by
+    functions/media.parse_sps (emulation-prevention strip + ue/se
+    decode), and only rungs at or below the parsed height are planned —
+    never upscale (hls_assignment.py's ladder contract keyed on ffprobe
+    resolution; this is the in-engine arm of that probe). The DuckDB
+    oracle re-derives the dimensions from the key arithmetic alone, so a
+    single mis-parsed Exp-Golomb field shifts a value and fails the
+    hash. One map stage + row explode, presentation sort only."""
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import make_sps, parse_sps
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+    RUNGS = (2160, 1440, 1080, 720, 480, 360)
+
+    def plan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                w = 16 * (40 + (vid % 5) * 20)
+                h = 16 * (23 + (vid % 4) * 11) - 2 * (vid % 4)
+                meta = parse_sps(make_sps(w, h))
+                for rung in RUNGS:
+                    if rung <= meta["height"]:
+                        rows.append(
+                            (
+                                vid,
+                                meta["width"],
+                                meta["height"],
+                                rung,
+                                # floor(x+0.5): HALF_UP like DuckDB's
+                                # round — Python round() is banker's
+                                2 * int(meta["width"] * rung
+                                        / meta["height"] / 2.0 + 0.5),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["track_id", "width", "height", "rung_h", "rung_w"],
+            )
+
+    return ids.mapInPandas(
+        plan,
+        schema=(
+            "track_id long, width long, height long, rung_h long, "
+            "rung_w long"
+        ),
+    ).orderBy("track_id", F.col("rung_h").desc())
