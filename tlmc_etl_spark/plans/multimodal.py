@@ -1588,3 +1588,81 @@ def sps_resolution_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rung_w long"
         ),
     ).orderBy("track_id", F.col("rung_h").desc())
+
+
+# --------------------------------------------------------------------------
+# mp3_vbr_header_scan — O(1) duration via the Xing/Info tag
+# --------------------------------------------------------------------------
+
+_XING_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200
+), t AS (
+  SELECT vec_id,
+         CAST(1000 + (vec_id % 977) * 7 AS BIGINT) AS n_frames,
+         CAST(417 * (1000 + (vec_id % 977) * 7) + vec_id % 417 AS BIGINT)
+           AS n_bytes
+  FROM ids
+)
+SELECT vec_id AS track_id,
+       CASE WHEN vec_id % 3 = 0 THEN 'Info' ELSE 'Xing' END AS tag,
+       n_frames, n_bytes,
+       round(n_frames * 1152 / 44100.0, 6) AS duration_s,
+       CAST((vec_id + (50 * 255) // 99) % 256 AS BIGINT) AS toc_mid
+FROM t ORDER BY track_id
+"""
+
+
+@query("mp3_vbr_header_scan", oracle=_XING_ORACLE)
+def mp3_vbr_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O(1) MP3 duration via the Xing/Info VBR tag in frame 0 — what a
+    100 TB scan reads instead of walking every frame (the mutagen-grade
+    metadata path, backfill_file_metadata.py). 200 deterministic frame-0
+    tags (frame/byte counts, 100-point seek TOC) are BUILT as real side-
+    info bytes and parsed by functions/media.parse_xing_header; the
+    oracle re-derives every field from key arithmetic, including the
+    TOC's midpoint entry — a single mis-read offset or a fabricated zero
+    (the truncation trap the round-10 review closed) fails the hash."""
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import make_xing_frame, parse_xing_header
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                nf = 1000 + (vid % 977) * 7
+                nb = 417 * nf + vid % 417
+                toc = [(vid + i * 255 // 99) % 256 for i in range(100)]
+                x = parse_xing_header(
+                    make_xing_frame(nf, nb, toc, vbr=vid % 3 != 0)
+                )
+                rows.append(
+                    (
+                        vid, x["tag"], x["n_frames"], x["n_bytes"],
+                        x["duration_s"], x["toc"][50],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "tag", "n_frames", "n_bytes",
+                    "duration_s", "toc_mid",
+                ],
+            )
+
+    return ids.mapInPandas(
+        scan,
+        schema=(
+            "track_id long, tag string, n_frames long, n_bytes long, "
+            "duration_s double, toc_mid long"
+        ),
+    ).orderBy("track_id")
