@@ -702,3 +702,29 @@ class TestSpsParse:
 
         assert _strip_emulation(b"\x00\x00\x03\x01") == b"\x00\x00\x01"
         assert _strip_emulation(b"ab\x00\x00\x03\x00\x00\x03c") == b"ab\x00\x00\x00\x00c"
+
+
+class TestSeekRuleBoundary:
+    """The two seek-rule helpers share the binary parsers'
+    '[]/None or ValueError' contract — an empty list or out-of-range
+    index must surface as ValueError, never raw IndexError."""
+
+    def test_mp3_reservoir_start_bad_index(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import mp3_reservoir_start
+
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            mp3_reservoir_start([], 0)
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            mp3_reservoir_start([{"main_data_begin": 0}], 3)
+
+    def test_h264_keyframe_start_bad_index(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import h264_keyframe_start
+
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            h264_keyframe_start([], 0)
+        with pytest.raises(ValueError, match="truncated or corrupt"):
+            h264_keyframe_start([{"nal_type": 1}], 5)

@@ -388,3 +388,38 @@ class TestProgressiveDecode:
             dec = parse_jpeg_luma(encode_gray_progressive(img, scans=scans))
             base = parse_jpeg_luma(encode_gray_jpeg(img))
             assert np.array_equal(dec, base), f"trial {trial}: zz={zz[pos]} at {pos}"
+
+
+class TestRefinementStrictness:
+    """Torn-bitstream contract: a refinement scan whose newly-significant
+    coefficient's zero-run overflows the band end must raise, mirroring
+    the AC first-scan 'AC index out of band' check (spec G.1.2.3 — a
+    conformant encoder can never emit a run that passes se)."""
+
+    @staticmethod
+    def _run_refine(run_len: int):
+        import numpy as np
+
+        from tlmc_etl_spark.operators.jpeg import _Huff, _prog_ac_scan
+
+        # one-symbol table: (run_len<<4)|1 encoded as the single bit '0'
+        counts = [1] + [0] * 15
+        huff = _Huff(counts, bytes([(run_len << 4) | 1]))
+        # bit 0 (huff code) + sign bit 1, padded, then EOI so the
+        # trailing _next_marker finds a marker
+        payload = bytes([0b01111111, 0xFF, 0xD9])
+        coef = np.zeros((1, 64), dtype=np.int64)
+        _prog_ac_scan(
+            payload, 0, huff, 1, 5, 1, 0, 0, coef, 1, 1, 1
+        )
+        return coef
+
+    def test_in_band_run_places_coefficient(self):
+        coef = self._run_refine(4)  # skips k=1..4, lands at k=5 == se
+        assert coef[0, 5] == 1
+
+    def test_overflowing_run_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="out of band"):
+            self._run_refine(5)  # skips k=1..5, lands at k=6 > se

@@ -441,6 +441,7 @@ def make_mp3_stream(
     return bytes(out)
 
 
+@_valueerror_boundary
 def mp3_reservoir_start(frames: list[dict], k: int) -> int:
     """Index of the frame where frame k's audio ACTUALLY begins: walk back
     until the preceding frames' main data covers main_data_begin — the
@@ -541,6 +542,7 @@ def make_nal(nal_type: int, payload_len: int, ref_idc: int = 3,
     return sc + hdr + bytes(1 + ((i * 29) % 255) for i in range(payload_len))
 
 
+@_valueerror_boundary
 def h264_keyframe_start(nals: list[dict], k: int) -> int:
     """Index of the NAL where a chunk wanting to begin at NAL k must
     ACTUALLY begin: back up to the latest IDR at-or-before k, then

@@ -665,7 +665,9 @@ def _prog_ac_scan(
                             if r < 0:
                                 break
                         k += 1
-                    if s and k <= se:
+                    if s:
+                        if k > se:
+                            raise ValueError("AC index out of band")
                         row[k] = val
                     k += 1
             if eobrun > 0:
