@@ -200,3 +200,41 @@ def test_real_ffmpeg_agrees_with_stdlib_jpeg_codec(tmp_path):
     # libjpeg's integer IDCT differs from the exact float transform by a
     # couple of code values per pixel
     assert np.abs(ours - theirs).max() <= 3.0
+
+
+@needs_ffmpeg
+def test_real_ffmpeg_decodes_our_flac(tmp_path):
+    """Breaks the FLAC encoder<->decoder self-consistency loop: streams
+    built by encode_flac must decode to the EXACT input samples through
+    real ffmpeg (FLAC is lossless, so unlike the JPEG cross-check there
+    is no tolerance — any header/CRC/Rice/predictor misreading shared
+    by both in-repo sides shows up as a hard mismatch or a decoder
+    error here)."""
+    import numpy as np
+
+    from tlmc_etl_spark.operators.flac import encode_flac
+
+    rng = np.random.default_rng(37)
+    x = (np.arange(5000) % 257) * 3 + rng.integers(-5, 6, 5000)
+    st = np.stack([x, (x // 2) + rng.integers(-3, 4, 5000)], axis=1).astype(
+        np.int64
+    )
+    for kw in (
+        {"mode": "auto", "stereo": "independent"},
+        {"mode": "auto", "stereo": "mid_side", "partition_order": 2},
+        {"mode": "lpc", "stereo": "left_side", "lpc_order": 8},
+        {"mode": "lpc", "stereo": "right_side", "lpc_order": 4},
+    ):
+        f = tmp_path / "x.flac"
+        f.write_bytes(encode_flac(st, 44100, block_size=1024, **kw))
+        r = subprocess.run(
+            [
+                "ffmpeg", "-hide_banner", "-v", "error", "-i", str(f),
+                "-f", "s16le", "-",
+            ],
+            capture_output=True,
+            timeout=60,
+        )
+        assert r.returncode == 0, (kw, r.stderr.decode()[:300])
+        theirs = np.frombuffer(r.stdout, dtype="<i2").reshape(-1, 2)
+        assert np.array_equal(theirs, st), kw

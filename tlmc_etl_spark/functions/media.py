@@ -661,7 +661,13 @@ def parse_flac_metadata(data: bytes | None) -> dict | None:
     not yield a silently short table)."""
     if not data or len(data) < 8 or data[:4] != b"fLaC":
         return None
-    out = {"sample_rate": None, "total_samples": None, "seekpoints": []}
+    out = {
+        "sample_rate": None,
+        "channels": None,
+        "bits_per_sample": None,
+        "total_samples": None,
+        "seekpoints": [],
+    }
     pos = 4
     while True:
         if pos + 4 > len(data):
@@ -677,6 +683,8 @@ def parse_flac_metadata(data: bytes | None) -> dict | None:
             si = data[body_at : body_at + 34]
             (block,) = struct.unpack(">Q", si[10:18])
             out["sample_rate"] = block >> 44
+            out["channels"] = ((block >> 41) & 0x7) + 1
+            out["bits_per_sample"] = ((block >> 36) & 0x1F) + 1
             out["total_samples"] = block & ((1 << 36) - 1)
         elif btype == 3:  # SEEKTABLE
             if blen % 18:
