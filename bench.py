@@ -77,6 +77,7 @@ HEADLINE = [
     "mp3_chunk_plan",
     "h264_chunk_plan",
     "flac_cue_seek_plan",
+    "flac_decode_features",
     # similarity pipeline
     "cosine_topk",
     "two_stage_similarity",

@@ -184,3 +184,66 @@ class TestPipeline:
         y, sr = parse_wav(buf.getvalue())
         assert sr == SAMPLE_RATE
         assert np.abs(y - x).max() < 1e-8
+
+
+class TestFlacLane:
+    """The embedding lane on FLAC-sourced PCM: a real codec decode
+    (operators/flac.py) feeding the same chunk → collate → mel path."""
+
+    def test_flac_tone_energy_lands_in_right_mel_band(self):
+        from tlmc_etl_spark.pipelines.mert_standin import (
+            decode_audio_payload,
+            synth_tone_flac,
+        )
+
+        lo_x, sr = decode_audio_payload(synth_tone_flac(200, 6.0))
+        hi_x, _ = decode_audio_payload(synth_tone_flac(8000, 6.0))
+        assert sr == SAMPLE_RATE
+        lo = mel_embedding_batch(chunk_samples(lo_x, sr), sr)
+        hi = mel_embedding_batch(chunk_samples(hi_x, sr), sr)
+        assert int(np.argmax(lo[0])) < int(np.argmax(hi[0]))
+
+    def test_flac_and_wav_tones_embed_identically(self):
+        # same generator samples through both codecs -> identical PCM
+        # (FLAC is lossless; WAV is the raw container), so embeddings
+        # must match to float precision
+        from tlmc_etl_spark.pipelines.mert_standin import (
+            decode_audio_payload,
+            synth_tone_flac,
+            synth_tone_wav,
+        )
+
+        fx, fsr = decode_audio_payload(synth_tone_flac(440, 2.0))
+        wx, wsr = decode_audio_payload(synth_tone_wav(440, 2.0))
+        assert fsr == wsr and len(fx) == len(wx)
+        # synth_tone_wav rounds via astype (truncation) against
+        # synth_tone_flac's identical astype: bit-equal integers
+        assert np.array_equal((fx * 32768).round(), (wx * 32768).round())
+
+    def test_pipeline_on_flac_payloads(self, spark):
+        from tlmc_etl_spark.pipelines.mert_standin import (
+            audio_chunk_embeddings,
+            synth_tone_flac,
+        )
+
+        df = spark.createDataFrame(
+            [
+                ("f1", synth_tone_flac(220, 9.0)),
+                ("f2", synth_tone_flac(880, 15.0)),
+            ],
+            "track_id string, payload binary",
+        )
+        out = audio_chunk_embeddings(df).collect()
+        counts = {}
+        for r in out:
+            counts[r.track_id] = r.n_chunks
+            assert abs(np.linalg.norm(r.embedding) - 1.0) < 1e-9
+        assert counts == {"f1": 2, "f2": 4}
+
+    def test_non_audio_payload_raises(self):
+        import pytest
+
+        from tlmc_etl_spark.pipelines.mert_standin import decode_audio_payload
+
+        with pytest.raises(ValueError, match="neither FLAC nor RIFF"):
+            decode_audio_payload(b"\x00\x01\x02\x03" + bytes(64))

@@ -420,3 +420,59 @@ def test_short_audio_payload_yields_finite_features(monkeypatch):
     assert len(v) == mm.FEATURE_DIM
     assert np.isfinite(v).all()
     assert np.any(v != 0)  # the populated windows still carry signal
+
+
+class TestAudioDecodeArm:
+    """kind='audio' in-container lanes: FLAC (exact RFC 9639 decode) and
+    RIFF/WAVE, both landing in the shared RMS-envelope feature space."""
+
+    @staticmethod
+    def _decaying_tone(sr=24000, seconds=1.0):
+        # a steady tone has a FLAT RMS envelope (centers to the zero
+        # vector), so the feature needs amplitude variation
+        t = np.arange(int(sr * seconds))
+        x = np.sin(2 * np.pi * 440 * t / sr) * np.linspace(0.8, 0.05, len(t))
+        return (x * 32767).astype(np.int64)
+
+    def test_flac_payload_decodes_to_finite_unit_feature(self):
+        from tlmc_etl_spark.operators.flac import encode_flac
+
+        payload = encode_flac(self._decaying_tone(), 24000, mode="lpc")
+        f = decode_payload("audio", payload)
+        assert f.shape == (16,) and np.all(np.isfinite(f))
+        assert abs(np.linalg.norm(f) - 1.0) < 1e-9
+        # decaying amplitude -> strictly decreasing window RMS
+        assert f[0] == f.max() and f[-1] == f.min()
+
+    def test_flac_and_wav_of_same_samples_agree(self):
+        # identical generator samples through both containers -> the
+        # envelope features must agree to float precision (FLAC decode
+        # is exact; WAV is the raw PCM)
+        import io
+        import wave
+
+        from tlmc_etl_spark.operators.flac import encode_flac
+
+        x = self._decaying_tone()
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(24000)
+            w.writeframes(x.astype("<i2").tobytes())
+        ff = decode_payload("audio", encode_flac(x, 24000))
+        fw = decode_payload("audio", buf.getvalue())
+        assert np.abs(ff - fw).max() < 1e-12
+
+    def test_unknown_audio_format_raises_not_implemented(self):
+        from tlmc_etl_spark.operators.multimodal import _ffmpeg_on_path
+
+        if not _ffmpeg_on_path():
+            with pytest.raises(NotImplementedError, match="neither FLAC"):
+                decode_payload("audio", b"\xff\xf1" + bytes(64))  # ADTS
+
+    def test_torn_flac_raises_value_error(self):
+        from tlmc_etl_spark.pipelines.mert_standin import synth_tone_flac
+
+        with pytest.raises(ValueError):
+            decode_payload("audio", synth_tone_flac(440, 1.0)[:100])

@@ -56,10 +56,27 @@ def _ffmpeg_on_path() -> bool:
     return _shutil.which("ffmpeg") is not None
 
 
+def _rms_envelope(samples: np.ndarray) -> np.ndarray:
+    """Mono PCM in [-1, 1] → centered unit 16-window RMS envelope: the
+    shared audio feature, so every decode lane (ffmpeg, FLAC, WAV)
+    lands in the same space."""
+    win = max(1, len(samples) // FEATURE_DIM)
+    # Guard on slice LENGTH, not the mean: payloads under FEATURE_DIM
+    # samples leave trailing windows empty, and np.mean(empty) is NaN —
+    # which is truthy, so an `or 0.0` fallback never fires.
+    windows = [samples[i * win : (i + 1) * win] for i in range(FEATURE_DIM)]
+    rms = np.array(
+        [np.sqrt(np.mean(w**2)) if w.size else 0.0 for w in windows]
+    )
+    v = rms - rms.mean()
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
 def _decode_audio_ffmpeg(payload: bytes) -> np.ndarray:
     """Real-codec audio decode: payload bytes → mono f32 PCM via ffmpeg on
     stdin/stdout (no temp files — the payload is already in memory), then
-    a 16-window RMS envelope as the feature. Same argv discipline as
+    the shared RMS-envelope feature. Same argv discipline as
     operators/process.py (loudness_measure.py:111-127's contract);
     deterministic for a given payload, so the Spark-side plumbing behaves
     identically whether the decoder is real or synthetic."""
@@ -76,18 +93,33 @@ def _decode_audio_ffmpeg(payload: bytes) -> np.ndarray:
     )
     if r.returncode != 0 or not r.stdout:
         raise ValueError(f"ffmpeg decode failed: exit {r.returncode}")
-    samples = np.frombuffer(r.stdout, dtype="<f4").astype(np.float64)
-    win = max(1, len(samples) // FEATURE_DIM)
-    # Guard on slice LENGTH, not the mean: payloads under FEATURE_DIM
-    # samples leave trailing windows empty, and np.mean(empty) is NaN —
-    # which is truthy, so an `or 0.0` fallback never fires.
-    windows = [samples[i * win : (i + 1) * win] for i in range(FEATURE_DIM)]
-    rms = np.array(
-        [np.sqrt(np.mean(w**2)) if w.size else 0.0 for w in windows]
+    return _rms_envelope(np.frombuffer(r.stdout, dtype="<f4").astype(np.float64))
+
+
+def _decode_audio(payload: bytes) -> np.ndarray:
+    """Audio payload → RMS-envelope feature. FLAC and RIFF/WAVE decode
+    in-container through the exact stdlib+numpy lanes (operators/flac.py
+    is a full RFC 9639 decoder; WAV is integer PCM) — these take priority
+    over ffmpeg because they are bit-exact and subprocess-free. Other
+    formats decode through ffmpeg when on PATH; the remaining boundary
+    is format-shaped (MP3/AAC entropy decode needs unsourceable spec
+    tables), never a silent fake."""
+    if payload[:4] == b"fLaC":
+        from tlmc_etl_spark.operators.flac import flac_decode_pcm
+
+        mono, _sr = flac_decode_pcm(payload)
+        return _rms_envelope(mono)
+    if payload[:4] == b"RIFF":
+        from tlmc_etl_spark.pipelines.mert_standin import parse_wav
+
+        mono, _sr = parse_wav(payload)
+        return _rms_envelope(mono)
+    if _ffmpeg_on_path():
+        return _decode_audio_ffmpeg(payload)
+    raise NotImplementedError(
+        "audio payload is neither FLAC nor RIFF/WAVE and ffmpeg is not "
+        "on PATH; install ffmpeg for other codecs"
     )
-    v = rms - rms.mean()
-    n = np.linalg.norm(v)
-    return v / n if n > 0 else v
 
 
 def _pil_available() -> bool:
@@ -452,8 +484,10 @@ def decode_payload(kind: str, payload: bytes) -> np.ndarray:
 
     kind="synthetic" produces a deterministic fake feature (bytes → hash
     → unit vector) so plumbing is testable end-to-end in any
-    environment. kind="audio" decodes through REAL ffmpeg when it is on
-    PATH (pipe-through f32 PCM → 16-window RMS envelope) — the same
+    environment. kind="audio" decodes FLAC (full RFC 9639 decoder,
+    operators/flac.py) and RIFF/WAVE in-container, and other codecs
+    through REAL ffmpeg when on PATH (pipe-through f32 PCM); every lane
+    lands in the shared 16-window RMS-envelope feature, so the same
     operators run on real media with zero plan change
     (tests/test_real_tools.py carries the opt-in gate). kind="image"
     decodes through PIL when importable, else a pure stdlib parser for
@@ -464,8 +498,8 @@ def decode_payload(kind: str, payload: bytes) -> np.ndarray:
     boundary is format-shaped (compressed media in a codec-less
     environment), never a silent fake.
     """
-    if kind == "audio" and _ffmpeg_on_path():
-        return _decode_audio_ffmpeg(payload)
+    if kind == "audio":
+        return _decode_audio(payload)
     if kind == "image":
         return _decode_image(payload)
     if kind == "video":

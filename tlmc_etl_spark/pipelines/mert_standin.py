@@ -56,6 +56,32 @@ def synth_tone_wav(freq: float, seconds: float, sr: int = SAMPLE_RATE) -> bytes:
     return buf.getvalue()
 
 
+def synth_tone_flac(freq: float, seconds: float, sr: int = SAMPLE_RATE) -> bytes:
+    """Deterministic 16-bit mono sine as a REAL FLAC stream
+    (operators/flac.py) — the lossless-corpus twin of synth_tone_wav,
+    so the embedding lane exercises an actual codec path end to end
+    (the reference's input is FLAC via soundfile/ffmpeg,
+    Experimental/vector_search/loader.py:113-146)."""
+    from tlmc_etl_spark.operators.flac import encode_flac
+
+    t = np.arange(int(seconds * sr)) / sr
+    x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype(np.int64)
+    return encode_flac(x, sr, block_size=4096, mode="lpc", lpc_order=8)
+
+
+def decode_audio_payload(payload: bytes) -> tuple[np.ndarray, int]:
+    """Payload bytes → (float64 mono PCM in [-1, 1], sample rate):
+    magic-dispatched over the in-container codec lanes — FLAC through
+    the exact RFC 9639 decoder, RIFF/WAVE through stdlib PCM parse."""
+    if payload[:4] == b"fLaC":
+        from tlmc_etl_spark.operators.flac import flac_decode_pcm
+
+        return flac_decode_pcm(payload)
+    if payload[:4] == b"RIFF":
+        return parse_wav(payload)
+    raise ValueError("audio payload is neither FLAC nor RIFF/WAVE")
+
+
 def parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """RIFF/WAVE PCM payload → (float64 mono samples in [-1, 1], rate).
 
@@ -196,7 +222,7 @@ def audio_chunk_embeddings(
 
         for pdf in batches:
             for tid, payload in zip(pdf[id_col], pdf[payload_col]):
-                x, sr = parse_wav(bytes(payload))
+                x, sr = decode_audio_payload(bytes(payload))
                 m = chunk_samples(x, sr)
                 metas, mats = bufs.setdefault(sr, ([], []))
                 for ci in range(m.shape[0]):

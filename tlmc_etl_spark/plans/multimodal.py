@@ -1666,3 +1666,113 @@ def mp3_vbr_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "duration_s double, toc_mid long"
         ),
     ).orderBy("track_id")
+
+
+# --------------------------------------------------------------------------
+# flac_decode_features — full in-container FLAC PCM decode, value-checked
+# --------------------------------------------------------------------------
+
+_FLAC_DECODE_ORACLE = """
+WITH ids AS (
+  SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 24
+), t AS (
+  SELECT id, CAST(2048 + (id % 5) * 512 AS BIGINT) AS n FROM ids
+), samp AS (
+  SELECT id, n, i.i AS i,
+         ((id % 9) + 2) * (i.i % 257) + ((i.i * 7 + id) % 23) - 11 AS l,
+         ((id % 7) + 1) * (i.i % 211) + ((i.i * 5 + id) % 19) - 9 AS r
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0, n - 1)) AS i
+  ) i
+), chan AS (
+  SELECT id, n, i, 0 AS ch, l AS v FROM samp
+  UNION ALL
+  SELECT id, n, i, 1 AS ch, r FROM samp
+)
+SELECT id AS track_id,
+       ch,
+       CAST(i // (n // 8) AS INT) AS win,
+       CAST(ceil(n / 1024.0) AS INT) AS n_frames,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(MIN(v) AS BIGINT) AS s_min,
+       CAST(MAX(v) AS BIGINT) AS s_max
+FROM chan
+GROUP BY id, ch, i // (n // 8), n
+ORDER BY track_id, ch, win
+"""
+
+
+@query("flac_decode_features", oracle=_FLAC_DECODE_ORACLE)
+def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL FLAC lane, value-checked end to end: 24 deterministic
+    stereo PCM signals are ENCODED in-plan as conformant FLAC
+    (operators/flac.py — ids rotate through all four stereo
+    decorrelation modes and alternate fixed-predictor vs LPC subframes,
+    so every §9.2 decode path runs), then DECODED back and reduced to
+    per-channel window stats. FLAC is lossless, so the stats must equal
+    the closed-form integer arithmetic DuckDB computes from the
+    generator formulas alone — any defect in Rice coding, the
+    predictors, stereo reconstruction, or the CRC-gated frame walk
+    shifts a value. This is the in-container equivalent of the
+    reference's soundfile/ffmpeg FLAC load
+    (Experimental/vector_search/loader.py:113-146)."""
+    import numpy as np
+    import pandas as pd
+
+    from tlmc_etl_spark.operators.flac import encode_flac, parse_flac_audio
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(24)
+    )
+
+    _STEREO = ("independent", "left_side", "right_side", "mid_side")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                n = 2048 + (vid % 5) * 512
+                i = np.arange(n, dtype=np.int64)
+                left = ((vid % 9) + 2) * (i % 257) + ((i * 7 + vid) % 23) - 11
+                right = ((vid % 7) + 1) * (i % 211) + ((i * 5 + vid) % 19) - 9
+                pcm = np.stack([left, right], axis=1)
+                payload = encode_flac(
+                    pcm, 44100,
+                    block_size=1024,
+                    stereo=_STEREO[vid % 4],
+                    mode="lpc" if vid % 2 else "auto",
+                    lpc_order=8,
+                    partition_order=2 if vid % 3 == 0 else 0,
+                )
+                dec = parse_flac_audio(payload)
+                got = dec["samples"]
+                win = n // 8
+                for ch in range(2):
+                    for w in range(8):
+                        seg = got[w * win : (w + 1) * win, ch]
+                        rows.append(
+                            (
+                                vid, ch, w, dec["n_frames"],
+                                int(seg.sum()), int(seg.min()),
+                                int(seg.max()),
+                            )
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "ch", "win", "n_frames",
+                    "s_sum", "s_min", "s_max",
+                ],
+            )
+
+    return ids.mapInPandas(
+        run,
+        schema=(
+            "track_id long, ch int, win int, n_frames int, "
+            "s_sum long, s_min long, s_max long"
+        ),
+    ).orderBy("track_id", "ch", "win")
