@@ -728,3 +728,80 @@ class TestSeekRuleBoundary:
             h264_keyframe_start([], 0)
         with pytest.raises(ValueError, match="truncated or corrupt"):
             h264_keyframe_start([{"nal_type": 1}], 5)
+
+
+class TestVorbisComment:
+    """Type-4 VORBIS_COMMENT parse (functions/media.py): the in-container
+    equivalent of the reference's ffprobe tag fetch
+    (Shared/utils.py:80-113) feeding info_scanner ph2's lowercase-key
+    normalization (info_scanner_ph2.py:148-151)."""
+
+    def test_tags_roundtrip_with_unicode(self):
+        from tlmc_etl_spark.functions.media import (
+            make_flac_with_tags,
+            parse_flac_metadata,
+        )
+
+        m = parse_flac_metadata(
+            make_flac_with_tags(
+                44100, 1000,
+                {"TITLE": "Foo ♪", "Artist": "Bar", "TRACKNUMBER": "7/12"},
+                vendor="ref 1.4",
+            )
+        )
+        assert m["vendor"] == "ref 1.4"
+        assert m["tags"] == {
+            "title": "Foo ♪", "artist": "Bar", "tracknumber": "7/12"
+        }
+        assert m["sample_rate"] == 44100  # STREAMINFO still parsed
+
+    def test_repeated_key_keeps_last(self):
+        from tlmc_etl_spark.functions.media import (
+            make_flac_with_tags,
+            parse_flac_metadata,
+        )
+
+        m = parse_flac_metadata(
+            make_flac_with_tags(44100, 0, [("TITLE", "a"), ("title", "b")])
+        )
+        assert m["tags"] == {"title": "b"}
+
+    def test_value_may_contain_equals(self):
+        from tlmc_etl_spark.functions.media import (
+            make_flac_with_tags,
+            parse_flac_metadata,
+        )
+
+        m = parse_flac_metadata(
+            make_flac_with_tags(44100, 0, {"COMMENT": "x=y=z"})
+        )
+        assert m["tags"]["comment"] == "x=y=z"
+
+    def test_untagged_stream_has_empty_tags(self):
+        from tlmc_etl_spark.functions.media import (
+            make_flac_header,
+            parse_flac_metadata,
+        )
+
+        m = parse_flac_metadata(make_flac_header(44100, 10))
+        assert m["tags"] == {} and m["vendor"] is None
+
+    def test_strictness(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_flac_with_tags,
+            parse_flac_metadata,
+        )
+
+        f = make_flac_with_tags(44100, 0, {"K": "vv"})
+        with pytest.raises(ValueError):
+            parse_flac_metadata(f[:-3])  # torn entry
+        bad = bytearray(f)
+        bad[bytes(f).find(b"K=vv") + 1] = ord("_")  # missing separator
+        with pytest.raises(ValueError, match="missing '='"):
+            parse_flac_metadata(bytes(bad))
+        bad = bytearray(f)
+        bad[bytes(f).find(b"K=vv") + 2] = 0xFF  # invalid UTF-8
+        with pytest.raises(ValueError, match="not UTF-8"):
+            parse_flac_metadata(bytes(bad))

@@ -69,6 +69,7 @@ SHUFFLE_BUDGET = {
     "h264_chunk_plan": 0,  # per-file NAL index + keyframe chunking, one map
     "flac_cue_seek_plan": 0,  # cue parse + seektable walk per file, one map
     "flac_decode_features": 0,  # in-plan encode+exact decode per file, one map
+    "flac_tag_scan": 0,  # tag parse in one map; coalesce is row-local JVM exprs
     "cosine_topk": 1,
     "two_stage_similarity": 3,
     "kde_bandwidth_calibration": 2,

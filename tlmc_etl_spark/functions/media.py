@@ -667,6 +667,8 @@ def parse_flac_metadata(data: bytes | None) -> dict | None:
         "bits_per_sample": None,
         "total_samples": None,
         "seekpoints": [],
+        "vendor": None,
+        "tags": {},
     }
     pos = 4
     while True:
@@ -693,6 +695,39 @@ def parse_flac_metadata(data: bytes | None) -> dict | None:
                 s, off, ns = struct.unpack_from(">QQH", data, body_at + i)
                 if s != FLAC_PLACEHOLDER_SAMPLE:
                     out["seekpoints"].append((s, off, ns))
+        elif btype == 4:  # VORBIS_COMMENT (little-endian island, RFC 9639)
+            body = data[body_at : body_at + blen]
+            try:
+                if len(body) < 8:
+                    raise ValueError("flac: truncated VORBIS_COMMENT")
+                vlen = int.from_bytes(body[0:4], "little")
+                vp = 4 + vlen
+                if vp + 4 > len(body):
+                    raise ValueError("flac: VORBIS_COMMENT vendor overruns")
+                out["vendor"] = body[4:vp].decode("utf-8")
+                count = int.from_bytes(body[vp : vp + 4], "little")
+                vp += 4
+                tags: dict[str, str] = {}
+                for _ in range(count):
+                    if vp + 4 > len(body):
+                        raise ValueError("flac: truncated comment list")
+                    ln = int.from_bytes(body[vp : vp + 4], "little")
+                    vp += 4
+                    ent = body[vp : vp + ln]
+                    if len(ent) < ln:
+                        raise ValueError("flac: comment entry overruns")
+                    vp += ln
+                    key, sep, val = ent.decode("utf-8").partition("=")
+                    if not sep:
+                        raise ValueError("flac: comment entry missing '='")
+                    # keys are case-insensitive (lowercased like the
+                    # reference's probe-tag normalization,
+                    # info_scanner_ph2.py:148-151); repeats keep the
+                    # last occurrence, dict-update semantics
+                    tags[key.lower()] = val
+                out["tags"] = tags
+            except UnicodeDecodeError as e:
+                raise ValueError(f"flac: comment is not UTF-8: {e}") from e
         pos = body_at + blen
         if last:
             break
@@ -715,6 +750,43 @@ def make_flac_with_seektable(
         + bytes([0x00, 0, 0, 34])
         + _streaminfo_body(sample_rate, total_samples)
         + bytes([0x80 | 0x03]) + len(pts).to_bytes(3, "big") + pts
+    )
+
+
+def make_vorbis_comment_block(
+    tags: dict[str, str] | list[tuple[str, str]],
+    vendor: str = "tlmc-etl-spark",
+    last: bool = True,
+) -> bytes:
+    """A type-4 VORBIS_COMMENT metadata block (test double): vendor
+    string + length-prefixed UTF-8 KEY=value entries, little-endian
+    lengths inside the otherwise big-endian FLAC container. Accepts a
+    list of pairs to plant repeated keys."""
+    pairs = tags.items() if isinstance(tags, dict) else tags
+    v = vendor.encode("utf-8")
+    body = len(v).to_bytes(4, "little") + v
+    ents = [f"{k}={val}".encode("utf-8") for k, val in pairs]
+    body += len(ents).to_bytes(4, "little")
+    for e in ents:
+        body += len(e).to_bytes(4, "little") + e
+    hdr = bytes([(0x80 if last else 0x00) | 0x04])
+    return hdr + len(body).to_bytes(3, "big") + body
+
+
+def make_flac_with_tags(
+    sample_rate: int,
+    total_samples: int,
+    tags: dict[str, str] | list[tuple[str, str]],
+    vendor: str = "tlmc-etl-spark",
+) -> bytes:
+    """Minimal valid FLAC prefix: STREAMINFO + VORBIS_COMMENT — the
+    metadata shape real tagged FLAC files carry (what the reference
+    fetches via ffprobe -show_format, Shared/utils.py:80-113)."""
+    return (
+        b"fLaC"
+        + bytes([0x00, 0, 0, 34])
+        + _streaminfo_body(sample_rate, total_samples)
+        + make_vorbis_comment_block(tags, vendor, last=True)
     )
 
 

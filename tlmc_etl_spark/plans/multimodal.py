@@ -1776,3 +1776,167 @@ def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_sum long, s_min long, s_max long"
         ),
     ).orderBy("track_id", "ch", "win")
+
+
+# --------------------------------------------------------------------------
+# flac_tag_scan — VORBIS_COMMENT parse + the ph2 filename/tag coalesce
+# --------------------------------------------------------------------------
+
+_TRACK_RE = r"^\((\d{2})\) \[([^\]]+)\] (.+)\.([A-Za-z0-9]+)$"
+
+_FLAC_TAG_ORACLE = """
+WITH ids AS (
+  SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 200
+), g AS (
+  SELECT id,
+         1 + id % 24 AS n_no,
+         'Circle ' || CAST(id % 13 AS VARCHAR)
+           || CASE WHEN id % 2 = 1 THEN ' ♪' ELSE '' END AS base_artist,
+         'Title ' || CAST(id * 37 % 1000 AS VARCHAR) AS fname_title,
+         'ref-flac 1.' || CAST(id % 4 AS VARCHAR) AS vendor
+  FROM ids
+), t AS (
+  SELECT id, vendor,
+         CASE WHEN id % 11 <> 0
+              THEN 'Tagged ' || CAST(id * 41 % 1000 AS VARCHAR) END AS tag_title,
+         CASE WHEN id % 5 <> 0 THEN base_artist END AS tag_artist,
+         CASE WHEN id % 3 = 0 THEN CAST(n_no AS VARCHAR)
+              WHEN id % 3 = 1 THEN CAST(n_no AS VARCHAR) || '/24' END AS tag_track,
+         CASE WHEN id % 7 <> 0
+              THEN '(' || lpad(CAST(n_no AS VARCHAR), 2, '0') || ') ['
+                   || base_artist || '] ' || fname_title || '.flac'
+              ELSE fname_title || '.flac' END AS filename
+  FROM g
+), r AS (
+  SELECT id, vendor, filename, tag_title, tag_artist,
+         regexp_matches(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$') AS canon,
+         CAST(nullif(regexp_extract(tag_track, '^(\\d+)', 1), '')
+              AS INTEGER) AS tag_no
+  FROM t
+), p AS (
+  SELECT id, vendor, filename, tag_title, tag_artist, tag_no,
+         CASE WHEN canon THEN CAST(regexp_extract(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$', 1)
+           AS INTEGER) END AS fp_no,
+         CASE WHEN canon THEN regexp_extract(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$', 2)
+           END AS fp_artist,
+         CASE WHEN canon THEN regexp_extract(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$', 3)
+           END AS fp_title
+  FROM r
+)
+SELECT id AS track_id, vendor,
+       coalesce(fp_no, tag_no) AS track_no,
+       coalesce(fp_artist, tag_artist) AS artist,
+       coalesce(fp_title, tag_title,
+                trim(regexp_replace(regexp_replace(filename,
+                  '\\.[A-Za-z0-9]+$', ''), '\\[[^\\]]*\\]', '', 'g'))) AS title,
+       (coalesce(fp_no, tag_no) IS NULL
+        OR coalesce(fp_artist, tag_artist) IS NULL) AS needs_check
+FROM p
+ORDER BY track_id
+"""
+
+
+@query("flac_tag_scan", oracle=_FLAC_TAG_ORACLE)
+def flac_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VORBIS_COMMENT tag scan feeding the catalog pipeline's track
+    coalesce, value-checked end to end: 200 FLAC prefixes with planted
+    type-4 tag blocks (title/artist sometimes absent, track numbers in
+    both plain and ID3-style 'n/total' form) are built AND parsed
+    in-plan through the REAL metadata-block walk
+    (functions/media.py:parse_flac_metadata), then merged with the
+    canonical-filename parse under the reference's precedence rule —
+    filename first, probe tags second, basename fallback
+    (info_scanner_ph2.py:138-170 / pipelines/metadata.parse_tracks) —
+    and the result must equal DuckDB's closed-form replay of the plant
+    plus the same coalesce. Non-canonical filenames (id % 7 == 0) force
+    the tag path; missing tags force the fallback and the review flag."""
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import (
+        make_flac_with_tags,
+        parse_flac_metadata,
+    )
+    from tlmc_etl_spark.functions.text import parse_track_filename
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                n_no = 1 + vid % 24
+                base_artist = f"Circle {vid % 13}" + (" ♪" if vid % 2 else "")
+                fname_title = f"Title {vid * 37 % 1000}"
+                tags = {}
+                if vid % 11:
+                    tags["TITLE"] = f"Tagged {vid * 41 % 1000}"
+                if vid % 5:
+                    tags["ARTIST"] = base_artist
+                if vid % 3 == 0:
+                    tags["TRACKNUMBER"] = str(n_no)
+                elif vid % 3 == 1:
+                    tags["TRACKNUMBER"] = f"{n_no}/24"
+                payload = make_flac_with_tags(
+                    44100, 0, tags, vendor=f"ref-flac 1.{vid % 4}"
+                )
+                meta = parse_flac_metadata(payload)
+                got = meta["tags"]
+                filename = (
+                    f"({n_no:02d}) [{base_artist}] {fname_title}.flac"
+                    if vid % 7
+                    else f"{fname_title}.flac"
+                )
+                rows.append(
+                    (
+                        vid, meta["vendor"], filename,
+                        got.get("title"), got.get("artist"),
+                        got.get("tracknumber"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "vendor", "filename",
+                    "tag_title", "tag_artist", "tag_track",
+                ],
+            )
+
+    parsed = ids.mapInPandas(
+        scan,
+        schema=(
+            "track_id long, vendor string, filename string, "
+            "tag_title string, tag_artist string, tag_track string"
+        ),
+    ).withColumn("fp", parse_track_filename("filename"))
+    tag_no_s = F.regexp_extract("tag_track", r"^(\d+)", 1)
+    tag_no = F.when(tag_no_s != "", tag_no_s).cast("int")
+    track_no = F.coalesce(F.col("fp.track_no"), tag_no)
+    artist = F.coalesce(F.col("fp.artist"), F.col("tag_artist"))
+    return parsed.select(
+        "track_id",
+        "vendor",
+        track_no.alias("track_no"),
+        artist.alias("artist"),
+        F.coalesce(
+            F.col("fp.title"),
+            F.col("tag_title"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace("filename", r"\.[A-Za-z0-9]+$", ""),
+                    r"\[[^\]]*\]",
+                    "",
+                )
+            ),
+        ).alias("title"),
+        (track_no.isNull() | artist.isNull()).alias("needs_check"),
+    ).orderBy("track_id")
