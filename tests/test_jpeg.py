@@ -423,3 +423,101 @@ class TestRefinementStrictness:
 
         with pytest.raises(ValueError, match="out of band"):
             self._run_refine(5)  # skips k=1..5, lands at k=6 > se
+
+
+class TestColorDecode:
+    """parse_jpeg_rgb: full chroma reconstruction for baseline colour
+    (dequant + IDCT per component, chroma upsample, JFIF YCbCr->RGB)."""
+
+    @staticmethod
+    def _want(rgb):
+        from tlmc_etl_spark.operators.jpeg import rgb_to_ycbcr, ycbcr_to_rgb
+
+        ycc = rgb_to_ycbcr(rgb)
+        return ycbcr_to_rgb(ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2])
+
+    def _mosaic(self, seed):
+        rng = np.random.default_rng(seed)
+        rgb = np.zeros((32, 32, 3))
+        cols = rng.integers(0, 256, (2, 2, 3)).astype(np.float64)
+        for i in range(2):
+            for j in range(2):
+                rgb[i * 16 : (i + 1) * 16, j * 16 : (j + 1) * 16] = cols[i, j]
+        return rgb
+
+    def test_mcu_constant_420_is_exact(self):
+        from tlmc_etl_spark.operators.jpeg import encode_color_jpeg, parse_jpeg_rgb
+
+        rgb = self._mosaic(41)
+        dec = parse_jpeg_rgb(encode_color_jpeg(rgb, "420"))
+        assert np.abs(dec - self._want(rgb)).max() < 1e-9
+
+    def test_block_constant_444_is_exact(self):
+        from tlmc_etl_spark.operators.jpeg import encode_color_jpeg, parse_jpeg_rgb
+
+        rng = np.random.default_rng(43)
+        rgb = np.repeat(
+            np.repeat(rng.integers(0, 256, (4, 4, 3)).astype(np.float64), 8, 0),
+            8, 1,
+        )
+        dec = parse_jpeg_rgb(encode_color_jpeg(rgb, "444"))
+        assert np.abs(dec - self._want(rgb)).max() < 1e-9
+
+    def test_gradient_444_within_dct_rounding(self):
+        from tlmc_etl_spark.operators.jpeg import encode_color_jpeg, parse_jpeg_rgb
+
+        g = np.zeros((24, 24, 3))
+        g[..., 0] = np.linspace(0, 255, 24)[None, :]
+        g[..., 1] = np.linspace(255, 0, 24)[:, None]
+        g[..., 2] = 128.0
+        dec = parse_jpeg_rgb(encode_color_jpeg(g, "444"))
+        # q=1: only coefficient-rounding error survives
+        assert np.abs(dec - self._want(g)).max() < 2.0
+
+    def test_odd_dimensions_crop(self):
+        from tlmc_etl_spark.operators.jpeg import encode_color_jpeg, parse_jpeg_rgb
+
+        rgb = np.zeros((20, 25, 3))
+        rgb[...] = (10, 200, 57)
+        dec = parse_jpeg_rgb(encode_color_jpeg(rgb, "420"))
+        assert dec.shape == (20, 25, 3)
+        assert np.abs(dec - self._want(rgb)).max() < 1e-9
+
+    def test_luma_view_of_color_jpeg_unchanged(self):
+        # parse_jpeg_luma on a colour payload still returns the exact Y
+        # plane (the pre-existing contract the refactor must preserve)
+        from tlmc_etl_spark.operators.jpeg import (
+            encode_color_jpeg,
+            rgb_to_ycbcr,
+        )
+
+        rgb = self._mosaic(47)
+        y = parse_jpeg_luma(encode_color_jpeg(rgb, "420"))
+        assert np.abs(y - rgb_to_ycbcr(rgb)[:, :, 0]).max() < 1e-9
+
+    def test_gray_payload_replicates_channels(self):
+        from tlmc_etl_spark.operators.jpeg import parse_jpeg_rgb
+
+        rng = np.random.default_rng(53)
+        img = rng.integers(0, 256, (16, 16)).astype(np.float64)
+        dec = parse_jpeg_rgb(encode_gray_jpeg(img))
+        assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
+        assert np.array_equal(dec[:, :, 0], parse_jpeg_luma(encode_gray_jpeg(img)))
+
+    def test_progressive_color_raises(self):
+        from tlmc_etl_spark.operators.jpeg import (
+            encode_420_progressive,
+            parse_jpeg_rgb,
+        )
+
+        y = np.full((16, 16), 90.0)
+        with pytest.raises(ValueError, match="baseline-only"):
+            parse_jpeg_rgb(encode_420_progressive(y))
+
+    def test_truncation_raises(self):
+        from tlmc_etl_spark.operators.jpeg import encode_color_jpeg, parse_jpeg_rgb
+
+        payload = encode_color_jpeg(self._mosaic(59), "420")
+        for cut in (len(payload) // 2, 30, len(payload) - 4):
+            with pytest.raises(ValueError):
+                parse_jpeg_rgb(payload[:cut])

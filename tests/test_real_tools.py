@@ -238,3 +238,35 @@ def test_real_ffmpeg_decodes_our_flac(tmp_path):
         assert r.returncode == 0, (kw, r.stderr.decode()[:300])
         theirs = np.frombuffer(r.stdout, dtype="<i2").reshape(-1, 2)
         assert np.array_equal(theirs, st), kw
+
+
+@needs_ffmpeg
+def test_real_ffmpeg_agrees_with_color_jpeg_codec(tmp_path):
+    """Colour twin of the gray cross-check: our baseline colour JPEG
+    must decode to the same RGB through real ffmpeg as through
+    parse_jpeg_rgb. Solid-colour MCUs keep every chroma-upsampling
+    filter equivalent (libjpeg's fancy upsampling interpolates BETWEEN
+    chroma samples, which only differs where chroma varies)."""
+    import numpy as np
+
+    from tlmc_etl_spark.operators.jpeg import encode_color_jpeg, parse_jpeg_rgb
+
+    rgb = np.zeros((32, 32, 3))
+    rgb[:16] = (200, 30, 90)
+    rgb[16:] = (10, 180, 250)
+    for sampling in ("444", "420"):
+        payload = encode_color_jpeg(rgb, sampling)
+        ours = parse_jpeg_rgb(payload)
+        jpg = tmp_path / "c.jpg"
+        jpg.write_bytes(payload)
+        r = subprocess.run(
+            [
+                "ffmpeg", "-hide_banner", "-v", "error", "-i", str(jpg),
+                "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
+            ],
+            capture_output=True,
+            timeout=60,
+        )
+        assert r.returncode == 0, r.stderr.decode()[:300]
+        theirs = np.frombuffer(r.stdout, dtype=np.uint8).reshape(32, 32, 3)
+        assert np.abs(ours - theirs.astype(np.float64)).max() <= 3.0, sampling

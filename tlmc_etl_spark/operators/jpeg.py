@@ -190,7 +190,94 @@ def parse_jpeg_luma(payload: bytes) -> np.ndarray:
         raise ValueError(f"truncated or corrupt JPEG: {e}") from e
 
 
-def _parse_jpeg_luma(payload: bytes) -> np.ndarray:
+# JFIF / ITU-R BT.601 full-range colour transform constants.
+_YCBCR_FWD = (
+    (0.299, 0.587, 0.114),
+    (-0.168736, -0.331264, 0.5),
+    (0.5, -0.418688, -0.081312),
+)
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """(..., 3) RGB in [0, 255] → (..., 3) full-range YCbCr, rounded
+    HALF-UP to integers (floor(x + 0.5) — NOT np.round, whose banker's
+    rounding diverges from SQL round on exact halves)."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = _YCBCR_FWD[0][0] * r + _YCBCR_FWD[0][1] * g + _YCBCR_FWD[0][2] * b
+    cb = 128.0 + _YCBCR_FWD[1][0] * r + _YCBCR_FWD[1][1] * g + _YCBCR_FWD[1][2] * b
+    cr = 128.0 + _YCBCR_FWD[2][0] * r + _YCBCR_FWD[2][1] * g + _YCBCR_FWD[2][2] * b
+    out = np.stack([y, cb, cr], axis=-1)
+    return np.clip(np.floor(out + 0.5), 0.0, 255.0)
+
+
+def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    """Full-range YCbCr planes → (H, W, 3) float64 RGB in [0, 255]."""
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=-1), 0.0, 255.0)
+
+
+def parse_jpeg_rgb(payload: bytes) -> np.ndarray:
+    """Baseline colour JPEG → (H, W, 3) float64 RGB in [0, 255].
+
+    Full chroma reconstruction: every component of the interleaved scan
+    is entropy-decoded, dequantized and IDCT'd at its own sampling
+    resolution, chroma planes are box-replicated up to the luma grid
+    (exact for the constant-per-MCU payloads the value-checked plans
+    encode), and JFIF YCbCr → RGB applied. Grayscale (1-component)
+    payloads replicate the luma plane. Progressive colour stays at the
+    declared boundary (parse_jpeg_luma decodes SOF2 luma). Same
+    must-error contract as parse_jpeg_luma."""
+    try:
+        return _parse_jpeg_rgb(payload)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated or corrupt JPEG: {e}") from e
+
+
+def _parse_jpeg_rgb(payload: bytes) -> np.ndarray:
+    qt, huff_dc, huff_ac, restart_interval, frame, pos, seg, seg_len = (
+        _walk_headers(payload)
+    )
+    comps = frame["comps"]
+    if len(comps) == 1:
+        gray = _parse_jpeg_luma(payload)
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    if frame["progressive"]:
+        raise ValueError(
+            "colour decode is baseline-only (SOF2 colour stays at the "
+            "codec boundary; parse_jpeg_luma decodes progressive luma)"
+        )
+    if len(comps) != 3:
+        raise ValueError(f"expected 1 or 3 components, got {len(comps)}")
+    ns = seg[0]
+    if ns != 3:
+        raise ValueError("colour decode requires one interleaved scan")
+    scan = {}
+    for c in range(ns):
+        cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+        scan[cid] = (tables >> 4, tables & 0x0F)
+    planes = _decode_scan_planes(
+        payload, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
+        restart_interval,
+    )
+    h_max = max(c["h"] for c in comps)
+    v_max = max(c["v"] for c in comps)
+    h, w = frame["h"], frame["w"]
+    up = []
+    for comp in comps:
+        p = planes[comp["id"]]
+        fy, fx = v_max // comp["v"], h_max // comp["h"]
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        up.append(p[:h, :w])
+    return ycbcr_to_rgb(up[0], up[1], up[2])
+
+
+def _walk_headers(payload: bytes):
+    """Marker walk up to the first SOS: (qt, huff_dc, huff_ac,
+    restart_interval, frame, sos_pos, sos_seg, sos_seg_len) — shared by
+    the luma and RGB decoders."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     qt: dict[int, np.ndarray] = {}
@@ -237,68 +324,76 @@ def _parse_jpeg_luma(payload: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
-            if frame["progressive"]:
-                return _decode_progressive(
-                    payload, pos - 2, frame, qt, huff_dc, huff_ac,
-                    restart_interval,
-                )
-            ns = seg[0]
-            scan = {}
-            for c in range(ns):
-                cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
-                scan[cid] = (tables >> 4, tables & 0x0F)
-            comps = frame["comps"]
-            if ns == 1:
-                # single-component scans are ALWAYS non-interleaved
-                # (spec A.2.2: MCU = one data unit, sampling factors
-                # describe only the component's relative resolution).
-                # Luma decode needs the FIRST scan to be Y; multi-scan
-                # baseline files order Y first in practice, and we
-                # return after it without parsing the chroma scans.
-                cid = next(iter(scan))
-                if cid != comps[0]["id"]:
-                    raise ValueError(
-                        "first scan is not the luma component "
-                        f"(component {cid})"
-                    )
-                return _decode_scan_single(
-                    payload, pos + seg_len, frame, scan, qt, huff_dc,
-                    huff_ac, restart_interval,
-                )
-            if ns != len(comps):
-                raise ValueError(
-                    f"unsupported partial interleaved scan ({ns} of "
-                    f"{len(comps)} components)"
-                )
-            return _decode_scan(
-                payload, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
-            )
+            return qt, huff_dc, huff_ac, restart_interval, frame, pos, seg, seg_len
         pos += seg_len
     raise ValueError("JPEG has no scan data")
 
 
-def _decode_scan(
+def _parse_jpeg_luma(payload: bytes) -> np.ndarray:
+    qt, huff_dc, huff_ac, restart_interval, frame, pos, seg, seg_len = (
+        _walk_headers(payload)
+    )
+    if frame["progressive"]:
+        return _decode_progressive(
+            payload, pos - 2, frame, qt, huff_dc, huff_ac,
+            restart_interval,
+        )
+    ns = seg[0]
+    scan = {}
+    for c in range(ns):
+        cid, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+        scan[cid] = (tables >> 4, tables & 0x0F)
+    comps = frame["comps"]
+    if ns == 1:
+        # single-component scans are ALWAYS non-interleaved
+        # (spec A.2.2: MCU = one data unit, sampling factors
+        # describe only the component's relative resolution).
+        # Luma decode needs the FIRST scan to be Y; multi-scan
+        # baseline files order Y first in practice, and we
+        # return after it without parsing the chroma scans.
+        cid = next(iter(scan))
+        if cid != comps[0]["id"]:
+            raise ValueError(
+                "first scan is not the luma component "
+                f"(component {cid})"
+            )
+        return _decode_scan_single(
+            payload, pos + seg_len, frame, scan, qt, huff_dc,
+            huff_ac, restart_interval,
+        )
+    if ns != len(comps):
+        raise ValueError(
+            f"unsupported partial interleaved scan ({ns} of "
+            f"{len(comps)} components)"
+        )
+    return _decode_scan(
+        payload, pos + seg_len, frame, scan, qt, huff_dc, huff_ac,
+        restart_interval,
+    )
+
+
+def _decode_scan_planes(
     payload, data_pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
-):
+) -> dict[int, np.ndarray]:
+    """One interleaved baseline scan → {component id: plane}, every plane
+    at its component's own sampling resolution (dequant + inverse zigzag
+    + IDCT in one vectorized pass per component)."""
     comps = frame["comps"]
     h_max = max(c["h"] for c in comps)
     v_max = max(c["v"] for c in comps)
     mcus_x = -(-frame["w"] // (8 * h_max))
     mcus_y = -(-frame["h"] // (8 * v_max))
-    y_comp = comps[0]  # first component is Y by JFIF convention
-    yw, yv = y_comp["h"], y_comp["v"]
-    plane_w, plane_h = mcus_x * yw * 8, mcus_y * yv * 8
-    # collect Y blocks as (block_index -> 64 coeffs), IDCT'd in one
-    # vectorized pass at the end
-    n_y_blocks = mcus_x * mcus_y * yw * yv
-    coeffs = np.zeros((n_y_blocks, 64))
-    positions = np.empty((n_y_blocks, 2), dtype=np.int64)
+    store = {
+        c["id"]: {
+            "coeffs": np.zeros((mcus_x * mcus_y * c["h"] * c["v"], 64)),
+            "pos": np.empty((mcus_x * mcus_y * c["h"] * c["v"], 2), np.int64),
+            "bi": 0,
+        }
+        for c in comps
+    }
 
     reader = _BitReader(payload, data_pos)
     preds = {c["id"]: 0 for c in comps}
-    qy = qt[y_comp["tq"]]
-    bi = 0
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
@@ -313,28 +408,44 @@ def _decode_scan(
             for comp in comps:
                 dc_t = huff_dc[scan[comp["id"]][0]]
                 ac_t = huff_ac[scan[comp["id"]][1]]
-                is_y = comp is y_comp
+                st = store[comp["id"]]
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         block = _decode_block(reader, dc_t, ac_t, preds, comp["id"])
-                        if is_y:
-                            coeffs[bi] = block
-                            positions[bi] = (
-                                (my * yv + by) * 8,
-                                (mx * yw + bx) * 8,
-                            )
-                            bi += 1
-    # dequant + inverse zigzag + IDCT, vectorized over every Y block
-    dq = coeffs * qy[None, :]
-    mat = np.zeros((bi, 64))
-    mat[:, ZIGZAG] = dq[:bi]
-    blocks = mat.reshape(bi, 8, 8)
-    pixels = np.einsum("ij,njk,kl->nil", _D.T, blocks, _D) + 128.0
-    plane = np.zeros((plane_h, plane_w))
-    for n in range(bi):
-        r, c = positions[n]
-        plane[r : r + 8, c : c + 8] = pixels[n]
-    return np.clip(plane[: frame["h"], : frame["w"]], 0.0, 255.0)
+                        bi = st["bi"]
+                        st["coeffs"][bi] = block
+                        st["pos"][bi] = (
+                            (my * comp["v"] + by) * 8,
+                            (mx * comp["h"] + bx) * 8,
+                        )
+                        st["bi"] += 1
+    planes: dict[int, np.ndarray] = {}
+    for comp in comps:
+        st = store[comp["id"]]
+        bi = st["bi"]
+        dq = st["coeffs"][:bi] * qt[comp["tq"]][None, :]
+        mat = np.zeros((bi, 64))
+        mat[:, ZIGZAG] = dq
+        pixels = np.einsum(
+            "ij,njk,kl->nil", _D.T, mat.reshape(bi, 8, 8), _D
+        ) + 128.0
+        plane = np.zeros((mcus_y * comp["v"] * 8, mcus_x * comp["h"] * 8))
+        for n in range(bi):
+            r, c = st["pos"][n]
+            plane[r : r + 8, c : c + 8] = pixels[n]
+        planes[comp["id"]] = plane
+    return planes
+
+
+def _decode_scan(
+    payload, data_pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+):
+    planes = _decode_scan_planes(
+        payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
+        restart_interval,
+    )
+    y = planes[frame["comps"][0]["id"]]  # first component is Y (JFIF)
+    return np.clip(y[: frame["h"], : frame["w"]], 0.0, 255.0)
 
 
 def _decode_scan_single(
@@ -875,6 +986,70 @@ def encode_420_jpeg(y: np.ndarray, chroma_val: int = 128) -> bytes:
                 preds[1] = _encode_block(bw, zz, preds[1], dc_codes, ac_codes)
             for cid in (2, 3):
                 zz = _fdct_quant(chroma, q)
+                preds[cid] = _encode_block(bw, zz, preds[cid], dc_codes, ac_codes)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_color_jpeg(rgb: np.ndarray, sampling: str = "420") -> bytes:
+    """(H, W, 3) RGB in [0, 255] → baseline colour JPEG (quant all-ones).
+
+    RGB converts through the HALF-UP-rounded JFIF transform
+    (rgb_to_ycbcr); '420' box-averages chroma 2x2 (exact when colour is
+    constant per 16x16 MCU — the layout the value-checked plans plant),
+    '444' keeps full chroma. With q=1, block-constant input decodes
+    bit-exactly through the DC path, so parse_jpeg_rgb(encode(x)) equals
+    the closed-form transform arithmetic an SQL oracle replays."""
+    if sampling not in ("420", "444"):
+        raise ValueError(f"unsupported sampling {sampling!r}")
+    h, w, nc = rgb.shape
+    if nc != 3:
+        raise ValueError("encode_color_jpeg needs (H, W, 3) input")
+    ycc = rgb_to_ycbcr(rgb.astype(np.float64))
+    q = np.ones(64)
+    dc_codes = _canonical_codes(FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+    ac_codes = _canonical_codes(FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+    y_hv = 0x22 if sampling == "420" else 0x11
+    mcu = 16 if sampling == "420" else 8
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    out += _seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, y_hv, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _dht(0, 0, FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+    out += _dht(1, 0, FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
+    pad = ((0, -h % mcu), (0, -w % mcu), (0, 0))
+    p = np.pad(ycc, pad, mode="edge")
+    yp, cb, cr = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+    if sampling == "420":
+        # box mean, HALF-UP to keep the closed form integer-exact for
+        # MCU-constant colour
+        cb = np.floor(
+            (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2] + cb[1::2, 1::2])
+            / 4.0 + 0.5
+        )
+        cr = np.floor(
+            (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2] + cr[1::2, 1::2])
+            / 4.0 + 0.5
+        )
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for r in range(0, p.shape[0], mcu):
+        for c in range(0, p.shape[1], mcu):
+            y_origin = ((0, 0), (0, 8), (8, 0), (8, 8)) if mcu == 16 else ((0, 0),)
+            for by, bx in y_origin:
+                zz = _fdct_quant(yp[r + by : r + by + 8, c + bx : c + bx + 8], q)
+                preds[1] = _encode_block(bw, zz, preds[1], dc_codes, ac_codes)
+            cf = 2 if sampling == "420" else 1
+            for cid, plane in ((2, cb), (3, cr)):
+                blk = plane[r // cf : r // cf + 8, c // cf : c // cf + 8]
+                zz = _fdct_quant(blk, q)
                 preds[cid] = _encode_block(bw, zz, preds[cid], dc_codes, ac_codes)
     bw.flush()
     out += bw.out

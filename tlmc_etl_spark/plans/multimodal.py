@@ -1940,3 +1940,110 @@ def flac_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("title"),
         (track_no.isNull() | artist.isNull()).alias("needs_check"),
     ).orderBy("track_id")
+
+
+# --------------------------------------------------------------------------
+# dominant_colors_jpeg — dominant palette over REAL colour-JPEG decode
+# --------------------------------------------------------------------------
+
+_COLORS_JPEG_ORACLE = """
+WITH ids AS (
+  SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 24
+), mcu AS (
+  SELECT id, t.m AS m,
+         CAST((id * 31 + t.m * 67) % 256 AS DOUBLE) AS r0,
+         CAST((id * 17 + t.m * 41) % 256 AS DOUBLE) AS g0,
+         CAST((id * 7 + t.m * 13) % 256 AS DOUBLE) AS b0
+  FROM ids, LATERAL (SELECT unnest(generate_series(0, 3)) AS m) t
+), ycc AS (
+  -- the encoder's HALF-UP-rounded JFIF forward transform
+  SELECT id, m,
+    least(greatest(floor(0.299*r0 + 0.587*g0 + 0.114*b0 + 0.5), 0), 255) AS y,
+    least(greatest(floor(128 - 0.168736*r0 - 0.331264*g0 + 0.5*b0 + 0.5), 0), 255) AS cb,
+    least(greatest(floor(128 + 0.5*r0 - 0.418688*g0 - 0.081312*b0 + 0.5), 0), 255) AS cr
+  FROM mcu
+), dec AS (
+  -- the decoder's inverse transform, clipped then HALF-UP to pixels
+  SELECT id, m,
+    CAST(floor(least(greatest(y + 1.402*(cr-128), 0), 255) + 0.5) AS BIGINT) AS r,
+    CAST(floor(least(greatest(y - 0.344136*(cb-128) - 0.714136*(cr-128), 0), 255) + 0.5) AS BIGINT) AS g,
+    CAST(floor(least(greatest(y + 1.772*(cb-128), 0), 255) + 0.5) AS BIGINT) AS b
+  FROM ycc
+), cnt AS (
+  SELECT id,
+         printf('#%02x%02x%02x',
+                CAST((r // 64) * 64 + 32 AS INTEGER),
+                CAST((g // 64) * 64 + 32 AS INTEGER),
+                CAST((b // 64) * 64 + 32 AS INTEGER)) AS color,
+         count(*) * 256 AS cnt
+  FROM dec GROUP BY 1, 2
+)
+SELECT id AS artwork_id,
+       array_to_string((list(color ORDER BY cnt DESC, color ASC))[1:8], ',') AS colors
+FROM cnt GROUP BY artwork_id
+ORDER BY artwork_id
+"""
+
+
+@query("dominant_colors_jpeg", oracle=_COLORS_JPEG_ORACLE)
+def dominant_colors_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dominant_colors over REAL colour-JPEG artwork: 24 images are
+    built as 32x32 four-colour mosaics (one colour per 16x16 MCU),
+    encoded in-plan as baseline colour JPEG (4:2:0 for even ids, 4:4:4
+    for odd — both real interleaved three-component bitstreams), fully
+    chroma-decoded back through parse_jpeg_rgb (operators/jpeg.py:
+    dequant + IDCT per component, chroma upsample, JFIF YCbCr->RGB),
+    and fed to the SAME dominant_colors operator the synthetic palette
+    query uses. MCU-constant colour with an all-ones quant table makes
+    the lossy pipeline exact, so DuckDB replays the full
+    encode-transform -> decode-transform arithmetic closed-form — the
+    colour twin of image_decode_features' luma check, closing the
+    round-10 'chroma entropy-skipped' gap
+    (generate_artwork_variants.py:56-67 is the reference consumer)."""
+    import numpy as np
+    import pandas as pd
+
+    from tlmc_etl_spark.operators.jpeg import encode_color_jpeg, parse_jpeg_rgb
+    from tlmc_etl_spark.operators.multimodal import dominant_colors
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(24)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            out_id, out_r, out_g, out_b = [], [], [], []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                rgb = np.zeros((32, 32, 3))
+                for m in range(4):
+                    color = (
+                        (vid * 31 + m * 67) % 256,
+                        (vid * 17 + m * 41) % 256,
+                        (vid * 7 + m * 13) % 256,
+                    )
+                    r0, c0 = (m // 2) * 16, (m % 2) * 16
+                    rgb[r0 : r0 + 16, c0 : c0 + 16] = color
+                payload = encode_color_jpeg(
+                    rgb, sampling="420" if vid % 2 == 0 else "444"
+                )
+                dec = parse_jpeg_rgb(payload)
+                px = np.floor(dec + 0.5).astype(np.int64).reshape(-1, 3)
+                out_id.extend([vid] * len(px))
+                out_r.extend(px[:, 0].tolist())
+                out_g.extend(px[:, 1].tolist())
+                out_b.extend(px[:, 2].tolist())
+            yield pd.DataFrame(
+                {"img_id": out_id, "r": out_r, "g": out_g, "b": out_b}
+            )
+
+    pixels = ids.mapInPandas(
+        run, schema="img_id long, r long, g long, b long"
+    )
+    pal = dominant_colors(pixels, "img_id", n_colors=8, levels=4)
+    return pal.select(
+        "artwork_id", F.array_join("colors", ",").alias("colors")
+    ).orderBy("artwork_id")
