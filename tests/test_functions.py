@@ -805,3 +805,86 @@ class TestVorbisComment:
         bad[bytes(f).find(b"K=vv") + 2] = 0xFF  # invalid UTF-8
         with pytest.raises(ValueError, match="not UTF-8"):
             parse_flac_metadata(bytes(bad))
+
+
+def _ape_tag(n_items: int = 2, with_header: bool = True, version: int = 2000) -> bytes:
+    """APEv1/v2 tag bytes (test double): items + 32-byte footer, optional
+    32-byte header (flag bit 31). Size field = items + footer, per spec."""
+    items = b""
+    for i in range(n_items):
+        key = f"Key{i}".encode()
+        val = f"value-{i}".encode()
+        items += len(val).to_bytes(4, "little") + bytes(4) + key + b"\x00" + val
+    size = len(items) + 32
+    flags = (1 << 31) if with_header else 0
+
+    def block(is_header: bool) -> bytes:
+        f = flags | ((1 << 29) if is_header else 0)
+        return (
+            b"APETAGEX"
+            + version.to_bytes(4, "little")
+            + size.to_bytes(4, "little")
+            + n_items.to_bytes(4, "little")
+            + f.to_bytes(4, "little")
+            + bytes(8)
+        )
+
+    out = (block(True) if with_header else b"") + items + block(False)
+    return out
+
+
+class TestMp3Trailers:
+    """Real-world MP3 tails: [audio][APEv1/v2][ID3v1] in any present
+    subset — the frame walk must strip trailers from the END (a
+    headerless APE tag has no forward-detectable magic)."""
+
+    def _frames(self):
+        from tlmc_etl_spark.functions.media import make_mp3_stream
+
+        return make_mp3_stream([(5, 0, 0), (9, 1, 100)])
+
+    def test_ape_v2_with_header_then_id3v1(self):
+        from tlmc_etl_spark.functions.media import parse_mp3_frames
+
+        s = self._frames() + _ape_tag(with_header=True) + b"TAG" + bytes(125)
+        got = parse_mp3_frames(s)
+        assert len(got) == 2
+        assert sum(f["byte_length"] for f in got) == len(self._frames())
+
+    def test_headerless_ape_v1_only(self):
+        from tlmc_etl_spark.functions.media import parse_mp3_frames
+
+        s = self._frames() + _ape_tag(with_header=False, version=1000)
+        assert len(parse_mp3_frames(s)) == 2
+
+    def test_ape_size_overrun_raises(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import parse_mp3_frames
+
+        tag = bytearray(_ape_tag(with_header=False))
+        tag[-20:-16] = (10_000_000).to_bytes(4, "little")  # size field
+        with pytest.raises(ValueError, match="APE tag"):
+            parse_mp3_frames(self._frames() + bytes(tag))
+
+    def test_mutated_tagged_tail_fails_loudly_or_stays_consistent(self):
+        # the framing-fuzz discipline extended over the trailer bytes
+        import numpy as np
+
+        from tlmc_etl_spark.functions.media import parse_mp3_frames
+
+        s = self._frames() + _ape_tag() + b"TAG" + bytes(125)
+        rng = np.random.default_rng(107)
+        for _ in range(150):
+            mut = bytearray(s)
+            i = int(rng.integers(0, len(s)))
+            mut[i] = int(rng.integers(0, 256))
+            try:
+                got = parse_mp3_frames(bytes(mut))
+            except ValueError:
+                continue
+            pos = got[0]["byte_offset"] if got else 0
+            for f in got:
+                assert f["byte_offset"] == pos
+                pos += f["byte_length"]
+            assert pos <= len(mut)

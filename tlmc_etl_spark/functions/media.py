@@ -324,18 +324,18 @@ def parse_mp3_frames(data: bytes | None) -> list[dict]:
 
     Same strictness contract as parse_adts_frames: [] for non-MP3 input,
     ValueError for a stream that goes bad mid-walk. An ID3v2 prefix is
-    skipped; a trailing ID3v1 tag ('TAG', 128 bytes) ends the walk."""
+    skipped; trailing metadata — an ID3v1 tag ('TAG', 128 bytes), an
+    APEv1/v2 tag (footer-addressed), or both in file order — is stripped
+    from the walk range, the tolerance every real-world tail carries."""
     if not data:
         return []
     pos = _mp3_skip_id3v2(data)
-    n = len(data)
+    n = _mp3_strip_trailers(data)
     if pos + 4 > n or data[pos] != 0xFF or (data[pos + 1] & 0xE0) != 0xE0:
         return []
     frames: list[dict] = []
     idx = 0
     while pos < n:
-        if data[pos : pos + 3] == b"TAG" and n - pos == 128:
-            break  # ID3v1 trailer
         if pos + 4 > n:
             raise ValueError(f"mp3: truncated header at byte {pos}")
         b = data[pos : pos + 4]
@@ -439,6 +439,28 @@ def make_mp3_stream(
     for br, pad, mdb in specs:
         out += make_mp3_frame(br, sr_idx, pad, mdb)
     return bytes(out)
+
+
+def _mp3_strip_trailers(data: bytes) -> int:
+    """Effective end-of-audio offset: a trailing ID3v1 tag (128 bytes,
+    'TAG' magic) and/or an APEv1/v2 tag are excluded from the frame
+    walk. The APE tag is FOOTER-addressed (32-byte 'APETAGEX' footer at
+    the tail; its size field covers items+footer, and flag bit 31 says a
+    matching 32-byte header precedes the items) — a forward byte-walk
+    cannot detect a headerless APE tag, which is why real readers strip
+    from the end. File order [audio][APE][ID3v1] means ID3v1 peels
+    first."""
+    end = len(data)
+    if end >= 128 and data[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    if end >= 32 and data[end - 32 : end - 24] == b"APETAGEX":
+        size = int.from_bytes(data[end - 20 : end - 16], "little")
+        flags = int.from_bytes(data[end - 12 : end - 8], "little")
+        span = size + (32 if flags & (1 << 31) else 0)
+        if size < 32 or span > end:
+            raise ValueError("mp3: APE tag size field overruns the file")
+        end -= span
+    return end
 
 
 @_valueerror_boundary
