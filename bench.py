@@ -79,6 +79,7 @@ HEADLINE = [
     "flac_cue_seek_plan",
     "flac_decode_features",
     "flac_tag_scan",
+    "flac_cue_split_decode",
     # similarity pipeline
     "cosine_topk",
     "two_stage_similarity",

@@ -70,6 +70,7 @@ SHUFFLE_BUDGET = {
     "flac_cue_seek_plan": 0,  # cue parse + seektable walk per file, one map
     "flac_decode_features": 0,  # in-plan encode+exact decode per file, one map
     "flac_tag_scan": 0,  # tag parse in one map; coalesce is row-local JVM exprs
+    "flac_cue_split_decode": 0,  # per-album decode+cut in one map stage
     "cosine_topk": 1,
     "two_stage_similarity": 3,
     "kde_bandwidth_calibration": 2,

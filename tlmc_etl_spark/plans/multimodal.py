@@ -2047,3 +2047,132 @@ def dominant_colors_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pal.select(
         "artwork_id", F.array_join("colors", ",").alias("colors")
     ).orderBy("artwork_id")
+
+
+# --------------------------------------------------------------------------
+# flac_cue_split_decode — REAL cue-sheet split: decode + sample-exact cuts
+# --------------------------------------------------------------------------
+
+_CUE_SPLIT_DECODE_ORACLE = """
+WITH ids AS (
+  SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 12
+), t AS (
+  SELECT id, 3 + id % 3 AS n_tracks FROM ids
+), trk AS (
+  SELECT id, n_tracks, g.t AS trk,
+         150 + ((id * 7 + g.t * 13) % 100) AS len_frames
+  FROM t, LATERAL (SELECT unnest(generate_series(0, n_tracks - 1)) AS t) g
+), pos AS (
+  SELECT id, trk, len_frames,
+         COALESCE(SUM(len_frames) OVER (
+           PARTITION BY id ORDER BY trk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_frames
+  FROM trk
+), px AS (
+  SELECT id, trk, start_frames, len_frames,
+         start_frames * 588 AS start_sample,
+         len_frames * 588 AS n_samples
+  FROM pos
+), samp AS (
+  SELECT p.id, p.trk, p.start_frames, p.n_samples,
+         ((p.id % 5) + 1) * (s.i % 588) + ((s.i * 3 + p.id) % 41) - 20 AS v
+  FROM px p, LATERAL (
+    SELECT unnest(generate_series(CAST(p.start_sample AS BIGINT),
+                                  CAST(p.start_sample + p.n_samples - 1
+                                       AS BIGINT))) AS i
+  ) s
+)
+SELECT id AS album_id,
+       trk + 1 AS track_number,
+       CAST(start_frames AS BIGINT) AS start_frames,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(MIN(v) AS BIGINT) AS s_min
+FROM samp
+GROUP BY id, trk, start_frames, n_samples
+ORDER BY album_id, track_number
+"""
+
+
+@query("flac_cue_split_decode", oracle=_CUE_SPLIT_DECODE_ORACLE)
+def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CueSplitter made real in-container: 12 album FLACs are
+    encoded in-plan from closed-form PCM, their cue sheets are built
+    with INDEX 01 times at exact 75 fps frame boundaries (44100/75 =
+    588 samples per cue frame), and the split runs the REAL lanes end
+    to end — parse_cue for the time grid, parse_flac_audio for the full
+    lossless decode, sample-exact slicing at each track boundary.
+    Per-track stats must equal DuckDB's closed-form replay of the
+    generator over each track's sample range. This upgrades
+    flac_cue_seek_plan (byte-range planning, no decode) to the actual
+    cut the reference performs via ffmpeg
+    (CueSplitter/cue_designator.py; CueSplit.cs:203-262 for the cue
+    semantics)."""
+    import numpy as np
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import parse_cue
+    from tlmc_etl_spark.operators.flac import encode_flac, parse_flac_audio
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(12)
+    )
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                n_tracks = 3 + vid % 3
+                lens = [150 + ((vid * 7 + t * 13) % 100) for t in range(n_tracks)]
+                starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(int)
+                total = int(sum(lens)) * 588
+                i = np.arange(total, dtype=np.int64)
+                pcm = ((vid % 5) + 1) * (i % 588) + ((i * 3 + vid) % 41) - 20
+                payload = encode_flac(
+                    pcm, 44100, block_size=4096,
+                    mode="lpc" if vid % 2 else "auto",
+                )
+                cue_lines = [
+                    'PERFORMER "Various"',
+                    f'TITLE "Album {vid}"',
+                    f'FILE "album_{vid}.flac" WAVE',
+                ]
+                for t, sf_ in enumerate(starts):
+                    mm, rem = divmod(int(sf_), 60 * 75)
+                    ss, ff = divmod(rem, 75)
+                    cue_lines += [
+                        f"  TRACK {t + 1:02d} AUDIO",
+                        f"    INDEX 01 {mm:02d}:{ss:02d}:{ff:02d}",
+                    ]
+                cue_tracks = parse_cue("\n".join(cue_lines))
+                dec = parse_flac_audio(payload)
+                samples = dec["samples"][:, 0]
+                bounds = [t["index01_frames"] * 588 for t in cue_tracks]
+                bounds.append(len(samples))
+                for t, ct in enumerate(cue_tracks):
+                    seg = samples[bounds[t] : bounds[t + 1]]
+                    rows.append(
+                        (
+                            vid, ct["track_number"], ct["index01_frames"],
+                            len(seg), int(seg.sum()), int(seg.min()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "album_id", "track_number", "start_frames",
+                    "n_samples", "s_sum", "s_min",
+                ],
+            )
+
+    return ids.mapInPandas(
+        run,
+        schema=(
+            "album_id long, track_number int, start_frames long, "
+            "n_samples long, s_sum long, s_min long"
+        ),
+    ).orderBy("album_id", "track_number")

@@ -65,6 +65,25 @@ NOTES = {
     "flac_cue_seek_plan": (
         "flat ~1x across sfs - same per-file design as adts_chunk_plan"
     ),
+    "flac_decode_features": (
+        "flat ~1x across sfs - per-file codec work over a fixed 24-track "
+        "synthetic corpus (scale = more files, embarrassingly parallel)"
+    ),
+    "flac_tag_scan": (
+        "flat ~1x across sfs - same per-file design, 200 fixed tracks"
+    ),
+    "flac_cue_split_decode": (
+        "flat ~1x across sfs - per-album codec work over 12 fixed "
+        "synthetic albums (scale = more albums, embarrassingly parallel)"
+    ),
+    "two_stage_similarity_round10_drift": (
+        "round-10 suite wall moved 1.38->1.59s with no plan change; "
+        "round-11 isolated recheck (fresh warmed local[32], best-of-2, "
+        "clearCache, loadavg 0.86): sf0.1 2.43s / sf1 2.06s = 0.85x for "
+        "10x rows - scale-FLAT, wall is the fixed recall-tile scheduling "
+        "floor; the in-suite delta is cache-isolation noise, not a "
+        "regression"
+    ),
     "per_query_ratio_caveat": (
         "sf0.1 per-query spark/duckdb ratios on sub-second walls mostly "
         "measure Spark's fixed per-query scheduling floor (~0.2-0.4s), "
