@@ -254,11 +254,15 @@ def headline_line(out: dict, limit: int = 2000) -> str:
             del out[field]
             out["fields_dropped"] = True
             line = json.dumps(out, **compact)
-    # next pressure stage: 1dp walls — EVERY query keeps its entry (a
-    # coarser wall beats a missing one; at 64 queries this is what keeps
-    # the override-stamped worst case under the limit)
+    # next pressure stages: 1dp then integer walls — EVERY query keeps
+    # its entry (a coarser wall beats a missing one; at 70 queries the
+    # integer stage is what keeps the override-stamped worst case under
+    # the limit — 1,315 bytes of query names leave no room for decimals)
     if len(line) > limit and out.get("queries"):
         out["queries"] = {n: round(t, 1) for n, t in out["queries"].items()}
+        line = json.dumps(out, **compact)
+    if len(line) > limit and out.get("queries"):
+        out["queries"] = {n: int(round(t)) for n, t in out["queries"].items()}
         line = json.dumps(out, **compact)
     while len(line) > limit and out.get("queries"):
         out["queries_truncated"] = True

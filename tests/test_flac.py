@@ -258,3 +258,41 @@ class TestStrictness:
         enc[25] ^= 0x08
         with pytest.raises(ValueError, match="declared"):
             parse_flac_audio(bytes(enc))
+
+
+class TestWindowedReader:
+    """The bit reader's sliding window: decode memory is O(window), not
+    O(file) — an album-length payload must decode identically to the
+    same stream read frame by frame."""
+
+    def test_multi_window_stream_decodes_exactly(self):
+        from tlmc_etl_spark.operators import flac as flac_mod
+
+        rng = np.random.default_rng(61)
+        n = 60_000
+        x = (np.arange(n) % 257) * 3 + rng.integers(-5, 6, n)
+        enc = encode_flac(x.astype(np.int64), 44100, block_size=4096)
+        # force MANY window slides: 4 KB windows against a ~40 KB stream
+        old = flac_mod._Bits._WINDOW_BYTES
+        flac_mod._Bits._WINDOW_BYTES = 4096
+        try:
+            dec = parse_flac_audio(enc)
+        finally:
+            flac_mod._Bits._WINDOW_BYTES = old
+        assert np.array_equal(dec["samples"][:, 0], x)
+        # and the default window agrees
+        dec2 = parse_flac_audio(enc)
+        assert np.array_equal(dec2["samples"], dec["samples"])
+
+    def test_truncation_still_raises_across_windows(self):
+        from tlmc_etl_spark.operators import flac as flac_mod
+
+        x = (np.arange(30_000, dtype=np.int64) % 211) * 4
+        enc = encode_flac(x, 44100, block_size=4096)
+        old = flac_mod._Bits._WINDOW_BYTES
+        flac_mod._Bits._WINDOW_BYTES = 4096
+        try:
+            with pytest.raises(ValueError):
+                parse_flac_audio(enc[: len(enc) // 2])
+        finally:
+            flac_mod._Bits._WINDOW_BYTES = old

@@ -155,24 +155,49 @@ class _BitWriter:
 
 
 class _Bits:
-    """MSB-first bit reader over the audio region: unpacked bit array plus
-    a precomputed set-bit index so unary (Rice quotient) reads cost a
-    cursor advance, not a scan."""
+    """MSB-first bit reader over the audio region: a SLIDING unpacked-bit
+    window plus a set-bit index over it, so unary (Rice quotient) reads
+    cost a cursor advance, not a scan — and memory stays O(window), not
+    O(file) (unpackbits is 8 B per source byte and the int64 set-bit
+    index ~4 B more at typical density: a whole-file unpack of an album
+    FLAC would cost ~12x the payload per in-flight decode).
+
+    Window positions are relative: `pos`/`n_bits` are absolute bit
+    offsets into `data`; `bits`/`ones` cover [base, base+len(bits)).
+    The window slides forward on demand; every slide lands on the
+    current byte, so a read never spans a slide boundary longer than
+    the window itself (1 MB of source ≫ any legal frame field)."""
+
+    _WINDOW_BYTES = 1 << 20
 
     def __init__(self, data: bytes, start_byte: int):
         self.data = data
-        self.bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
-        self.ones = np.flatnonzero(self.bits)
         self.pos = start_byte * 8
-        self._one_cursor = int(np.searchsorted(self.ones, self.pos))
-        self.n_bits = len(self.bits)
+        self.n_bits = len(data) * 8
+        self._slide(start_byte)
+
+    def _slide(self, byte0: int):
+        self.base = byte0 * 8
+        chunk = np.frombuffer(
+            self.data, dtype=np.uint8, offset=byte0,
+            count=min(self._WINDOW_BYTES, len(self.data) - byte0),
+        )
+        self.bits = np.unpackbits(chunk)
+        self.ones = np.flatnonzero(self.bits)
+        self._one_cursor = 0
+
+    def _ensure(self, end: int):
+        if end > self.n_bits:
+            raise ValueError("flac: bitstream truncated")
+        if end > self.base + len(self.bits):
+            self._slide(self.pos // 8)
 
     def read(self, n: int) -> int:
         end = self.pos + n
-        if end > self.n_bits:
-            raise ValueError("flac: bitstream truncated")
+        self._ensure(end)
+        lo = self.pos - self.base
         v = int(
-            self.bits[self.pos : end]
+            self.bits[lo : lo + n]
             @ (1 << np.arange(n - 1, -1, -1, dtype=np.int64))
         )
         self.pos = end
@@ -183,17 +208,26 @@ class _Bits:
         return v - (1 << n) if v >= (1 << (n - 1)) else v
 
     def unary(self) -> int:
-        ones = self.ones
-        c = self._one_cursor
-        while c < len(ones) and ones[c] < self.pos:
-            c += 1
-        if c >= len(ones):
-            raise ValueError("flac: bitstream truncated in unary run")
-        self._one_cursor = c + 1
-        stop = int(ones[c])
-        q = stop - self.pos
-        self.pos = stop + 1
-        return q
+        while True:
+            rel = self.pos - self.base
+            ones = self.ones
+            c = self._one_cursor
+            n = len(ones)
+            while c < n and ones[c] < rel:
+                c += 1
+            if c < n:
+                self._one_cursor = c + 1
+                stop = self.base + int(ones[c])
+                q = stop - self.pos
+                self.pos = stop + 1
+                return q
+            # no stop bit left in the window
+            if self.base + len(self.bits) >= self.n_bits:
+                raise ValueError("flac: bitstream truncated in unary run")
+            if (self.pos // 8) * 8 == self.base:
+                # a full window of zero bits is no legal Rice quotient
+                raise ValueError("flac: unary run exceeds window")
+            self._slide(self.pos // 8)
 
     def align(self):
         self.pos = (self.pos + 7) & ~7
@@ -313,11 +347,20 @@ def _read_residual(bits: _Bits, order: int, block_size: int) -> np.ndarray:
                     out[pos + i] = bits.read_signed(width)
             pos += n
             continue
-        # vectorizable walk: stop-bit positions via the set-bit index
+        # vectorizable walk over the set-bit index, window-relative.
+        # Guarantee headroom first: a legal partition is at most
+        # blocksize x ~33 bits (~270 KB) — far under half a window — so
+        # slide once per partition instead of checking per sample.
+        if (
+            bits.base + len(bits.bits) < bits.n_bits
+            and bits.base + len(bits.bits) - bits.pos < (4 << 20)
+        ):
+            bits._slide(bits.pos // 8)
         starts = np.empty(n, dtype=np.int64)
         ones = bits.ones
         c = bits._one_cursor
-        b = bits.pos
+        rel0 = bits.pos - bits.base
+        b = rel0
         n_ones = len(ones)
         for i in range(n):
             while c < n_ones and ones[c] < b:
@@ -328,11 +371,11 @@ def _read_residual(bits: _Bits, order: int, block_size: int) -> np.ndarray:
             c += 1
             starts[i] = stop
             b = stop + 1 + k
-        if b > bits.n_bits:
+        if b > len(bits.bits):
             raise ValueError("flac: bitstream truncated in Rice remainder")
         q = starts.copy()
         q[1:] -= starts[:-1] + 1 + k
-        q[0] -= bits.pos
+        q[0] -= rel0
         if k:
             idx = (starts + 1)[:, None] + np.arange(k)[None, :]
             rem = bits.bits[idx].astype(np.int64) @ (
@@ -342,7 +385,7 @@ def _read_residual(bits: _Bits, order: int, block_size: int) -> np.ndarray:
             rem = np.zeros(n, dtype=np.int64)
         out[pos : pos + n] = _unzigzag((q << k) | rem)
         pos += n
-        bits.pos = b
+        bits.pos = bits.base + b
         bits._one_cursor = c
     return out
 

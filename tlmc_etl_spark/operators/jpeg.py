@@ -267,6 +267,14 @@ def _parse_jpeg_rgb(payload: bytes) -> np.ndarray:
     up = []
     for comp in comps:
         p = planes[comp["id"]]
+        if v_max % comp["v"] or h_max % comp["h"]:
+            # legal but rare non-integer ratios (e.g. v=3 against v=2)
+            # would need fractional resampling; silently skipping the
+            # upsample would return misaligned colour
+            raise ValueError(
+                f"unsupported non-integer sampling ratio "
+                f"({h_max}x{v_max} over {comp['h']}x{comp['v']})"
+            )
         fy, fx = v_max // comp["v"], h_max // comp["h"]
         if fy > 1 or fx > 1:
             p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
@@ -373,16 +381,21 @@ def _parse_jpeg_luma(payload: bytes) -> np.ndarray:
 
 
 def _decode_scan_planes(
-    payload, data_pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+    payload, data_pos, frame, scan, qt, huff_dc, huff_ac, restart_interval,
+    wanted: set | None = None,
 ) -> dict[int, np.ndarray]:
     """One interleaved baseline scan → {component id: plane}, every plane
     at its component's own sampling resolution (dequant + inverse zigzag
-    + IDCT in one vectorized pass per component)."""
+    + IDCT in one vectorized pass per component). `wanted` limits which
+    components get stored/IDCT'd (the others are still entropy-walked to
+    keep the bitstream in sync) — the luma-only path skips the chroma
+    transform work entirely."""
     comps = frame["comps"]
     h_max = max(c["h"] for c in comps)
     v_max = max(c["v"] for c in comps)
     mcus_x = -(-frame["w"] // (8 * h_max))
     mcus_y = -(-frame["h"] // (8 * v_max))
+    keep = {c["id"] for c in comps} if wanted is None else wanted
     store = {
         c["id"]: {
             "coeffs": np.zeros((mcus_x * mcus_y * c["h"] * c["v"], 64)),
@@ -390,6 +403,7 @@ def _decode_scan_planes(
             "bi": 0,
         }
         for c in comps
+        if c["id"] in keep
     }
 
     reader = _BitReader(payload, data_pos)
@@ -408,10 +422,12 @@ def _decode_scan_planes(
             for comp in comps:
                 dc_t = huff_dc[scan[comp["id"]][0]]
                 ac_t = huff_ac[scan[comp["id"]][1]]
-                st = store[comp["id"]]
+                st = store.get(comp["id"])
                 for by in range(comp["v"]):
                     for bx in range(comp["h"]):
                         block = _decode_block(reader, dc_t, ac_t, preds, comp["id"])
+                        if st is None:
+                            continue
                         bi = st["bi"]
                         st["coeffs"][bi] = block
                         st["pos"][bi] = (
@@ -421,6 +437,8 @@ def _decode_scan_planes(
                         st["bi"] += 1
     planes: dict[int, np.ndarray] = {}
     for comp in comps:
+        if comp["id"] not in store:
+            continue
         st = store[comp["id"]]
         bi = st["bi"]
         dq = st["coeffs"][:bi] * qt[comp["tq"]][None, :]
@@ -440,12 +458,12 @@ def _decode_scan_planes(
 def _decode_scan(
     payload, data_pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
 ):
+    y_id = frame["comps"][0]["id"]  # first component is Y (JFIF)
     planes = _decode_scan_planes(
         payload, data_pos, frame, scan, qt, huff_dc, huff_ac,
-        restart_interval,
+        restart_interval, wanted={y_id},
     )
-    y = planes[frame["comps"][0]["id"]]  # first component is Y (JFIF)
-    return np.clip(y[: frame["h"], : frame["w"]], 0.0, 255.0)
+    return np.clip(planes[y_id][: frame["h"], : frame["w"]], 0.0, 255.0)
 
 
 def _decode_scan_single(

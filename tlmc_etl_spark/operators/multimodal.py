@@ -104,6 +104,8 @@ def _decode_audio(payload: bytes) -> np.ndarray:
     formats decode through ffmpeg when on PATH; the remaining boundary
     is format-shaped (MP3/AAC entropy decode needs unsourceable spec
     tables), never a silent fake."""
+    if not payload:
+        raise ValueError("empty audio payload")
     if payload[:4] == b"fLaC":
         from tlmc_etl_spark.operators.flac import flac_decode_pcm
 

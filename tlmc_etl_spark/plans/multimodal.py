@@ -1782,8 +1782,6 @@ def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flac_tag_scan — VORBIS_COMMENT parse + the ph2 filename/tag coalesce
 # --------------------------------------------------------------------------
 
-_TRACK_RE = r"^\((\d{2})\) \[([^\]]+)\] (.+)\.([A-Za-z0-9]+)$"
-
 _FLAC_TAG_ORACLE = """
 WITH ids AS (
   SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 200
