@@ -144,6 +144,24 @@ class _BitWriter:
             q -= 32
         self.write(1, q + 1)
 
+    def write_bit_array(self, bits: np.ndarray):
+        """Append a 0/1 uint8 array in one packbits pass (the Rice
+        residual fast path — per-sample write() calls were the encode
+        bottleneck)."""
+        if self.n:
+            head = np.empty(self.n, dtype=np.uint8)
+            for i in range(self.n - 1, -1, -1):
+                head[i] = (self.acc >> (self.n - 1 - i)) & 1
+            bits = np.concatenate([head, bits])
+            self.acc = 0
+            self.n = 0
+        whole = len(bits) // 8 * 8
+        if whole:
+            self.out += np.packbits(bits[:whole]).tobytes()
+        for b in bits[whole:]:
+            self.acc = (self.acc << 1) | int(b)
+            self.n += 1
+
     def align(self):
         if self.n:
             self.write(0, 8 - self.n)
@@ -312,10 +330,19 @@ def _write_residual(w: _BitWriter, residual: np.ndarray, order: int,
                 w.write(int(v) & ((1 << raw_width) - 1), raw_width)
         else:
             w.write(k, 4)
-            for z in zz:
-                z = int(z)
-                w.write_unary(z >> k)
-                w.write(z & ((1 << k) - 1), k)
+            if chunk.size:
+                # vectorized emission: [q zeros][1][k remainder bits] per
+                # sample, materialized as one bit array
+                q = zz >> k
+                step = q + 1 + k
+                ends = np.cumsum(step)
+                bits = np.zeros(int(ends[-1]), dtype=np.uint8)
+                bits[ends - 1 - k] = 1  # stop bits
+                if k:
+                    rem_pos = (ends - k)[:, None] + np.arange(k)[None, :]
+                    rem = (zz[:, None] >> np.arange(k - 1, -1, -1)[None, :]) & 1
+                    bits[rem_pos] = rem.astype(np.uint8)
+                w.write_bit_array(bits)
 
 
 def _read_residual(bits: _Bits, order: int, block_size: int) -> np.ndarray:
@@ -356,21 +383,38 @@ def _read_residual(bits: _Bits, order: int, block_size: int) -> np.ndarray:
             and bits.base + len(bits.bits) - bits.pos < (4 << 20)
         ):
             bits._slide(bits.pos // 8)
-        starts = np.empty(n, dtype=np.int64)
         ones = bits.ones
-        c = bits._one_cursor
         rel0 = bits.pos - bits.base
-        b = rel0
+        c = int(np.searchsorted(ones, rel0, side="left"))
         n_ones = len(ones)
-        for i in range(n):
-            while c < n_ones and ones[c] < b:
-                c += 1
-            if c >= n_ones:
+        if k == 0:
+            # no remainder bits: stop bits are exactly the next n set
+            # bits — fully vectorized
+            if c + n > n_ones:
                 raise ValueError("flac: bitstream truncated in Rice run")
-            stop = int(ones[c])
-            c += 1
-            starts[i] = stop
-            b = stop + 1 + k
+            starts = ones[c : c + n].astype(np.int64)
+            c += n
+            b = int(starts[-1]) + 1
+        else:
+            # remainder bits interleave with stop bits: sequential walk,
+            # but over a plain int list (numpy scalar indexing is ~4x
+            # slower per element in this hot loop)
+            need = min(n_ones - c, n * (k + 2) + 16)
+            ol = ones[c : c + need].tolist()
+            starts = np.empty(n, dtype=np.int64)
+            b = rel0
+            j = 0
+            n_ol = len(ol)
+            for i in range(n):
+                while j < n_ol and ol[j] < b:
+                    j += 1
+                if j >= n_ol:
+                    raise ValueError("flac: bitstream truncated in Rice run")
+                stop = ol[j]
+                j += 1
+                starts[i] = stop
+                b = stop + 1 + k
+            c += j
         if b > len(bits.bits):
             raise ValueError("flac: bitstream truncated in Rice remainder")
         q = starts.copy()

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from tlmc_etl_spark.operators.multimodal import extract_features, synthetic_media_from_documents
 from tlmc_etl_spark.plans.registry import query
 from tlmc_etl_spark.sources.tables import load_table
+from tlmc_etl_spark.tuning import fanout
 
 
 # Fixture dirs for the subprocess queries below: local-mode-only by design,
@@ -1769,7 +1770,10 @@ def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return ids.mapInPandas(
+    # round-robin the id list across tasks: the codec work is
+    # CPU-bound Python per file, and a post-limit id list otherwise
+    # lands in ONE partition (serial decode)
+    return fanout(ids).mapInPandas(
         run,
         schema=(
             "track_id long, ch int, win int, n_frames int, "
@@ -2038,7 +2042,7 @@ def dominant_colors_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"img_id": out_id, "r": out_r, "g": out_g, "b": out_b}
             )
 
-    pixels = ids.mapInPandas(
+    pixels = fanout(ids).mapInPandas(
         run, schema="img_id long, r long, g long, b long"
     )
     pal = dominant_colors(pixels, "img_id", n_colors=8, levels=4)
@@ -2053,12 +2057,12 @@ def dominant_colors_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CUE_SPLIT_DECODE_ORACLE = """
 WITH ids AS (
-  SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 12
+  SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 6
 ), t AS (
   SELECT id, 3 + id % 3 AS n_tracks FROM ids
 ), trk AS (
   SELECT id, n_tracks, g.t AS trk,
-         150 + ((id * 7 + g.t * 13) % 100) AS len_frames
+         60 + ((id * 7 + g.t * 13) % 40) AS len_frames
   FROM t, LATERAL (SELECT unnest(generate_series(0, n_tracks - 1)) AS t) g
 ), pos AS (
   SELECT id, trk, len_frames,
@@ -2094,7 +2098,7 @@ ORDER BY album_id, track_number
 
 @query("flac_cue_split_decode", oracle=_CUE_SPLIT_DECODE_ORACLE)
 def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CueSplitter made real in-container: 12 album FLACs are
+    """The CueSplitter made real in-container: 6 album FLACs are
     encoded in-plan from closed-form PCM, their cue sheets are built
     with INDEX 01 times at exact 75 fps frame boundaries (44100/75 =
     588 samples per cue frame), and the split runs the REAL lanes end
@@ -2116,7 +2120,7 @@ def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id")
         .orderBy("vec_id")
-        .limit(12)
+        .limit(6)
     )
 
     def run(batches):
@@ -2125,7 +2129,7 @@ def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             for vid in pdf["vec_id"]:
                 vid = int(vid)
                 n_tracks = 3 + vid % 3
-                lens = [150 + ((vid * 7 + t * 13) % 100) for t in range(n_tracks)]
+                lens = [60 + ((vid * 7 + t * 13) % 40) for t in range(n_tracks)]
                 starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(int)
                 total = int(sum(lens)) * 588
                 i = np.arange(total, dtype=np.int64)
@@ -2167,7 +2171,7 @@ def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return ids.mapInPandas(
+    return fanout(ids).mapInPandas(
         run,
         schema=(
             "album_id long, track_number int, start_frames long, "
