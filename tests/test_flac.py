@@ -296,3 +296,36 @@ class TestWindowedReader:
                 parse_flac_audio(enc[: len(enc) // 2])
         finally:
             flac_mod._Bits._WINDOW_BYTES = old
+
+
+class TestStreaminfoMd5:
+    """RFC 9639 §8.2: the encoder stamps the unencoded-PCM MD5 and the
+    decoder verifies it — the one field frame CRCs do not cover."""
+
+    def test_md5_known_vector(self):
+        import hashlib
+
+        from tlmc_etl_spark.operators.flac import pcm_md5
+
+        # 16-bit LE interleaving computed by hand
+        x = np.array([[1, -2], [300, -300]], dtype=np.int64)
+        raw = b"\x01\x00\xfe\xff\x2c\x01\xd4\xfe"
+        assert pcm_md5(x, 16) == hashlib.md5(raw).digest()
+        # 24-bit: 3 LE bytes per sample
+        y = np.array([[-1]], dtype=np.int64)
+        assert pcm_md5(y, 24) == hashlib.md5(b"\xff\xff\xff").digest()
+
+    def test_md5_tamper_detected(self):
+        x = (np.arange(2000, dtype=np.int64) % 211) * 3
+        enc = bytearray(encode_flac(x, 44100, block_size=1024))
+        # STREAMINFO MD5 lives at bytes 8+18 .. 8+34 — not CRC-covered
+        enc[30] ^= 0xFF
+        with pytest.raises(ValueError, match="MD5"):
+            parse_flac_audio(bytes(enc))
+
+    def test_zero_md5_skips_check(self):
+        x = (np.arange(500, dtype=np.int64) % 97) * 2
+        enc = bytearray(encode_flac(x, 44100, block_size=256))
+        enc[26:42] = bytes(16)  # unset, as many encoders leave it
+        dec = parse_flac_audio(bytes(enc))
+        assert np.array_equal(dec["samples"][:, 0], x)

@@ -522,12 +522,14 @@ class TestFramingParserRobustness:
             parse_mp3_frames,
             parse_xing_header,
         )
+        from tlmc_etl_spark.operators.flac import parse_flac_audio
 
         return [
             parse_adts_frames,
             parse_mp3_frames,
             parse_annexb_nals,
             parse_flac_metadata,
+            parse_flac_audio,
             parse_xing_header,
         ]
 

@@ -691,6 +691,7 @@ def parse_flac_metadata(data: bytes | None) -> dict | None:
         "seekpoints": [],
         "vendor": None,
         "tags": {},
+        "md5": None,
     }
     pos = 4
     while True:
@@ -710,6 +711,7 @@ def parse_flac_metadata(data: bytes | None) -> dict | None:
             out["channels"] = ((block >> 41) & 0x7) + 1
             out["bits_per_sample"] = ((block >> 36) & 0x1F) + 1
             out["total_samples"] = block & ((1 << 36) - 1)
+            out["md5"] = si[18:34]  # all-zero = unset
         elif btype == 3:  # SEEKTABLE
             if blen % 18:
                 raise ValueError("flac: SEEKTABLE length not a multiple of 18")

@@ -96,6 +96,20 @@ _BPS_FROM_CODE = {v: k for k, v in _BPS_CODES.items()}
 _FIXED_ORDERS = (0, 1, 2, 3, 4)
 
 
+def pcm_md5(samples: np.ndarray, bits_per_sample: int) -> bytes:
+    """RFC 9639 §8.2 unencoded-audio MD5: channel-interleaved samples as
+    little-endian signed integers of ceil(bps/8) bytes. The one
+    integrity field frame CRCs do NOT cover (STREAMINFO itself), and the
+    end-to-end whole-file check real decoders (`flac -t`) enforce."""
+    import hashlib
+
+    width = (bits_per_sample + 7) // 8
+    flat = np.ascontiguousarray(samples.astype("<i8")).reshape(-1)
+    raw = flat.tobytes()  # 8-byte LE; low `width` bytes are the sample
+    view = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8)[:, :width]
+    return hashlib.md5(np.ascontiguousarray(view).tobytes()).digest()
+
+
 def _encode_coded_number(n: int) -> bytes:
     """RFC 9639 §9.1.5 coded number: the UTF-8 byte pattern extended to
     36 bits (7-byte form with 0xFE lead)."""
@@ -718,7 +732,7 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
         | ((bits_per_sample - 1) << 36) | (n_total & ((1 << 36) - 1))
     )
     si += struct.pack(">Q", packed)
-    si += bytes(16)  # MD5 unset
+    si += pcm_md5(x, bits_per_sample)
     out += bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
 
     bps_code = _BPS_CODES.get(bits_per_sample, 0)
@@ -858,6 +872,12 @@ def parse_flac_audio(data: bytes | None) -> dict | None:
         if blocks
         else np.empty((0, info["channels"]), dtype=np.int64)
     )
+    md5 = info.get("md5")
+    if md5 and md5 != bytes(16):
+        if pcm_md5(samples, info["bits_per_sample"]) != md5:
+            raise ValueError(
+                "flac: decoded PCM does not match the STREAMINFO MD5"
+            )
     return {
         "samples": samples,
         "sample_rate": info["sample_rate"],
