@@ -329,3 +329,74 @@ class TestStreaminfoMd5:
         enc[26:42] = bytes(16)  # unset, as many encoders leave it
         dec = parse_flac_audio(bytes(enc))
         assert np.array_equal(dec["samples"][:, 0], x)
+
+
+class TestSeekRangeDecode:
+    """SEEKTABLE emission + decode_range: the O(track)-not-O(album)
+    access pattern the cue-split lane needs at scale."""
+
+    @staticmethod
+    def _stream(seek_every=4):
+        rng = np.random.default_rng(71)
+        n = 50_000
+        x = ((np.arange(n) % 311) * 5 + rng.integers(-6, 7, n)).astype(
+            np.int64
+        )
+        st = np.stack([x, x // 3], axis=1)
+        return st, encode_flac(
+            st, 44100, block_size=1024, seek_every=seek_every,
+            stereo="mid_side",
+        )
+
+    def test_seektable_points_and_full_decode_unchanged(self):
+        from tlmc_etl_spark.functions.media import parse_flac_metadata
+
+        st, enc = self._stream()
+        meta = parse_flac_metadata(enc)
+        # ceil(49 frames / 4) points; first at sample 0, offset 0
+        assert len(meta["seekpoints"]) == 13
+        assert meta["seekpoints"][0] == (0, 0, 1024)
+        s, off, ns = meta["seekpoints"][1]
+        assert s == 4096 and ns == 1024 and off > 0
+        assert np.array_equal(parse_flac_audio(enc)["samples"], st)
+
+    def test_ranges_match_full_decode_exactly(self):
+        from tlmc_etl_spark.operators.flac import decode_range
+
+        st, enc = self._stream()
+        for s0, ns in [(0, 100), (1024, 1024), (5000, 3000),
+                       (49_000, 1000), (12_345, 1), (0, len(st))]:
+            assert np.array_equal(decode_range(enc, s0, ns), st[s0 : s0 + ns])
+
+    def test_range_without_seektable_falls_back_to_head(self):
+        from tlmc_etl_spark.operators.flac import decode_range
+
+        x = (np.arange(5000, dtype=np.int64) % 97) * 3
+        enc = encode_flac(x, 44100, block_size=1024)
+        assert np.array_equal(decode_range(enc, 3000, 500)[:, 0], x[3000:3500])
+
+    def test_range_reads_less_than_full_stream(self):
+        # byte-level evidence of the seek: a tail range must be decodable
+        # from a TRUNCATED PREFIX extended only past the needed frames —
+        # i.e. decode_range never touches bytes before its seek point
+        from tlmc_etl_spark.operators.flac import decode_range
+        from tlmc_etl_spark.functions.media import parse_flac_metadata
+
+        st, enc = self._stream()
+        meta = parse_flac_metadata(enc)
+        # corrupt every audio byte BEFORE the last seek point: a decode
+        # of the final range must not notice
+        last_s, last_off, _ = meta["seekpoints"][-1]
+        torn = bytearray(enc)
+        a0 = meta["audio_offset"]
+        for i in range(a0, a0 + last_off):
+            torn[i] ^= 0x5A
+        got = decode_range(bytes(torn), last_s, len(st) - last_s)
+        assert np.array_equal(got, st[last_s:])
+
+    def test_out_of_range_raises(self):
+        from tlmc_etl_spark.operators.flac import decode_range
+
+        st, enc = self._stream()
+        with pytest.raises(ValueError, match="outside the stream"):
+            decode_range(enc, len(st) - 10, 100)

@@ -688,6 +688,8 @@ def parse_flac_metadata(data: bytes | None) -> dict | None:
         "channels": None,
         "bits_per_sample": None,
         "total_samples": None,
+        "min_block_size": None,
+        "max_block_size": None,
         "seekpoints": [],
         "vendor": None,
         "tags": {},
@@ -706,6 +708,9 @@ def parse_flac_metadata(data: bytes | None) -> dict | None:
             raise ValueError(f"flac: block at {pos} overruns the buffer")
         if btype == 0:  # STREAMINFO
             si = data[body_at : body_at + 34]
+            out["min_block_size"], out["max_block_size"] = struct.unpack(
+                ">HH", si[0:4]
+            )
             (block,) = struct.unpack(">Q", si[10:18])
             out["sample_rate"] = block >> 44
             out["channels"] = ((block >> 41) & 0x7) + 1

@@ -695,13 +695,17 @@ def _recorrelate(chans: list[np.ndarray], assignment: int) -> np.ndarray:
 def encode_flac(samples: np.ndarray, sample_rate: int,
                 bits_per_sample: int = 16, block_size: int = 4096,
                 stereo: str = "independent", mode: str = "auto",
-                lpc_order: int = 8, partition_order: int = 0) -> bytes:
+                lpc_order: int = 8, partition_order: int = 0,
+                seek_every: int | None = None) -> bytes:
     """Integer PCM -> conformant FLAC stream.
 
     samples: int array, shape (n,) mono or (n, channels). mode picks the
     subframe family ('auto' = constant/best-fixed, 'lpc' = quantized
     Levinson-Durbin with fixed fallback on degenerate blocks, 'verbatim',
     'fixed'). stereo picks the §9.2.2 decorrelation for 2-channel input.
+    seek_every=N emits a real SEEKTABLE block with a point every N
+    frames (what makes decode_range's byte-addressed mid-stream entry
+    possible — the cue-split lane's O(range) read at scale).
     Lossless by construction: parse_flac_audio returns the input exactly.
     """
     x = np.asarray(samples)
@@ -733,8 +737,12 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
     )
     si += struct.pack(">Q", packed)
     si += pcm_md5(x, bits_per_sample)
-    out += bytes([0x80]) + len(si).to_bytes(3, "big") + bytes(si)
+    out += bytes([0x00 if seek_every else 0x80])
+    out += len(si).to_bytes(3, "big") + bytes(si)
 
+    frames: list[bytes] = []
+    seekpoints: list[tuple[int, int, int]] = []
+    frame_bytes_so_far = 0
     bps_code = _BPS_CODES.get(bits_per_sample, 0)
     for frame_no, start in enumerate(range(0, n_total, block_size)):
         block = x[start : start + block_size]
@@ -771,7 +779,15 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
             _encode_subframe(w, ch, bps, mode, lpc_order, part)
         w.align()
         w.write(crc16(bytes(w.out)), 16)
-        out += w.bytes()
+        fb = w.bytes()
+        if seek_every and frame_no % seek_every == 0:
+            seekpoints.append((start, frame_bytes_so_far, n))
+        frames.append(fb)
+        frame_bytes_so_far += len(fb)
+    if seek_every:
+        pts = b"".join(struct.pack(">QQH", s, o, ns) for s, o, ns in seekpoints)
+        out += bytes([0x80 | 0x03]) + len(pts).to_bytes(3, "big") + pts
+    out += b"".join(frames)
     return bytes(out)
 
 
@@ -780,20 +796,28 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
 # ---------------------------------------------------------------------------
 
 
-def _decode_frame(bits: _Bits, info: dict) -> np.ndarray:
+def _decode_frame(bits: _Bits, info: dict) -> tuple[np.ndarray, int]:
+    """One frame → (samples block, first-sample position). The position
+    comes from the header's coded number: the SAMPLE number under
+    variable blocking, the frame index × nominal block size under fixed
+    blocking — what makes a mid-stream (seek-table) decode entry able to
+    place itself without walking from the head."""
     start = bits.byte_pos()
     if bits.read(14) != 0b11111111111110:
         raise ValueError("flac: lost frame sync")
     if bits.read(1):
         raise ValueError("flac: reserved header bit set")
-    bits.read(1)  # blocking strategy (coded number disambiguates)
+    variable_blocking = bits.read(1)
     bs_code = bits.read(4)
     sr_code = bits.read(4)
     ch_assign = bits.read(4)
     bps_code = bits.read(3)
     if bits.read(1):
         raise ValueError("flac: reserved header bit set")
-    bits.read_coded_number()
+    coded = bits.read_coded_number()
+    sample_pos = (
+        coded if variable_blocking else coded * info["nominal_block_size"]
+    )
     if bs_code == 0:
         raise ValueError("flac: reserved block size code")
     elif bs_code == 0b0110:
@@ -838,7 +862,7 @@ def _decode_frame(bits: _Bits, info: dict) -> np.ndarray:
     body_end = bits.byte_pos()
     if crc16(bits.data[start:body_end]) != bits.read(16):
         raise ValueError("flac: frame CRC-16 mismatch")
-    return block
+    return block, sample_pos
 
 
 @_valueerror_boundary
@@ -853,6 +877,7 @@ def parse_flac_audio(data: bytes | None) -> dict | None:
         return None
     if not info["sample_rate"]:
         raise ValueError("flac: STREAMINFO missing or zero sample rate")
+    info["nominal_block_size"] = info.get("max_block_size") or 0
     bits = _Bits(data, info["audio_offset"])
     total = info["total_samples"]
     blocks = []
@@ -860,7 +885,7 @@ def parse_flac_audio(data: bytes | None) -> dict | None:
     while (total and got < total) or (
         not total and bits.pos + 16 <= bits.n_bits
     ):
-        block = _decode_frame(bits, info)
+        block, _pos = _decode_frame(bits, info)
         blocks.append(block)
         got += len(block)
     if total and got != total:
@@ -885,6 +910,57 @@ def parse_flac_audio(data: bytes | None) -> dict | None:
         "bits_per_sample": info["bits_per_sample"],
         "n_frames": len(blocks),
     }
+
+
+@_valueerror_boundary
+def decode_range(data: bytes, start_sample: int, n_samples: int) -> np.ndarray:
+    """Seek-aware partial decode: (start_sample, n_samples) → exact
+    (n_samples, channels) PCM, reading ONLY from the nearest preceding
+    SEEKTABLE point onward instead of the stream head. This is the
+    O(track) — not O(album) — read a 100 TB cue-split wants: each task
+    touches its own byte range (the reference seeks via ffmpeg -ss on
+    the cue grid, CueSplitter/cue_designator.py). Placement comes from
+    each frame header's coded number (frame index × nominal block size
+    under fixed blocking, the sample number under variable blocking), so
+    entry needs no walk from byte zero. Falls back to the audio start
+    when no seek point precedes the range. MD5 is NOT checked (it covers
+    the whole stream)."""
+    info = parse_flac_metadata(data)
+    if info is None:
+        raise ValueError("not a FLAC payload")
+    total = info["total_samples"]
+    if n_samples < 0 or start_sample < 0 or (
+        total and start_sample + n_samples > total
+    ):
+        raise ValueError("flac: requested range outside the stream")
+    info["nominal_block_size"] = info.get("max_block_size") or 0
+    if info.get("min_block_size") != info.get("max_block_size"):
+        raise ValueError(
+            "flac: decode_range needs a fixed nominal block size "
+            "(STREAMINFO min != max)"
+        )
+    entry = 0
+    for s, off, _ns in info["seekpoints"]:
+        if s <= start_sample and off >= entry:
+            entry = off
+    bits = _Bits(data, info["audio_offset"] + entry)
+    chunks: list[np.ndarray] = []
+    end = start_sample + n_samples
+    got_to = None
+    while got_to is None or got_to < end:
+        block, pos = _decode_frame(bits, info)
+        if got_to is None:
+            if pos > start_sample:
+                raise ValueError("flac: seek entry overshoots the range")
+        elif pos != got_to:
+            raise ValueError("flac: non-contiguous frames in range decode")
+        got_to = pos + len(block)
+        if got_to <= start_sample:
+            continue  # seek point undershoots: skip whole frames
+        lo = max(0, start_sample - pos)
+        hi = min(len(block), end - pos)
+        chunks.append(block[lo:hi])
+    return np.concatenate(chunks, axis=0)
 
 
 def flac_decode_pcm(payload: bytes) -> tuple[np.ndarray, int]:

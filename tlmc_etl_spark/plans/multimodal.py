@@ -2114,7 +2114,7 @@ def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from tlmc_etl_spark.functions.media import parse_cue
-    from tlmc_etl_spark.operators.flac import encode_flac, parse_flac_audio
+    from tlmc_etl_spark.operators.flac import decode_range, encode_flac
 
     ids = (
         load_table(spark, sf_dir, "embeddings")
@@ -2137,6 +2137,7 @@ def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payload = encode_flac(
                     pcm, 44100, block_size=4096,
                     mode="lpc" if vid % 2 else "auto",
+                    seek_every=4,  # real SEEKTABLE: cuts read O(track)
                 )
                 cue_lines = [
                     'PERFORMER "Various"',
@@ -2151,12 +2152,16 @@ def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         f"    INDEX 01 {mm:02d}:{ss:02d}:{ff:02d}",
                     ]
                 cue_tracks = parse_cue("\n".join(cue_lines))
-                dec = parse_flac_audio(payload)
-                samples = dec["samples"][:, 0]
                 bounds = [t["index01_frames"] * 588 for t in cue_tracks]
-                bounds.append(len(samples))
+                bounds.append(total)
                 for t, ct in enumerate(cue_tracks):
-                    seg = samples[bounds[t] : bounds[t + 1]]
+                    # seek-aware partial decode: each cut reads from the
+                    # nearest SEEKTABLE point, never the stream head —
+                    # the O(track) access pattern a distributed splitter
+                    # needs when one task owns one track
+                    seg = decode_range(
+                        payload, bounds[t], bounds[t + 1] - bounds[t]
+                    )[:, 0]
                     rows.append(
                         (
                             vid, ct["track_number"], ct["index01_frames"],
