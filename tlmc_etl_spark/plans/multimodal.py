@@ -990,7 +990,7 @@ def adts_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["track_id", "offs", "lens", "n_samples"]
             )
 
-    parsed = ids.mapInPandas(
+    parsed = fanout(ids).mapInPandas(
         build_and_parse,
         schema="track_id long, offs array<long>, lens array<int>, n_samples long",
     )
@@ -1191,7 +1191,7 @@ def mp3_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return ids.mapInPandas(
+    return fanout(ids).mapInPandas(
         plan,
         schema=(
             "track_id long, chunk_idx long, first_frame long, "
@@ -1341,7 +1341,7 @@ def h264_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return ids.mapInPandas(
+    return fanout(ids).mapInPandas(
         plan,
         schema=(
             "track_id long, chunk_idx long, first_frame long, "
@@ -1495,7 +1495,7 @@ def flac_cue_seek_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return ids.mapInPandas(
+    return fanout(ids).mapInPandas(
         plan,
         schema=(
             "track_id long, track_number int, start_sample long, "
@@ -1660,7 +1660,7 @@ def mp3_vbr_header_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    return ids.mapInPandas(
+    return fanout(ids).mapInPandas(
         scan,
         schema=(
             "track_id long, tag string, n_frames long, n_bytes long, "
@@ -1913,7 +1913,7 @@ def flac_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ],
             )
 
-    parsed = ids.mapInPandas(
+    parsed = fanout(ids).mapInPandas(
         scan,
         schema=(
             "track_id long, vendor string, filename string, "
