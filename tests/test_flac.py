@@ -400,3 +400,68 @@ class TestSeekRangeDecode:
         st, enc = self._stream()
         with pytest.raises(ValueError, match="outside the stream"):
             decode_range(enc, len(st) - 10, 100)
+
+
+class TestVariableBlocking:
+    """Hand-built variable-blocking frames (strategy bit 1): the coded
+    number is the SAMPLE number, which is what lets decode_range place a
+    mid-stream frame without a walk from the head."""
+
+    @staticmethod
+    def _frame(sample_no: int, block_size: int, value: int) -> bytes:
+        # sync+res+VARIABLE blocking = FF F9; bs code 0110 (8-bit
+        # field) + sr 1001; mono + bps 16 + res = 08
+        header = bytes([0xFF, 0xF9, 0x69, 0x08])
+        from tlmc_etl_spark.operators.flac import _encode_coded_number
+
+        header += _encode_coded_number(sample_no)
+        header += bytes([block_size - 1])
+        header += bytes([crc8(header)])
+        body = header + bytes([0x00]) + value.to_bytes(2, "big", signed=True)
+        return body + crc16(body).to_bytes(2, "big")
+
+    def test_full_decode_and_range_entry(self):
+        from tlmc_etl_spark.operators.flac import decode_range
+
+        stream = (
+            _streaminfo(44100, 1, 16, 24)
+            + self._frame(0, 16, 5)
+            + self._frame(16, 8, -9)
+        )
+        dec = parse_flac_audio(stream)
+        assert dec["samples"][:, 0].tolist() == [5] * 16 + [-9] * 8
+        got = decode_range(stream, 16, 8)
+        assert got[:, 0].tolist() == [-9] * 8
+        got2 = decode_range(stream, 14, 4)
+        assert got2[:, 0].tolist() == [5, 5, -9, -9]
+
+    def test_non_contiguous_sample_numbers_raise(self):
+        from tlmc_etl_spark.operators.flac import decode_range
+
+        stream = (
+            _streaminfo(44100, 1, 16, 24)
+            + self._frame(0, 16, 5)
+            + self._frame(17, 8, -9)  # gap: claims sample 17, not 16
+        )
+        with pytest.raises(ValueError, match="non-contiguous"):
+            decode_range(stream, 0, 24)
+
+    def test_min_ne_max_streaminfo(self):
+        # variable-blocking streams legitimately declare min != max:
+        # range decode still places frames via the sample number ...
+        import struct
+
+        from tlmc_etl_spark.operators.flac import decode_range
+
+        si = bytearray(_streaminfo(44100, 1, 16, 24))
+        si[8:12] = struct.pack(">HH", 8, 16)  # min 8, max 16
+        stream = bytes(si) + self._frame(0, 16, 5) + self._frame(16, 8, -9)
+        assert decode_range(stream, 16, 8)[:, 0].tolist() == [-9] * 8
+        # ... while FIXED-blocking frames are unplaceable and must raise
+        fixed = bytearray(self._frame(0, 16, 5))
+        fixed[1] = 0xF8  # clear the blocking-strategy bit
+        fixed[6] = crc8(bytes(fixed[:6]))
+        body = bytes(fixed[:10])
+        fixed[10:] = crc16(body).to_bytes(2, "big")
+        with pytest.raises(ValueError, match="min != max"):
+            decode_range(bytes(si) + bytes(fixed), 0, 16)

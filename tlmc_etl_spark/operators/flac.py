@@ -815,9 +815,12 @@ def _decode_frame(bits: _Bits, info: dict) -> tuple[np.ndarray, int]:
     if bits.read(1):
         raise ValueError("flac: reserved header bit set")
     coded = bits.read_coded_number()
-    sample_pos = (
-        coded if variable_blocking else coded * info["nominal_block_size"]
-    )
+    if variable_blocking:
+        sample_pos = coded
+    elif info["nominal_block_size"]:
+        sample_pos = coded * info["nominal_block_size"]
+    else:
+        sample_pos = None  # fixed blocking with min != max: unplaceable
     if bs_code == 0:
         raise ValueError("flac: reserved block size code")
     elif bs_code == 0b0110:
@@ -933,12 +936,11 @@ def decode_range(data: bytes, start_sample: int, n_samples: int) -> np.ndarray:
         total and start_sample + n_samples > total
     ):
         raise ValueError("flac: requested range outside the stream")
-    info["nominal_block_size"] = info.get("max_block_size") or 0
-    if info.get("min_block_size") != info.get("max_block_size"):
-        raise ValueError(
-            "flac: decode_range needs a fixed nominal block size "
-            "(STREAMINFO min != max)"
-        )
+    info["nominal_block_size"] = (
+        info["max_block_size"]
+        if info.get("min_block_size") == info.get("max_block_size")
+        else 0
+    )
     entry = 0
     for s, off, _ns in info["seekpoints"]:
         if s <= start_sample and off >= entry:
@@ -949,6 +951,11 @@ def decode_range(data: bytes, start_sample: int, n_samples: int) -> np.ndarray:
     got_to = None
     while got_to is None or got_to < end:
         block, pos = _decode_frame(bits, info)
+        if pos is None:
+            raise ValueError(
+                "flac: decode_range cannot place fixed-blocking frames "
+                "when STREAMINFO min != max block size"
+            )
         if got_to is None:
             if pos > start_sample:
                 raise ValueError("flac: seek entry overshoots the range")
