@@ -504,15 +504,65 @@ class TestColorDecode:
         assert np.array_equal(dec[:, :, 0], dec[:, :, 1])
         assert np.array_equal(dec[:, :, 0], parse_jpeg_luma(encode_gray_jpeg(img)))
 
-    def test_progressive_color_raises(self):
+    def test_progressive_color_decodes(self):
+        # round 11: SOF2 colour is no longer a boundary — the constant-
+        # chroma progressive stream decodes through the rgb path, with
+        # Cb=Cr=128 collapsing to R=G=B=Y
         from tlmc_etl_spark.operators.jpeg import (
             encode_420_progressive,
             parse_jpeg_rgb,
         )
 
         y = np.full((16, 16), 90.0)
-        with pytest.raises(ValueError, match="baseline-only"):
-            parse_jpeg_rgb(encode_420_progressive(y))
+        dec = parse_jpeg_rgb(encode_420_progressive(y))
+        assert np.abs(dec - 90.0).max() < 1e-9
+
+    @pytest.mark.parametrize("sampling", ["420", "444"])
+    def test_progressive_color_equals_baseline_color(self, sampling):
+        from tlmc_etl_spark.operators.jpeg import (
+            encode_color_jpeg,
+            encode_color_progressive,
+            parse_jpeg_rgb,
+        )
+
+        for seed in (61, 67, 71):
+            rgb = self._mosaic(seed)
+            prog = parse_jpeg_rgb(encode_color_progressive(rgb, sampling))
+            base = parse_jpeg_rgb(encode_color_jpeg(rgb, sampling))
+            assert np.array_equal(prog, base), seed
+            assert np.abs(prog - self._want(rgb)).max() < 1e-9, seed
+
+    def test_progressive_color_gradient_matches_baseline(self):
+        # non-constant blocks: every scan family (interleaved DC, three
+        # per-component AC bands, DC refinement) carries real data and
+        # must reassemble the SAME quantized coefficients as baseline
+        from tlmc_etl_spark.operators.jpeg import (
+            encode_color_jpeg,
+            encode_color_progressive,
+            parse_jpeg_rgb,
+        )
+
+        g = np.zeros((24, 24, 3))
+        g[..., 0] = np.linspace(0, 255, 24)[None, :]
+        g[..., 1] = np.linspace(255, 0, 24)[:, None]
+        g[..., 2] = 128.0
+        prog = parse_jpeg_rgb(encode_color_progressive(g, "444"))
+        base = parse_jpeg_rgb(encode_color_jpeg(g, "444"))
+        assert np.array_equal(prog, base)
+
+    def test_progressive_gray_rgb_replicates(self):
+        from tlmc_etl_spark.operators.jpeg import (
+            encode_gray_progressive,
+            parse_jpeg_rgb,
+        )
+
+        rng = np.random.default_rng(73)
+        img = rng.integers(0, 256, (16, 16)).astype(np.float64)
+        dec = parse_jpeg_rgb(encode_gray_progressive(img))
+        assert np.array_equal(dec[:, :, 0], dec[:, :, 2])
+        assert np.array_equal(
+            dec[:, :, 0], parse_jpeg_luma(encode_gray_progressive(img))
+        )
 
     def test_truncation_raises(self):
         from tlmc_etl_spark.operators.jpeg import encode_color_jpeg, parse_jpeg_rgb

@@ -251,11 +251,14 @@ def test_real_ffmpeg_agrees_with_color_jpeg_codec(tmp_path):
 
     from tlmc_etl_spark.operators.jpeg import encode_color_jpeg, parse_jpeg_rgb
 
+    from tlmc_etl_spark.operators.jpeg import encode_color_progressive
+
     rgb = np.zeros((32, 32, 3))
     rgb[:16] = (200, 30, 90)
     rgb[16:] = (10, 180, 250)
-    for sampling in ("444", "420"):
-        payload = encode_color_jpeg(rgb, sampling)
+    for enc in (encode_color_jpeg, encode_color_progressive):
+      for sampling in ("444", "420"):
+        payload = enc(rgb, sampling)
         ours = parse_jpeg_rgb(payload)
         jpg = tmp_path / "c.jpg"
         jpg.write_bytes(payload)

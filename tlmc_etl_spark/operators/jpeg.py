@@ -219,16 +219,16 @@ def ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
 
 
 def parse_jpeg_rgb(payload: bytes) -> np.ndarray:
-    """Baseline colour JPEG → (H, W, 3) float64 RGB in [0, 255].
+    """Colour JPEG (baseline SOF0/1 or progressive SOF2) → (H, W, 3)
+    float64 RGB in [0, 255].
 
-    Full chroma reconstruction: every component of the interleaved scan
-    is entropy-decoded, dequantized and IDCT'd at its own sampling
-    resolution, chroma planes are box-replicated up to the luma grid
-    (exact for the constant-per-MCU payloads the value-checked plans
-    encode), and JFIF YCbCr → RGB applied. Grayscale (1-component)
-    payloads replicate the luma plane. Progressive colour stays at the
-    declared boundary (parse_jpeg_luma decodes SOF2 luma). Same
-    must-error contract as parse_jpeg_luma."""
+    Full chroma reconstruction: every component is entropy-decoded
+    (across all progressive scans where applicable), dequantized and
+    IDCT'd at its own sampling resolution, chroma planes are
+    box-replicated up to the luma grid (exact for the constant-per-MCU
+    payloads the value-checked plans encode), and JFIF YCbCr → RGB
+    applied. Grayscale (1-component) payloads replicate the luma plane.
+    Same must-error contract as parse_jpeg_luma."""
     try:
         return _parse_jpeg_rgb(payload)
     except (IndexError, struct.error) as e:
@@ -240,14 +240,14 @@ def _parse_jpeg_rgb(payload: bytes) -> np.ndarray:
         _walk_headers(payload)
     )
     comps = frame["comps"]
+    if frame["progressive"]:
+        return _decode_progressive(
+            payload, pos - 2, frame, qt, huff_dc, huff_ac,
+            restart_interval, want_rgb=True,
+        )
     if len(comps) == 1:
         gray = _parse_jpeg_luma(payload)
         return np.repeat(gray[:, :, None], 3, axis=2)
-    if frame["progressive"]:
-        raise ValueError(
-            "colour decode is baseline-only (SOF2 colour stays at the "
-            "codec boundary; parse_jpeg_luma decodes progressive luma)"
-        )
     if len(comps) != 3:
         raise ValueError(f"expected 1 or 3 components, got {len(comps)}")
     ns = seg[0]
@@ -554,29 +554,47 @@ def _next_marker(payload: bytes, pos: int) -> int:
 
 
 def _decode_progressive(
-    payload, pos, frame, qt, huff_dc, huff_ac, restart_interval
+    payload, pos, frame, qt, huff_dc, huff_ac, restart_interval,
+    want_rgb: bool = False,
 ):
-    """Progressive scan loop: accumulate the LUMA component's coefficients
-    across DC/AC first+refinement scans, then dequant+IDCT once at EOI.
+    """Progressive scan loop: accumulate coefficients across DC/AC
+    first+refinement scans, then dequant+IDCT once at EOI.
 
-    Per spec: DC scans (Ss=0) may interleave all components — those are
-    fully entropy-decoded (chroma DC values discarded); AC scans are
-    single-component by spec, so chroma AC scans — the bulk of a color
-    file's bytes — are SKIPPED to the next marker without decoding."""
+    Per spec, DC scans (Ss=0) may interleave all components and AC scans
+    are single-component. want_rgb=False decodes only the luma store and
+    SKIPS chroma AC scans at the segment level (the bulk of a colour
+    file's bytes); want_rgb=True accumulates every component and
+    reconstructs RGB exactly like the baseline colour path (chroma
+    upsample + JFIF transform)."""
     comps = frame["comps"]
     y_comp = comps[0]
     h_max = max(c["h"] for c in comps)
     v_max = max(c["v"] for c in comps)
     mcus_x = -(-frame["w"] // (8 * h_max))
     mcus_y = -(-frame["h"] // (8 * v_max))
-    wide = mcus_x * y_comp["h"]
-    high = mcus_y * y_comp["v"]
-    # coefficient accumulator in zigzag (transmission) index space,
-    # raster-indexed by (block_row * wide + block_col); int64 because
-    # refinement does bit tests on exact values
-    coef = np.zeros((high * wide, 64), dtype=np.int64)
-    comp_w = -(-frame["w"] * y_comp["h"] // h_max)
-    comp_h = -(-frame["h"] * y_comp["v"] // v_max)
+    # per-component coefficient accumulators in zigzag (transmission)
+    # index space, raster-indexed by (block_row * wide + block_col) on
+    # the INTERLEAVED grid (mcus * sampling factor — non-interleaved
+    # scans write their own ceil-grid into the top-left region); int64
+    # because refinement does bit tests on exact values
+    stores: dict[int, dict] = {}
+    for c in comps:
+        if not want_rgb and c is not y_comp:
+            continue
+        wide_c = mcus_x * c["h"]
+        high_c = mcus_y * c["v"]
+        cw = -(-frame["w"] * c["h"] // h_max)
+        chh = -(-frame["h"] * c["v"] // v_max)
+        stores[c["id"]] = {
+            "coef": np.zeros((high_c * wide_c, 64), dtype=np.int64),
+            "wide": wide_c,
+            "high": high_c,
+            "comp_w": cw,
+            "comp_h": chh,
+            "bx": -(-cw // 8),
+            "by": -(-chh // 8),
+            "tq": c["tq"],
+        }
     saw_scan = False
 
     while pos < len(payload):
@@ -613,20 +631,21 @@ def _decode_progressive(
                     raise ValueError("progressive DC scan with Se != 0")
                 pos = _prog_dc_scan(
                     payload, data_pos, frame, scan, huff_dc, ah, al,
-                    restart_interval, coef, wide, mcus_x, mcus_y, h_max,
+                    restart_interval, stores, mcus_x, mcus_y, h_max,
                     v_max,
                 )
             else:  # AC scan: single component by spec
                 if ns != 1:
                     raise ValueError("progressive AC scan must be 1 component")
                 cid, _, ac_tid = scan[0]
-                if cid != y_comp["id"]:
-                    pos = _next_marker(payload, data_pos)  # chroma: skip
+                st = stores.get(cid)
+                if st is None:
+                    pos = _next_marker(payload, data_pos)  # unwanted: skip
                 else:
                     pos = _prog_ac_scan(
                         payload, data_pos, huff_ac[ac_tid], ss, se, ah, al,
-                        restart_interval, coef, wide,
-                        -(-comp_w // 8), -(-comp_h // 8),
+                        restart_interval, st["coef"], st["wide"],
+                        st["bx"], st["by"],
                     )
             continue
         else:
@@ -635,20 +654,48 @@ def _decode_progressive(
 
     if not saw_scan:
         raise ValueError("progressive JPEG has no scan data")
-    qy = qt[y_comp["tq"]]
-    dq = coef.astype(np.float64) * qy[None, :]
-    n_blocks = coef.shape[0]
-    mat = np.zeros((n_blocks, 64))
-    mat[:, ZIGZAG] = dq
-    pixels = (
-        np.einsum("ij,njk,kl->nil", _D.T, mat.reshape(n_blocks, 8, 8), _D)
-        + 128.0
-    )
-    plane = np.zeros((high * 8, wide * 8))
-    for n in range(n_blocks):
-        r, c = (n // wide) * 8, (n % wide) * 8
-        plane[r : r + 8, c : c + 8] = pixels[n]
-    return np.clip(plane[:comp_h, :comp_w], 0.0, 255.0)
+
+    def _plane(st: dict) -> np.ndarray:
+        dq = st["coef"].astype(np.float64) * qt[st["tq"]][None, :]
+        n_blocks = dq.shape[0]
+        mat = np.zeros((n_blocks, 64))
+        mat[:, ZIGZAG] = dq
+        pixels = (
+            np.einsum("ij,njk,kl->nil", _D.T, mat.reshape(n_blocks, 8, 8), _D)
+            + 128.0
+        )
+        wide_c = st["wide"]
+        plane = np.zeros((st["high"] * 8, wide_c * 8))
+        for n in range(n_blocks):
+            r, c = (n // wide_c) * 8, (n % wide_c) * 8
+            plane[r : r + 8, c : c + 8] = pixels[n]
+        return plane
+
+    if not want_rgb:
+        st = stores[y_comp["id"]]
+        return np.clip(
+            _plane(st)[: st["comp_h"], : st["comp_w"]], 0.0, 255.0
+        )
+    if len(comps) == 1:
+        st = stores[y_comp["id"]]
+        gray = np.clip(
+            _plane(st)[: st["comp_h"], : st["comp_w"]], 0.0, 255.0
+        )
+        return np.repeat(gray[:, :, None], 3, axis=2)
+    h, w = frame["h"], frame["w"]
+    up = []
+    for comp in comps:
+        p = _plane(stores[comp["id"]])
+        if v_max % comp["v"] or h_max % comp["h"]:
+            raise ValueError(
+                f"unsupported non-integer sampling ratio "
+                f"({h_max}x{v_max} over {comp['h']}x{comp['v']})"
+            )
+        fy, fx = v_max // comp["v"], h_max // comp["h"]
+        if fy > 1 or fx > 1:
+            p = np.repeat(np.repeat(p, fy, axis=0), fx, axis=1)
+        up.append(p[:h, :w])
+    return ycbcr_to_rgb(up[0], up[1], up[2])
 
 
 def _prog_restart(reader, payload) -> None:
@@ -661,13 +708,13 @@ def _prog_restart(reader, payload) -> None:
 
 def _prog_dc_scan(
     payload, data_pos, frame, scan, huff_dc, ah, al, restart_interval,
-    coef, wide, mcus_x, mcus_y, h_max, v_max,
+    stores, mcus_x, mcus_y, h_max, v_max,
 ):
     """DC first (Ah=0: Huffman diffs, value = pred << Al) or refinement
-    (Ah>0: one appended bit per block). Luma coefficients land in `coef`;
-    chroma blocks are entropy-consumed and discarded."""
+    (Ah>0: one appended bit per block). Each scanned component's
+    coefficients land in its own store; components without a store
+    (luma-only decode) are entropy-consumed and discarded."""
     comps = frame["comps"]
-    y_id = comps[0]["id"]
     by_id = {c["id"]: c for c in comps}
     reader = _BitReader(payload, data_pos)
     preds = {cid: 0 for cid, _, _ in scan}
@@ -677,6 +724,7 @@ def _prog_dc_scan(
         # non-interleaved: raster over the component's OWN block grid
         cid, dc_tid, _ = scan[0]
         comp = by_id[cid]
+        st = stores.get(cid)
         cw = -(-frame["w"] * comp["h"] // h_max)
         chh = -(-frame["h"] * comp["v"] // v_max)
         bx, by = -(-cw // 8), -(-chh // 8)
@@ -688,12 +736,12 @@ def _prog_dc_scan(
                 size = reader.decode(huff_dc[dc_tid])
                 preds[cid] += _extend(reader.read_bits(size), size)
                 val = preds[cid] << al
-            if cid == y_id:
-                idx = (bi // bx) * wide + (bi % bx)
+            if st is not None:
+                idx = (bi // bx) * st["wide"] + (bi % bx)
                 if ah == 0:
-                    coef[idx, 0] = val
+                    st["coef"][idx, 0] = val
                 else:
-                    coef[idx, 0] |= reader.read_bit() << al
+                    st["coef"][idx, 0] |= reader.read_bit() << al
             elif ah != 0:
                 reader.read_bit()
         return _next_marker(payload, reader.pos)
@@ -706,6 +754,7 @@ def _prog_dc_scan(
             unit += 1
             for cid, dc_tid, _ in scan:
                 comp = by_id[cid]
+                st = stores.get(cid)
                 for vy in range(comp["v"]):
                     for vx in range(comp["h"]):
                         if ah == 0:
@@ -713,18 +762,18 @@ def _prog_dc_scan(
                             preds[cid] += _extend(
                                 reader.read_bits(size), size
                             )
-                            if cid == y_id:
-                                idx = (my * comp["v"] + vy) * wide + (
+                            if st is not None:
+                                idx = (my * comp["v"] + vy) * st["wide"] + (
                                     mx * comp["h"] + vx
                                 )
-                                coef[idx, 0] = preds[cid] << al
+                                st["coef"][idx, 0] = preds[cid] << al
                         else:
                             bit = reader.read_bit()
-                            if cid == y_id:
-                                idx = (my * comp["v"] + vy) * wide + (
+                            if st is not None:
+                                idx = (my * comp["v"] + vy) * st["wide"] + (
                                     mx * comp["h"] + vx
                                 )
-                                coef[idx, 0] |= bit << al
+                                st["coef"][idx, 0] |= bit << al
     return _next_marker(payload, reader.pos)
 
 
@@ -1242,6 +1291,119 @@ def encode_gray_progressive(
             state.flush_eobrun()
         bw.flush()
         out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_color_progressive(rgb: np.ndarray, sampling: str = "420") -> bytes:
+    """(H, W, 3) RGB → progressive (SOF2) colour JPEG with REAL chroma:
+    interleaved DC first + refinement scans and per-component AC first
+    scans over each component's own grid — the full scan structure of a
+    real progressive colour file, with the same HALF-UP JFIF transform
+    and all-ones quant as encode_color_jpeg, so MCU-constant colour
+    decodes exactly through parse_jpeg_rgb's progressive path."""
+    if sampling not in ("420", "444"):
+        raise ValueError(f"unsupported sampling {sampling!r}")
+    h, w, nc = rgb.shape
+    if nc != 3:
+        raise ValueError("encode_color_progressive needs (H, W, 3) input")
+    ycc = rgb_to_ycbcr(rgb.astype(np.float64))
+    q = np.ones(64)
+    dc_codes = _canonical_codes(FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+    ac_codes = _canonical_codes(FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+    y_hv = 0x22 if sampling == "420" else 0x11
+    mcu = 16 if sampling == "420" else 8
+    pad = ((0, -h % mcu), (0, -w % mcu), (0, 0))
+    p = np.pad(ycc, pad, mode="edge")
+    yp, cb, cr = p[:, :, 0], p[:, :, 1], p[:, :, 2]
+    if sampling == "420":
+        cb = np.floor(
+            (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2] + cb[1::2, 1::2])
+            / 4.0 + 0.5
+        )
+        cr = np.floor(
+            (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2] + cr[1::2, 1::2])
+            / 4.0 + 0.5
+        )
+
+    def grid(plane):
+        gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
+        return [
+            _fdct_quant(plane[r * 8 : r * 8 + 8, c * 8 : c * 8 + 8], q)
+            for r in range(gh)
+            for c in range(gw)
+        ], gw, gh
+
+    yb, ybw, ybh = grid(yp)
+    cbb, cbw, cbh = grid(cb)
+    crb, crw, crh = grid(cr)
+    mcus_x, mcus_y = cbw, cbh  # chroma grid == MCU grid for both samplings
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    out += _seg(
+        0xC2,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, y_hv, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _dht(0, 0, FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+    out += _dht(1, 0, FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+
+    def mcu_units():
+        yf = 2 if sampling == "420" else 1
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                ys = [
+                    yb[(yf * my + by) * ybw + yf * mx + bx]
+                    for by in range(yf)
+                    for bx in range(yf)
+                ]
+                yield ys, cbb[my * cbw + mx], crb[my * crw + mx]
+
+    # interleaved DC first scan, Al=1
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01]))
+    bw = _BitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+
+    def put_dc(zz, cid, al):
+        sh = int(zz[0]) >> al
+        size, bits = _mag(sh - preds[cid])
+        length, code = dc_codes[size]
+        bw.write(code, length)
+        if size:
+            bw.write(bits, size)
+        preds[cid] = sh
+
+    for ys, czb, czr in mcu_units():
+        for zz in ys:
+            put_dc(zz, 1, 1)
+        put_dc(czb, 2, 1)
+        put_dc(czr, 3, 1)
+    bw.flush()
+    out += bw.out
+
+    # per-component AC first scans (Al=0) over each component's own grid
+    for cid, blocks in ((1, yb), (2, cbb), (3, crb)):
+        out += _seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x00]))
+        bw = _BitWriter()
+        state = _ProgACState(bw, ac_codes)
+        for zz in blocks:
+            _enc_ac_first(state, zz, 1, 63, 0)
+        state.flush_eobrun()
+        bw.flush()
+        out += bw.out
+
+    # interleaved DC refinement scan, Ah=1 -> Al=0
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10]))
+    bw = _BitWriter()
+    for ys, czb, czr in mcu_units():
+        for zz in ys:
+            bw.write(int(zz[0]) & 1, 1)
+        bw.write(int(czb[0]) & 1, 1)
+        bw.write(int(czr[0]) & 1, 1)
+    bw.flush()
+    out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -1991,8 +1991,8 @@ ORDER BY artwork_id
 def dominant_colors_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dominant_colors over REAL colour-JPEG artwork: 24 images are
     built as 32x32 four-colour mosaics (one colour per 16x16 MCU),
-    encoded in-plan as baseline colour JPEG (4:2:0 for even ids, 4:4:4
-    for odd — both real interleaved three-component bitstreams), fully
+    encoded in-plan as REAL colour JPEG — ids cycle baseline and
+    progressive (SOF2 multi-scan) at both 4:2:0 and 4:4:4 — fully
     chroma-decoded back through parse_jpeg_rgb (operators/jpeg.py:
     dequant + IDCT per component, chroma upsample, JFIF YCbCr->RGB),
     and fed to the SAME dominant_colors operator the synthetic palette
@@ -2005,7 +2005,11 @@ def dominant_colors_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from tlmc_etl_spark.operators.jpeg import encode_color_jpeg, parse_jpeg_rgb
+    from tlmc_etl_spark.operators.jpeg import (
+        encode_color_jpeg,
+        encode_color_progressive,
+        parse_jpeg_rgb,
+    )
     from tlmc_etl_spark.operators.multimodal import dominant_colors
 
     ids = (
@@ -2029,9 +2033,10 @@ def dominant_colors_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     r0, c0 = (m // 2) * 16, (m % 2) * 16
                     rgb[r0 : r0 + 16, c0 : c0 + 16] = color
-                payload = encode_color_jpeg(
-                    rgb, sampling="420" if vid % 2 == 0 else "444"
-                )
+                # ids cycle through baseline/progressive x 4:2:0/4:4:4
+                # — four real colour bitstream families, one closed form
+                enc = encode_color_jpeg if vid % 4 < 2 else encode_color_progressive
+                payload = enc(rgb, "420" if vid % 2 == 0 else "444")
                 dec = parse_jpeg_rgb(payload)
                 px = np.floor(dec + 0.5).astype(np.int64).reshape(-1, 3)
                 out_id.extend([vid] * len(px))
