@@ -532,6 +532,30 @@ class TestColorDecode:
             assert np.array_equal(prog, base), seed
             assert np.abs(prog - self._want(rgb)).max() < 1e-9, seed
 
+    @pytest.mark.parametrize("shape", [(24, 24), (20, 25), (17, 31), (8, 40)])
+    @pytest.mark.parametrize("sampling", ["420", "444"])
+    def test_progressive_color_odd_sizes_match_baseline(self, shape, sampling):
+        # regression: non-interleaved AC scans cover the component's
+        # ceil-grid (A.2.2), NOT the padded MCU grid — at 4:2:0 the
+        # padded luma grid has extra blocks per row that desync every
+        # following row (caught at 24x24/420: error 12.1)
+        from tlmc_etl_spark.operators.jpeg import (
+            encode_color_jpeg,
+            encode_color_progressive,
+            parse_jpeg_rgb,
+        )
+
+        rng = np.random.default_rng(sum(shape))
+        h, w = shape
+        rgb = np.zeros((h, w, 3))
+        rgb[..., 0] = np.linspace(0, 255, w)[None, :]
+        rgb[..., 1] = np.linspace(255, 0, h)[:, None]
+        rgb[..., 2] = rng.integers(0, 256)
+        prog = parse_jpeg_rgb(encode_color_progressive(rgb, sampling))
+        base = parse_jpeg_rgb(encode_color_jpeg(rgb, sampling))
+        assert prog.shape == (h, w, 3)
+        assert np.array_equal(prog, base)
+
     def test_progressive_color_gradient_matches_baseline(self):
         # non-constant blocks: every scan family (interleaved DC, three
         # per-component AC bands, DC refinement) carries real data and

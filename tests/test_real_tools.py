@@ -249,15 +249,21 @@ def test_real_ffmpeg_agrees_with_color_jpeg_codec(tmp_path):
     chroma samples, which only differs where chroma varies)."""
     import numpy as np
 
-    from tlmc_etl_spark.operators.jpeg import encode_color_jpeg, parse_jpeg_rgb
-
-    from tlmc_etl_spark.operators.jpeg import encode_color_progressive
+    from tlmc_etl_spark.operators.jpeg import (
+        encode_color_jpeg,
+        encode_color_progressive,
+        parse_jpeg_rgb,
+    )
 
     rgb = np.zeros((32, 32, 3))
     rgb[:16] = (200, 30, 90)
     rgb[16:] = (10, 180, 250)
-    for enc in (encode_color_jpeg, encode_color_progressive):
-      for sampling in ("444", "420"):
+    cases = [
+        (enc, sampling)
+        for enc in (encode_color_jpeg, encode_color_progressive)
+        for sampling in ("444", "420")
+    ]
+    for enc, sampling in cases:
         payload = enc(rgb, sampling)
         ours = parse_jpeg_rgb(payload)
         jpg = tmp_path / "c.jpg"
@@ -270,6 +276,8 @@ def test_real_ffmpeg_agrees_with_color_jpeg_codec(tmp_path):
             capture_output=True,
             timeout=60,
         )
-        assert r.returncode == 0, r.stderr.decode()[:300]
+        assert r.returncode == 0, (enc.__name__, r.stderr.decode()[:300])
         theirs = np.frombuffer(r.stdout, dtype=np.uint8).reshape(32, 32, 3)
-        assert np.abs(ours - theirs.astype(np.float64)).max() <= 3.0, sampling
+        assert np.abs(ours - theirs.astype(np.float64)).max() <= 3.0, (
+            enc.__name__, sampling,
+        )

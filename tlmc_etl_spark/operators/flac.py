@@ -100,14 +100,21 @@ def pcm_md5(samples: np.ndarray, bits_per_sample: int) -> bytes:
     """RFC 9639 §8.2 unencoded-audio MD5: channel-interleaved samples as
     little-endian signed integers of ceil(bps/8) bytes. The one
     integrity field frame CRCs do NOT cover (STREAMINFO itself), and the
-    end-to-end whole-file check real decoders (`flac -t`) enforce."""
+    end-to-end whole-file check real decoders (`flac -t`) enforce.
+    Hashed in bounded chunks — the transient byte copies must stay
+    O(chunk), matching the bit reader's O(window) discipline, not grow
+    with album length."""
     import hashlib
 
     width = (bits_per_sample + 7) // 8
-    flat = np.ascontiguousarray(samples.astype("<i8")).reshape(-1)
-    raw = flat.tobytes()  # 8-byte LE; low `width` bytes are the sample
-    view = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8)[:, :width]
-    return hashlib.md5(np.ascontiguousarray(view).tobytes()).digest()
+    flat = samples.reshape(-1)
+    md5 = hashlib.md5()
+    step = 1 << 20
+    for i in range(0, flat.size, step):
+        raw = np.ascontiguousarray(flat[i : i + step].astype("<i8")).tobytes()
+        view = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 8)[:, :width]
+        md5.update(np.ascontiguousarray(view).tobytes())
+    return md5.digest()
 
 
 def _encode_coded_number(n: int) -> bytes:
@@ -931,11 +938,15 @@ def decode_range(data: bytes, start_sample: int, n_samples: int) -> np.ndarray:
     info = parse_flac_metadata(data)
     if info is None:
         raise ValueError("not a FLAC payload")
+    if not info["sample_rate"]:
+        raise ValueError("flac: STREAMINFO missing or zero sample rate")
     total = info["total_samples"]
     if n_samples < 0 or start_sample < 0 or (
         total and start_sample + n_samples > total
     ):
         raise ValueError("flac: requested range outside the stream")
+    if n_samples == 0:
+        return np.empty((0, info["channels"]), dtype=np.int64)
     info["nominal_block_size"] = (
         info["max_block_size"]
         if info.get("min_block_size") == info.get("max_block_size")

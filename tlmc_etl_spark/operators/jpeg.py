@@ -682,6 +682,9 @@ def _decode_progressive(
             _plane(st)[: st["comp_h"], : st["comp_w"]], 0.0, 255.0
         )
         return np.repeat(gray[:, :, None], 3, axis=2)
+    if len(comps) != 3:
+        # CMYK/YCCK etc: refusing beats silently dropping a plane
+        raise ValueError(f"expected 1 or 3 components, got {len(comps)}")
     h, w = frame["h"], frame["w"]
     up = []
     for comp in comps:
@@ -1060,37 +1063,18 @@ def encode_420_jpeg(y: np.ndarray, chroma_val: int = 128) -> bytes:
     return bytes(out)
 
 
-def encode_color_jpeg(rgb: np.ndarray, sampling: str = "420") -> bytes:
-    """(H, W, 3) RGB in [0, 255] → baseline colour JPEG (quant all-ones).
-
-    RGB converts through the HALF-UP-rounded JFIF transform
-    (rgb_to_ycbcr); '420' box-averages chroma 2x2 (exact when colour is
-    constant per 16x16 MCU — the layout the value-checked plans plant),
-    '444' keeps full chroma. With q=1, block-constant input decodes
-    bit-exactly through the DC path, so parse_jpeg_rgb(encode(x)) equals
-    the closed-form transform arithmetic an SQL oracle replays."""
+def _color_planes(rgb: np.ndarray, sampling: str, encoder: str):
+    """Shared colour-plane preparation for BOTH colour encoders: JFIF
+    HALF-UP transform, edge-pad to the MCU grid, 4:2:0 HALF-UP box-mean
+    chroma. The box-mean rounding is oracle-load-bearing (the SQL twin
+    replays it), so baseline and progressive MUST share one copy."""
     if sampling not in ("420", "444"):
         raise ValueError(f"unsupported sampling {sampling!r}")
     h, w, nc = rgb.shape
     if nc != 3:
-        raise ValueError("encode_color_jpeg needs (H, W, 3) input")
+        raise ValueError(f"{encoder} needs (H, W, 3) input")
     ycc = rgb_to_ycbcr(rgb.astype(np.float64))
-    q = np.ones(64)
-    dc_codes = _canonical_codes(FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
-    ac_codes = _canonical_codes(FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
-    y_hv = 0x22 if sampling == "420" else 0x11
     mcu = 16 if sampling == "420" else 8
-    out = bytearray(b"\xff\xd8")
-    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
-    out += _seg(
-        0xC0,
-        bytes([8])
-        + struct.pack(">HH", h, w)
-        + bytes([3, 1, y_hv, 0, 2, 0x11, 0, 3, 0x11, 0]),
-    )
-    out += _dht(0, 0, FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
-    out += _dht(1, 0, FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
-    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
     pad = ((0, -h % mcu), (0, -w % mcu), (0, 0))
     p = np.pad(ycc, pad, mode="edge")
     yp, cb, cr = p[:, :, 0], p[:, :, 1], p[:, :, 2]
@@ -1105,10 +1089,39 @@ def encode_color_jpeg(rgb: np.ndarray, sampling: str = "420") -> bytes:
             (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2] + cr[1::2, 1::2])
             / 4.0 + 0.5
         )
+    return yp, cb, cr, mcu
+
+
+def encode_color_jpeg(rgb: np.ndarray, sampling: str = "420") -> bytes:
+    """(H, W, 3) RGB in [0, 255] → baseline colour JPEG (quant all-ones).
+
+    RGB converts through the HALF-UP-rounded JFIF transform
+    (rgb_to_ycbcr); '420' box-averages chroma 2x2 (exact when colour is
+    constant per 16x16 MCU — the layout the value-checked plans plant),
+    '444' keeps full chroma. With q=1, block-constant input decodes
+    bit-exactly through the DC path, so parse_jpeg_rgb(encode(x)) equals
+    the closed-form transform arithmetic an SQL oracle replays."""
+    h, w = rgb.shape[:2]
+    yp, cb, cr, mcu = _color_planes(rgb, sampling, "encode_color_jpeg")
+    q = np.ones(64)
+    dc_codes = _canonical_codes(FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+    ac_codes = _canonical_codes(FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+    y_hv = 0x22 if sampling == "420" else 0x11
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in q))
+    out += _seg(
+        0xC0,
+        bytes([8])
+        + struct.pack(">HH", h, w)
+        + bytes([3, 1, y_hv, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    out += _dht(0, 0, FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
+    out += _dht(1, 0, FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
+    out += _seg(0xDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00]) + b"\x00\x3f\x00")
     bw = _BitWriter()
     preds = {1: 0, 2: 0, 3: 0}
-    for r in range(0, p.shape[0], mcu):
-        for c in range(0, p.shape[1], mcu):
+    for r in range(0, yp.shape[0], mcu):
+        for c in range(0, yp.shape[1], mcu):
             y_origin = ((0, 0), (0, 8), (8, 0), (8, 8)) if mcu == 16 else ((0, 0),)
             for by, bx in y_origin:
                 zz = _fdct_quant(yp[r + by : r + by + 8, c + bx : c + bx + 8], q)
@@ -1302,29 +1315,12 @@ def encode_color_progressive(rgb: np.ndarray, sampling: str = "420") -> bytes:
     real progressive colour file, with the same HALF-UP JFIF transform
     and all-ones quant as encode_color_jpeg, so MCU-constant colour
     decodes exactly through parse_jpeg_rgb's progressive path."""
-    if sampling not in ("420", "444"):
-        raise ValueError(f"unsupported sampling {sampling!r}")
-    h, w, nc = rgb.shape
-    if nc != 3:
-        raise ValueError("encode_color_progressive needs (H, W, 3) input")
-    ycc = rgb_to_ycbcr(rgb.astype(np.float64))
+    h, w = rgb.shape[:2]
+    yp, cb, cr, mcu = _color_planes(rgb, sampling, "encode_color_progressive")
     q = np.ones(64)
     dc_codes = _canonical_codes(FLAT_DC_COUNTS, FLAT_DC_SYMBOLS)
     ac_codes = _canonical_codes(FLAT_AC_COUNTS, FLAT_AC_SYMBOLS)
     y_hv = 0x22 if sampling == "420" else 0x11
-    mcu = 16 if sampling == "420" else 8
-    pad = ((0, -h % mcu), (0, -w % mcu), (0, 0))
-    p = np.pad(ycc, pad, mode="edge")
-    yp, cb, cr = p[:, :, 0], p[:, :, 1], p[:, :, 2]
-    if sampling == "420":
-        cb = np.floor(
-            (cb[0::2, 0::2] + cb[0::2, 1::2] + cb[1::2, 0::2] + cb[1::2, 1::2])
-            / 4.0 + 0.5
-        )
-        cr = np.floor(
-            (cr[0::2, 0::2] + cr[0::2, 1::2] + cr[1::2, 0::2] + cr[1::2, 1::2])
-            / 4.0 + 0.5
-        )
 
     def grid(plane):
         gh, gw = plane.shape[0] // 8, plane.shape[1] // 8
@@ -1383,13 +1379,25 @@ def encode_color_progressive(rgb: np.ndarray, sampling: str = "420") -> bytes:
     bw.flush()
     out += bw.out
 
-    # per-component AC first scans (Al=0) over each component's own grid
-    for cid, blocks in ((1, yb), (2, cbb), (3, crb)):
+    # per-component AC first scans (Al=0) over each component's SPEC
+    # grid — ceil(comp_w/8) x ceil(comp_h/8) (A.2.2), NOT the padded MCU
+    # grid: at 4:2:0 the padded luma grid carries extra padding blocks
+    # per row that a non-interleaved scan must not emit (the decoder
+    # would assign them to the next row's first block)
+    cf = 2 if sampling == "420" else 1
+    cw, chh = -(-w // cf), -(-h // cf)  # chroma component dimensions
+    cgw, cgh = -(-cw // 8), -(-chh // 8)
+    for cid, blocks, stride, gw, gh in (
+        (1, yb, ybw, -(-w // 8), -(-h // 8)),
+        (2, cbb, cbw, cgw, cgh),
+        (3, crb, crw, cgw, cgh),
+    ):
         out += _seg(0xDA, bytes([1, cid, 0x00, 1, 63, 0x00]))
         bw = _BitWriter()
         state = _ProgACState(bw, ac_codes)
-        for zz in blocks:
-            _enc_ac_first(state, zz, 1, 63, 0)
+        for r in range(gh):
+            for c in range(gw):
+                _enc_ac_first(state, blocks[r * stride + c], 1, 63, 0)
         state.flush_eobrun()
         bw.flush()
         out += bw.out
