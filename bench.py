@@ -80,6 +80,7 @@ HEADLINE = [
     "flac_decode_features",
     "flac_tag_scan",
     "flac_cue_split_decode",
+    "mp3_tag_scan",
     # similarity pipeline
     "cosine_topk",
     "two_stage_similarity",

@@ -890,3 +890,94 @@ class TestMp3Trailers:
                 assert f["byte_offset"] == pos
                 pos += f["byte_length"]
             assert pos <= len(mut)
+
+
+class TestId3v2:
+    """ID3v2.3/2.4 text-frame parse (functions/media.py) — the MP3 twin
+    of the VORBIS_COMMENT walk, feeding the same ph2 tag coalesce."""
+
+    def test_text_frames_roundtrip(self):
+        from tlmc_etl_spark.functions.media import make_id3v2, parse_id3v2
+
+        m = parse_id3v2(
+            make_id3v2({"TIT2": "Song ♪", "TPE1": "Circle", "TRCK": "7/12"})
+        )
+        assert (m["title"], m["artist"], m["track"]) == (
+            "Song ♪", "Circle", "7/12"
+        )
+        assert m["version"] == 3
+
+    @pytest.mark.parametrize("encoding", [0, 1, 2, 3])
+    @pytest.mark.parametrize("version", [3, 4])
+    def test_all_encodings_and_versions(self, encoding, version):
+        from tlmc_etl_spark.functions.media import make_id3v2, parse_id3v2
+
+        text = "Song" if encoding == 0 else "Søng ♪"
+        m = parse_id3v2(
+            make_id3v2({"TIT2": text}, version=version, encoding=encoding)
+        )
+        assert m["title"] == text and m["version"] == version
+
+    def test_v23_unsynchronisation(self):
+        from tlmc_etl_spark.functions.media import make_id3v2, parse_id3v2
+
+        # UTF-16 text is full of 0xFF bytes — the unsync round-trip is
+        # only exact if both sides apply the FF 00 stuffing rule
+        m = parse_id3v2(
+            make_id3v2({"TIT2": "ÿÿ high"}, version=3, encoding=1,
+                       unsync=True)
+        )
+        assert m["title"] == "ÿÿ high"
+
+    def test_padding_stops_walk(self):
+        from tlmc_etl_spark.functions.media import make_id3v2, parse_id3v2
+
+        m = parse_id3v2(make_id3v2({"TRCK": "3"}, padding=64))
+        assert m["track"] == "3" and m["tags"] == {"TRCK": "3"}
+
+    def test_frame_walk_coexists(self):
+        from tlmc_etl_spark.functions.media import (
+            make_id3v2,
+            make_mp3_stream,
+            parse_id3v2,
+            parse_mp3_frames,
+        )
+
+        s = make_id3v2({"TRCK": "9"}) + make_mp3_stream([(5, 0, 0), (5, 0, 0)])
+        assert parse_id3v2(s)["track"] == "9"
+        assert len(parse_mp3_frames(s)) == 2
+
+    def test_strictness(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import make_id3v2, parse_id3v2
+
+        assert parse_id3v2(None) is None
+        assert parse_id3v2(b"RIFF" + bytes(20)) is None
+        t = make_id3v2({"TIT2": "x" * 40})
+        with pytest.raises(ValueError):
+            parse_id3v2(t[:-6])  # torn frame
+        bad = bytearray(t)
+        bad[3] = 2  # ID3v2.2
+        with pytest.raises(ValueError, match="version"):
+            parse_id3v2(bytes(bad))
+        bad = bytearray(t)
+        bad[bytes(t).find(b"TIT2") + 10] = 9  # bogus encoding byte
+        with pytest.raises(ValueError, match="encoding"):
+            parse_id3v2(bytes(bad))
+
+    def test_random_bytes_never_leak(self):
+        import numpy as np
+
+        from tlmc_etl_spark.functions.media import parse_id3v2
+
+        rng = np.random.default_rng(109)
+        for _ in range(200):
+            blob = b"ID3" + bytes(
+                rng.integers(0, 256, size=int(rng.integers(0, 200)),
+                             dtype=np.uint8)
+            )
+            try:
+                parse_id3v2(blob)
+            except ValueError:
+                pass

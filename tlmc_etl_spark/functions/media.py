@@ -311,6 +311,124 @@ def _mp3_skip_id3v2(data: bytes) -> int:
     return 10 + size + (10 if data[5] & 0x10 else 0)
 
 
+# ID3v2 text-frame identifiers the catalog pipeline consumes — the MP3
+# twin of FLAC's VORBIS_COMMENT keys (info_scanner_ph2.py:113 KEYS =
+# {track, artist, title}; the reference reads them via mutagen/ffprobe).
+_ID3_TEXT_KEYS = {"TIT2": "title", "TPE1": "artist", "TRCK": "track"}
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def make_id3v2(
+    frames: dict[str, str],
+    version: int = 3,
+    encoding: int = 3,
+    unsync: bool = False,
+    padding: int = 0,
+) -> bytes:
+    """ID3v2.3/2.4 tag bytes (test double): text frames with the given
+    encoding byte, syncsafe tag size, optional v2.3 whole-tag
+    unsynchronisation and trailing padding."""
+    if version not in (3, 4):
+        raise ValueError("only ID3v2.3/2.4")
+    body = bytearray()
+    for fid, text in frames.items():
+        enc = _ID3_ENCODINGS[encoding]
+        payload = bytes([encoding]) + text.encode(enc)
+        size = len(payload)
+        if version == 4:  # syncsafe frame size
+            sz = bytes(
+                [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
+                 (size >> 7) & 0x7F, size & 0x7F]
+            )
+        else:
+            sz = size.to_bytes(4, "big")
+        body += fid.encode("ascii") + sz + bytes(2) + payload
+    body += bytes(padding)
+    if unsync:
+        body = bytearray(body.replace(b"\xff", b"\xff\x00"))
+    flags = 0x80 if unsync else 0x00
+    total = len(body)
+    hdr = b"ID3" + bytes([version, 0, flags]) + bytes(
+        [(total >> 21) & 0x7F, (total >> 14) & 0x7F,
+         (total >> 7) & 0x7F, total & 0x7F]
+    )
+    return hdr + bytes(body)
+
+
+@_valueerror_boundary
+def parse_id3v2(data: bytes | None) -> dict | None:
+    """ID3v2.3/2.4 header walk → {version, title, artist, track, tags}.
+
+    The in-container equivalent of the reference's mutagen/ffprobe tag
+    fetch for MP3 (Shared/utils.py:80-113 feeding info_scanner_ph2's
+    lowercase-key coalesce). Scope: text frames (Tnnn) in latin-1/
+    UTF-8/UTF-16(+BOM)/UTF-16BE, v2.3 whole-tag unsynchronisation,
+    padding stop; compressed/encrypted frames are skipped by flag.
+    None for non-ID3 input; ValueError on a torn frame walk."""
+    if not data or len(data) < 10 or data[:3] != b"ID3":
+        return None
+    version = data[3]
+    if version not in (3, 4):
+        raise ValueError(f"id3: unsupported version 2.{version}")
+    flags = data[5]
+    size = 0
+    for b in data[6:10]:
+        if b & 0x80:
+            raise ValueError("id3: tag size is not syncsafe")
+        size = (size << 7) | b
+    body = data[10 : 10 + size]
+    if len(body) < size:
+        raise ValueError("id3: tag overruns the buffer")
+    if flags & 0x80:  # v2.3 whole-tag unsynchronisation
+        body = body.replace(b"\xff\x00", b"\xff")
+    pos = 0
+    if flags & 0x40:  # extended header: skip by its own size field
+        if pos + 4 > len(body):
+            raise ValueError("id3: truncated extended header")
+        ext = int.from_bytes(body[0:4], "big")
+        if version == 4:  # syncsafe, self-inclusive
+            ext = ((ext >> 24) & 0x7F) << 21 | ((ext >> 16) & 0x7F) << 14 \
+                | ((ext >> 8) & 0x7F) << 7 | (ext & 0x7F)
+            pos = ext
+        else:  # v2.3: size EXCLUDES the 4 size bytes
+            pos = 4 + ext
+    out = {"version": version, "tags": {}}
+    while pos + 10 <= len(body):
+        fid = body[pos : pos + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            raise ValueError(f"id3: malformed frame id at {pos}")
+        raw = int.from_bytes(body[pos + 4 : pos + 8], "big")
+        if version == 4:
+            fsize = ((raw >> 24) & 0x7F) << 21 | ((raw >> 16) & 0x7F) << 14 \
+                | ((raw >> 8) & 0x7F) << 7 | (raw & 0x7F)
+        else:
+            fsize = raw
+        fflags = body[pos + 8 : pos + 10]
+        payload = body[pos + 10 : pos + 10 + fsize]
+        if len(payload) < fsize:
+            raise ValueError(f"id3: frame at {pos} overruns the tag")
+        pos += 10 + fsize
+        # v2.3 format flags: compression 0x80, encryption 0x40;
+        # v2.4: compression 0x08, encryption 0x04, per-frame unsync 0x02
+        skip_mask = 0xC0 if version == 3 else 0x0E
+        if fflags[1] & skip_mask:
+            continue  # compressed/encrypted/unsynced: honest skip
+        if fid[0:1] == b"T" and fsize >= 1:
+            enc = _ID3_ENCODINGS.get(payload[0])
+            if enc is None:
+                raise ValueError(f"id3: bad text encoding {payload[0]}")
+            try:
+                text = payload[1:].decode(enc).rstrip("\x00")
+            except UnicodeDecodeError as e:
+                raise ValueError(f"id3: undecodable text frame: {e}") from e
+            out["tags"][fid.decode("ascii")] = text
+    for fid, key in _ID3_TEXT_KEYS.items():
+        out[key] = out["tags"].get(fid)
+    return out
+
+
 @_valueerror_boundary
 def parse_mp3_frames(data: bytes | None) -> list[dict]:
     """Walk an MPEG-1 Layer III stream into a frame index: one dict per

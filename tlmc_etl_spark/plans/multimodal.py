@@ -2188,3 +2188,166 @@ def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_samples long, s_sum long, s_min long"
         ),
     ).orderBy("album_id", "track_number")
+
+
+# --------------------------------------------------------------------------
+# mp3_tag_scan — ID3v2 text-frame parse + the same ph2 coalesce
+# --------------------------------------------------------------------------
+
+_MP3_TAG_ORACLE = """
+WITH ids AS (
+  SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 200
+), g AS (
+  SELECT id,
+         1 + id % 24 AS n_no,
+         'Artist ' || CAST(id % 11 AS VARCHAR)
+           || CASE WHEN id % 2 = 1 THEN ' 東方' ELSE '' END AS base_artist,
+         'Song ' || CAST(id * 43 % 1000 AS VARCHAR) AS fname_title,
+         CAST(3 + id % 2 AS INTEGER) AS id3_version
+  FROM ids
+), t AS (
+  SELECT id, id3_version,
+         CASE WHEN id % 13 <> 0
+              THEN 'Tagged ' || CAST(id * 47 % 1000 AS VARCHAR) END AS tag_title,
+         CASE WHEN id % 6 <> 0 THEN base_artist END AS tag_artist,
+         CASE WHEN id % 3 = 0 THEN CAST(n_no AS VARCHAR)
+              WHEN id % 3 = 1 THEN CAST(n_no AS VARCHAR) || '/24' END AS tag_track,
+         CASE WHEN id % 8 <> 0
+              THEN '(' || lpad(CAST(n_no AS VARCHAR), 2, '0') || ') ['
+                   || base_artist || '] ' || fname_title || '.mp3'
+              ELSE fname_title || '.mp3' END AS filename
+  FROM g
+), r AS (
+  SELECT id, id3_version, filename, tag_title, tag_artist,
+         regexp_matches(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$') AS canon,
+         CAST(nullif(regexp_extract(tag_track, '^(\\d+)', 1), '')
+              AS INTEGER) AS tag_no
+  FROM t
+), p AS (
+  SELECT id, id3_version, filename, tag_title, tag_artist, tag_no,
+         CASE WHEN canon THEN CAST(regexp_extract(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$', 1)
+           AS INTEGER) END AS fp_no,
+         CASE WHEN canon THEN regexp_extract(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$', 2)
+           END AS fp_artist,
+         CASE WHEN canon THEN regexp_extract(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$', 3)
+           END AS fp_title
+  FROM r
+)
+SELECT id AS track_id, id3_version,
+       coalesce(fp_no, tag_no) AS track_no,
+       coalesce(fp_artist, tag_artist) AS artist,
+       coalesce(fp_title, tag_title,
+                trim(regexp_replace(regexp_replace(filename,
+                  '\\.[A-Za-z0-9]+$', ''), '\\[[^\\]]*\\]', '', 'g'))) AS title,
+       (coalesce(fp_no, tag_no) IS NULL
+        OR coalesce(fp_artist, tag_artist) IS NULL) AS needs_check
+FROM p
+ORDER BY track_id
+"""
+
+
+@query("mp3_tag_scan", oracle=_MP3_TAG_ORACLE)
+def mp3_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2 tag scan — the MP3 twin of flac_tag_scan: 200 MP3 streams
+    get REAL ID3v2.3/2.4 tags (version alternates by id, UTF-8 text
+    frames, ID3-style 'n/total' TRCK for a third of the ids, absent
+    frames elsewhere) planted IN FRONT of real MPEG-1 Layer III frames,
+    parsed back through the real tag walk
+    (functions/media.py:parse_id3v2 — the frame walk coexists with the
+    tag via the same skip logic production uses), then merged with the
+    canonical-filename parse under the reference's ph2 precedence
+    (info_scanner_ph2.py:138-170: the TRCK '7/10' split is the rule
+    that recovered 2,440 track numbers in the reference corpus). DuckDB
+    replays the plant and the coalesce closed-form."""
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import (
+        make_id3v2,
+        make_mp3_stream,
+        parse_id3v2,
+    )
+    from tlmc_etl_spark.functions.text import parse_track_filename
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                n_no = 1 + vid % 24
+                base_artist = f"Artist {vid % 11}" + (
+                    " 東方" if vid % 2 else ""
+                )
+                fname_title = f"Song {vid * 43 % 1000}"
+                frames = {}
+                if vid % 13:
+                    frames["TIT2"] = f"Tagged {vid * 47 % 1000}"
+                if vid % 6:
+                    frames["TPE1"] = base_artist
+                if vid % 3 == 0:
+                    frames["TRCK"] = str(n_no)
+                elif vid % 3 == 1:
+                    frames["TRCK"] = f"{n_no}/24"
+                version = 3 + vid % 2
+                payload = make_id3v2(
+                    frames, version=version, padding=vid % 32
+                ) + make_mp3_stream([(5, 0, 0)])
+                meta = parse_id3v2(payload)
+                filename = (
+                    f"({n_no:02d}) [{base_artist}] {fname_title}.mp3"
+                    if vid % 8
+                    else f"{fname_title}.mp3"
+                )
+                rows.append(
+                    (
+                        vid, meta["version"], filename,
+                        meta["title"], meta["artist"], meta["track"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "id3_version", "filename",
+                    "tag_title", "tag_artist", "tag_track",
+                ],
+            )
+
+    parsed = fanout(ids).mapInPandas(
+        scan,
+        schema=(
+            "track_id long, id3_version int, filename string, "
+            "tag_title string, tag_artist string, tag_track string"
+        ),
+    ).withColumn("fp", parse_track_filename("filename"))
+    tag_no_s = F.regexp_extract("tag_track", r"^(\d+)", 1)
+    tag_no = F.when(tag_no_s != "", tag_no_s).cast("int")
+    track_no = F.coalesce(F.col("fp.track_no"), tag_no)
+    artist = F.coalesce(F.col("fp.artist"), F.col("tag_artist"))
+    return parsed.select(
+        "track_id",
+        "id3_version",
+        track_no.alias("track_no"),
+        artist.alias("artist"),
+        F.coalesce(
+            F.col("fp.title"),
+            F.col("tag_title"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace("filename", r"\.[A-Za-z0-9]+$", ""),
+                    r"\[[^\]]*\]",
+                    "",
+                )
+            ),
+        ).alias("title"),
+        (track_no.isNull() | artist.isNull()).alias("needs_check"),
+    ).orderBy("track_id")

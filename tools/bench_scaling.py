@@ -73,8 +73,11 @@ NOTES = {
         "flat ~1x across sfs - same per-file design, 200 fixed tracks"
     ),
     "flac_cue_split_decode": (
-        "flat ~1x across sfs - per-album codec work over 12 fixed "
+        "flat ~1x across sfs - per-album codec work over 6 fixed "
         "synthetic albums (scale = more albums, embarrassingly parallel)"
+    ),
+    "mp3_tag_scan": (
+        "flat ~1x across sfs - same per-file design, 200 fixed tracks"
     ),
     "two_stage_similarity_round10_drift": (
         "round-10 suite wall moved 1.38->1.59s with no plan change; "
