@@ -199,6 +199,19 @@ class TestRoundTrip:
         x = (np.arange(2500, dtype=np.int64) % 97) * 5
         _rt(x, block_size=1024, partition_order=2)
 
+    def test_partition_order_clamps_to_predictor_order(self):
+        """Legal (block_size, lpc_order, partition_order) combinations
+        must encode: the first partition holds part_len - order samples,
+        so the writer shrinks the partition order until it fits instead
+        of raising (block 16, order-2 partitions, LPC order 8 ⇒
+        part_len 4 < 8 without the clamp)."""
+        rng = np.random.default_rng(7)
+        x = rng.integers(-2000, 2000, 16).astype(np.int64)
+        _rt(x, block_size=16, partition_order=2, mode="lpc", lpc_order=8)
+        # short tail blocks hit the same clamp through a dividing order
+        y = rng.integers(-2000, 2000, 1024 + 24).astype(np.int64)
+        _rt(y, block_size=1024, partition_order=3, mode="lpc", lpc_order=8)
+
     def test_pcm_convenience(self):
         t = np.arange(4410)
         tone = (np.sin(2 * np.pi * 440 * t / 44100) * 12000).astype(np.int64)
@@ -250,6 +263,29 @@ class TestStrictness:
             with pytest.raises(ValueError):
                 parse_flac_audio(bytes(torn))
 
+    def test_lpc_bit_flips_never_leak_overflow(self):
+        """Corruption in an LPC subframe BODY passes the header CRC-8
+        (CRC-16 runs only after subframe decode) and feeds the integer
+        feedback loop — which can explode past int64. The restore must
+        bound-check and raise ValueError, never OverflowError from the
+        int64 conversion. Fuzzes the exact shape the advisory reproduced
+        (mid_side LPC stream, single-bit flips)."""
+        t = np.arange(6000)
+        left = (np.sin(2 * np.pi * 997 * t / 44100) * 14000).astype(np.int64)
+        right = (np.sin(2 * np.pi * 1213 * t / 44100) * 11000).astype(
+            np.int64
+        )
+        enc = encode_flac(np.stack([left, right], axis=1), 44100,
+                          stereo="mid_side", mode="lpc", block_size=2048)
+        rng = np.random.default_rng(1)
+        for _ in range(300):
+            pos = int(rng.integers(42, len(enc)))
+            bit = int(rng.integers(8))
+            torn = bytearray(enc)
+            torn[pos] ^= 1 << bit
+            with pytest.raises(ValueError):
+                parse_flac_audio(bytes(torn))
+
     def test_declared_total_mismatch_raises(self):
         enc = bytearray(self._valid())
         # STREAMINFO total_samples is the low 36 bits of the packed
@@ -283,6 +319,26 @@ class TestWindowedReader:
         # and the default window agrees
         dec2 = parse_flac_audio(enc)
         assert np.array_equal(dec2["samples"], dec["samples"])
+
+    def test_partition_larger_than_window_falls_back(self):
+        """Rice quotients are unbounded: a single partition can exceed
+        the whole unpacked-bit window (here: one order-0 partition of
+        4096 samples x several bits against a 512 B window). The fast
+        set-bit walk must fall back to incremental reads — which slide
+        per sample — instead of raising a spurious truncation error on
+        valid data."""
+        from tlmc_etl_spark.operators import flac as flac_mod
+
+        rng = np.random.default_rng(83)
+        x = rng.integers(-4000, 4000, 12_000).astype(np.int64)
+        enc = encode_flac(x, 44100, block_size=4096, partition_order=0)
+        old = flac_mod._Bits._WINDOW_BYTES
+        flac_mod._Bits._WINDOW_BYTES = 512
+        try:
+            dec = parse_flac_audio(enc)
+        finally:
+            flac_mod._Bits._WINDOW_BYTES = old
+        assert np.array_equal(dec["samples"][:, 0], x)
 
     def test_truncation_still_raises_across_windows(self):
         from tlmc_etl_spark.operators import flac as flac_mod

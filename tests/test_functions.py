@@ -935,6 +935,52 @@ class TestId3v2:
         m = parse_id3v2(make_id3v2({"TRCK": "3"}, padding=64))
         assert m["track"] == "3" and m["tags"] == {"TRCK": "3"}
 
+    def test_v22_roundtrip(self):
+        """ID3v2.2: 3-char frame IDs, 3-byte sizes, no frame flags —
+        the layout older corpus MP3s carry, read transparently by the
+        reference's mutagen path (info_scanner_ph2.py:138-170)."""
+        from tlmc_etl_spark.functions.media import make_id3v2, parse_id3v2
+
+        m = parse_id3v2(
+            make_id3v2({"TT2": "Søng ♪", "TP1": "Circle", "TRK": "7/12"},
+                       version=2, padding=16)
+        )
+        assert (m["title"], m["artist"], m["track"]) == (
+            "Søng ♪", "Circle", "7/12"
+        )
+        assert m["version"] == 2
+        # wrong id width for the version is a builder error
+        with pytest.raises(ValueError, match="3 chars"):
+            make_id3v2({"TIT2": "x"}, version=2)
+        with pytest.raises(ValueError, match="4 chars"):
+            make_id3v2({"TT2": "x"}, version=3)
+
+    def test_v22_whole_tag_compression_skips_body(self):
+        from tlmc_etl_spark.functions.media import make_id3v2, parse_id3v2
+
+        t = bytearray(make_id3v2({"TT2": "x"}, version=2))
+        t[5] |= 0x40  # v2.2 compression bit: no scheme defined — skip
+        m = parse_id3v2(bytes(t))
+        assert m["tags"] == {} and m["title"] is None
+
+    def test_default_encoding_is_version_conformant(self):
+        """UTF-8 (encoding 3) is v2.4-only: the default builder must
+        emit latin-1 for ASCII text and UTF-16 BOM otherwise on
+        v2.2/2.3, so real v2.3 readers accept the planted frames."""
+        from tlmc_etl_spark.functions.media import make_id3v2
+
+        def enc_byte(tag: bytes, fid: bytes, hdr: int) -> int:
+            return tag[tag.find(fid) + hdr]
+
+        assert enc_byte(make_id3v2({"TIT2": "plain"}), b"TIT2", 10) == 0
+        assert enc_byte(make_id3v2({"TIT2": "東方"}), b"TIT2", 10) == 1
+        assert enc_byte(
+            make_id3v2({"TT2": "東方"}, version=2), b"TT2", 6
+        ) == 1
+        assert enc_byte(
+            make_id3v2({"TIT2": "東方"}, version=4), b"TIT2", 10
+        ) == 3
+
     def test_frame_walk_coexists(self):
         from tlmc_etl_spark.functions.media import (
             make_id3v2,
@@ -958,7 +1004,7 @@ class TestId3v2:
         with pytest.raises(ValueError):
             parse_id3v2(t[:-6])  # torn frame
         bad = bytearray(t)
-        bad[3] = 2  # ID3v2.2
+        bad[3] = 5  # unknown future version
         with pytest.raises(ValueError, match="version"):
             parse_id3v2(bytes(bad))
         bad = bytearray(t)

@@ -314,27 +314,53 @@ def _mp3_skip_id3v2(data: bytes) -> int:
 # ID3v2 text-frame identifiers the catalog pipeline consumes — the MP3
 # twin of FLAC's VORBIS_COMMENT keys (info_scanner_ph2.py:113 KEYS =
 # {track, artist, title}; the reference reads them via mutagen/ffprobe).
+# v2.2 uses 3-char IDs for the same frames (mutagen reads both
+# transparently, so older MP3s in the corpus carry the short form).
 _ID3_TEXT_KEYS = {"TIT2": "title", "TPE1": "artist", "TRCK": "track"}
+_ID3V22_TEXT_KEYS = {"TT2": "title", "TP1": "artist", "TRK": "track"}
 _ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
 
 
 def make_id3v2(
     frames: dict[str, str],
     version: int = 3,
-    encoding: int = 3,
+    encoding: int | None = None,
     unsync: bool = False,
     padding: int = 0,
 ) -> bytes:
-    """ID3v2.3/2.4 tag bytes (test double): text frames with the given
-    encoding byte, syncsafe tag size, optional v2.3 whole-tag
-    unsynchronisation and trailing padding."""
-    if version not in (3, 4):
-        raise ValueError("only ID3v2.3/2.4")
+    """ID3v2.2/2.3/2.4 tag bytes (test double): text frames, syncsafe tag
+    size, optional whole-tag unsynchronisation and trailing padding.
+    Frame IDs must be 3 chars for version 2 (TT2/TP1/TRK), 4 otherwise.
+
+    encoding=None picks a version-conformant text encoding per frame:
+    UTF-8 (3) for v2.4; latin-1 (0) when the text allows it and UTF-16
+    with BOM (1) otherwise for v2.2/2.3 — UTF-8 is a v2.4-only encoding,
+    so a conformant v2.3 writer must not emit it. An explicit encoding
+    is honored as given (tests use it to plant nonconformant frames)."""
+    if version not in (2, 3, 4):
+        raise ValueError("only ID3v2.2/2.3/2.4")
+    id_len = 3 if version == 2 else 4
     body = bytearray()
     for fid, text in frames.items():
-        enc = _ID3_ENCODINGS[encoding]
-        payload = bytes([encoding]) + text.encode(enc)
+        if len(fid) != id_len:
+            raise ValueError(
+                f"id3: v2.{version} frame id must be {id_len} chars"
+            )
+        enc_byte = encoding
+        if enc_byte is None:
+            if version == 4:
+                enc_byte = 3
+            else:
+                try:
+                    text.encode("latin-1")
+                    enc_byte = 0
+                except UnicodeEncodeError:
+                    enc_byte = 1
+        payload = bytes([enc_byte]) + text.encode(_ID3_ENCODINGS[enc_byte])
         size = len(payload)
+        if version == 2:  # 3-byte size, no frame flags
+            body += fid.encode("ascii") + size.to_bytes(3, "big") + payload
+            continue
         if version == 4:  # syncsafe frame size
             sz = bytes(
                 [(size >> 21) & 0x7F, (size >> 14) & 0x7F,
@@ -357,18 +383,22 @@ def make_id3v2(
 
 @_valueerror_boundary
 def parse_id3v2(data: bytes | None) -> dict | None:
-    """ID3v2.3/2.4 header walk → {version, title, artist, track, tags}.
+    """ID3v2.2/2.3/2.4 header walk → {version, title, artist, track,
+    tags}.
 
     The in-container equivalent of the reference's mutagen/ffprobe tag
     fetch for MP3 (Shared/utils.py:80-113 feeding info_scanner_ph2's
-    lowercase-key coalesce). Scope: text frames (Tnnn) in latin-1/
-    UTF-8/UTF-16(+BOM)/UTF-16BE, v2.3 whole-tag unsynchronisation,
-    padding stop; compressed/encrypted frames are skipped by flag.
-    None for non-ID3 input; ValueError on a torn frame walk."""
+    lowercase-key coalesce — mutagen reads all three tag versions
+    transparently, so older corpus MP3s carry v2.2's 3-char frames).
+    Scope: text frames (Tnn/Tnnn) in latin-1/UTF-8/UTF-16(+BOM)/
+    UTF-16BE, whole-tag unsynchronisation, padding stop; compressed/
+    encrypted frames are skipped by flag (v2.2's whole-tag compression
+    bit skips the body — no scheme was ever defined for it). None for
+    non-ID3 input; ValueError on a torn frame walk."""
     if not data or len(data) < 10 or data[:3] != b"ID3":
         return None
     version = data[3]
-    if version not in (3, 4):
+    if version not in (2, 3, 4):
         raise ValueError(f"id3: unsupported version 2.{version}")
     flags = data[5]
     size = 0
@@ -379,9 +409,31 @@ def parse_id3v2(data: bytes | None) -> dict | None:
     body = data[10 : 10 + size]
     if len(body) < size:
         raise ValueError("id3: tag overruns the buffer")
-    if flags & 0x80:  # v2.3 whole-tag unsynchronisation
+    if flags & 0x80:  # whole-tag unsynchronisation (v2.2/2.3 scheme)
         body = body.replace(b"\xff\x00", b"\xff")
     pos = 0
+    key_map = _ID3_TEXT_KEYS
+    out = {"version": version, "tags": {}}
+    if version == 2:
+        key_map = _ID3V22_TEXT_KEYS
+        if flags & 0x40:  # v2.2 whole-tag compression: honest skip
+            body = b""
+        while pos + 6 <= len(body):
+            fid = body[pos : pos + 3]
+            if fid == b"\x00\x00\x00":
+                break  # padding
+            if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+                raise ValueError(f"id3: malformed frame id at {pos}")
+            fsize = int.from_bytes(body[pos + 3 : pos + 6], "big")
+            payload = body[pos + 6 : pos + 6 + fsize]
+            if len(payload) < fsize:
+                raise ValueError(f"id3: frame at {pos} overruns the tag")
+            pos += 6 + fsize
+            if fid[0:1] == b"T" and fsize >= 1:
+                out["tags"][fid.decode("ascii")] = _id3_text(payload)
+        for fid, key in key_map.items():
+            out[key] = out["tags"].get(fid)
+        return out
     if flags & 0x40:  # extended header: skip by its own size field
         if pos + 4 > len(body):
             raise ValueError("id3: truncated extended header")
@@ -392,7 +444,6 @@ def parse_id3v2(data: bytes | None) -> dict | None:
             pos = ext
         else:  # v2.3: size EXCLUDES the 4 size bytes
             pos = 4 + ext
-    out = {"version": version, "tags": {}}
     while pos + 10 <= len(body):
         fid = body[pos : pos + 4]
         if fid == b"\x00\x00\x00\x00":
@@ -416,17 +467,21 @@ def parse_id3v2(data: bytes | None) -> dict | None:
         if fflags[1] & skip_mask:
             continue  # compressed/encrypted/unsynced: honest skip
         if fid[0:1] == b"T" and fsize >= 1:
-            enc = _ID3_ENCODINGS.get(payload[0])
-            if enc is None:
-                raise ValueError(f"id3: bad text encoding {payload[0]}")
-            try:
-                text = payload[1:].decode(enc).rstrip("\x00")
-            except UnicodeDecodeError as e:
-                raise ValueError(f"id3: undecodable text frame: {e}") from e
-            out["tags"][fid.decode("ascii")] = text
-    for fid, key in _ID3_TEXT_KEYS.items():
+            out["tags"][fid.decode("ascii")] = _id3_text(payload)
+    for fid, key in key_map.items():
         out[key] = out["tags"].get(fid)
     return out
+
+
+def _id3_text(payload: bytes) -> str:
+    """Decode an ID3v2 text-frame payload (encoding byte + text)."""
+    enc = _ID3_ENCODINGS.get(payload[0])
+    if enc is None:
+        raise ValueError(f"id3: bad text encoding {payload[0]}")
+    try:
+        return payload[1:].decode(enc).rstrip("\x00")
+    except UnicodeDecodeError as e:
+        raise ValueError(f"id3: undecodable text frame: {e}") from e
 
 
 @_valueerror_boundary

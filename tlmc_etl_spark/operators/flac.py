@@ -327,6 +327,12 @@ def _write_residual(w: _BitWriter, residual: np.ndarray, order: int,
                     block_size: int, partition_order: int):
     if block_size % (1 << partition_order):
         raise ValueError("partition order does not divide block size")
+    # the first partition holds part_len - order samples: shrink the
+    # order until it fits (halving preserves divisibility), so legal
+    # (block_size, lpc_order, partition_order) combinations — including
+    # short tail blocks — always encode instead of raising
+    while partition_order and (block_size >> partition_order) < order:
+        partition_order -= 1
     w.write(0, 2)  # coding method 0: 4-bit Rice parameters
     w.write(partition_order, 4)
     n_parts = 1 << partition_order
@@ -395,64 +401,85 @@ def _read_residual(bits: _Bits, order: int, block_size: int) -> np.ndarray:
                     out[pos + i] = bits.read_signed(width)
             pos += n
             continue
-        # vectorizable walk over the set-bit index, window-relative.
-        # Guarantee headroom first: a legal partition is at most
-        # blocksize x ~33 bits (~270 KB) — far under half a window — so
-        # slide once per partition instead of checking per sample.
-        if (
-            bits.base + len(bits.bits) < bits.n_bits
-            and bits.base + len(bits.bits) - bits.pos < (4 << 20)
-        ):
-            bits._slide(bits.pos // 8)
-        ones = bits.ones
-        rel0 = bits.pos - bits.base
-        c = int(np.searchsorted(ones, rel0, side="left"))
-        n_ones = len(ones)
-        if k == 0:
-            # no remainder bits: stop bits are exactly the next n set
-            # bits — fully vectorized
-            if c + n > n_ones:
-                raise ValueError("flac: bitstream truncated in Rice run")
-            starts = ones[c : c + n].astype(np.int64)
-            c += n
-            b = int(starts[-1]) + 1
-        else:
-            # remainder bits interleave with stop bits: sequential walk,
-            # but over a plain int list (numpy scalar indexing is ~4x
-            # slower per element in this hot loop)
-            need = min(n_ones - c, n * (k + 2) + 16)
-            ol = ones[c : c + need].tolist()
-            starts = np.empty(n, dtype=np.int64)
-            b = rel0
-            j = 0
-            n_ol = len(ol)
+        zz = _rice_partition_fast(bits, n, k)
+        if zz is None:
+            # the set-bit index ran out mid-partition: Rice quotients are
+            # unbounded, so a conformant stream whose encoder chose a
+            # small k for large residuals can push one partition past the
+            # window headroom. Fall back to incremental reads — unary()
+            # and read() slide the window on demand per sample, and raise
+            # the truncation ValueError themselves if the stream really
+            # ends.
+            zz = np.empty(n, dtype=np.int64)
             for i in range(n):
-                while j < n_ol and ol[j] < b:
-                    j += 1
-                if j >= n_ol:
-                    raise ValueError("flac: bitstream truncated in Rice run")
-                stop = ol[j]
-                j += 1
-                starts[i] = stop
-                b = stop + 1 + k
-            c += j
-        if b > len(bits.bits):
-            raise ValueError("flac: bitstream truncated in Rice remainder")
-        q = starts.copy()
-        q[1:] -= starts[:-1] + 1 + k
-        q[0] -= rel0
-        if k:
-            idx = (starts + 1)[:, None] + np.arange(k)[None, :]
-            rem = bits.bits[idx].astype(np.int64) @ (
-                1 << np.arange(k - 1, -1, -1, dtype=np.int64)
-            )
-        else:
-            rem = np.zeros(n, dtype=np.int64)
-        out[pos : pos + n] = _unzigzag((q << k) | rem)
+                q = bits.unary()
+                zz[i] = (q << k) | (bits.read(k) if k else 0)
+        out[pos : pos + n] = _unzigzag(zz)
         pos += n
-        bits.pos = bits.base + b
-        bits._one_cursor = c
     return out
+
+
+def _rice_partition_fast(bits: _Bits, n: int, k: int) -> np.ndarray | None:
+    """Vectorizable walk over the set-bit index, window-relative: decode
+    one Rice partition's n zigzagged values, advancing the reader.
+    Guarantees headroom first — a typical partition is at most
+    blocksize x ~33 bits (~270 KB), far under half a window — sliding
+    once per partition instead of checking per sample. Returns None
+    WITHOUT consuming anything when the window's set-bit index is
+    exhausted mid-partition (oversized quotients or true truncation:
+    the caller's incremental fallback distinguishes them)."""
+    if (
+        bits.base + len(bits.bits) < bits.n_bits
+        and bits.base + len(bits.bits) - bits.pos < (4 << 20)
+    ):
+        bits._slide(bits.pos // 8)
+    ones = bits.ones
+    rel0 = bits.pos - bits.base
+    c = int(np.searchsorted(ones, rel0, side="left"))
+    n_ones = len(ones)
+    if k == 0:
+        # no remainder bits: stop bits are exactly the next n set
+        # bits — fully vectorized
+        if c + n > n_ones:
+            return None
+        starts = ones[c : c + n].astype(np.int64)
+        c += n
+        b = int(starts[-1]) + 1
+    else:
+        # remainder bits interleave with stop bits: sequential walk,
+        # but over a plain int list (numpy scalar indexing is ~4x
+        # slower per element in this hot loop)
+        need = min(n_ones - c, n * (k + 2) + 16)
+        ol = ones[c : c + need].tolist()
+        starts = np.empty(n, dtype=np.int64)
+        b = rel0
+        j = 0
+        n_ol = len(ol)
+        for i in range(n):
+            while j < n_ol and ol[j] < b:
+                j += 1
+            if j >= n_ol:
+                return None
+            stop = ol[j]
+            j += 1
+            starts[i] = stop
+            b = stop + 1 + k
+        c += j
+    if b > len(bits.bits):
+        return None
+    q = starts.copy()
+    q[1:] -= starts[:-1] + 1 + k
+    q[0] -= rel0
+    if k:
+        idx = (starts + 1)[:, None] + np.arange(k)[None, :]
+        rem = bits.bits[idx].astype(np.int64) @ (
+            1 << np.arange(k - 1, -1, -1, dtype=np.int64)
+        )
+    else:
+        rem = np.zeros(n, dtype=np.int64)
+    bits.pos = bits.base + b
+    bits._one_cursor = c
+    return (q << k) | rem
 
 
 # ---------------------------------------------------------------------------
@@ -524,15 +551,25 @@ def _lpc_residual(x: np.ndarray, qcoef: np.ndarray, shift: int
 
 
 def _lpc_restore(warmup: np.ndarray, residual: np.ndarray,
-                 qcoef: np.ndarray, shift: int) -> np.ndarray:
+                 qcoef: np.ndarray, shift: int,
+                 eff_bps: int = 33) -> np.ndarray:
     order = len(qcoef)
     out = [int(v) for v in warmup]
     coefs = [int(c) for c in qcoef]
+    # Conformant restored samples fit eff_bps signed exactly; corruption
+    # that survives the header CRC-8 (CRC-16 runs only after subframe
+    # decode) can make this Python-int feedback loop explode past int64
+    # — bound each sample so corrupt streams raise ValueError, never
+    # OverflowError from the final int64 conversion.
+    lim = 1 << (eff_bps + 1)
     for r in residual:
         acc = 0
         for j in range(order):
             acc += coefs[j] * out[-1 - j]
-        out.append((acc >> shift) + int(r))
+        v = (acc >> shift) + int(r)
+        if v > lim or v < -lim:
+            raise ValueError("flac: LPC restore exceeds sample range")
+        out.append(v)
     return np.array(out, dtype=np.int64)
 
 
@@ -653,7 +690,7 @@ def _decode_subframe(bits: _Bits, block_size: int, bps: int) -> np.ndarray:
             dtype=np.int64, count=order,
         )
         residual = _read_residual(bits, order, block_size)
-        out = _lpc_restore(warmup, residual, qcoef, shift)
+        out = _lpc_restore(warmup, residual, qcoef, shift, eff_bps)
     else:
         raise ValueError(f"flac: reserved subframe type {stype:#08b}")
     return out << wasted if wasted else out

@@ -223,15 +223,16 @@ def _parse_png(payload: bytes) -> np.ndarray:
         p += 1 + stride
         if f == 0:  # None
             pass
-        elif f == 1:  # Sub
+        elif f == 1:  # Sub (int cast: mod-256 wrap must not lean on
+            # numpy fixed-width overflow, which warns)
             for i in range(bpp, stride):
-                cur[i] = (cur[i] + cur[i - bpp]) & 0xFF
+                cur[i] = (int(cur[i]) + int(cur[i - bpp])) & 0xFF
         elif f == 2:  # Up (vectorized: uint8 addition wraps mod 256)
             cur += prev
         elif f == 3:  # Average
             for i in range(stride):
                 left = int(cur[i - bpp]) if i >= bpp else 0
-                cur[i] = (cur[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+                cur[i] = (int(cur[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
         elif f == 4:  # Paeth
             for i in range(stride):
                 a = int(cur[i - bpp]) if i >= bpp else 0
@@ -240,7 +241,7 @@ def _parse_png(payload: bytes) -> np.ndarray:
                 q = a + b - c
                 pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[i] = (cur[i] + pred) & 0xFF
+                cur[i] = (int(cur[i]) + pred) & 0xFF
         else:
             raise ValueError(f"unknown PNG filter {f} on row {r}")
         out[r] = cur

@@ -2203,7 +2203,7 @@ WITH ids AS (
          'Artist ' || CAST(id % 11 AS VARCHAR)
            || CASE WHEN id % 2 = 1 THEN ' 東方' ELSE '' END AS base_artist,
          'Song ' || CAST(id * 43 % 1000 AS VARCHAR) AS fname_title,
-         CAST(3 + id % 2 AS INTEGER) AS id3_version
+         CAST(2 + id % 3 AS INTEGER) AS id3_version
   FROM ids
 ), t AS (
   SELECT id, id3_version,
@@ -2253,9 +2253,11 @@ ORDER BY track_id
 @query("mp3_tag_scan", oracle=_MP3_TAG_ORACLE)
 def mp3_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ID3v2 tag scan — the MP3 twin of flac_tag_scan: 200 MP3 streams
-    get REAL ID3v2.3/2.4 tags (version alternates by id, UTF-8 text
-    frames, ID3-style 'n/total' TRCK for a third of the ids, absent
-    frames elsewhere) planted IN FRONT of real MPEG-1 Layer III frames,
+    get REAL ID3v2.2/2.3/2.4 tags (version cycles by id; v2.2 uses the
+    3-char TT2/TP1/TRK frame layout older corpus MP3s carry,
+    version-conformant text encodings throughout, ID3-style 'n/total'
+    TRCK for a third of the ids, absent frames elsewhere) planted IN
+    FRONT of real MPEG-1 Layer III frames,
     parsed back through the real tag walk
     (functions/media.py:parse_id3v2 — the frame walk coexists with the
     tag via the same skip logic production uses), then merged with the
@@ -2298,7 +2300,10 @@ def mp3_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     frames["TRCK"] = str(n_no)
                 elif vid % 3 == 1:
                     frames["TRCK"] = f"{n_no}/24"
-                version = 3 + vid % 2
+                version = 2 + vid % 3
+                if version == 2:
+                    short = {"TIT2": "TT2", "TPE1": "TP1", "TRCK": "TRK"}
+                    frames = {short[k]: v for k, v in frames.items()}
                 payload = make_id3v2(
                     frames, version=version, padding=vid % 32
                 ) + make_mp3_stream([(5, 0, 0)])
