@@ -167,6 +167,67 @@ def test_real_7z_lists_created_archive(spark, tmp_path):
     assert any(e.endswith("disc1") and d for e, d in entries.items())
 
 
+@needs_7z
+def test_real_7z_archive_parses_with_inproc_index(tmp_path):
+    """Cross-engine gate for the in-container header parser: an archive
+    written by REAL `7z a` (LZMA-encoded header, solid folder) must
+    yield the same names/dirs/sizes through parse_7z_index as through
+    `7z l -slt` — breaking the encode_7z<->parse_7z_index
+    self-consistency loop."""
+    from tlmc_etl_spark.operators.sevenzip import parse_7z_index
+
+    src = tmp_path / "tree"
+    (src / "disc1").mkdir(parents=True)
+    (src / "disc1" / "a.txt").write_text("aa" * 50)
+    (src / "b.txt").write_text("bb")
+    arc = str(tmp_path / "real.7z")
+    subprocess.run(
+        ["7z", "a", arc, str(src / "disc1"), str(src / "b.txt")],
+        capture_output=True,
+        check=True,
+    )
+    with open(arc, "rb") as fh:
+        idx = parse_7z_index(fh.read())
+    by_tail = {e["path"].rsplit("/", 1)[-1]: e for e in idx}
+    assert by_tail["a.txt"]["size"] == 100 and not by_tail["a.txt"]["is_dir"]
+    assert by_tail["b.txt"]["size"] == 2 and not by_tail["b.txt"]["is_dir"]
+    assert by_tail["disc1"]["is_dir"]
+
+
+@needs_7z
+def test_real_7z_lists_spec_built_archive(tmp_path):
+    """The converse gate: encode_7z output must be listable by REAL 7z
+    (exit 0, same entry set)."""
+    from tlmc_etl_spark.operators.archive import parse_slt
+    from tlmc_etl_spark.operators.sevenzip import encode_7z
+
+    for codec in ("copy", "lzma"):
+        for solid in (False, True):
+            arc = str(tmp_path / f"spec_{codec}_{solid}.7z")
+            with open(arc, "wb") as fh:
+                fh.write(
+                    encode_7z(
+                        [
+                            ("Alb", True, None),
+                            ("Alb/01.flac", False, b"fLaC" + bytes(64)),
+                            ("Alb/02.flac", False, b"fLaC" + bytes(32)),
+                        ],
+                        header_codec=codec,
+                        solid=solid,
+                        mtime_unix=1_600_000_000,
+                    )
+                )
+            r = subprocess.run(
+                ["7z", "l", "-slt", arc], capture_output=True, check=True
+            )
+            entries = dict(parse_slt(r.stdout))
+            assert entries == {
+                "Alb": True, "Alb/01.flac": False, "Alb/02.flac": False
+            }
+            rc = subprocess.run(["7z", "t", arc], capture_output=True)
+            assert rc.returncode == 0, rc.stdout + rc.stderr
+
+
 @needs_ffmpeg
 def test_real_ffmpeg_agrees_with_stdlib_jpeg_codec(tmp_path):
     """Breaks the encoder<->decoder self-consistency loop: the

@@ -1,19 +1,24 @@
-"""Archive index scan: read every archive's header via a spawned `7z l
--slt` child process — no extraction — and explode the entries to rows.
+"""Archive index scan: list every archive's entries with no extraction
+and explode them to rows — two interchangeable backends.
 
-Reference: extract_plan.py:84-117 shells out per archive and parses the
-`-slt` output (split on the `----------` separator, then `Path = ` /
-`Attributes = ` pairs, backslashes normalized, trailing slashes
-stripped); an unreadable archive returns None and is planned around,
-never crashed on. The Spark shape mirrors operators/process.py: one
-short-lived process per archive inside a fanned-out `mapInPandas`, the
-parse in-task, and a failed archive failing ITS rows only (one row with
-ok=false, reason carrying the exit class).
+Reference: extract_plan.py:84-117 shells out `7z l -slt` per archive
+and parses the output (split on the `----------` separator, then
+`Path = ` / `Attributes = ` pairs, backslashes normalized, trailing
+slashes stripped); an unreadable archive returns None and is planned
+around, never crashed on.
 
-Tests and the registered query drive this with tools/fake_7z so the
-spawn/parse/bad-exit paths actually execute; production swaps
-`list_cmd` for the real ["7z", "l", "-slt"] and changes nothing else.
-"""
+`list_archives` keeps that subprocess shape (the process-UDF surface,
+mirroring operators/process.py): one short-lived child per archive
+inside a fanned-out `mapInPandas`, the parse in-task, and a failed
+archive failing ITS rows only (one ok=false row carrying the exit
+class). Tests drive it with tools/fake_7z so the spawn/parse/bad-exit
+paths actually execute.
+
+`list_archives_7z` removes the tool dependency entirely: it parses the
+.7z end header in-process (operators/sevenzip.py, stdlib lzma) — the
+backend the registered archive_index_scan query uses, and the one a
+100 TB entry stage wants (two header range-reads per archive instead of
+a child process)."""
 
 from __future__ import annotations
 
@@ -89,6 +94,53 @@ def list_archives(
                     continue
                 for entry, is_dir in entries:
                     out.append((p, entry, is_dir, True, None))
+            yield pd.DataFrame(
+                out, columns=["archive", "entry", "is_dir", "ok", "reason"]
+            )
+
+    return slim.mapInPandas(run, schema=ENTRY_SCHEMA)
+
+
+def list_archives_7z(
+    archives: DataFrame,
+    path_col: str = "path",
+) -> DataFrame:
+    """In-container twin of `list_archives`: one row per entry from a
+    direct .7z end-header parse (operators/sevenzip.py) — no child
+    process, no extraction. Same schema and per-row isolation contract:
+    a non-archive file yields one ok=false row with reason
+    'not_an_archive'; a torn or CRC-corrupt header yields 'bad_header';
+    an unreadable path 'read_error:<class>'."""
+    from tlmc_etl_spark.operators.sevenzip import parse_7z_index
+
+    slim = fanout(archives.select(path_col))
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for p in pdf[path_col]:
+                try:
+                    with open(p, "rb") as fh:
+                        data = fh.read()
+                except OSError as e:
+                    out.append(
+                        (p, None, None, False,
+                         f"read_error:{type(e).__name__}")
+                    )
+                    continue
+                try:
+                    idx = parse_7z_index(data)
+                except ValueError:
+                    out.append((p, None, None, False, "bad_header"))
+                    continue
+                if idx is None:
+                    out.append((p, None, None, False, "not_an_archive"))
+                    continue
+                if not idx:
+                    out.append((p, None, None, True, None))
+                    continue
+                for e in idx:
+                    out.append((p, e["path"], e["is_dir"], True, None))
             yield pd.DataFrame(
                 out, columns=["archive", "entry", "is_dir", "ok", "reason"]
             )

@@ -1,0 +1,646 @@
+"""In-container 7z archive-index parse: signature + end-header walk,
+no payload extraction, stdlib only.
+
+The reference's entry stage shells out `7z l -slt` per archive and
+parses the text listing (Preprocessor/Extract/extract_plan.py:84-116);
+operators/archive.py keeps that subprocess shape for the process-UDF
+surface. This module removes the tool dependency for the index scan
+itself: the .7z container format is publicly documented (7zFormat.txt,
+shipped with every 7-Zip source release) and the only codec a header
+needs is LZMA, which the Python stdlib exposes as a raw decoder — so
+the names/sizes/attributes listing is buildable in-container, the same
+boundary move operators/flac.py made for FLAC.
+
+Follows the flac.py pattern: a spec-built writer (`encode_7z`) so plans
+can synthesize conformant payloads, hand-pinned byte layouts in tests
+(not a self-consistent encode/decode loop), and ValueError — never
+IndexError/struct.error or a silently wrong listing — on torn headers.
+Both header CRC32s are verified.
+
+Scale shape: the parse touches ONLY the 32-byte signature header and
+the end header (`header_span` returns the tail byte range from the
+first 32 bytes), so an object-store reader lists a multi-GB archive
+with two range reads — O(header), not O(archive). In-plan, one archive
+parses inside a single task and `mapInPandas` batches many archives per
+task (plans/multimodal.py:archive_index_scan).
+"""
+
+from __future__ import annotations
+
+import lzma
+import struct
+import zlib
+
+_SIGNATURE = b"7z\xbc\xaf\x27\x1c"
+
+# Property ids (7zFormat.txt "Property IDs")
+_K_END = 0x00
+_K_HEADER = 0x01
+_K_MAIN_STREAMS = 0x04
+_K_FILES_INFO = 0x05
+_K_PACK_INFO = 0x06
+_K_UNPACK_INFO = 0x07
+_K_SUBSTREAMS_INFO = 0x08
+_K_SIZE = 0x09
+_K_CRC = 0x0A
+_K_FOLDER = 0x0B
+_K_CODERS_UNPACK_SIZE = 0x0C
+_K_NUM_UNPACK_STREAM = 0x0D
+_K_EMPTY_STREAM = 0x0E
+_K_EMPTY_FILE = 0x0F
+_K_NAME = 0x11
+_K_MTIME = 0x14
+_K_WIN_ATTRIB = 0x15
+_K_ENCODED_HEADER = 0x17
+
+_CODEC_COPY = b"\x00"
+_CODEC_LZMA1 = b"\x03\x01\x01"
+_CODEC_LZMA2 = b"\x21"
+
+_FILETIME_EPOCH_S = 11644473600  # 1601-01-01 -> 1970-01-01
+_ATTR_DIRECTORY = 0x10
+
+
+# ---------------------------------------------------------------------------
+# Number coding (7zFormat.txt "REAL_UINT64"): the first byte's leading
+# set bits count the extra little-endian bytes; the remaining low bits
+# are the value's high part.
+# ---------------------------------------------------------------------------
+
+
+def _write_number(n: int) -> bytes:
+    if n < 0:
+        raise ValueError("7z: negative number")
+    if n < 0x80:
+        return bytes([n])
+    # the full 8-extra-byte form is always a valid encoding
+    return b"\xff" + struct.pack("<Q", n)
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def bytes(self, n: int) -> bytes:
+        if self.pos + n > len(self.data):
+            raise ValueError("7z: header truncated")
+        out = self.data[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def byte(self) -> int:
+        return self.bytes(1)[0]
+
+    def number(self) -> int:
+        first = self.byte()
+        mask = 0x80
+        value = 0
+        for i in range(8):
+            if not first & mask:
+                return value | (first & (mask - 1)) << (8 * i)
+            value |= self.byte() << (8 * i)
+            mask >>= 1
+        return value
+
+    def bit_vector(self, n: int) -> list[bool]:
+        raw = self.bytes((n + 7) // 8)
+        return [bool(raw[i // 8] & (0x80 >> (i % 8))) for i in range(n)]
+
+    def defined_vector(self, n: int) -> list[bool]:
+        all_defined = self.byte()
+        return [True] * n if all_defined else self.bit_vector(n)
+
+
+# ---------------------------------------------------------------------------
+# Writer (test double, same role as encode_flac): stored (Copy) payload
+# streams — one folder per file, or one solid folder with a substream
+# table — and a plain or LZMA-compressed end header.
+# ---------------------------------------------------------------------------
+
+_LZMA1_FILTER = {
+    "id": lzma.FILTER_LZMA1, "dict_size": 1 << 16, "lc": 3, "lp": 0, "pb": 2,
+}
+# props blob: lc/lp/pb byte + 4-byte LE dict size (LZMA SDK layout)
+_LZMA1_PROPS = bytes([(2 * 5 + 0) * 9 + 3]) + struct.pack("<I", 1 << 16)
+
+
+def _bit_vector_bytes(flags: list[bool]) -> bytes:
+    raw = bytearray((len(flags) + 7) // 8)
+    for i, f in enumerate(flags):
+        if f:
+            raw[i // 8] |= 0x80 >> (i % 8)
+    return bytes(raw)
+
+
+def _copy_folder() -> bytes:
+    # one coder, Copy codec, no attributes: flags byte = id size 1
+    return _write_number(1) + bytes([0x01]) + _CODEC_COPY
+
+
+def _streams_info(pack_pos: int, pack_sizes: list[int], folders: list[bytes],
+                  unpack_sizes: list[int],
+                  substreams: list[list[int]] | None) -> bytes:
+    out = bytearray([_K_PACK_INFO])
+    out += _write_number(pack_pos) + _write_number(len(pack_sizes))
+    out += bytes([_K_SIZE])
+    for s in pack_sizes:
+        out += _write_number(s)
+    out += bytes([_K_END])
+    out += bytes([_K_UNPACK_INFO, _K_FOLDER])
+    out += _write_number(len(folders)) + bytes([0x00])  # not external
+    for f in folders:
+        out += f
+    out += bytes([_K_CODERS_UNPACK_SIZE])
+    for s in unpack_sizes:
+        out += _write_number(s)
+    out += bytes([_K_END])
+    if substreams is not None:
+        out += bytes([_K_SUBSTREAMS_INFO, _K_NUM_UNPACK_STREAM])
+        for sizes in substreams:
+            out += _write_number(len(sizes))
+        out += bytes([_K_SIZE])
+        for sizes in substreams:
+            for s in sizes[:-1]:  # last substream size is implied
+                out += _write_number(s)
+        out += bytes([_K_END, _K_END])
+    else:
+        out += bytes([_K_END])
+    return bytes(out)
+
+
+def encode_7z(entries: list[tuple[str, bool, bytes | None]],
+              header_codec: str = "copy", solid: bool = False,
+              mtime_unix: int | None = None) -> bytes:
+    """Entries [(path, is_dir, payload)] → conformant .7z bytes.
+
+    File payloads are stored with the Copy coder — one folder per file,
+    or (solid=True) one folder whose substream table carries the sizes,
+    the layout real solid archives use. header_codec picks how the end
+    header itself is stored: 'copy' = plain kHeader, 'lzma' = LZMA1
+    kEncodedHeader (what `7z a` writes by default)."""
+    if header_codec not in ("copy", "lzma"):
+        raise ValueError("7z: header_codec must be 'copy' or 'lzma'")
+    files = [(p, d, b"" if data is None else bytes(data))
+             for p, d, data in entries]
+    payloads = [data for _, is_dir, data in files if not is_dir and data]
+    body = b"".join(payloads)
+
+    # ----- streams info for the file payloads
+    n_payload = len(payloads)
+    main_streams = b""
+    if n_payload:
+        sizes = [len(p) for p in payloads]
+        if solid:
+            main_streams = bytes([_K_MAIN_STREAMS]) + _streams_info(
+                0, [len(body)], [_copy_folder()], [len(body)], [sizes]
+            )
+        else:
+            main_streams = bytes([_K_MAIN_STREAMS]) + _streams_info(
+                0, sizes, [_copy_folder()] * n_payload, list(sizes), None
+            )
+
+    # ----- files info
+    n = len(files)
+    empty_stream = [is_dir or not data for _, is_dir, data in files]
+    empty_file = [not is_dir for (_, is_dir, data), es
+                  in zip(files, empty_stream) if es]
+    fi = bytearray([_K_FILES_INFO]) + _write_number(n)
+    if any(empty_stream):
+        es_bytes = _bit_vector_bytes(empty_stream)
+        fi += bytes([_K_EMPTY_STREAM]) + _write_number(len(es_bytes))
+        fi += es_bytes
+        if any(empty_file):
+            ef_bytes = _bit_vector_bytes(empty_file)
+            fi += bytes([_K_EMPTY_FILE]) + _write_number(len(ef_bytes))
+            fi += ef_bytes
+    names = bytearray([0x00])  # not external
+    for p, _, _ in files:
+        names += p.encode("utf-16-le") + b"\x00\x00"
+    fi += bytes([_K_NAME]) + _write_number(len(names)) + bytes(names)
+    if mtime_unix is not None:
+        ft = (mtime_unix + _FILETIME_EPOCH_S) * 10_000_000
+        times = bytes([1, 0]) + struct.pack("<Q", ft) * n  # all defined
+        fi += bytes([_K_MTIME]) + _write_number(len(times)) + times
+    attribs = bytearray([1, 0])  # all defined, not external
+    for _, is_dir, _ in files:
+        attribs += struct.pack("<I", _ATTR_DIRECTORY if is_dir else 0x20)
+    fi += bytes([_K_WIN_ATTRIB]) + _write_number(len(attribs)) + bytes(attribs)
+    fi += bytes([_K_END])
+
+    header = bytes([_K_HEADER]) + main_streams + bytes(fi) + bytes([_K_END])
+
+    if header_codec == "lzma":
+        comp = lzma.LZMACompressor(
+            format=lzma.FORMAT_RAW, filters=[_LZMA1_FILTER]
+        )
+        packed_header = comp.compress(header) + comp.flush()
+        folder = (
+            _write_number(1) + bytes([0x20 | len(_CODEC_LZMA1)])
+            + _CODEC_LZMA1 + _write_number(len(_LZMA1_PROPS)) + _LZMA1_PROPS
+        )
+        end_header = bytes([_K_ENCODED_HEADER]) + _streams_info(
+            len(body), [len(packed_header)], [folder], [len(header)], None
+        )
+        body += packed_header
+    else:
+        end_header = header
+
+    out = bytearray(_SIGNATURE) + bytes([0, 4])
+    start = struct.pack(
+        "<QQI", len(body), len(end_header), zlib.crc32(end_header)
+    )
+    out += struct.pack("<I", zlib.crc32(start)) + start
+    out += body + end_header
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+def header_span(head: bytes) -> tuple[int, int] | None:
+    """First 32 bytes → (absolute offset, size) of the end header, or
+    None for non-7z input; ValueError on a torn/CRC-bad start header.
+    The range an object-store reader fetches to list without reading
+    the payload."""
+    if head is None or len(head) < 6 or head[:6] != _SIGNATURE:
+        return None
+    if len(head) < 32:
+        raise ValueError("7z: truncated signature header")
+    start_crc = struct.unpack("<I", head[8:12])[0]
+    if zlib.crc32(head[12:32]) != start_crc:
+        raise ValueError("7z: start header CRC mismatch")
+    offset, size = struct.unpack("<QQ", head[12:28])
+    return 32 + offset, size
+
+
+def _decode_folder_stream(r: _Reader, data: bytes, base: int) -> bytes:
+    """StreamsInfo (as written for an encoded header: one folder, one
+    pack stream) → the folder's decoded bytes. Supports the codecs a
+    real header folder uses: Copy, LZMA1, LZMA2."""
+    pack_pos = None
+    pack_sizes: list[int] = []
+    coders: list[tuple[bytes, bytes]] = []
+    unpack_sizes: list[int] = []
+    while True:
+        prop = r.number()
+        if prop == _K_END:
+            break
+        if prop == _K_PACK_INFO:
+            pack_pos = r.number()
+            n_pack = r.number()
+            while True:
+                sub = r.number()
+                if sub == _K_END:
+                    break
+                if sub == _K_SIZE:
+                    pack_sizes = [r.number() for _ in range(n_pack)]
+                elif sub == _K_CRC:
+                    _read_crcs(r, n_pack)
+                else:
+                    raise ValueError(f"7z: unexpected pack property {sub}")
+        elif prop == _K_UNPACK_INFO:
+            if r.number() != _K_FOLDER:
+                raise ValueError("7z: unpack info missing folder")
+            n_folders = r.number()
+            if n_folders != 1:
+                raise ValueError("7z: encoded header must be one folder")
+            if r.byte():
+                raise ValueError("7z: external folder data unsupported")
+            coders, n_out, _bind = _read_folder(r)
+            while True:
+                sub = r.number()
+                if sub == _K_END:
+                    break
+                if sub == _K_CODERS_UNPACK_SIZE:
+                    unpack_sizes = [r.number() for _ in range(n_out)]
+                elif sub == _K_CRC:
+                    _read_crcs(r, 1)
+                else:
+                    raise ValueError(f"7z: unexpected unpack property {sub}")
+        else:
+            raise ValueError(f"7z: unexpected header stream property {prop}")
+    if pack_pos is None or not pack_sizes or not coders or not unpack_sizes:
+        raise ValueError("7z: encoded header streams info incomplete")
+    if len(coders) != 1:
+        raise ValueError("7z: multi-coder header folders unsupported")
+    start = base + pack_pos
+    packed = data[start : start + pack_sizes[0]]
+    if len(packed) < pack_sizes[0]:
+        raise ValueError("7z: packed header overruns the archive")
+    return _decode_coder(coders[0], packed, unpack_sizes[-1])
+
+
+def _decode_coder(coder: tuple[bytes, bytes], packed: bytes,
+                  unpack_size: int) -> bytes:
+    codec, props = coder
+    if codec == _CODEC_COPY:
+        if len(packed) != unpack_size:
+            raise ValueError("7z: copy stream size mismatch")
+        return packed
+    if codec == _CODEC_LZMA1:
+        if len(props) != 5:
+            raise ValueError("7z: bad LZMA properties size")
+        p = props[0]
+        if p >= 9 * 5 * 5:
+            raise ValueError("7z: bad LZMA properties byte")
+        lc, rem = p % 9, p // 9
+        lp, pb = rem % 5, rem // 5
+        filters = [{
+            "id": lzma.FILTER_LZMA1,
+            "dict_size": max(4096, struct.unpack("<I", props[1:5])[0]),
+            "lc": lc, "lp": lp, "pb": pb,
+        }]
+    elif codec == _CODEC_LZMA2:
+        if len(props) != 1:
+            raise ValueError("7z: bad LZMA2 properties size")
+        p = props[0]
+        if p > 40:
+            raise ValueError("7z: bad LZMA2 dictionary size byte")
+        # LZMA2 props byte: 40 = 4 GiB-1, else (2 | p&1) << (p//2 + 11)
+        dict_size = (1 << 32) - 1 if p == 40 else (2 | (p & 1)) << (p // 2 + 11)
+        filters = [{"id": lzma.FILTER_LZMA2, "dict_size": dict_size}]
+    else:
+        raise ValueError(f"7z: unsupported header codec {codec.hex()}")
+    dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=filters)
+    try:
+        # 7z LZMA streams carry no end marker: the unpack size bounds
+        # the read, so cap the output instead of expecting EOS
+        out = dec.decompress(packed, max_length=unpack_size)
+    except lzma.LZMAError as e:
+        raise ValueError(f"7z: corrupt header stream: {e}") from e
+    if len(out) != unpack_size:
+        raise ValueError("7z: header decoded short")
+    return out
+
+
+def _read_folder(r: _Reader) -> tuple[list[tuple[bytes, bytes]], int, int]:
+    """One folder → ([(codec_id, props)], total out streams, bind pairs
+    consumed). Also validates the in/out stream bookkeeping."""
+    n_coders = r.number()
+    if not 1 <= n_coders <= 64:
+        raise ValueError("7z: implausible coder count")
+    coders = []
+    total_in = 0
+    total_out = 0
+    for _ in range(n_coders):
+        flags = r.byte()
+        id_size = flags & 0x0F
+        codec = r.bytes(id_size)
+        n_in = n_out = 1
+        if flags & 0x10:  # complex coder
+            n_in = r.number()
+            n_out = r.number()
+        props = b""
+        if flags & 0x20:
+            props = r.bytes(r.number())
+        coders.append((codec, props))
+        total_in += n_in
+        total_out += n_out
+    n_bind = total_out - 1
+    for _ in range(n_bind):
+        r.number()  # in index
+        r.number()  # out index
+    n_packed = total_in - n_bind
+    if n_packed > 1:
+        for _ in range(n_packed):
+            r.number()
+    return coders, total_out, n_bind
+
+
+def _read_crcs(r: _Reader, n: int) -> list[int | None]:
+    defined = r.defined_vector(n)
+    return [struct.unpack("<I", r.bytes(4))[0] if d else None
+            for d in defined]
+
+
+def _read_streams_info(r: _Reader) -> tuple[list[int], list[int]]:
+    """MainStreamsInfo → (num substreams per folder, substream sizes) —
+    the per-file size table, which is all an index listing needs."""
+    folder_out_sizes: list[int] = []  # main unpack size per folder
+    folder_crc_defined: list[bool] = []
+    n_folders = 0
+    num_unpack: list[int] | None = None
+    sub_sizes: list[int] | None = None
+    while True:
+        prop = r.number()
+        if prop == _K_END:
+            break
+        if prop == _K_PACK_INFO:
+            r.number()  # pack pos
+            n_pack = r.number()
+            while True:
+                sub = r.number()
+                if sub == _K_END:
+                    break
+                if sub == _K_SIZE:
+                    for _ in range(n_pack):
+                        r.number()
+                elif sub == _K_CRC:
+                    _read_crcs(r, n_pack)
+                else:
+                    raise ValueError(f"7z: unexpected pack property {sub}")
+        elif prop == _K_UNPACK_INFO:
+            if r.number() != _K_FOLDER:
+                raise ValueError("7z: unpack info missing folder")
+            n_folders = r.number()
+            if n_folders > 1 << 24:
+                raise ValueError("7z: implausible folder count")
+            if r.byte():
+                raise ValueError("7z: external folder data unsupported")
+            folder_meta = [_read_folder(r) for _ in range(n_folders)]
+            while True:
+                sub = r.number()
+                if sub == _K_END:
+                    break
+                if sub == _K_CODERS_UNPACK_SIZE:
+                    folder_out_sizes = []
+                    for _, n_out, _ in folder_meta:
+                        sizes = [r.number() for _ in range(n_out)]
+                        # the folder's output is its LAST unbound out
+                        # stream; for the single-coder folders a listing
+                        # meets, that is simply the last size
+                        folder_out_sizes.append(sizes[-1])
+                elif sub == _K_CRC:
+                    crcs = _read_crcs(r, n_folders)
+                    folder_crc_defined = [c is not None for c in crcs]
+                else:
+                    raise ValueError(f"7z: unexpected unpack property {sub}")
+        elif prop == _K_SUBSTREAMS_INFO:
+            num_unpack = None
+            sub_sizes = None
+            while True:
+                sub = r.number()
+                if sub == _K_END:
+                    break
+                if sub == _K_NUM_UNPACK_STREAM:
+                    num_unpack = [r.number() for _ in range(n_folders)]
+                elif sub == _K_SIZE:
+                    counts = num_unpack or [1] * n_folders
+                    sub_sizes = []
+                    for fi, cnt in enumerate(counts):
+                        got = [r.number() for _ in range(cnt - 1)]
+                        rest = folder_out_sizes[fi] - sum(got)
+                        if rest < 0:
+                            raise ValueError(
+                                "7z: substream sizes exceed folder size"
+                            )
+                        sub_sizes.extend(got + [rest])
+                elif sub == _K_CRC:
+                    # digests cover only substreams whose CRC is not
+                    # already known: a 1-substream folder with a defined
+                    # folder CRC contributes none
+                    counts = num_unpack or [1] * n_folders
+                    known = folder_crc_defined or [False] * n_folders
+                    n_digests = sum(
+                        0 if cnt == 1 and known[fi] else cnt
+                        for fi, cnt in enumerate(counts)
+                    )
+                    _read_crcs(r, n_digests)
+                else:
+                    raise ValueError(
+                        f"7z: unexpected substream property {sub}"
+                    )
+        else:
+            raise ValueError(f"7z: unexpected streams property {prop}")
+    counts = num_unpack if num_unpack is not None else [1] * n_folders
+    if sub_sizes is None:
+        if num_unpack is not None and counts != [1] * n_folders:
+            raise ValueError("7z: substream counts without sizes")
+        sub_sizes = list(folder_out_sizes)
+    return counts, sub_sizes
+
+
+def parse_7z_index(data: bytes | None) -> list[dict] | None:
+    """.7z bytes → [{path, is_dir, size, attrib, mtime_unix}] with no
+    payload extraction — the in-container `7z l -slt` for the entry
+    stage. None for non-7z input; ValueError (never IndexError or
+    struct.error, and never a silently short listing) on torn or
+    CRC-corrupt headers. Entry order is the archive's own; backslash
+    separators are normalized to '/' the way the reference's -slt parse
+    does (extract_plan.py:99-116)."""
+    try:
+        span = header_span(data[:32] if data else data)
+        if span is None:
+            return None
+        off, size = span
+        if off + size > len(data):
+            raise ValueError("7z: end header overruns the archive")
+        end_header = data[off : off + size]
+        if size == 0:
+            return []  # empty archive: no header, no entries
+        expect_crc = struct.unpack("<I", data[28:32])[0]
+        if zlib.crc32(end_header) != expect_crc:
+            raise ValueError("7z: end header CRC mismatch")
+        r = _Reader(end_header)
+        kind = r.number()
+        if kind == _K_ENCODED_HEADER:
+            decoded = _decode_folder_stream(r, data, 32)
+            r = _Reader(decoded)
+            kind = r.number()
+        if kind != _K_HEADER:
+            raise ValueError(f"7z: unexpected top-level property {kind}")
+        return _parse_header_body(r)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"7z: truncated or corrupt header: {e}") from e
+
+
+def _parse_header_body(r: _Reader) -> list[dict]:
+    sub_counts: list[int] = []
+    sub_sizes: list[int] = []
+    entries: list[dict] = []
+    while True:
+        prop = r.number()
+        if prop == _K_END:
+            break
+        if prop == _K_MAIN_STREAMS:
+            sub_counts, sub_sizes = _read_streams_info(r)
+        elif prop == _K_FILES_INFO:
+            entries = _parse_files_info(r, sub_sizes)
+        else:
+            raise ValueError(f"7z: unexpected header property {prop}")
+    return entries
+
+
+def _parse_files_info(r: _Reader, sub_sizes: list[int]) -> list[dict]:
+    n = r.number()
+    if n > 1 << 24:
+        raise ValueError("7z: implausible file count")
+    empty_stream = [False] * n
+    empty_file: list[bool] = []
+    names: list[str] | None = None
+    attribs: list[int | None] = [None] * n
+    mtimes: list[int | None] = [None] * n
+    while True:
+        prop = r.number()
+        if prop == _K_END:
+            break
+        size = r.number()
+        body = _Reader(r.bytes(size))
+        if prop == _K_EMPTY_STREAM:
+            empty_stream = body.bit_vector(n)
+        elif prop == _K_EMPTY_FILE:
+            empty_file = body.bit_vector(sum(empty_stream))
+        elif prop == _K_NAME:
+            if body.byte():
+                raise ValueError("7z: external names unsupported")
+            raw = body.bytes(size - 1)
+            if len(raw) % 2:
+                raise ValueError("7z: odd-length name data")
+            try:
+                joined = raw.decode("utf-16-le")
+            except UnicodeDecodeError as e:
+                raise ValueError(f"7z: undecodable names: {e}") from e
+            if not joined.endswith("\x00"):
+                raise ValueError("7z: unterminated name table")
+            names = joined[:-1].split("\x00")
+        elif prop == _K_WIN_ATTRIB:
+            defined = body.defined_vector(n)
+            if body.byte():
+                raise ValueError("7z: external attributes unsupported")
+            for i, d in enumerate(defined):
+                if d:
+                    attribs[i] = struct.unpack("<I", body.bytes(4))[0]
+        elif prop == _K_MTIME:
+            defined = body.defined_vector(n)
+            if body.byte():
+                raise ValueError("7z: external times unsupported")
+            for i, d in enumerate(defined):
+                if d:
+                    ft = struct.unpack("<Q", body.bytes(8))[0]
+                    mtimes[i] = ft // 10_000_000 - _FILETIME_EPOCH_S
+        # other properties (kDummy padding, comments, anti flags, start
+        # positions) are skipped by their declared size
+    if names is None or len(names) != n:
+        raise ValueError("7z: file names missing or miscounted")
+    n_streams = n - sum(empty_stream)
+    if len(sub_sizes) != n_streams:
+        raise ValueError(
+            f"7z: {n_streams} stream files but {len(sub_sizes)} substreams"
+        )
+    out = []
+    stream_i = 0
+    empty_i = 0
+    for i in range(n):
+        if empty_stream[i]:
+            is_empty_file = bool(empty_file) and empty_file[empty_i]
+            empty_i += 1
+            is_dir = not is_empty_file
+            size = 0
+        else:
+            is_dir = False
+            size = sub_sizes[stream_i]
+            stream_i += 1
+        attr = attribs[i]
+        if attr is not None and attr & _ATTR_DIRECTORY:
+            is_dir = True
+        out.append({
+            "path": names[i].replace("\\", "/").rstrip("/"),
+            "is_dir": is_dir,
+            "size": size,
+            "attrib": attr,
+            "mtime_unix": mtimes[i],
+        })
+    return out

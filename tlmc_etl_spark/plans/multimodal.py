@@ -226,7 +226,7 @@ SELECT o_orderkey AS archive_key,
        CASE WHEN o_orderkey % 300 = 0 THEN NULL
             WHEN o_orderkey % 3 = 2 THEN 2 ELSE 1 END AS n_albums,
        o_orderkey % 300 <> 0 AS ok,
-       CASE WHEN o_orderkey % 300 = 0 THEN 'exit_2' END AS reason
+       CASE WHEN o_orderkey % 300 = 0 THEN 'not_an_archive' END AS reason
 FROM orders WHERE o_orderkey % 100 = 0
 """
 
@@ -242,30 +242,31 @@ _AUX_DIRS = (
 
 @query("archive_index_scan", oracle=_ARCHIVE_ORACLE)
 def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Archive header scan + layout plan, subprocess-real end to end:
-    deterministic fake archives are written distributedly, a REAL `7z l
-    -slt`-interface child process (tools/fake_7z) lists each one with no
-    extraction, the `-slt` parse is the reference's exact algorithm
-    (operators/archive.py), and the flat/nested/bundle layout decision
+    """Archive header scan + layout plan over REAL .7z bytes, end to
+    end in-container: conformant archives (stored payloads; the header
+    codec alternates plain/LZMA and the pack layout per-file/solid, so
+    all four real-world header shapes parse in-plan) are written
+    distributedly, each end header is parsed directly with NO child
+    process and NO extraction (operators/sevenzip.py — the in-container
+    `7z l -slt`; the reference shells out per archive,
+    extract_plan.py:84-116), and the flat/nested/bundle layout decision
     tree (extract_plan.py:156-199: root files → flat; one album-like top
     dir → nested, strip a level; several → bundle) runs relationally
     over the exploded entries. Every 3rd sampled archive is corrupt and
-    must land as its own ok=false row (exit_2, 7z's fatal code).
+    must land as its own ok=false row (not_an_archive).
 
     The oracle re-derives layout/album-count from the construction
-    arithmetic, so a drift anywhere — spawn, exit handling, -slt parse,
-    top-dir/audio/album-pattern classification — hash-fails.
+    arithmetic, so a drift anywhere — header walk, LZMA header decode,
+    empty-stream/attribute dir detection, top-dir/audio/album-pattern
+    classification — hash-fails.
     """
     import os
-    import sys
 
     import pandas as pd
 
-    from tlmc_etl_spark.operators.archive import list_archives
+    from tlmc_etl_spark.operators.archive import list_archives_7z
+    from tlmc_etl_spark.operators.sevenzip import encode_7z
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
     out_dir = _scratch_dir(spark, "archives", sf_dir)
 
     spec = (
@@ -281,41 +282,47 @@ def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k = int(k)
                 p = os.path.join(out_dir, f"archive_{k}.7z")
                 if k % 300 == 0:
-                    body = "CORRUPT not an archive"
-                elif k % 3 == 0:
-                    body = "\n".join(
-                        [
-                            f"A|{k % 7 + 1:02d} track.flac",
-                            "A|cover.jpg",
-                            "D|Scans",
-                            "A|Scans/booklet01.png",
-                        ]
-                    )
+                    with open(p, "w", encoding="utf-8") as fh:
+                        fh.write("CORRUPT not an archive")
+                    paths.append(p)
+                    continue
+                if k % 3 == 0:
+                    entries = [
+                        (f"{k % 7 + 1:02d} track.flac", False, b"fLaC" + bytes(k % 97)),
+                        ("cover.jpg", False, b"\xff\xd8" + bytes(k % 31)),
+                        ("Scans", True, None),
+                        ("Scans/booklet01.png", False, b"\x89PNG" + bytes(k % 13)),
+                    ]
                 elif k % 3 == 1:
                     alb = f"2011.01.01 [ABC-{k}] Album {k}"
-                    body = "\n".join(
-                        [f"D|{alb}", f"A|{alb}/01 track.flac", f"A|{alb}/cover.jpg"]
-                    )
+                    entries = [
+                        (alb, True, None),
+                        (f"{alb}/01 track.flac", False, b"fLaC" + bytes(k % 97)),
+                        (f"{alb}/cover.jpg", False, b"\xff\xd8" + bytes(k % 31)),
+                    ]
                 else:
                     a1, a2 = f"[EVT] Album {k}a", f"[EVT] Album {k}b"
-                    body = "\n".join(
-                        [
-                            f"D|{a1}", f"A|{a1}/01 track.flac",
-                            f"D|{a2}", f"A|{a2}/01 track.mp3",
-                        ]
-                    )
-                with open(p, "w", encoding="utf-8") as fh:
-                    fh.write(body)
+                    entries = [
+                        (a1, True, None),
+                        (f"{a1}/01 track.flac", False, b"fLaC" + bytes(k % 97)),
+                        (a2, True, None),
+                        (f"{a2}/01 track.mp3", False, b"\xff\xfb" + bytes(k % 41)),
+                    ]
+                blob = encode_7z(
+                    entries,
+                    header_codec="lzma" if k % 2 else "copy",
+                    solid=bool((k // 100) % 2),
+                    mtime_unix=1_300_000_000 + k,
+                )
+                with open(p, "wb") as fh:
+                    fh.write(blob)
                 paths.append(p)
             yield pd.DataFrame({"path": paths})
 
     files = spec.mapInPandas(write_archives, schema="path string").localCheckpoint(
         eager=True
     )
-    entries = list_archives(
-        files,
-        list_cmd=[sys.executable, os.path.join(repo_root, "tools", "fake_7z"), "l", "-slt"],
-    )
+    entries = list_archives_7z(files)
 
     key = F.regexp_extract(
         F.element_at(F.split("archive", "/"), -1), r"archive_(\d+)", 1
