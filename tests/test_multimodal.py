@@ -43,7 +43,7 @@ def test_remaining_real_kinds_raise_not_implemented():
             decode_payload("video", b"\x00\x00\x00\x18ftypmp42")
     if not _pil_available():
         with pytest.raises(NotImplementedError):
-            decode_payload("image", b"GIF89a\x01\x00\x01\x00")  # GIF: no stdlib arm
+            decode_payload("image", b"II*\x00" + bytes(16))  # TIFF: no stdlib arm
 
 
 def _ppm_bytes(w, h, rgb):
@@ -228,9 +228,55 @@ class TestPngDecodeArm:
                 f"trial {trial}: h={h} w={w} ctype={ctype} filters={filters}"
             )
 
-    def test_interlaced_and_16bit_raise(self):
+    def test_16bit_png_matches_8bit_twin_exactly(self):
+        """The v*257 bit-replication expansion: one image stored at
+        either depth must yield the IDENTICAL luma (0xABAB = 0xAB*257,
+        so /257 inverts exactly in float64)."""
+        from tlmc_etl_spark.operators.multimodal import (
+            _parse_png,
+            encode_gray_png,
+        )
+
+        rng = np.random.default_rng(51)
+        img = rng.integers(0, 256, size=(19, 13)).astype(np.float64)
+        g8 = _parse_png(encode_gray_png(img))
+        g16 = _parse_png(encode_gray_png(img * 257, depth=16))
+        assert np.array_equal(g8, img) and np.array_equal(g16, img)
+        # full-range 16-bit values (not expansions) keep their precision
+        deep = rng.integers(0, 65536, size=(8, 8)).astype(np.float64)
+        got = _parse_png(encode_gray_png(deep, depth=16))
+        assert np.array_equal(got * 257.0, deep)
+
+    def test_adam7_interlace_matches_sequential(self):
+        """Adam7 and sequential storage of the same pixels must decode
+        identically — including odd sizes where late passes are ragged
+        or empty (1x1 has ONLY pass 1; 2x3 has empty passes)."""
+        from tlmc_etl_spark.operators.multimodal import (
+            _parse_png,
+            encode_gray_png,
+        )
+
+        rng = np.random.default_rng(52)
+        for h, w in [(32, 32), (17, 23), (1, 1), (2, 3), (9, 5), (8, 1)]:
+            img = rng.integers(0, 256, size=(h, w)).astype(np.float64)
+            seq = _parse_png(encode_gray_png(img))
+            il = _parse_png(encode_gray_png(img, interlace=1))
+            assert np.array_equal(seq, il), (h, w)
+            il16 = _parse_png(encode_gray_png(img * 257, depth=16, interlace=1))
+            assert np.array_equal(il16, img), (h, w)
+
+    def test_interlaced_filters_reset_per_pass(self):
+        """Each Adam7 pass filters against ITS OWN previous scanline,
+        not the prior pass's last row — encode sub-images with Up/Sub
+        filters and the reconstruction must still match."""
         import struct
         import zlib
+
+        from tlmc_etl_spark.operators.multimodal import _ADAM7, _parse_png
+
+        rng = np.random.default_rng(53)
+        h = w = 16
+        img = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
 
         def chunk(typ, data):
             return (
@@ -240,15 +286,42 @@ class TestPngDecodeArm:
                 + struct.pack(">I", zlib.crc32(typ + data))
             )
 
-        base = b"\x89PNG\r\n\x1a\n"
-        interlaced = base + chunk(
-            b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 1)
+        raw = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            if not sub.size:
+                continue
+            prev = np.zeros(sub.shape[1], dtype=np.int64)
+            for r in range(sub.shape[0]):
+                if r % 2:  # Up filter
+                    raw += b"\x02" + (
+                        (sub[r].astype(np.int64) - prev) % 256
+                    ).astype(np.uint8).tobytes()
+                else:  # Sub filter
+                    row = sub[r].astype(np.int64)
+                    d = row.copy()
+                    d[1:] = (row[1:] - row[:-1]) % 256
+                    raw += b"\x01" + d.astype(np.uint8).tobytes()
+                prev = sub[r].astype(np.int64)
+        payload = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 1))
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
         )
-        with pytest.raises(ValueError, match="non-interlaced"):
-            decode_payload("image", interlaced)
-        deep = base + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 16, 0, 0, 0, 0))
-        with pytest.raises(ValueError, match="8-bit"):
-            decode_payload("image", deep)
+        assert np.array_equal(_parse_png(payload), img.astype(np.float64))
+
+    def test_corrupt_zlib_stream_raises_value_error(self):
+        from tlmc_etl_spark.operators.multimodal import (
+            _parse_png,
+            encode_gray_png,
+        )
+
+        enc = bytearray(encode_gray_png(np.full((8, 8), 7.0)))
+        # IDAT payload starts after sig(8) + IHDR chunk(25) + len+type(8)
+        enc[45] ^= 0xFF
+        with pytest.raises(ValueError):
+            _parse_png(bytes(enc))
 
     def test_tiny_image_smaller_than_pool_grid_is_finite(self):
         rgb = np.full((2, 2, 3), 128, dtype=np.uint8)
@@ -278,6 +351,143 @@ def _y4m_bytes(frames, cs="420"):
     for f in frames:
         out += b"FRAME\n" + f.tobytes() + b"\x80" * chroma
     return bytes(out)
+
+
+class TestGifDecodeArm:
+    """GIF87a/89a LZW decode (operators/multimodal.py) — the last
+    common legacy format in album artwork scans."""
+
+    def test_roundtrip_plain_and_interlaced(self):
+        from tlmc_etl_spark.operators.multimodal import (
+            _parse_gif,
+            encode_gray_gif,
+        )
+
+        rng = np.random.default_rng(61)
+        for h, w in [(32, 32), (17, 23), (1, 1), (2, 3), (9, 5)]:
+            img = rng.integers(0, 256, size=(h, w)).astype(np.float64)
+            for il in (False, True):
+                got = _parse_gif(encode_gray_gif(img, interlace=il))
+                # gray palette luma = i*(0.299+0.587+0.114): float dust only
+                assert np.allclose(got, img, atol=1e-9), (h, w, il)
+
+    def test_lzw_width_growth_and_dict_reset(self):
+        from tlmc_etl_spark.operators.multimodal import (
+            _gif_lzw_decode,
+            _gif_lzw_encode,
+            _parse_gif,
+            encode_gray_gif,
+        )
+
+        # repetitive image → dictionary marches through 9..12-bit widths
+        big = (np.add.outer(np.arange(300), np.arange(400)) % 7 * 36).astype(
+            np.float64
+        )
+        assert np.allclose(_parse_gif(encode_gray_gif(big)), big, atol=1e-9)
+        # incompressible image → 4096-entry reset path
+        rng = np.random.default_rng(62)
+        noise = rng.integers(0, 256, size=(256, 256)).astype(np.float64)
+        assert np.allclose(_parse_gif(encode_gray_gif(noise)), noise, atol=1e-9)
+        # small alphabet exercises sub-byte minimum code sizes
+        seq = bytes([0, 1, 2, 3, 0, 0, 1, 1, 2, 2, 3, 3] * 20)
+        got = _gif_lzw_decode(_gif_lzw_encode(seq, 2), 2, len(seq))
+        assert got.tobytes() == seq
+
+    def test_hand_pinned_lzw_streams(self):
+        """Literal LZW bits written by hand from the GIF89a spec (not
+        encoder output), pinning both dictionary rules and the width
+        bump at table size 8 (mcs=2: clear=4, end=5)."""
+        from tlmc_etl_spark.operators.multimodal import _gif_lzw_decode
+
+        def pack(codes):
+            acc, cur, n = bytearray(), 0, 0
+            for code, w in codes:
+                cur |= code << n
+                n += w
+                while n >= 8:
+                    acc.append(cur & 0xFF)
+                    cur >>= 8
+                    n -= 8
+            if n:
+                acc.append(cur & 0xFF)
+            return bytes(acc)
+
+        # existing-code rule: 6 = the [0,1] string added while decoding
+        # code 1; its use appends [1,0] as 7 → size 8 → width becomes 4,
+        # so the NEXT codes are read 4 bits wide
+        got = _gif_lzw_decode(
+            pack([(4, 3), (0, 3), (1, 3), (6, 3), (6, 4), (5, 4)]), 2, 6
+        )
+        assert got.tolist() == [0, 1, 0, 1, 0, 1]
+        # code == len(table) rule (the KwKwK case): 7 is not in the
+        # table yet → prev + prev[0] = [1, 1]
+        got = _gif_lzw_decode(
+            pack([(4, 3), (0, 3), (1, 3), (7, 3), (5, 4)]), 2, 4
+        )
+        assert got.tolist() == [0, 1, 1, 1]
+        # a code PAST len(table) is corruption, not decodable: after
+        # clear+one literal the table holds 6 entries, so 7 > 6
+        with pytest.raises(ValueError, match="out of range"):
+            _gif_lzw_decode(pack([(4, 3), (0, 3), (7, 3), (5, 3)]), 2, 8)
+
+    def test_extensions_skipped_and_first_frame_wins(self):
+        from tlmc_etl_spark.operators.multimodal import (
+            _parse_gif,
+            encode_gray_gif,
+        )
+
+        img = (np.arange(64).reshape(8, 8) * 3 % 256).astype(np.float64)
+        enc = encode_gray_gif(img)
+        # splice a graphic-control extension between the palette and
+        # the image descriptor (0x21 0xF9, 4-byte block, terminator);
+        # the descriptor sits at header(6) + LSD(7) + 256-entry GCT(768)
+        at = 6 + 7 + 768
+        assert enc[at] == 0x2C
+        gce = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+        assert np.allclose(
+            _parse_gif(enc[:at] + gce + enc[at:]), img, atol=1e-9
+        )
+
+    def test_torn_streams_raise_value_error(self):
+        from tlmc_etl_spark.operators.multimodal import (
+            _parse_gif,
+            encode_gray_gif,
+        )
+
+        enc = encode_gray_gif(
+            np.arange(256).reshape(16, 16).astype(np.float64)
+        )
+        for cut in (10, 12, 700, 790, len(enc) - 2):
+            with pytest.raises(ValueError):
+                _parse_gif(enc[:cut])
+        with pytest.raises(ValueError):
+            _parse_gif(b"GIF89a" + bytes(4))
+
+    def test_random_gif_blobs_never_leak(self):
+        from tlmc_etl_spark.operators.multimodal import _parse_gif
+
+        rng = np.random.default_rng(63)
+        for _ in range(200):
+            blob = b"GIF89a" + bytes(
+                rng.integers(0, 256, size=int(rng.integers(0, 150)),
+                             dtype=np.uint8)
+            )
+            try:
+                _parse_gif(blob)
+            except ValueError:
+                pass
+
+    def test_dispatch_matches_png_of_same_pixels(self):
+        from tlmc_etl_spark.operators.multimodal import (
+            encode_gray_gif,
+            encode_gray_png,
+        )
+
+        rng = np.random.default_rng(64)
+        img = rng.integers(0, 256, size=(32, 32)).astype(np.float64)
+        v_gif = decode_payload("image", encode_gray_gif(img))
+        v_png = decode_payload("image", encode_gray_png(img.astype(np.uint8)))
+        assert np.allclose(v_gif, v_png, atol=1e-9)
 
 
 class TestVideoDecodeArm:

@@ -164,59 +164,24 @@ def _parse_pnm(payload: bytes) -> np.ndarray:
     return px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
 
 
-def _parse_png(payload: bytes) -> np.ndarray:
-    """8-bit non-interlaced PNG → float64 grayscale (H, W) in [0, 255].
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Pure stdlib (zlib + struct) + numpy: PNG's pixel layer is just a
-    zlib stream of filter-prefixed scanlines, so the most common
-    COMPRESSED image case closes in a codec-less container the same way
-    the Y4M arm closed video (reference consumer:
-    generate_artwork_variants.py:56-67). Supports color types 0 (gray),
-    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA) at bit depth 8; the
-    five standard scanline filters (None/Sub/Up/Average/Paeth) are all
-    reconstructed. Adam7 interlacing and 16-bit depth raise — they are
-    re-encode exotica, not archive-scan reality. RGB collapses through
-    the same 0.299/0.587/0.114 luma as the PNM/BMP arms, so one image
-    encoded as PNG and as PPM yields the IDENTICAL feature."""
-    import struct as _struct
-    import zlib as _zlib
 
-    if payload[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    pos, idat, plte = 8, [], None
-    w = h = depth = ctype = interlace = None
-    while pos + 8 <= len(payload):
-        ln, typ = _struct.unpack_from(">I4s", payload, pos)
-        data = payload[pos + 8 : pos + 8 + ln]
-        pos += 12 + ln  # length + type + data + crc
-        if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = _struct.unpack(
-                ">IIBBBBB", data
-            )
-        elif typ == b"PLTE":
-            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-    if w is None:
-        raise ValueError("PNG missing IHDR")
-    if depth != 8 or interlace != 0:
-        raise ValueError(
-            f"only 8-bit non-interlaced PNG supported (depth={depth}, "
-            f"interlace={interlace})"
-        )
-    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise ValueError(f"unknown PNG color type {ctype}")
-    raw = _zlib.decompress(b"".join(idat))
-    stride = w * channels
-    if len(raw) < h * (stride + 1):
+def _png_unfilter(raw: bytes, off: int, h: int, stride: int,
+                  bpp: int) -> tuple[np.ndarray, int]:
+    """Reconstruct h filter-prefixed scanlines of `stride` bytes
+    starting at raw[off] → ((h, stride) uint8, new offset). Filtering
+    operates on BYTES regardless of sample depth (PNG spec §9), so one
+    reconstruction serves 8- and 16-bit images and every Adam7 pass."""
+    if len(raw) - off < h * (stride + 1):
         raise ValueError("truncated PNG pixel data")
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
-    bpp = channels  # bytes per pixel at depth 8
-    p = 0
+    p = off
     for r in range(h):
         f = raw[p]
         cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=p + 1).copy()
@@ -246,28 +211,114 @@ def _parse_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"unknown PNG filter {f} on row {r}")
         out[r] = cur
         prev = cur
-    px = out.reshape(h, w, channels)
-    if ctype == 3:
-        if plte is None:
-            raise ValueError("palette PNG missing PLTE chunk")
-        px = plte[px[:, :, 0]]
-        channels = 3
-    px = px.astype(np.float64)
-    if channels == 1:
-        return px[:, :, 0]
-    if channels == 2:  # gray + alpha: alpha does not affect luma
-        return px[:, :, 0]
-    return px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+    return out, p
 
 
-def encode_gray_png(img: "np.ndarray") -> bytes:
-    """Grayscale 8-bit PNG (filter 0 per row) — stdlib zlib + struct.
-    The encode half of the PNG arm: the media plans use it to
-    synthesize in-container compressed payloads whose decode is
-    value-checked against closed-form pixel math."""
+def _png_samples(rows: np.ndarray, w: int, channels: int,
+                 depth: int) -> np.ndarray:
+    """(h, stride) reconstructed bytes → (h, w, channels) float64 raw
+    sample values (0..255 or 0..65535)."""
+    h = rows.shape[0]
+    if depth == 8:
+        return rows.reshape(h, w, channels).astype(np.float64)
+    pairs = rows.reshape(h, w, channels, 2).astype(np.float64)
+    return pairs[..., 0] * 256.0 + pairs[..., 1]  # big-endian samples
+
+
+def _parse_png(payload: bytes) -> np.ndarray:
+    """PNG → float64 grayscale (H, W) in [0, 255].
+
+    Pure stdlib (zlib + struct) + numpy: PNG's pixel layer is just a
+    zlib stream of filter-prefixed scanlines, so the most common
+    COMPRESSED image case closes in a codec-less container the same way
+    the Y4M arm closed video (reference consumer:
+    generate_artwork_variants.py:56-67). Supports color types 0 (gray),
+    2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), bit depths 8 and
+    16, and both non-interlaced and Adam7-interlaced layouts — real
+    artwork scans include interlaced and 16-bit files. The five
+    standard scanline filters (None/Sub/Up/Average/Paeth) are all
+    reconstructed per pass. 16-bit samples scale by 1/257 so the same
+    image stored at either depth yields the IDENTICAL luma (0xABAB =
+    0xAB * 257 — the standard bit-replication expansion); RGB collapses
+    through the same 0.299/0.587/0.114 luma as the PNM/BMP arms."""
     import struct as _struct
     import zlib as _zlib
 
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, idat, plte = 8, [], None
+    w = h = depth = ctype = interlace = None
+    while pos + 8 <= len(payload):
+        ln, typ = _struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + crc
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = _struct.unpack(
+                ">IIBBBBB", data
+            )
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if depth not in (8, 16) or interlace not in (0, 1):
+        raise ValueError(
+            f"only 8/16-bit, interlace 0/1 PNG supported (depth={depth}, "
+            f"interlace={interlace})"
+        )
+    if ctype == 3 and depth == 16:
+        raise ValueError("16-bit palette PNG is not a legal combination")
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unknown PNG color type {ctype}")
+    try:
+        raw = _zlib.decompress(b"".join(idat))
+    except _zlib.error as e:  # torn stream must not leak zlib.error
+        raise ValueError(f"corrupt PNG zlib stream: {e}") from e
+    bpp = channels * (depth // 8)
+    if interlace == 0:
+        rows, _ = _png_unfilter(raw, 0, h, w * bpp, bpp)
+        px = _png_samples(rows, w, channels, depth)
+    else:  # Adam7: seven independently-filtered sub-images
+        px = np.zeros((h, w, channels), dtype=np.float64)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = (w - x0 + dx - 1) // dx
+            hp = (h - y0 + dy - 1) // dy
+            if wp <= 0 or hp <= 0:
+                continue  # empty pass contributes no scanlines at all
+            rows, off = _png_unfilter(raw, off, hp, wp * bpp, bpp)
+            px[y0::dy, x0::dx] = _png_samples(rows, wp, channels, depth)
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE chunk")
+        px = plte[px[:, :, 0].astype(np.int64)].astype(np.float64)
+        channels = 3
+    scale = 257.0 if depth == 16 else 1.0
+    if channels in (1, 2):  # gray (+alpha: alpha does not affect luma)
+        return px[:, :, 0] / scale
+    return (
+        px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+    ) / scale
+
+
+def encode_gray_png(img: "np.ndarray", depth: int = 8,
+                    interlace: int = 0) -> bytes:
+    """Grayscale PNG (filter 0 per scanline) — stdlib zlib + struct.
+    The encode half of the PNG arm: the media plans use it to
+    synthesize in-container compressed payloads whose decode is
+    value-checked against closed-form pixel math. depth 16 stores the
+    given samples as big-endian 16-bit values (pass v*257 to plant the
+    16-bit expansion of an 8-bit image); interlace 1 writes the seven
+    Adam7 sub-images."""
+    import struct as _struct
+    import zlib as _zlib
+
+    if depth not in (8, 16) or interlace not in (0, 1):
+        raise ValueError("encode_gray_png: depth 8/16, interlace 0/1")
     h, w = img.shape
 
     def chunk(typ: bytes, data: bytes) -> bytes:
@@ -278,15 +329,260 @@ def encode_gray_png(img: "np.ndarray") -> bytes:
             + _struct.pack(">I", _zlib.crc32(typ + data))
         )
 
-    raw = b"".join(
-        b"\x00" + img[r].astype(np.uint8).tobytes() for r in range(h)
-    )
+    dt = ">u2" if depth == 16 else np.uint8
+
+    def scanlines(sub: np.ndarray) -> bytes:
+        return b"".join(
+            b"\x00" + sub[r].astype(dt).tobytes() for r in range(len(sub))
+        )
+
+    if interlace == 0:
+        raw = scanlines(img)
+    else:
+        raw = b"".join(
+            scanlines(img[y0::dy, x0::dx])
+            for x0, y0, dx, dy in _ADAM7
+            if img[y0::dy, x0::dx].size
+        )
     return (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0))
+        + chunk(b"IHDR", _struct.pack(">IIBBBBB", w, h, depth, 0, 0, 0,
+                                      interlace))
         + chunk(b"IDAT", _zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+# GIF 4-pass row interlace (GIF89a spec appendix E): start row / step.
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int,
+                    n_pixels: int) -> np.ndarray:
+    """GIF-variant LZW (LSB-first variable-width codes, clear/end codes,
+    12-bit cap) → exactly n_pixels palette indexes. ValueError on a
+    truncated or out-of-range code stream."""
+    if not 2 <= min_code_size <= 8:
+        raise ValueError(f"gif: bad LZW minimum code size {min_code_size}")
+    clear = 1 << min_code_size
+    end = clear + 1
+    total_bits = len(data) * 8
+    bitpos = 0
+    width = min_code_size + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    out = np.empty(n_pixels, dtype=np.uint8)
+    n_out = 0
+    prev: bytes | None = None
+    while n_out < n_pixels:
+        if bitpos + width > total_bits:
+            raise ValueError("gif: LZW stream truncated")
+        code = 0
+        for i in range(width):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        if code == clear:
+            table = list(base)
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                raise ValueError("gif: LZW code before any literal")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4096:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise ValueError("gif: LZW code out of range")
+        # width grows when the NEXT code to assign would not fit
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        if n_out + len(entry) > n_pixels:
+            raise ValueError("gif: LZW output exceeds pixel count")
+        out[n_out : n_out + len(entry)] = np.frombuffer(entry, dtype=np.uint8)
+        n_out += len(entry)
+        prev = entry
+    if n_out != n_pixels:
+        raise ValueError("gif: LZW stream ended short")
+    return out
+
+
+def _gif_lzw_encode(indexes: bytes, min_code_size: int) -> bytes:
+    """The encode half (real dictionary LZW, not the clear-every-code
+    shortcut) so decoder tests exercise width growth for real."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    bits: list[tuple[int, int]] = []  # (code, width)
+    width = min_code_size + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    bits.append((clear, width))
+    buf = b""
+    for b in indexes:
+        nb = buf + bytes([b])
+        if nb in table:
+            buf = nb
+            continue
+        bits.append((table[buf], width))
+        if next_code < 4096:
+            table[nb] = next_code
+            next_code += 1
+            # mirror of the decoder's growth: the decoder appends this
+            # entry one code later, so widen when next_code FIRST
+            # exceeds the current width's range
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:
+            bits.append((clear, width))
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        buf = bytes([b])
+    if buf:
+        bits.append((table[buf], width))
+    bits.append((end, width))
+    acc = bytearray()
+    cur = 0
+    n = 0
+    for code, w in bits:
+        cur |= code << n
+        n += w
+        while n >= 8:
+            acc.append(cur & 0xFF)
+            cur >>= 8
+            n -= 8
+    if n:
+        acc.append(cur & 0xFF)
+    return bytes(acc)
+
+
+def _parse_gif(payload: bytes) -> np.ndarray:
+    """GIF87a/89a (first frame) → float64 grayscale (H, W) in [0, 255].
+
+    Stdlib+numpy LZW decode — the last common legacy format in album
+    artwork scans (reference consumer: generate_artwork_variants.py
+    via PIL; Assets[] intake id_assign_and_merge.py:21-34). Supports
+    global and local color tables, the 4-pass row interlace, and
+    extension-block skipping; animations decode their first frame (the
+    thumbnail semantics). ValueError on torn streams — never a
+    silently wrong image."""
+    import struct as _struct
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    if len(payload) < 13:
+        raise ValueError("gif: truncated logical screen descriptor")
+    sw, sh, packed, _bg, _aspect = _struct.unpack_from("<HHBBB", payload, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(payload, dtype=np.uint8, count=n * 3,
+                            offset=pos).reshape(-1, 3)
+        if len(gct) * 3 < n * 3:
+            raise ValueError("gif: truncated global color table")
+        pos += n * 3
+
+    def skip_subblocks(p: int) -> int:
+        while True:
+            if p >= len(payload):
+                raise ValueError("gif: truncated sub-blocks")
+            ln = payload[p]
+            p += 1 + ln
+            if ln == 0:
+                return p
+
+    while pos < len(payload):
+        block = payload[pos]
+        pos += 1
+        if block == 0x3B:  # trailer before any image
+            raise ValueError("gif: no image data")
+        if block == 0x21:  # extension: label + sub-blocks
+            if pos >= len(payload):
+                raise ValueError("gif: truncated extension")
+            pos = skip_subblocks(pos + 1)
+            continue
+        if block != 0x2C:
+            raise ValueError(f"gif: unknown block 0x{block:02x}")
+        if pos + 9 > len(payload):
+            raise ValueError("gif: truncated image descriptor")
+        _left, _top, w, h, ipacked = _struct.unpack_from("<HHHHB", payload, pos)
+        pos += 9
+        table = gct
+        if ipacked & 0x80:  # local color table
+            n = 2 << (ipacked & 0x07)
+            table = np.frombuffer(payload, dtype=np.uint8, count=n * 3,
+                                  offset=pos).reshape(-1, 3)
+            pos += n * 3
+        if table is None:
+            raise ValueError("gif: image has no color table")
+        if w == 0 or h == 0:
+            raise ValueError("gif: empty image dimensions")
+        if pos >= len(payload):
+            raise ValueError("gif: truncated LZW header")
+        min_code_size = payload[pos]
+        pos += 1
+        chunks = []
+        while True:
+            if pos >= len(payload):
+                raise ValueError("gif: truncated image data")
+            ln = payload[pos]
+            pos += 1
+            if ln == 0:
+                break
+            chunks.append(payload[pos : pos + ln])
+            if len(chunks[-1]) < ln:
+                raise ValueError("gif: truncated image data")
+            pos += ln
+        idx = _gif_lzw_decode(b"".join(chunks), min_code_size, w * h)
+        if int(idx.max(initial=0)) >= len(table):
+            raise ValueError("gif: pixel index outside the color table")
+        rows = idx.reshape(h, w)
+        if ipacked & 0x40:  # 4-pass row interlace
+            ordered = np.empty_like(rows)
+            src = 0
+            for start, step in _GIF_INTERLACE:
+                n_rows = len(range(start, h, step))
+                ordered[start::step] = rows[src : src + n_rows]
+                src += n_rows
+            rows = ordered
+        px = table[rows].astype(np.float64)
+        return px[:, :, 0] * 0.299 + px[:, :, 1] * 0.587 + px[:, :, 2] * 0.114
+    raise ValueError("gif: stream ended before any image block")
+
+
+def encode_gray_gif(img: "np.ndarray", interlace: bool = False) -> bytes:
+    """Grayscale single-frame GIF89a (256-gray global palette, real
+    LZW) — the encode half of the GIF arm, same role as
+    encode_gray_png."""
+    import struct as _struct
+
+    h, w = img.shape
+    idx = img.astype(np.uint8)
+    if interlace:
+        idx = np.concatenate(
+            [idx[start::step] for start, step in _GIF_INTERLACE]
+        )
+    lzw = _gif_lzw_encode(idx.tobytes(), 8)
+    out = bytearray(b"GIF89a")
+    out += _struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 256 entries
+    for i in range(256):
+        out += bytes([i, i, i])
+    out += b"\x2c" + _struct.pack("<HHHHB", 0, 0, w, h,
+                                  0x40 if interlace else 0)
+    out += bytes([8])  # LZW minimum code size
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
 
 
 def _parse_bmp(payload: bytes) -> np.ndarray:
@@ -359,14 +655,17 @@ def _decode_image(payload: bytes) -> np.ndarray:
         gray = _parse_bmp(payload)
     elif payload[:8] == b"\x89PNG\r\n\x1a\n":
         gray = _parse_png(payload)
+    elif payload[:6] in (b"GIF87a", b"GIF89a"):
+        gray = _parse_gif(payload)
     elif payload[:2] == b"\xff\xd8":
         from tlmc_etl_spark.operators.jpeg import parse_jpeg_luma
 
         gray = parse_jpeg_luma(payload)
     else:
         raise NotImplementedError(
-            "image payload is neither PNM, BMP, PNG nor baseline JPEG and "
-            "PIL is not installed; pip install pillow for other formats"
+            "image payload is neither PNM, BMP, PNG, GIF nor baseline "
+            "JPEG and PIL is not installed; pip install pillow for other "
+            "formats"
         )
     return _unit_centered(_pool_luma(gray))
 

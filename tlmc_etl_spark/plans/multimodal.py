@@ -792,8 +792,13 @@ WITH ids AS (
   CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS r) r
   CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS c) c
 ), png_pool AS (
-  SELECT img, 'png' AS kind, (r // 8) * 4 + (c // 8) AS pos, avg(v) AS m
-  FROM px GROUP BY img, (r // 8) * 4 + (c // 8)
+  -- five encodings of the SAME pixels (8-bit PNG, 16-bit PNG via the
+  -- v*257 expansion, Adam7-interlaced PNG, plain and interlaced GIF)
+  -- must all decode to this one closed form
+  SELECT img, k.kind, (r // 8) * 4 + (c // 8) AS pos, avg(v) AS m
+  FROM px
+  CROSS JOIN (SELECT unnest(['png', 'png16', 'pngi', 'gif', 'gifi']) AS kind) k
+  GROUP BY img, k.kind, (r // 8) * 4 + (c // 8)
 ), jpeg_pool AS (
   -- the JPEG pattern is block-constant (8x8 blocks), so each pooled
   -- cell IS the generator value; the same closed form covers BOTH the
@@ -825,16 +830,18 @@ ORDER BY img_id, c.kind, pos
 def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The compressed-image decode arms, value-checked end to end: 32
     deterministic images are ENCODED in-plan (a per-pixel gradient as
-    real zlib PNG; a block-constant pattern as real baseline AND
-    progressive JPEG — constant 8x8 blocks decode bit-exactly through
-    the DC path, so the lossy format becomes value-checkable; the
-    progressive arm additionally walks SOF2 multi-scan successive
-    approximation + EOB-run decode for real), pushed through the SAME
-    decode_payload dispatch production uses, and the pooled-luma
-    features must equal the closed-form pixel arithmetic DuckDB
-    computes from the generator formulas alone. Any defect anywhere in
-    the zlib/filter reconstruction, the Huffman/IDCT path, the pooling
-    or the normalization shifts a value."""
+    real zlib PNG — 8-bit, 16-bit via the v*257 bit-replication, and
+    Adam7-interlaced — plus real LZW GIF in both row layouts; a
+    block-constant pattern as real baseline AND progressive JPEG —
+    constant 8x8 blocks decode bit-exactly through the DC path, so the
+    lossy format becomes value-checkable; the progressive arm
+    additionally walks SOF2 multi-scan successive approximation +
+    EOB-run decode for real), pushed through the SAME decode_payload
+    dispatch production uses, and the pooled-luma features must equal
+    the closed-form pixel arithmetic DuckDB computes from the generator
+    formulas alone. Any defect anywhere in the zlib/filter/Adam7
+    reconstruction, the LZW dictionary walk, the Huffman/IDCT path, the
+    pooling or the normalization shifts a value."""
     import numpy as np
     import pandas as pd
 
@@ -844,6 +851,7 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from tlmc_etl_spark.operators.multimodal import (
         decode_payload,
+        encode_gray_gif,
         encode_gray_png,
     )
 
@@ -866,6 +874,11 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 jpg_img = (img * 31 + br * 7 + bc * 13) % 256
                 for kind, payload in (
                     ("png", encode_gray_png(png_img.astype(np.uint8))),
+                    ("png16", encode_gray_png(png_img * 257, depth=16)),
+                    ("pngi", encode_gray_png(png_img.astype(np.uint8),
+                                             interlace=1)),
+                    ("gif", encode_gray_gif(png_img)),
+                    ("gifi", encode_gray_gif(png_img, interlace=True)),
                     ("jpeg", encode_gray_jpeg(jpg_img.astype(np.float64))),
                     ("jprog", encode_gray_progressive(jpg_img.astype(np.float64))),
                 ):
