@@ -79,6 +79,17 @@ NOTES = {
     "mp3_tag_scan": (
         "flat ~1x across sfs - same per-file design, 200 fixed tracks"
     ),
+    "bpe_train_merges_round11_drift": (
+        "round-11 suite wall moved 1.67->2.7s with no code change "
+        "(operators/bpe.py last touched round 10); round-12 isolated "
+        "recheck (fresh warmed local[32], best-of-2, clearCache, "
+        "loadavg 0.67): sf0.1 3.11s / sf1 3.20s = 1.03x for 10x rows - "
+        "scale-FLAT; the wall IS the k-round driver loop's fixed "
+        "per-round scheduling floor (one collect + one broadcast-fold "
+        "apply per merge round), independent of corpus size, so the "
+        "in-suite movement is level noise on a fixed floor, not a "
+        "scaling regression"
+    ),
     "two_stage_similarity_round10_drift": (
         "round-10 suite wall moved 1.38->1.59s with no plan change; "
         "round-11 isolated recheck (fresh warmed local[32], best-of-2, "
