@@ -1,0 +1,207 @@
+"""RAR archive-index parse (operators/rarindex.py): RAR 4.x and 5.0
+header walks, stdlib-only, listing without decompression.
+
+Trust chain (flac.py pattern): the RAR5 vint codec and a complete
+minimal RAR5 archive are HAND-ASSEMBLED from the published rarlab
+technote layout — literal bytes, not encoder output — pinning the
+parser's byte layout; writer round-trips cover the wider shapes. An
+opt-in real-unrar/7z cross-check would live in test_real_tools.py if
+those tools existed in a container.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from tlmc_etl_spark.operators.rarindex import (
+    _read_vint,
+    _write_vint,
+    encode_rar4,
+    encode_rar5,
+    parse_rar_index,
+)
+
+ENTRIES = [
+    ("Album 1", True, None),
+    ("Album 1/01 track.flac", False, b"fLaC" * 40),
+    ("Album 1/cover.jpg", False, b"\xff\xd8" * 5),
+    ("empty.txt", False, b""),
+]
+
+
+class TestVintCodec:
+    @pytest.mark.parametrize(
+        "raw,want",
+        [
+            (b"\x00", 0),
+            (b"\x7f", 0x7F),
+            (b"\x80\x01", 0x80),
+            (b"\xff\x7f", 0x3FFF),
+            (b"\xac\x02", 300),
+        ],
+    )
+    def test_hand_pinned_reads(self, raw, want):
+        assert _read_vint(raw, 0) == (want, len(raw))
+
+    def test_roundtrip(self):
+        rng = np.random.default_rng(31)
+        for v in [0, 1, 127, 128, 16383, 16384, 2**32] + [
+            int(x) for x in rng.integers(0, 2**60, 20)
+        ]:
+            assert _read_vint(_write_vint(v), 0)[0] == v
+
+    def test_truncated_vint_raises(self):
+        with pytest.raises(ValueError, match="vint"):
+            _read_vint(b"\x80", 0)
+
+
+def _hand_rar5() -> bytes:
+    """A complete RAR5 archive assembled from the technote layout —
+    independent of encode_rar5. Main header, one stored 4-byte file
+    'a', end header."""
+
+    def block(fields: bytes, data: bytes = b"") -> bytes:
+        hdr = bytes([len(fields)]) + fields  # size vint (fits 1 byte)
+        return struct.pack("<I", zlib.crc32(hdr)) + hdr + data
+
+    main = block(bytes([0x01, 0x00, 0x00]))  # type=1 flags=0 archflags=0
+    file_fields = bytes(
+        [
+            0x02,  # type: file
+            0x02,  # header flags: data area present
+            0x04,  # data size = 4
+            0x00,  # file flags
+            0x04,  # unpacked size = 4
+            0x20,  # attributes
+            0x00,  # compression info: store
+            0x00,  # host OS
+            0x01,  # name length
+        ]
+    ) + b"a"
+    file_blk = block(file_fields, b"DATA")
+    end = block(bytes([0x05, 0x00, 0x00]))
+    return b"Rar!\x1a\x07\x01\x00" + main + file_blk + end
+
+
+class TestHandBuiltRar5:
+    def test_hand_pinned_layout_parses(self):
+        idx = parse_rar_index(_hand_rar5())
+        assert idx == [
+            {"path": "a", "is_dir": False, "size": 4, "attrib": 0x20,
+             "mtime_unix": None}
+        ]
+
+    def test_header_crc_checked(self):
+        data = bytearray(_hand_rar5())
+        data[30] ^= 0x01  # inside the file header
+        with pytest.raises(ValueError, match="CRC"):
+            parse_rar_index(bytes(data))
+
+
+class TestRoundTrip:
+    def test_rar5_full_shape(self):
+        idx = parse_rar_index(encode_rar5(ENTRIES, mtime_unix=1_700_000_000))
+        assert [(e["path"], e["is_dir"], e["size"]) for e in idx] == [
+            (p, d, 0 if data is None else len(data)) for p, d, data in ENTRIES
+        ]
+        assert all(e["mtime_unix"] == 1_700_000_000 for e in idx)
+
+    def test_rar4_full_shape(self):
+        idx = parse_rar_index(encode_rar4(ENTRIES))
+        assert [(e["path"], e["is_dir"], e["size"]) for e in idx] == [
+            (p, d, 0 if data is None else len(data)) for p, d, data in ENTRIES
+        ]
+        assert all(e["mtime_dos"] == 0x5B0F6C3D for e in idx)
+
+    def test_rar5_unicode_names(self):
+        idx = parse_rar_index(encode_rar5([("東方/曲.flac", False, b"x")]))
+        assert idx[0]["path"] == "東方/曲.flac"
+
+    def test_rar4_names_are_ascii_only(self):
+        with pytest.raises(UnicodeEncodeError):
+            encode_rar4([("東方.flac", False, b"x")])
+
+
+class TestStrictness:
+    def test_non_archive_is_none(self):
+        assert parse_rar_index(None) is None
+        assert parse_rar_index(b"") is None
+        assert parse_rar_index(b"CORRUPT not an archive") is None
+        assert parse_rar_index(b"PK\x03\x04" + bytes(30)) is None
+
+    def test_rar5_every_truncation_raises(self):
+        """RAR5 mandates an end-of-archive block, so EVERY proper
+        prefix is detectable: zero silent short listings."""
+        enc = encode_rar5(ENTRIES, mtime_unix=1)
+        for cut in range(8, len(enc)):
+            with pytest.raises(ValueError):
+                parse_rar_index(enc[:cut])
+
+    def test_rar4_truncation_raises_except_block_boundaries(self):
+        """4.x ENDARC is optional, so a cut landing EXACTLY between
+        blocks is indistinguishable from a complete archive — every
+        other cut must raise."""
+        enc = encode_rar4(ENTRIES)
+        silent = 0
+        for cut in range(7, len(enc)):
+            try:
+                parse_rar_index(enc[:cut])
+                silent += 1
+            except ValueError:
+                pass
+        # one boundary per block: main + 4 files (the end-block cut IS
+        # the full archive, not a prefix)
+        assert silent == 5
+
+    def test_byte_corruption_never_leaks(self):
+        for enc in (encode_rar5(ENTRIES, mtime_unix=1), encode_rar4(ENTRIES)):
+            want = parse_rar_index(enc)
+            rng = np.random.default_rng(37)
+            for _ in range(200):
+                pos = int(rng.integers(0, len(enc)))
+                torn = bytearray(enc)
+                torn[pos] ^= 1 << int(rng.integers(8))
+                try:
+                    got = parse_rar_index(bytes(torn))
+                except ValueError:
+                    continue
+                assert got is None or got == want
+
+    def test_random_blobs_never_leak(self):
+        rng = np.random.default_rng(41)
+        for sig in (b"Rar!\x1a\x07\x00", b"Rar!\x1a\x07\x01\x00"):
+            for _ in range(200):
+                blob = sig + bytes(
+                    rng.integers(0, 256, size=int(rng.integers(0, 100)),
+                                 dtype=np.uint8)
+                )
+                try:
+                    parse_rar_index(blob)
+                except ValueError:
+                    pass
+
+
+class TestDispatch:
+    def test_magic_dispatch_covers_all_formats(self):
+        from tlmc_etl_spark.operators.archive import parse_archive_index
+        from tlmc_etl_spark.operators.sevenzip import encode_7z
+        from tlmc_etl_spark.operators.zipindex import encode_zip
+
+        asc = [(p, d, x) for p, d, x in ENTRIES]
+        blobs = [
+            encode_7z(asc, header_codec="lzma"),
+            encode_zip(asc),
+            encode_rar5(asc),
+            encode_rar4(asc),
+        ]
+        listings = [
+            [(e["path"], e["is_dir"], e["size"])
+             for e in parse_archive_index(b)]
+            for b in blobs
+        ]
+        # the SAME tree through four container formats yields the SAME
+        # listing
+        assert listings[0] == listings[1] == listings[2] == listings[3]
+        assert parse_archive_index(b"not an archive") is None

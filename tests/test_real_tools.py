@@ -228,6 +228,36 @@ def test_real_7z_lists_spec_built_archive(tmp_path):
             assert rc.returncode == 0, rc.stdout + rc.stderr
 
 
+@needs_7z
+def test_real_7z_lists_spec_built_zip_and_rar(tmp_path):
+    """Real 7z (which reads zip and rar natively) must list the
+    spec-built ZIP and RAR containers to the same entry set — the
+    external gate for the magic-dispatch family."""
+    from tlmc_etl_spark.operators.archive import parse_slt
+    from tlmc_etl_spark.operators.rarindex import encode_rar4, encode_rar5
+    from tlmc_etl_spark.operators.zipindex import encode_zip
+
+    entries = [
+        ("Alb", True, None),
+        ("Alb/01.flac", False, b"fLaC" + bytes(64)),
+        ("Alb/02.flac", False, b"fLaC" + bytes(32)),
+    ]
+    want = {"Alb": True, "Alb/01.flac": False, "Alb/02.flac": False}
+    blobs = {
+        "a.zip": encode_zip(entries),
+        "a64.zip": encode_zip(entries, zip64=True),
+        "a5.rar": encode_rar5(entries, mtime_unix=1_600_000_000),
+        "a4.rar": encode_rar4(entries),
+    }
+    for fname, blob in blobs.items():
+        arc = str(tmp_path / fname)
+        with open(arc, "wb") as fh:
+            fh.write(blob)
+        r = subprocess.run(["7z", "l", "-slt", arc], capture_output=True)
+        assert r.returncode == 0, (fname, r.stdout + r.stderr)
+        assert dict(parse_slt(r.stdout)) == want, fname
+
+
 @needs_ffmpeg
 def test_real_ffmpeg_agrees_with_stdlib_jpeg_codec(tmp_path):
     """Breaks the encoder<->decoder self-consistency loop: the

@@ -101,18 +101,38 @@ def list_archives(
     return slim.mapInPandas(run, schema=ENTRY_SCHEMA)
 
 
-def list_archives_7z(
+def parse_archive_index(data: bytes | None) -> list[dict] | None:
+    """Magic-dispatched in-process archive index: .7z, .zip, and
+    .rar (4.x/5.0) — the reference's full ARCHIVE_EXTENSIONS surface
+    (extract_plan.py:37), listed with no child process and no
+    extraction. None for unrecognized bytes; ValueError on torn
+    headers (each parser's own contract)."""
+    from tlmc_etl_spark.operators.rarindex import parse_rar_index
+    from tlmc_etl_spark.operators.sevenzip import parse_7z_index
+    from tlmc_etl_spark.operators.zipindex import parse_zip_index
+
+    if data is None or len(data) < 4:
+        return None
+    if data[:2] == b"7z":
+        return parse_7z_index(data)
+    if data[:4] == b"Rar!":
+        return parse_rar_index(data)
+    if data[:2] == b"PK":
+        return parse_zip_index(data)
+    return None
+
+
+def list_archives_inproc(
     archives: DataFrame,
     path_col: str = "path",
 ) -> DataFrame:
     """In-container twin of `list_archives`: one row per entry from a
-    direct .7z end-header parse (operators/sevenzip.py) — no child
-    process, no extraction. Same schema and per-row isolation contract:
-    a non-archive file yields one ok=false row with reason
+    direct header parse (7z end header, ZIP central directory, RAR
+    block walk — operators/sevenzip.py, zipindex.py, rarindex.py) — no
+    child process, no extraction. Same schema and per-row isolation
+    contract: a non-archive file yields one ok=false row with reason
     'not_an_archive'; a torn or CRC-corrupt header yields 'bad_header';
     an unreadable path 'read_error:<class>'."""
-    from tlmc_etl_spark.operators.sevenzip import parse_7z_index
-
     slim = fanout(archives.select(path_col))
 
     def run(batches):
@@ -129,7 +149,7 @@ def list_archives_7z(
                     )
                     continue
                 try:
-                    idx = parse_7z_index(data)
+                    idx = parse_archive_index(data)
                 except ValueError:
                     out.append((p, None, None, False, "bad_header"))
                     continue

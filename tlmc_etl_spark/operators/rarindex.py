@@ -1,0 +1,298 @@
+"""In-container RAR archive-index parse: header walk for RAR 4.x and
+RAR 5.0, no payload extraction, stdlib only.
+
+The reference lists `.rar` archives through the same `7z l -slt` child
+process as `.7z` (extract_plan.py:37 ARCHIVE_EXTENSIONS includes
+".rar"; the corpus's v4-era releases shipped as .rar —
+unextracted_snapshot.py:6). RAR *compression* is proprietary, but the
+CONTAINER layout is published by rarlab (technote: "RAR 5.0 archive
+format" and the 1.5–4.x block layout), and a listing needs only the
+headers: every block declares its packed-data size, so the walk skips
+payload bytes entirely — names, unpacked sizes, directory flags and
+times come out without any decompression, which is exactly what the
+entry stage consumes.
+
+Same contracts as the sibling index modules (sevenzip.py, zipindex.py):
+spec-built writers (`encode_rar4`/`encode_rar5`, stored method) for
+test payloads, header CRCs verified, ValueError — never struct.error or
+a silently short listing — on torn headers.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+_SIG_RAR4 = b"Rar!\x1a\x07\x00"
+_SIG_RAR5 = b"Rar!\x1a\x07\x01\x00"
+
+# RAR5 header types
+_R5_MAIN = 1
+_R5_FILE = 2
+_R5_SERVICE = 3
+_R5_END = 5
+
+# RAR4 block types
+_R4_MAIN = 0x73
+_R4_FILE = 0x74
+_R4_END = 0x7B
+
+
+# ---------------------------------------------------------------------------
+# RAR5 vint: 7 value bits per byte, low groups first, bit 7 = continue.
+# ---------------------------------------------------------------------------
+
+
+def _write_vint(n: int) -> bytes:
+    if n < 0:
+        raise ValueError("rar: negative vint")
+    out = bytearray()
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _read_vint(data: bytes, pos: int) -> tuple[int, int]:
+    value = 0
+    shift = 0
+    while True:
+        if pos >= len(data):
+            raise ValueError("rar: truncated vint")
+        b = data[pos]
+        pos += 1
+        value |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return value, pos
+        shift += 7
+        if shift > 63:
+            raise ValueError("rar: vint overflows 64 bits")
+
+
+# ---------------------------------------------------------------------------
+# Writers (test doubles, stored method only).
+# ---------------------------------------------------------------------------
+
+
+def _rar5_block(htype: int, body: bytes, data: bytes = b"") -> bytes:
+    flags = 0x0002 if data else 0x0000
+    fields = _write_vint(htype) + _write_vint(flags)
+    if data:
+        fields += _write_vint(len(data))
+    fields += body
+    hdr = _write_vint(len(fields)) + fields
+    return struct.pack("<I", zlib.crc32(hdr)) + hdr + data
+
+
+def encode_rar5(entries: list[tuple[str, bool, bytes | None]],
+                mtime_unix: int | None = None) -> bytes:
+    """Entries [(path, is_dir, payload)] → RAR 5.0 bytes with stored
+    (method 0) payloads — enough container to exercise the full header
+    walk: vints, header CRCs, data-area skips, directory and mtime
+    flags."""
+    out = bytearray(_SIG_RAR5)
+    out += _rar5_block(_R5_MAIN, _write_vint(0))  # archive flags = 0
+    for path, is_dir, payload in entries:
+        data = b"" if is_dir or payload is None else bytes(payload)
+        fflags = 0x0001 if is_dir else 0x0000
+        if mtime_unix is not None:
+            fflags |= 0x0002
+        body = _write_vint(fflags)
+        body += _write_vint(0 if is_dir else len(data))  # unpacked size
+        body += _write_vint(0x10 if is_dir else 0x20)  # attributes
+        if mtime_unix is not None:
+            body += struct.pack("<I", mtime_unix)
+        body += _write_vint(0)  # compression info: version 0, store
+        body += _write_vint(0)  # host OS
+        raw = path.encode("utf-8")
+        body += _write_vint(len(raw)) + raw
+        out += _rar5_block(_R5_FILE, body, data)
+    out += _rar5_block(_R5_END, _write_vint(0))
+    return bytes(out)
+
+
+def _rar4_block(htype: int, flags: int, body: bytes,
+                data: bytes = b"") -> bytes:
+    if data:
+        flags |= 0x8000
+        body = struct.pack("<I", len(data)) + body
+    size = 7 + len(body)
+    hdr = bytes([htype]) + struct.pack("<HH", flags, size) + body
+    crc = zlib.crc32(hdr) & 0xFFFF
+    return struct.pack("<H", crc) + hdr + data
+
+
+def encode_rar4(entries: list[tuple[str, bool, bytes | None]],
+                dos_time: int = 0x5B0F6C3D) -> bytes:
+    """Entries → RAR 1.5–4.x bytes with stored (0x30) payloads. Names
+    must be ASCII (the 4.x single-byte name page; the corpus's wide
+    names arrived with the 5.0-era releases)."""
+    out = bytearray(_SIG_RAR4)
+    out += _rar4_block(_R4_MAIN, 0x0000, bytes(6))  # HighPosAv + PosAv
+    for path, is_dir, payload in entries:
+        raw = path.encode("ascii")
+        data = b"" if is_dir or payload is None else bytes(payload)
+        flags = 0x8000  # ADD_SIZE always present in our file blocks
+        if is_dir:
+            flags |= 0x00E0  # directory: all three "window" bits set
+        body = struct.pack(
+            "<IIBIIBBHI",
+            len(data),  # PACK_SIZE (duplicated by the 0x8000 ADD_SIZE)
+            0 if is_dir else len(data),  # UNP_SIZE
+            2,  # HOST_OS: Windows
+            zlib.crc32(data),  # FILE_CRC
+            dos_time,  # FTIME (DOS packed)
+            20,  # UNP_VER
+            0x30,  # METHOD: store
+            len(raw),  # NAME_SIZE
+            0x10 if is_dir else 0x20,  # ATTR
+        ) + raw
+        size = 7 + len(body)
+        hdr = bytes([_R4_FILE]) + struct.pack("<HH", flags, size) + body
+        crc = zlib.crc32(hdr) & 0xFFFF
+        out += struct.pack("<H", crc) + hdr + data
+    out += _rar4_block(_R4_END, 0x4000, b"")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Parser
+# ---------------------------------------------------------------------------
+
+
+def parse_rar_index(data: bytes | None) -> list[dict] | None:
+    """.rar bytes (4.x or 5.0) → [{path, is_dir, size, attrib,
+    mtime_unix | mtime_dos}] from the header walk alone. None for
+    non-RAR input; ValueError on torn or CRC-corrupt headers."""
+    if not data or len(data) < 7:
+        return None
+    if data.startswith(_SIG_RAR5):
+        return _parse_rar5(data)
+    if data.startswith(_SIG_RAR4):
+        return _parse_rar4(data)
+    return None
+
+
+def _parse_rar5(data: bytes) -> list[dict]:
+    pos = len(_SIG_RAR5)
+    out: list[dict] = []
+    while pos < len(data):
+        if pos + 5 > len(data):
+            raise ValueError("rar5: truncated block header")
+        want_crc = struct.unpack_from("<I", data, pos)[0]
+        size, body_pos = _read_vint(data, pos + 4)
+        if size == 0 or body_pos + size > len(data):
+            raise ValueError("rar5: header overruns the archive")
+        # CRC covers the size vint + header contents (technote: "from
+        # Header size field to the end of header")
+        if zlib.crc32(data[pos + 4 : body_pos + size]) != want_crc:
+            raise ValueError("rar5: header CRC mismatch")
+        hdr = data[body_pos : body_pos + size]
+        p = 0
+        htype, p = _read_vint(hdr, p)
+        hflags, p = _read_vint(hdr, p)
+        extra_size = 0
+        data_size = 0
+        if hflags & 0x0001:
+            extra_size, p = _read_vint(hdr, p)
+        if hflags & 0x0002:
+            data_size, p = _read_vint(hdr, p)
+        if htype in (_R5_FILE, _R5_SERVICE):
+            fflags, p = _read_vint(hdr, p)
+            unp_size, p = _read_vint(hdr, p)
+            attrib, p = _read_vint(hdr, p)
+            mtime = None
+            if fflags & 0x0002:
+                if p + 4 > len(hdr):
+                    raise ValueError("rar5: truncated mtime field")
+                mtime = struct.unpack_from("<I", hdr, p)[0]
+                p += 4
+            if fflags & 0x0004:
+                p += 4  # data CRC
+            _comp, p = _read_vint(hdr, p)
+            _host, p = _read_vint(hdr, p)
+            nlen, p = _read_vint(hdr, p)
+            if p + nlen > len(hdr):
+                raise ValueError("rar5: name overruns the header")
+            try:
+                name = hdr[p : p + nlen].decode("utf-8")
+            except UnicodeDecodeError as e:
+                raise ValueError(f"rar5: undecodable name: {e}") from e
+            if htype == _R5_FILE:
+                is_dir = bool(fflags & 0x0001)
+                out.append({
+                    "path": name.replace("\\", "/").rstrip("/"),
+                    "is_dir": is_dir,
+                    "size": 0 if is_dir else unp_size,
+                    "attrib": attrib,
+                    "mtime_unix": mtime,
+                })
+        pos = body_pos + size + data_size
+        if htype == _R5_END:
+            return out
+        del extra_size  # inside `size`; nothing further to skip
+    # RAR5 mandates an end-of-archive block: running out of bytes first
+    # means truncation, and must not yield a silently short listing
+    raise ValueError("rar5: stream ended before the end-of-archive block")
+
+
+def _parse_rar4(data: bytes) -> list[dict]:
+    pos = len(_SIG_RAR4)
+    if pos >= len(data):
+        raise ValueError("rar4: no blocks after the signature")
+    out: list[dict] = []
+    while pos + 7 <= len(data):
+        want_crc = struct.unpack_from("<H", data, pos)[0]
+        htype = data[pos + 2]
+        hflags, hsize = struct.unpack_from("<HH", data, pos + 3)
+        if hsize < 7 or pos + hsize > len(data):
+            raise ValueError("rar4: header overruns the archive")
+        if zlib.crc32(data[pos + 2 : pos + hsize]) & 0xFFFF != want_crc:
+            raise ValueError("rar4: header CRC mismatch")
+        body = data[pos + 7 : pos + hsize]
+        add_size = 0
+        if htype == _R4_FILE:
+            if len(body) < 25:
+                raise ValueError("rar4: file header too short")
+            (pack_size, unp_size, _host, _crc, ftime, _ver, _method,
+             nlen, attr) = struct.unpack_from("<IIBIIBBHI", body, 0)
+            add_size = pack_size
+            name_off = 25
+            if hflags & 0x0100:  # HIGH_PACK_SIZE / HIGH_UNP_SIZE
+                if len(body) < 33:
+                    raise ValueError("rar4: truncated 64-bit size fields")
+                high_pack, high_unp = struct.unpack_from("<II", body, 25)
+                add_size |= high_pack << 32
+                unp_size |= high_unp << 32
+                name_off = 33
+            if name_off + nlen > len(body):
+                raise ValueError("rar4: name overruns the header")
+            raw = body[name_off : name_off + nlen]
+            if hflags & 0x0200:  # unicode variant: plain part before NUL
+                raw = raw.split(b"\x00", 1)[0]
+            name = raw.decode("utf-8", errors="replace")
+            is_dir = (hflags & 0x00E0) == 0x00E0
+            out.append({
+                "path": name.replace("\\", "/").rstrip("/"),
+                "is_dir": is_dir,
+                "size": 0 if is_dir else unp_size,
+                "attrib": attr,
+                "mtime_dos": ftime,
+            })
+        elif hflags & 0x8000:  # any other block carrying data
+            if len(body) < 4:
+                raise ValueError("rar4: missing ADD_SIZE field")
+            add_size = struct.unpack_from("<I", body, 0)[0]
+        pos += hsize + add_size
+        if htype == _R4_END:
+            return out
+    # the 4.x ENDARC block is optional, so a walk that consumes the
+    # stream EXACTLY is a complete archive — but leftover bytes too
+    # short to be a block mean the stream was torn mid-header
+    if pos != len(data):
+        raise ValueError("rar4: trailing bytes are not a complete block")
+    return out

@@ -242,30 +242,34 @@ _AUX_DIRS = (
 
 @query("archive_index_scan", oracle=_ARCHIVE_ORACLE)
 def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Archive header scan + layout plan over REAL .7z bytes, end to
-    end in-container: conformant archives (stored payloads; the header
-    codec alternates plain/LZMA and the pack layout per-file/solid, so
-    all four real-world header shapes parse in-plan) are written
-    distributedly, each end header is parsed directly with NO child
-    process and NO extraction (operators/sevenzip.py — the in-container
-    `7z l -slt`; the reference shells out per archive,
-    extract_plan.py:84-116), and the flat/nested/bundle layout decision
-    tree (extract_plan.py:156-199: root files → flat; one album-like top
-    dir → nested, strip a level; several → bundle) runs relationally
-    over the exploded entries. Every 3rd sampled archive is corrupt and
-    must land as its own ok=false row (not_an_archive).
+    """Archive header scan + layout plan over REAL archive bytes, end
+    to end in-container, across the reference's FULL container surface
+    (extract_plan.py:37 ARCHIVE_EXTENSIONS = .7z/.zip/.rar): conformant
+    archives cycle through 7z (header codec alternating plain/LZMA,
+    pack layout per-file/solid), ZIP (central-directory listing), and
+    RAR 5.0/4.x (header-walk listing), each parsed directly with NO
+    child process and NO extraction (operators/sevenzip.py, zipindex.py,
+    rarindex.py — the in-container `7z l -slt`; the reference shells
+    out per archive, extract_plan.py:84-116), and the
+    flat/nested/bundle layout decision tree (extract_plan.py:156-199:
+    root files → flat; one album-like top dir → nested, strip a level;
+    several → bundle) runs relationally over the exploded entries.
+    Every 3rd sampled archive is corrupt and must land as its own
+    ok=false row (not_an_archive).
 
     The oracle re-derives layout/album-count from the construction
-    arithmetic, so a drift anywhere — header walk, LZMA header decode,
-    empty-stream/attribute dir detection, top-dir/audio/album-pattern
+    arithmetic, so a drift anywhere — any of the four header walks,
+    LZMA header decode, dir detection, top-dir/audio/album-pattern
     classification — hash-fails.
     """
     import os
 
     import pandas as pd
 
-    from tlmc_etl_spark.operators.archive import list_archives_7z
+    from tlmc_etl_spark.operators.archive import list_archives_inproc
+    from tlmc_etl_spark.operators.rarindex import encode_rar4, encode_rar5
     from tlmc_etl_spark.operators.sevenzip import encode_7z
+    from tlmc_etl_spark.operators.zipindex import encode_zip
 
     out_dir = _scratch_dir(spark, "archives", sf_dir)
 
@@ -280,7 +284,8 @@ def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             paths = []
             for k in pdf["o_orderkey"]:
                 k = int(k)
-                p = os.path.join(out_dir, f"archive_{k}.7z")
+                ext = ("7z", "zip", "rar", "rar")[(k // 100) % 4]
+                p = os.path.join(out_dir, f"archive_{k}.{ext}")
                 if k % 300 == 0:
                     with open(p, "w", encoding="utf-8") as fh:
                         fh.write("CORRUPT not an archive")
@@ -308,12 +313,21 @@ def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (a2, True, None),
                         (f"{a2}/01 track.mp3", False, b"\xff\xfb" + bytes(k % 41)),
                     ]
-                blob = encode_7z(
-                    entries,
-                    header_codec="lzma" if k % 2 else "copy",
-                    solid=bool((k // 100) % 2),
-                    mtime_unix=1_300_000_000 + k,
-                )
+                container = (k // 100) % 4
+                if container == 0:
+                    blob = encode_7z(
+                        entries,
+                        header_codec="lzma" if k % 2 else "copy",
+                        solid=bool((k // 200) % 2),
+                        mtime_unix=1_300_000_000 + k,
+                    )
+                elif container == 1:
+                    blob = encode_zip(entries, zip64=bool(k % 2))
+                elif container == 2:
+                    blob = encode_rar5(entries,
+                                       mtime_unix=1_300_000_000 + k)
+                else:
+                    blob = encode_rar4(entries)
                 with open(p, "wb") as fh:
                     fh.write(blob)
                 paths.append(p)
@@ -322,7 +336,7 @@ def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     files = spec.mapInPandas(write_archives, schema="path string").localCheckpoint(
         eager=True
     )
-    entries = list_archives_7z(files)
+    entries = list_archives_inproc(files)
 
     key = F.regexp_extract(
         F.element_at(F.split("archive", "/"), -1), r"archive_(\d+)", 1
