@@ -34,6 +34,12 @@ SEVEN_ZIP_CMD = ["7z", "l", "-slt"]
 ENTRY_SCHEMA = (
     "archive string, entry string, is_dir boolean, ok boolean, reason string"
 )
+# the in-process parsers also surface per-entry sizes (the -slt text
+# parse does not), so their operator carries one more column
+ENTRY_SCHEMA_INPROC = (
+    "archive string, entry string, is_dir boolean, size long, "
+    "ok boolean, reason string"
+)
 
 
 def parse_slt(stdout: bytes) -> list[tuple[str, bool]] | None:
@@ -144,25 +150,29 @@ def list_archives_inproc(
                         data = fh.read()
                 except OSError as e:
                     out.append(
-                        (p, None, None, False,
+                        (p, None, None, None, False,
                          f"read_error:{type(e).__name__}")
                     )
                     continue
                 try:
                     idx = parse_archive_index(data)
                 except ValueError:
-                    out.append((p, None, None, False, "bad_header"))
+                    out.append((p, None, None, None, False, "bad_header"))
                     continue
                 if idx is None:
-                    out.append((p, None, None, False, "not_an_archive"))
+                    out.append((p, None, None, None, False, "not_an_archive"))
                     continue
                 if not idx:
-                    out.append((p, None, None, True, None))
+                    out.append((p, None, None, None, True, None))
                     continue
                 for e in idx:
-                    out.append((p, e["path"], e["is_dir"], True, None))
+                    out.append(
+                        (p, e["path"], e["is_dir"], e["size"], True, None)
+                    )
             yield pd.DataFrame(
-                out, columns=["archive", "entry", "is_dir", "ok", "reason"]
+                out,
+                columns=["archive", "entry", "is_dir", "size", "ok",
+                         "reason"],
             )
 
-    return slim.mapInPandas(run, schema=ENTRY_SCHEMA)
+    return slim.mapInPandas(run, schema=ENTRY_SCHEMA_INPROC)

@@ -240,44 +240,21 @@ _AUX_DIRS = (
 )
 
 
-@query("archive_index_scan", oracle=_ARCHIVE_ORACLE)
-def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Archive header scan + layout plan over REAL archive bytes, end
-    to end in-container, across the reference's FULL container surface
-    (extract_plan.py:37 ARCHIVE_EXTENSIONS = .7z/.zip/.rar): conformant
-    archives cycle through 7z (header codec alternating plain/LZMA,
-    pack layout per-file/solid), ZIP (central-directory listing), and
-    RAR 5.0/4.x (header-walk listing), each parsed directly with NO
-    child process and NO extraction (operators/sevenzip.py, zipindex.py,
-    rarindex.py — the in-container `7z l -slt`; the reference shells
-    out per archive, extract_plan.py:84-116), and the
-    flat/nested/bundle layout decision tree (extract_plan.py:156-199:
-    root files → flat; one album-like top dir → nested, strip a level;
-    several → bundle) runs relationally over the exploded entries.
-    Every 3rd sampled archive is corrupt and must land as its own
-    ok=false row (not_an_archive).
-
-    The oracle re-derives layout/album-count from the construction
-    arithmetic, so a drift anywhere — any of the four header walks,
-    LZMA header decode, dir detection, top-dir/audio/album-pattern
-    classification — hash-fails.
-    """
+def _archive_corpus_writer(out_dir: str):
+    """The shared deterministic archive corpus: per order key k, one
+    album tree (three layout arms keyed k%3, every 300th corrupt)
+    stored in a container cycling 7z / zip / rar5 / rar4 by (k//100)%4,
+    with per-entry payload sizes derived from k — so SQL can replay
+    names, directory structure AND byte sizes closed-form. Used by
+    archive_index_scan (layout decisions) and archive_size_audit
+    (size/byte accounting)."""
     import os
 
     import pandas as pd
 
-    from tlmc_etl_spark.operators.archive import list_archives_inproc
     from tlmc_etl_spark.operators.rarindex import encode_rar4, encode_rar5
     from tlmc_etl_spark.operators.sevenzip import encode_7z
     from tlmc_etl_spark.operators.zipindex import encode_zip
-
-    out_dir = _scratch_dir(spark, "archives", sf_dir)
-
-    spec = (
-        load_table(spark, sf_dir, "orders")
-        .filter(F.col("o_orderkey") % 100 == 0)
-        .select("o_orderkey")
-    )
 
     def write_archives(batches):
         for pdf in batches:
@@ -333,9 +310,44 @@ def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 paths.append(p)
             yield pd.DataFrame({"path": paths})
 
-    files = spec.mapInPandas(write_archives, schema="path string").localCheckpoint(
-        eager=True
+    return write_archives
+
+
+@query("archive_index_scan", oracle=_ARCHIVE_ORACLE)
+def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive header scan + layout plan over REAL archive bytes, end
+    to end in-container, across the reference's FULL container surface
+    (extract_plan.py:37 ARCHIVE_EXTENSIONS = .7z/.zip/.rar): conformant
+    archives cycle through 7z (header codec alternating plain/LZMA,
+    pack layout per-file/solid), ZIP (central-directory listing), and
+    RAR 5.0/4.x (header-walk listing), each parsed directly with NO
+    child process and NO extraction (operators/sevenzip.py, zipindex.py,
+    rarindex.py — the in-container `7z l -slt`; the reference shells
+    out per archive, extract_plan.py:84-116), and the
+    flat/nested/bundle layout decision tree (extract_plan.py:156-199:
+    root files → flat; one album-like top dir → nested, strip a level;
+    several → bundle) runs relationally over the exploded entries.
+    Every 3rd sampled archive is corrupt and must land as its own
+    ok=false row (not_an_archive).
+
+    The oracle re-derives layout/album-count from the construction
+    arithmetic, so a drift anywhere — any of the four header walks,
+    LZMA header decode, dir detection, top-dir/audio/album-pattern
+    classification — hash-fails.
+    """
+    from tlmc_etl_spark.operators.archive import list_archives_inproc
+
+    out_dir = _scratch_dir(spark, "archives", sf_dir)
+
+    spec = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey")
     )
+
+    files = spec.mapInPandas(
+        _archive_corpus_writer(out_dir), schema="path string"
+    ).localCheckpoint(eager=True)
     entries = list_archives_inproc(files)
 
     key = F.regexp_extract(
@@ -434,6 +446,97 @@ def archive_index_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return classified.unionByName(bad).orderBy("archive_key")
+
+
+_ARCHIVE_SIZE_ORACLE = """
+WITH k AS (
+  SELECT o_orderkey AS key FROM orders WHERE o_orderkey % 100 = 0
+), sz AS (
+  SELECT key,
+         4 + key % 97 AS flac_b,
+         2 + key % 31 AS jpg_b,
+         4 + key % 13 AS png_b,
+         2 + key % 41 AS mp3_b
+  FROM k
+)
+SELECT key AS archive_key,
+       CASE WHEN key % 300 = 0 THEN NULL
+            WHEN key % 3 = 0 THEN 3
+            ELSE 2 END AS n_files,
+       CASE WHEN key % 300 = 0 THEN NULL
+            WHEN key % 3 = 2 THEN 2 ELSE 1 END AS n_dirs,
+       CASE WHEN key % 300 = 0 THEN NULL
+            WHEN key % 3 = 0 THEN flac_b + jpg_b + png_b
+            WHEN key % 3 = 1 THEN flac_b + jpg_b
+            ELSE flac_b + mp3_b END AS total_bytes,
+       CASE WHEN key % 300 = 0 THEN NULL
+            WHEN key % 3 = 0 THEN greatest(flac_b, jpg_b, png_b)
+            WHEN key % 3 = 1 THEN greatest(flac_b, jpg_b)
+            ELSE greatest(flac_b, mp3_b) END AS max_file_bytes,
+       CASE WHEN key % 300 = 0 THEN NULL
+            WHEN key % 3 = 2 THEN flac_b + mp3_b
+            ELSE flac_b END AS audio_bytes,
+       key % 300 <> 0 AS ok
+FROM sz
+ORDER BY archive_key
+"""
+
+
+@query("archive_size_audit", oracle=_ARCHIVE_SIZE_ORACLE)
+def archive_size_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-archive byte accounting over the in-process index: the SIZE
+    fields of all four container parsers (7z folder/substream unpack
+    sizes, ZIP central-directory uncompressed sizes incl. the ZIP64
+    extra field, RAR 5.0 vint and 4.x fixed-width unpacked sizes) are
+    value-checked against the corpus construction arithmetic — the
+    reference's extract stage uses these listings to budget extraction
+    disk (extract_plan.py). Corrupt archives stay isolated as ok=false
+    rows with null accounting."""
+    from tlmc_etl_spark.operators.archive import list_archives_inproc
+
+    out_dir = _scratch_dir(spark, "archive_sizes", sf_dir)
+    spec = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 100 == 0)
+        .select("o_orderkey")
+    )
+    files = spec.mapInPandas(
+        _archive_corpus_writer(out_dir), schema="path string"
+    ).localCheckpoint(eager=True)
+    entries = list_archives_inproc(files)
+    key = F.regexp_extract(
+        F.element_at(F.split("archive", "/"), -1), r"archive_(\d+)", 1
+    ).cast("long")
+    e = entries.select(
+        key.alias("archive_key"), "entry", "is_dir", "size", "ok"
+    )
+    is_file = F.col("ok") & ~F.coalesce("is_dir", F.lit(False)) & F.col(
+        "entry"
+    ).isNotNull()
+    is_audio = is_file & F.lower("entry").rlike(_AUDIO_RE)
+    return (
+        e.groupBy("archive_key")
+        .agg(
+            F.sum(is_file.cast("int")).alias("files_raw"),
+            F.sum(
+                (F.col("ok") & F.coalesce("is_dir", F.lit(False))).cast("int")
+            ).alias("dirs_raw"),
+            F.sum(F.when(is_file, F.col("size"))).alias("total_raw"),
+            F.max(F.when(is_file, F.col("size"))).alias("max_raw"),
+            F.sum(F.when(is_audio, F.col("size"))).alias("audio_raw"),
+            F.min("ok").alias("ok"),
+        )
+        .select(
+            "archive_key",
+            F.when(F.col("ok"), F.col("files_raw")).cast("int").alias("n_files"),
+            F.when(F.col("ok"), F.col("dirs_raw")).cast("int").alias("n_dirs"),
+            F.when(F.col("ok"), F.col("total_raw")).cast("long").alias("total_bytes"),
+            F.when(F.col("ok"), F.col("max_raw")).cast("long").alias("max_file_bytes"),
+            F.when(F.col("ok"), F.col("audio_raw")).cast("long").alias("audio_bytes"),
+            "ok",
+        )
+        .orderBy("archive_key")
+    )
 
 
 _PROBE_ORACLE = """
