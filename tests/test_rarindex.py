@@ -124,6 +124,67 @@ class TestRoundTrip:
             encode_rar4([("東方.flac", False, b"x")])
 
 
+class TestFileVariant:
+    def test_file_walk_matches_and_seeks_past_payload(self):
+        """parse_rar_index_file must agree with the bytes parse while
+        SEEKING past data areas — header bytes only."""
+        import io
+
+        big = [("big.bin", False, bytes(200_000)), ("d", True, None)]
+        for enc in (encode_rar5(big, mtime_unix=5), encode_rar4(big)):
+            from tlmc_etl_spark.operators.rarindex import (
+                parse_rar_index_file,
+            )
+
+            reads: list[int] = []
+
+            class Spy(io.BytesIO):
+                def read(self, n=-1):
+                    data = super().read(n)
+                    reads.append(len(data))
+                    return data
+
+            fh = Spy(enc)
+            assert parse_rar_index_file(fh) == parse_rar_index(enc)
+            assert sum(reads) < 500, f"read {sum(reads)} bytes"
+
+    def test_truncated_data_area_raises_in_file_walk(self):
+        import io
+
+        from tlmc_etl_spark.operators.rarindex import parse_rar_index_file
+
+        for enc in (encode_rar5(ENTRIES, mtime_unix=1), encode_rar4(ENTRIES)):
+            # cut inside the first file's data area
+            cut = enc[: len(enc) - 120]
+            with pytest.raises(ValueError):
+                parse_rar_index_file(io.BytesIO(cut))
+
+    def test_rar5_unknown_size_flag_reports_none(self):
+        """File flag 0x0008 = unpacked size unknown (stream input): the
+        size field is a placeholder and must NOT be summed as bytes."""
+        from tlmc_etl_spark.operators.rarindex import _write_vint
+
+        def block(fields: bytes, data: bytes = b"") -> bytes:
+            hdr = _write_vint(len(fields)) + fields
+            return struct.pack("<I", zlib.crc32(hdr)) + hdr + data
+
+        main = block(bytes([0x01, 0x00, 0x00]))
+        file_fields = (
+            bytes([0x02, 0x02, 0x04])  # type file, data present, 4 bytes
+            + _write_vint(0x0008)  # file flags: size unknown
+            + _write_vint(0xFFFFFFFF)  # placeholder unpacked size
+            + _write_vint(0x20)
+            + bytes([0x00, 0x00, 0x01]) + b"s"
+        )
+        end = block(bytes([0x05, 0x00, 0x00]))
+        enc = (
+            b"Rar!\x1a\x07\x01\x00" + main + block(file_fields, b"DATA")
+            + end
+        )
+        idx = parse_rar_index(enc)
+        assert idx[0]["path"] == "s" and idx[0]["size"] is None
+
+
 class TestStrictness:
     def test_non_archive_is_none(self):
         assert parse_rar_index(None) is None

@@ -217,6 +217,98 @@ class TestStrictness:
             except ValueError:
                 pass
 
+    def test_multicoder_folder_uses_unbound_output_size(self):
+        """7zIn.cpp GetUnpackSize: a folder's size is the out stream
+        NOT consumed by any bind pair — which is NOT necessarily the
+        last kCodersUnpackSize entry (filter chains like BCJ+LZMA bind
+        the last coder's output). Hand-built streams info: 2 coders,
+        bind pair consumes out stream 1, so the folder size is
+        sizes[0]=5, not sizes[1]=7."""
+        from tlmc_etl_spark.operators.sevenzip import (
+            _Reader,
+            _read_streams_info,
+        )
+
+        si = bytes(
+            [
+                0x06, 0x00, 0x01, 0x09, 0x07, 0x00,  # pack: pos 0, 1x7
+                0x07, 0x0B, 0x01, 0x00,  # unpack, folder, 1, internal
+                0x02,  # 2 coders
+                0x01, 0x00,  # coder A: Copy
+                0x01, 0x00,  # coder B: Copy
+                0x01, 0x01,  # bind pair: in 1 <- out 1 (B's output)
+                0x0C, 0x05, 0x07,  # unpack sizes: A=5 (unbound), B=7
+                0x00,  # end unpack info
+                0x00,  # end streams info
+            ]
+        )
+        counts, sizes = _read_streams_info(_Reader(si))
+        assert counts == [1] and sizes == [5]
+
+    def test_zero_substream_folder_contributes_no_sizes(self):
+        from tlmc_etl_spark.operators.sevenzip import (
+            _Reader,
+            _read_streams_info,
+        )
+
+        si = bytes(
+            [
+                0x06, 0x00, 0x01, 0x09, 0x07, 0x00,
+                0x07, 0x0B, 0x01, 0x00,
+                0x01, 0x01, 0x00,  # 1 coder, Copy
+                0x0C, 0x07,
+                0x00,
+                0x08,  # substreams info
+                0x0D, 0x00,  # numUnpackStreams = [0]
+                0x09,  # kSize: nothing follows for a 0-count folder
+                0x00, 0x00,  # end substreams, end streams
+            ]
+        )
+        counts, sizes = _read_streams_info(_Reader(si))
+        assert counts == [0] and sizes == []
+
+    def test_archive_properties_section_is_skipped(self):
+        """7zFormat.txt allows optional ArchiveProperties before the
+        main streams — a conformant archive carrying one must list."""
+        enc = bytearray(encode_7z([("f.txt", False, b"hello")]))
+        off, size = header_span(bytes(enc[:32]))
+        # splice kArchiveProperties { type=0x37, size=2, data } + kEnd
+        # right after the kHeader byte
+        props = bytes([0x02, 0x37, 0x02, 0xAB, 0xCD, 0x00])
+        new_header = bytes([enc[off]]) + props + bytes(enc[off + 1 : off + size])
+        new_start = struct.pack(
+            "<QQI", off - 32, len(new_header), zlib.crc32(new_header)
+        )
+        out = (
+            bytes(enc[:8]) + struct.pack("<I", zlib.crc32(new_start))
+            + new_start + bytes(enc[32:off]) + new_header
+        )
+        idx = parse_7z_index(out)
+        assert [(e["path"], e["size"]) for e in idx] == [("f.txt", 5)]
+
+    def test_file_variant_matches_and_skips_payload(self):
+        """parse_7z_index_file must agree with the bytes parse while
+        reading only header ranges — never the payload."""
+        import io
+
+        from tlmc_etl_spark.operators.sevenzip import parse_7z_index_file
+
+        big = [("big.bin", False, bytes(200_000)), ("d", True, None)]
+        for codec in ("copy", "lzma"):
+            enc = encode_7z(big, header_codec=codec)
+
+            reads: list[int] = []
+
+            class Spy(io.BytesIO):
+                def read(self, n=-1):
+                    data = super().read(n)
+                    reads.append(len(data))
+                    return data
+
+            fh = Spy(enc)
+            assert parse_7z_index_file(fh) == parse_7z_index(enc)
+            assert sum(reads) < 2000, f"{codec}: read {sum(reads)} bytes"
+
     def test_substream_overrun_raises(self):
         # solid archive: shrink the folder unpack size under the
         # declared substreams and the parse must refuse

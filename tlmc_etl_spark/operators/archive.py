@@ -14,11 +14,15 @@ archive failing ITS rows only (one ok=false row carrying the exit
 class). Tests drive it with tools/fake_7z so the spawn/parse/bad-exit
 paths actually execute.
 
-`list_archives_7z` removes the tool dependency entirely: it parses the
-.7z end header in-process (operators/sevenzip.py, stdlib lzma) — the
-backend the registered archive_index_scan query uses, and the one a
-100 TB entry stage wants (two header range-reads per archive instead of
-a child process)."""
+`list_archives_inproc` removes the tool dependency entirely: it parses
+archive headers in-process across the reference's full container
+surface — .7z end header (operators/sevenzip.py, stdlib lzma), .zip
+central directory (operators/zipindex.py), .rar 4.x/5.0 block walk
+(operators/rarindex.py) — the backend the registered
+archive_index_scan / archive_size_audit queries use, and the shape a
+100 TB entry stage wants: header RANGE READS per archive (head + end
+header for 7z, tail + central directory for zip, header-hopping seeks
+for rar) instead of a child process or a full-file read."""
 
 from __future__ import annotations
 
@@ -128,6 +132,29 @@ def parse_archive_index(data: bytes | None) -> list[dict] | None:
     return None
 
 
+def parse_archive_index_file(fh) -> list[dict] | None:
+    """Range-read twin of parse_archive_index over a seekable binary
+    file: the parsers seek to the header regions (7z head+end header,
+    zip tail+central directory, rar header hops) and never read the
+    payload — O(headers) bytes per archive, the listing I/O a 100 TB
+    entry stage wants."""
+    from tlmc_etl_spark.operators.rarindex import parse_rar_index_file
+    from tlmc_etl_spark.operators.sevenzip import parse_7z_index_file
+    from tlmc_etl_spark.operators.zipindex import parse_zip_index_file
+
+    magic = fh.read(4)
+    fh.seek(0)
+    if len(magic) < 4:
+        return None
+    if magic[:2] == b"7z":
+        return parse_7z_index_file(fh)
+    if magic == b"Rar!":
+        return parse_rar_index_file(fh)
+    if magic[:2] == b"PK":
+        return parse_zip_index_file(fh)
+    return None
+
+
 def list_archives_inproc(
     archives: DataFrame,
     path_col: str = "path",
@@ -147,15 +174,15 @@ def list_archives_inproc(
             for p in pdf[path_col]:
                 try:
                     with open(p, "rb") as fh:
-                        data = fh.read()
+                        # range reads: header regions only, never the
+                        # payload — O(headers) I/O per archive
+                        idx = parse_archive_index_file(fh)
                 except OSError as e:
                     out.append(
                         (p, None, None, None, False,
                          f"read_error:{type(e).__name__}")
                     )
                     continue
-                try:
-                    idx = parse_archive_index(data)
                 except ValueError:
                     out.append((p, None, None, None, False, "bad_header"))
                     continue

@@ -327,11 +327,13 @@ def _write_residual(w: _BitWriter, residual: np.ndarray, order: int,
                     block_size: int, partition_order: int):
     if block_size % (1 << partition_order):
         raise ValueError("partition order does not divide block size")
-    # the first partition holds part_len - order samples: shrink the
-    # order until it fits (halving preserves divisibility), so legal
-    # (block_size, lpc_order, partition_order) combinations — including
-    # short tail blocks — always encode instead of raising
-    while partition_order and (block_size >> partition_order) < order:
+    # RFC 9639 §9.2.7: (block size >> partition order) must be STRICTLY
+    # larger than the predictor order — shrink until it is (halving
+    # preserves divisibility), so legal (block_size, lpc_order,
+    # partition_order) combinations — including short tail blocks —
+    # always encode a conformant stream, never one with an empty first
+    # partition
+    while partition_order and (block_size >> partition_order) <= order:
         partition_order -= 1
     w.write(0, 2)  # coding method 0: 4-bit Rice parameters
     w.write(partition_order, 4)

@@ -170,35 +170,71 @@ def parse_rar_index(data: bytes | None) -> list[dict] | None:
     non-RAR input; ValueError on torn or CRC-corrupt headers."""
     if not data or len(data) < 7:
         return None
+    import io
+
     if data.startswith(_SIG_RAR5):
-        return _parse_rar5(data)
+        return _walk_rar5(io.BytesIO(data), len(_SIG_RAR5))
     if data.startswith(_SIG_RAR4):
-        return _parse_rar4(data)
+        return _walk_rar4(io.BytesIO(data), len(_SIG_RAR4))
     return None
 
 
-def _parse_rar5(data: bytes) -> list[dict]:
-    pos = len(_SIG_RAR5)
+def parse_rar_index_file(fh) -> list[dict] | None:
+    """Range-read variant over a seekable binary file: RAR headers are
+    interleaved with payload, but every block declares its data size,
+    so the walk reads headers and SEEKS past payloads — O(headers)
+    bytes per archive regardless of payload size."""
+    sig = fh.read(8)
+    if sig.startswith(_SIG_RAR5):
+        return _walk_rar5(fh, 8)
+    if sig[:7] == _SIG_RAR4:
+        return _walk_rar4(fh, 7)
+    return None
+
+
+def _walk_rar5(fh, start: int) -> list[dict]:
+    fh.seek(0, 2)
+    file_end = fh.tell()
+    fh.seek(start)
     out: list[dict] = []
-    while pos < len(data):
-        if pos + 5 > len(data):
+    while True:
+        lead = fh.read(4)
+        if len(lead) == 0:
+            # RAR5 mandates an end-of-archive block: running out of
+            # bytes first means truncation, never a silently short
+            # listing
+            raise ValueError(
+                "rar5: stream ended before the end-of-archive block"
+            )
+        if len(lead) < 4:
             raise ValueError("rar5: truncated block header")
-        want_crc = struct.unpack_from("<I", data, pos)[0]
-        size, body_pos = _read_vint(data, pos + 4)
-        if size == 0 or body_pos + size > len(data):
+        want_crc = struct.unpack("<I", lead)[0]
+        size_bytes = bytearray()
+        while True:
+            b = fh.read(1)
+            if not b:
+                raise ValueError("rar5: truncated header size")
+            size_bytes += b
+            if not b[0] & 0x80:
+                break
+            if len(size_bytes) > 9:
+                raise ValueError("rar5: header size vint overflows")
+        size, _ = _read_vint(bytes(size_bytes), 0)
+        if size == 0:
+            raise ValueError("rar5: zero-size header")
+        hdr = fh.read(size)
+        if len(hdr) < size:
             raise ValueError("rar5: header overruns the archive")
         # CRC covers the size vint + header contents (technote: "from
         # Header size field to the end of header")
-        if zlib.crc32(data[pos + 4 : body_pos + size]) != want_crc:
+        if zlib.crc32(bytes(size_bytes) + hdr) != want_crc:
             raise ValueError("rar5: header CRC mismatch")
-        hdr = data[body_pos : body_pos + size]
         p = 0
         htype, p = _read_vint(hdr, p)
         hflags, p = _read_vint(hdr, p)
-        extra_size = 0
         data_size = 0
         if hflags & 0x0001:
-            extra_size, p = _read_vint(hdr, p)
+            _extra, p = _read_vint(hdr, p)  # extra area: inside `size`
         if hflags & 0x0002:
             data_size, p = _read_vint(hdr, p)
         if htype in (_R5_FILE, _R5_SERVICE):
@@ -224,36 +260,54 @@ def _parse_rar5(data: bytes) -> list[dict]:
                 raise ValueError(f"rar5: undecodable name: {e}") from e
             if htype == _R5_FILE:
                 is_dir = bool(fflags & 0x0001)
+                # flag 0x0008: unpacked size is UNKNOWN (stream input);
+                # the size field is a placeholder that must not be
+                # reported as a real byte count
+                size_known = not fflags & 0x0008
                 out.append({
                     "path": name.replace("\\", "/").rstrip("/"),
                     "is_dir": is_dir,
-                    "size": 0 if is_dir else unp_size,
+                    "size": (0 if is_dir else unp_size)
+                    if size_known else None,
                     "attrib": attrib,
                     "mtime_unix": mtime,
                 })
-        pos = body_pos + size + data_size
         if htype == _R5_END:
             return out
-        del extra_size  # inside `size`; nothing further to skip
-    # RAR5 mandates an end-of-archive block: running out of bytes first
-    # means truncation, and must not yield a silently short listing
-    raise ValueError("rar5: stream ended before the end-of-archive block")
+        if data_size:
+            fh.seek(data_size, 1)
+            if fh.tell() > file_end:
+                raise ValueError("rar5: data area overruns the archive")
 
 
-def _parse_rar4(data: bytes) -> list[dict]:
-    pos = len(_SIG_RAR4)
-    if pos >= len(data):
-        raise ValueError("rar4: no blocks after the signature")
+def _walk_rar4(fh, start: int) -> list[dict]:
+    fh.seek(0, 2)
+    file_end = fh.tell()
+    fh.seek(start)
     out: list[dict] = []
-    while pos + 7 <= len(data):
-        want_crc = struct.unpack_from("<H", data, pos)[0]
-        htype = data[pos + 2]
-        hflags, hsize = struct.unpack_from("<HH", data, pos + 3)
-        if hsize < 7 or pos + hsize > len(data):
+    first = True
+    while True:
+        head = fh.read(7)
+        if len(head) == 0 and not first:
+            # the 4.x ENDARC block is optional: clean EOF at a block
+            # boundary is a complete archive
+            return out
+        if len(head) < 7:
+            raise ValueError(
+                "rar4: no blocks after the signature" if first
+                else "rar4: trailing bytes are not a complete block"
+            )
+        first = False
+        want_crc = struct.unpack_from("<H", head, 0)[0]
+        htype = head[2]
+        hflags, hsize = struct.unpack_from("<HH", head, 3)
+        if hsize < 7:
+            raise ValueError("rar4: header size below the block minimum")
+        body = fh.read(hsize - 7)
+        if len(body) < hsize - 7:
             raise ValueError("rar4: header overruns the archive")
-        if zlib.crc32(data[pos + 2 : pos + hsize]) & 0xFFFF != want_crc:
+        if zlib.crc32(head[2:] + body) & 0xFFFF != want_crc:
             raise ValueError("rar4: header CRC mismatch")
-        body = data[pos + 7 : pos + hsize]
         add_size = 0
         if htype == _R4_FILE:
             if len(body) < 25:
@@ -287,12 +341,9 @@ def _parse_rar4(data: bytes) -> list[dict]:
             if len(body) < 4:
                 raise ValueError("rar4: missing ADD_SIZE field")
             add_size = struct.unpack_from("<I", body, 0)[0]
-        pos += hsize + add_size
         if htype == _R4_END:
             return out
-    # the 4.x ENDARC block is optional, so a walk that consumes the
-    # stream EXACTLY is a complete archive — but leftover bytes too
-    # short to be a block mean the stream was torn mid-header
-    if pos != len(data):
-        raise ValueError("rar4: trailing bytes are not a complete block")
-    return out
+        if add_size:
+            fh.seek(add_size, 1)
+            if fh.tell() > file_end:
+                raise ValueError("rar4: data area overruns the archive")

@@ -36,6 +36,8 @@ _SIGNATURE = b"7z\xbc\xaf\x27\x1c"
 # Property ids (7zFormat.txt "Property IDs")
 _K_END = 0x00
 _K_HEADER = 0x01
+_K_ARCHIVE_PROPS = 0x02
+_K_ADDITIONAL_STREAMS = 0x03
 _K_MAIN_STREAMS = 0x04
 _K_FILES_INFO = 0x05
 _K_PACK_INFO = 0x06
@@ -276,13 +278,16 @@ def header_span(head: bytes) -> tuple[int, int] | None:
     return 32 + offset, size
 
 
-def _decode_folder_stream(r: _Reader, data: bytes, base: int) -> bytes:
+def _decode_folder_stream(r: _Reader, fetch, base: int) -> bytes:
     """StreamsInfo (as written for an encoded header: one folder, one
     pack stream) → the folder's decoded bytes. Supports the codecs a
-    real header folder uses: Copy, LZMA1, LZMA2."""
+    real header folder uses: Copy, LZMA1, LZMA2. `fetch(start, size)`
+    returns archive bytes — a slice for in-memory parses, a seek+read
+    for the range-read file parse."""
     pack_pos = None
     pack_sizes: list[int] = []
     coders: list[tuple[bytes, bytes]] = []
+    bound_out: set[int] = set()
     unpack_sizes: list[int] = []
     while True:
         prop = r.number()
@@ -309,7 +314,7 @@ def _decode_folder_stream(r: _Reader, data: bytes, base: int) -> bytes:
                 raise ValueError("7z: encoded header must be one folder")
             if r.byte():
                 raise ValueError("7z: external folder data unsupported")
-            coders, n_out, _bind = _read_folder(r)
+            coders, n_out, bound_out = _read_folder(r)
             while True:
                 sub = r.number()
                 if sub == _K_END:
@@ -326,11 +331,24 @@ def _decode_folder_stream(r: _Reader, data: bytes, base: int) -> bytes:
         raise ValueError("7z: encoded header streams info incomplete")
     if len(coders) != 1:
         raise ValueError("7z: multi-coder header folders unsupported")
-    start = base + pack_pos
-    packed = data[start : start + pack_sizes[0]]
+    packed = fetch(base + pack_pos, pack_sizes[0])
     if len(packed) < pack_sizes[0]:
         raise ValueError("7z: packed header overruns the archive")
-    return _decode_coder(coders[0], packed, unpack_sizes[-1])
+    return _decode_coder(
+        coders[0], packed, _folder_output_size(unpack_sizes, bound_out)
+    )
+
+
+def _folder_output_size(sizes: list[int], bound_out: set[int]) -> int:
+    """A folder's output is its out stream NOT consumed by any bind
+    pair (7zFormat.txt folder layout; filter chains like BCJ+LZMA put
+    the unbound stream first, not last)."""
+    unbound = [i for i in range(len(sizes)) if i not in bound_out]
+    if len(unbound) != 1:
+        raise ValueError(
+            f"7z: folder has {len(unbound)} unbound output streams"
+        )
+    return sizes[unbound[0]]
 
 
 def _decode_coder(coder: tuple[bytes, bytes], packed: bytes,
@@ -376,9 +394,12 @@ def _decode_coder(coder: tuple[bytes, bytes], packed: bytes,
     return out
 
 
-def _read_folder(r: _Reader) -> tuple[list[tuple[bytes, bytes]], int, int]:
-    """One folder → ([(codec_id, props)], total out streams, bind pairs
-    consumed). Also validates the in/out stream bookkeeping."""
+def _read_folder(
+    r: _Reader,
+) -> tuple[list[tuple[bytes, bytes]], int, set[int]]:
+    """One folder → ([(codec_id, props)], total out streams, the set of
+    out-stream indexes consumed by bind pairs). Also validates the
+    in/out stream bookkeeping."""
     n_coders = r.number()
     if not 1 <= n_coders <= 64:
         raise ValueError("7z: implausible coder count")
@@ -400,14 +421,15 @@ def _read_folder(r: _Reader) -> tuple[list[tuple[bytes, bytes]], int, int]:
         total_in += n_in
         total_out += n_out
     n_bind = total_out - 1
+    bound_out: set[int] = set()
     for _ in range(n_bind):
         r.number()  # in index
-        r.number()  # out index
+        bound_out.add(r.number())  # out index: consumed internally
     n_packed = total_in - n_bind
     if n_packed > 1:
         for _ in range(n_packed):
             r.number()
-    return coders, total_out, n_bind
+    return coders, total_out, bound_out
 
 
 def _read_crcs(r: _Reader, n: int) -> list[int | None]:
@@ -457,12 +479,11 @@ def _read_streams_info(r: _Reader) -> tuple[list[int], list[int]]:
                     break
                 if sub == _K_CODERS_UNPACK_SIZE:
                     folder_out_sizes = []
-                    for _, n_out, _ in folder_meta:
+                    for _, n_out, bound_out in folder_meta:
                         sizes = [r.number() for _ in range(n_out)]
-                        # the folder's output is its LAST unbound out
-                        # stream; for the single-coder folders a listing
-                        # meets, that is simply the last size
-                        folder_out_sizes.append(sizes[-1])
+                        folder_out_sizes.append(
+                            _folder_output_size(sizes, bound_out)
+                        )
                 elif sub == _K_CRC:
                     crcs = _read_crcs(r, n_folders)
                     folder_crc_defined = [c is not None for c in crcs]
@@ -481,6 +502,8 @@ def _read_streams_info(r: _Reader) -> tuple[list[int], list[int]]:
                     counts = num_unpack or [1] * n_folders
                     sub_sizes = []
                     for fi, cnt in enumerate(counts):
+                        if cnt == 0:
+                            continue  # zero-substream folder: no sizes
                         got = [r.number() for _ in range(cnt - 1)]
                         rest = folder_out_sizes[fi] - sum(got)
                         if rest < 0:
@@ -507,9 +530,12 @@ def _read_streams_info(r: _Reader) -> tuple[list[int], list[int]]:
             raise ValueError(f"7z: unexpected streams property {prop}")
     counts = num_unpack if num_unpack is not None else [1] * n_folders
     if sub_sizes is None:
-        if num_unpack is not None and counts != [1] * n_folders:
-            raise ValueError("7z: substream counts without sizes")
-        sub_sizes = list(folder_out_sizes)
+        sub_sizes = []
+        for fi, cnt in enumerate(counts):
+            if cnt == 1:
+                sub_sizes.append(folder_out_sizes[fi])
+            elif cnt != 0:
+                raise ValueError("7z: substream counts without sizes")
     return counts, sub_sizes
 
 
@@ -528,23 +554,62 @@ def parse_7z_index(data: bytes | None) -> list[dict] | None:
         off, size = span
         if off + size > len(data):
             raise ValueError("7z: end header overruns the archive")
-        end_header = data[off : off + size]
         if size == 0:
             return []  # empty archive: no header, no entries
-        expect_crc = struct.unpack("<I", data[28:32])[0]
-        if zlib.crc32(end_header) != expect_crc:
-            raise ValueError("7z: end header CRC mismatch")
-        r = _Reader(end_header)
-        kind = r.number()
-        if kind == _K_ENCODED_HEADER:
-            decoded = _decode_folder_stream(r, data, 32)
-            r = _Reader(decoded)
-            kind = r.number()
-        if kind != _K_HEADER:
-            raise ValueError(f"7z: unexpected top-level property {kind}")
-        return _parse_header_body(r)
+        return _parse_end_header(
+            data[off : off + size],
+            struct.unpack("<I", data[28:32])[0],
+            lambda s, n: data[s : s + n],
+        )
     except (IndexError, struct.error) as e:
         raise ValueError(f"7z: truncated or corrupt header: {e}") from e
+
+
+def parse_7z_index_file(fh) -> list[dict] | None:
+    """Range-read variant of parse_7z_index over a seekable binary
+    file: reads the 32-byte signature header, the end header, and (for
+    encoded headers) the packed header stream — never the payload. The
+    listing I/O shape a 100 TB entry stage wants: O(header) bytes per
+    archive regardless of archive size."""
+    head = fh.read(32)
+    try:
+        span = header_span(head)
+        if span is None:
+            return None
+        off, size = span
+        fh.seek(0, 2)
+        if off + size > fh.tell():
+            raise ValueError("7z: end header overruns the archive")
+        if size == 0:
+            return []
+        fh.seek(off)
+        end_header = fh.read(size)
+        if len(end_header) < size:
+            raise ValueError("7z: end header truncated")
+
+        def fetch(s: int, n: int) -> bytes:
+            fh.seek(s)
+            return fh.read(n)
+
+        return _parse_end_header(
+            end_header, struct.unpack("<I", head[28:32])[0], fetch
+        )
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"7z: truncated or corrupt header: {e}") from e
+
+
+def _parse_end_header(end_header: bytes, expect_crc: int,
+                      fetch) -> list[dict]:
+    if zlib.crc32(end_header) != expect_crc:
+        raise ValueError("7z: end header CRC mismatch")
+    r = _Reader(end_header)
+    kind = r.number()
+    if kind == _K_ENCODED_HEADER:
+        r = _Reader(_decode_folder_stream(r, fetch, 32))
+        kind = r.number()
+    if kind != _K_HEADER:
+        raise ValueError(f"7z: unexpected top-level property {kind}")
+    return _parse_header_body(r)
 
 
 def _parse_header_body(r: _Reader) -> list[dict]:
@@ -555,7 +620,16 @@ def _parse_header_body(r: _Reader) -> list[dict]:
         prop = r.number()
         if prop == _K_END:
             break
-        if prop == _K_MAIN_STREAMS:
+        if prop == _K_ARCHIVE_PROPS:
+            # optional (type, size, data) list, terminated by type 0
+            while True:
+                t = r.number()
+                if t == _K_END:
+                    break
+                r.bytes(r.number())
+        elif prop == _K_ADDITIONAL_STREAMS:
+            _read_streams_info(r)  # optional; parse and discard
+        elif prop == _K_MAIN_STREAMS:
             sub_counts, sub_sizes = _read_streams_info(r)
         elif prop == _K_FILES_INFO:
             entries = _parse_files_info(r, sub_sizes)

@@ -160,9 +160,38 @@ def parse_zip_index(data: bytes | None) -> list[dict] | None:
     cd_off, cd_size, n_total = span
     if cd_off + cd_size > len(data):
         raise ValueError("zip: central directory overruns the archive")
+    return _parse_central_directory(data[cd_off : cd_off + cd_size], n_total)
+
+
+def parse_zip_index_file(fh) -> list[dict] | None:
+    """Range-read variant of parse_zip_index over a seekable binary
+    file: reads the final ~64 KB (EOCD scan) plus the central
+    directory, never the payload — the two-range listing shape a
+    100 TB entry stage wants."""
+    fh.seek(0, 2)
+    file_len = fh.tell()
+    if file_len < 22:
+        return None
+    tail_len = min(file_len, 65536 + 22)
+    fh.seek(file_len - tail_len)
+    tail = fh.read(tail_len)
+    span = eocd_span(tail, file_len)
+    if span is None:
+        fh.seek(0)
+        return None if fh.read(4) != _LOCAL_SIG else _raise_torn()
+    cd_off, cd_size, n_total = span
+    if cd_off + cd_size > file_len:
+        raise ValueError("zip: central directory overruns the archive")
+    fh.seek(cd_off)
+    cd = fh.read(cd_size)
+    if len(cd) < cd_size:
+        raise ValueError("zip: central directory truncated")
+    return _parse_central_directory(cd, n_total)
+
+
+def _parse_central_directory(cd: bytes, n_total: int) -> list[dict]:
     if n_total > 1 << 24:
         raise ValueError("zip: implausible entry count")
-    cd = data[cd_off : cd_off + cd_size]
     out: list[dict] = []
     pos = 0
     for _ in range(n_total):

@@ -290,16 +290,18 @@ def _archive_corpus_writer(out_dir: str):
                         (a2, True, None),
                         (f"{a2}/01 track.mp3", False, b"\xff\xfb" + bytes(k % 41)),
                     ]
+                # keys are multiples of 100, so per-container variation
+                # must key on k//400 (k%2-style arms would be constant)
                 container = (k // 100) % 4
                 if container == 0:
                     blob = encode_7z(
                         entries,
-                        header_codec="lzma" if k % 2 else "copy",
-                        solid=bool((k // 200) % 2),
+                        header_codec="lzma" if (k // 400) % 2 else "copy",
+                        solid=bool((k // 800) % 2),
                         mtime_unix=1_300_000_000 + k,
                     )
                 elif container == 1:
-                    blob = encode_zip(entries, zip64=bool(k % 2))
+                    blob = encode_zip(entries, zip64=bool((k // 400) % 2))
                 elif container == 2:
                     blob = encode_rar5(entries,
                                        mtime_unix=1_300_000_000 + k)
