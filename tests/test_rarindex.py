@@ -128,25 +128,52 @@ class TestFileVariant:
     def test_file_walk_matches_and_seeks_past_payload(self):
         """parse_rar_index_file must agree with the bytes parse while
         SEEKING past data areas — header bytes only."""
-        import io
+        from tests.conftest import ByteCountingReader
+
+        from tlmc_etl_spark.operators.rarindex import parse_rar_index_file
 
         big = [("big.bin", False, bytes(200_000)), ("d", True, None)]
         for enc in (encode_rar5(big, mtime_unix=5), encode_rar4(big)):
-            from tlmc_etl_spark.operators.rarindex import (
-                parse_rar_index_file,
-            )
-
-            reads: list[int] = []
-
-            class Spy(io.BytesIO):
-                def read(self, n=-1):
-                    data = super().read(n)
-                    reads.append(len(data))
-                    return data
-
-            fh = Spy(enc)
+            fh = ByteCountingReader(enc)
             assert parse_rar_index_file(fh) == parse_rar_index(enc)
-            assert sum(reads) < 500, f"read {sum(reads)} bytes"
+            assert fh.bytes_read < 500, f"read {fh.bytes_read} bytes"
+
+    def test_huge_declared_sizes_raise_value_error_not_overflow(self):
+        """Corrupt/hostile size fields must surface as ValueError, not
+        MemoryError (unbounded read preallocation) or OverflowError
+        (seek past C ssize_t): the header-size vint precedes CRC
+        coverage, and data sizes are CRC-protected but unbounded."""
+        from tlmc_etl_spark.operators.rarindex import _write_vint
+
+        # 1) torn size vint decoding to 2^62 before any CRC check
+        blob = (
+            b"Rar!\x1a\x07\x01\x00" + bytes(4) + _write_vint(1 << 62)
+        )
+        with pytest.raises(ValueError):
+            parse_rar_index(blob)
+        # 2) CRC-valid rar5 block declaring a 2^63+5 data area
+        def block(fields: bytes) -> bytes:
+            hdr = _write_vint(len(fields)) + fields
+            return struct.pack("<I", zlib.crc32(hdr)) + hdr
+
+        main = block(bytes([0x01, 0x00, 0x00]))
+        huge = block(
+            bytes([0x02, 0x02]) + _write_vint((1 << 63) + 5)
+            + _write_vint(0) + _write_vint(4) + _write_vint(0x20)
+            + bytes([0x00, 0x00, 0x01]) + b"x"
+        )
+        with pytest.raises(ValueError):
+            parse_rar_index(b"Rar!\x1a\x07\x01\x00" + main + huge)
+        # 3) CRC-valid rar4 block with HIGH_PACK_SIZE pushing add_size
+        # past 2^63
+        body = struct.pack(
+            "<IIBIIBBHI", 0xFFFFFFFF, 4, 2, 0, 0, 20, 0x30, 1, 0x20
+        ) + struct.pack("<II", 0xFFFFFFFF, 0) + b"x"
+        hdr = bytes([0x74]) + struct.pack("<HH", 0x8100, 7 + len(body)) + body
+        crc = zlib.crc32(hdr) & 0xFFFF
+        blob4 = b"Rar!\x1a\x07\x00" + struct.pack("<H", crc) + hdr
+        with pytest.raises(ValueError):
+            parse_rar_index(blob4)
 
     def test_truncated_data_area_raises_in_file_walk(self):
         import io

@@ -289,25 +289,50 @@ class TestStrictness:
     def test_file_variant_matches_and_skips_payload(self):
         """parse_7z_index_file must agree with the bytes parse while
         reading only header ranges — never the payload."""
-        import io
+        from tests.conftest import ByteCountingReader
 
         from tlmc_etl_spark.operators.sevenzip import parse_7z_index_file
 
         big = [("big.bin", False, bytes(200_000)), ("d", True, None)]
         for codec in ("copy", "lzma"):
             enc = encode_7z(big, header_codec=codec)
-
-            reads: list[int] = []
-
-            class Spy(io.BytesIO):
-                def read(self, n=-1):
-                    data = super().read(n)
-                    reads.append(len(data))
-                    return data
-
-            fh = Spy(enc)
+            fh = ByteCountingReader(enc)
             assert parse_7z_index_file(fh) == parse_7z_index(enc)
-            assert sum(reads) < 2000, f"{codec}: read {sum(reads)} bytes"
+            assert fh.bytes_read < 2000, f"{codec}: read {fh.bytes_read}"
+
+    def test_crafted_pack_size_raises_value_error_not_oom(self):
+        """A CRC-valid end header declaring an encoded-header pack size
+        of 2^63 must raise ValueError from the file variant — not
+        OverflowError/MemoryError from an unbounded read (the bytes
+        variant is safe by slicing)."""
+        import io
+
+        from tlmc_etl_spark.operators.sevenzip import (
+            _LZMA1_PROPS,
+            _streams_info,
+            _write_number,
+            parse_7z_index_file,
+        )
+
+        folder = (
+            _write_number(1) + bytes([0x23])
+            + b"\x03\x01\x01" + _write_number(len(_LZMA1_PROPS))
+            + _LZMA1_PROPS
+        )
+        end_header = bytes([0x17]) + _streams_info(
+            0, [1 << 63], [folder], [64], None
+        )
+        start = struct.pack(
+            "<QQI", 0, len(end_header), zlib.crc32(end_header)
+        )
+        blob = (
+            b"7z\xbc\xaf\x27\x1c" + bytes([0, 4])
+            + struct.pack("<I", zlib.crc32(start)) + start + end_header
+        )
+        with pytest.raises(ValueError):
+            parse_7z_index_file(io.BytesIO(blob))
+        with pytest.raises(ValueError):
+            parse_7z_index(blob)
 
     def test_substream_overrun_raises(self):
         # solid archive: shrink the folder unpack size under the

@@ -92,27 +92,18 @@ class TestFileVariant:
     def test_file_variant_matches_and_skips_payload(self):
         """parse_zip_index_file must agree with the bytes parse while
         reading only the tail + central directory."""
-        import io
+        from tests.conftest import ByteCountingReader
 
         from tlmc_etl_spark.operators.zipindex import parse_zip_index_file
 
         big = [("big.bin", False, bytes(500_000)), ("d", True, None)]
         for zip64 in (False, True):
             enc = encode_zip(big, zip64=zip64)
-
-            reads: list[int] = []
-
-            class Spy(io.BytesIO):
-                def read(self, n=-1):
-                    data = super().read(n)
-                    reads.append(len(data))
-                    return data
-
-            fh = Spy(enc)
+            fh = ByteCountingReader(enc)
             assert parse_zip_index_file(fh) == parse_zip_index(enc)
             # payload is 500 KB; the listing must read only the ~64 KB
             # EOCD window + the central directory
-            assert sum(reads) < 70_000, f"zip64={zip64}: {sum(reads)}"
+            assert fh.bytes_read < 70_000, f"zip64={zip64}: {fh.bytes_read}"
 
     def test_file_variant_non_zip_and_torn(self):
         import io

@@ -222,6 +222,11 @@ def _walk_rar5(fh, start: int) -> list[dict]:
         size, _ = _read_vint(bytes(size_bytes), 0)
         if size == 0:
             raise ValueError("rar5: zero-size header")
+        # validate BEFORE reading: the size vint precedes CRC coverage,
+        # so corruption reaches it — an unbounded fh.read(size) would
+        # escape as MemoryError/OverflowError instead of ValueError
+        if size > file_end - fh.tell():
+            raise ValueError("rar5: header overruns the archive")
         hdr = fh.read(size)
         if len(hdr) < size:
             raise ValueError("rar5: header overruns the archive")
@@ -275,9 +280,11 @@ def _walk_rar5(fh, start: int) -> list[dict]:
         if htype == _R5_END:
             return out
         if data_size:
-            fh.seek(data_size, 1)
-            if fh.tell() > file_end:
+            # pre-check: a declared size >= 2^63 would overflow the
+            # seek itself (C ssize_t) before the post-check could run
+            if data_size > file_end - fh.tell():
                 raise ValueError("rar5: data area overruns the archive")
+            fh.seek(data_size, 1)
 
 
 def _walk_rar4(fh, start: int) -> list[dict]:
@@ -344,6 +351,6 @@ def _walk_rar4(fh, start: int) -> list[dict]:
         if htype == _R4_END:
             return out
         if add_size:
-            fh.seek(add_size, 1)
-            if fh.tell() > file_end:
+            if add_size > file_end - fh.tell():
                 raise ValueError("rar4: data area overruns the archive")
+            fh.seek(add_size, 1)

@@ -578,7 +578,8 @@ def parse_7z_index_file(fh) -> list[dict] | None:
             return None
         off, size = span
         fh.seek(0, 2)
-        if off + size > fh.tell():
+        file_len = fh.tell()
+        if off + size > file_len:
             raise ValueError("7z: end header overruns the archive")
         if size == 0:
             return []
@@ -588,6 +589,12 @@ def parse_7z_index_file(fh) -> list[dict] | None:
             raise ValueError("7z: end header truncated")
 
         def fetch(s: int, n: int) -> bytes:
+            # bound BEFORE seeking/reading: a corrupt (or crafted,
+            # CRC32 is not tamper-proof) encoded-header pack size must
+            # raise ValueError, not OverflowError/MemoryError from an
+            # unbounded read
+            if s < 0 or n < 0 or s + n > file_len:
+                raise ValueError("7z: packed header overruns the archive")
             fh.seek(s)
             return fh.read(n)
 
