@@ -70,6 +70,14 @@ class TestShuffleBudget:
         plan = plan_of(spark, sf_dir, "pricing_summary", mode="simple")
         assert plan.count("Exchange hashpartitioning") == 1
 
+    def test_archive_size_audit_is_single_agg_shuffle(self, spark, sf_dir):
+        """The archive byte audit must stay fanout → mapInPandas →
+        ONE hash exchange for the per-archive groupBy (+ the output
+        sort): archive_key is one-group-per-archive, so the agg
+        distributes with no second shuffle at any corpus size."""
+        plan = plan_of(spark, sf_dir, "archive_size_audit", mode="simple")
+        assert plan.count("Exchange hashpartitioning") == 1
+
 
 class TestCodegen:
     @pytest.mark.parametrize("name", ["pricing_summary", "mode_vote", "rule_classifier_cascade"])
