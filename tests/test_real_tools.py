@@ -294,6 +294,74 @@ def test_real_ffmpeg_agrees_with_stdlib_jpeg_codec(tmp_path):
 
 
 @needs_ffmpeg
+def test_real_ffmpeg_agrees_with_stdlib_png_variants(tmp_path):
+    """Breaks the PNG encoder<->decoder self-consistency loop for the
+    round-12 arms: 16-bit and Adam7-interlaced streams built by
+    encode_gray_png must decode to the exact pixels through REAL ffmpeg
+    (PNG is lossless — a shared Adam7 pass-grid or byte-order
+    misreading on both in-repo sides would survive the in-container
+    tests but not a third-party decoder)."""
+    import numpy as np
+
+    from tlmc_etl_spark.operators.multimodal import encode_gray_png
+
+    rng = np.random.default_rng(71)
+    img = rng.integers(0, 256, size=(17, 23)).astype(np.float64)
+    cases = {
+        "i8.png": (encode_gray_png(img, interlace=1), "gray", np.uint8, 1.0),
+        "d16.png": (encode_gray_png(img * 257, depth=16), "gray16be",
+                    np.dtype(">u2"), 257.0),
+        "i16.png": (encode_gray_png(img * 257, depth=16, interlace=1),
+                    "gray16be", np.dtype(">u2"), 257.0),
+    }
+    for fname, (payload, pix_fmt, dtype, scale) in cases.items():
+        f = tmp_path / fname
+        f.write_bytes(payload)
+        r = subprocess.run(
+            [
+                "ffmpeg", "-hide_banner", "-v", "error", "-i", str(f),
+                "-f", "rawvideo", "-pix_fmt", pix_fmt, "-",
+            ],
+            capture_output=True,
+            timeout=60,
+        )
+        assert r.returncode == 0, (fname, r.stderr.decode()[:300])
+        theirs = np.frombuffer(r.stdout, dtype=dtype).reshape(17, 23)
+        assert np.array_equal(theirs.astype(np.float64) / scale, img), fname
+
+
+@needs_ffmpeg
+def test_real_ffmpeg_agrees_with_stdlib_gif_codec(tmp_path):
+    """Breaks the GIF LZW encoder<->decoder self-consistency loop: a
+    stream built by encode_gray_gif must decode to the exact pixels
+    through REAL ffmpeg, in both row layouts (a shared width-growth or
+    interlace-pass misreading would survive the in-container tests)."""
+    import numpy as np
+
+    from tlmc_etl_spark.operators.multimodal import encode_gray_gif
+
+    rng = np.random.default_rng(73)
+    img = rng.integers(0, 256, size=(19, 13)).astype(np.float64)
+    for fname, payload in (
+        ("plain.gif", encode_gray_gif(img)),
+        ("interlaced.gif", encode_gray_gif(img, interlace=True)),
+    ):
+        f = tmp_path / fname
+        f.write_bytes(payload)
+        r = subprocess.run(
+            [
+                "ffmpeg", "-hide_banner", "-v", "error", "-i", str(f),
+                "-f", "rawvideo", "-pix_fmt", "gray", "-",
+            ],
+            capture_output=True,
+            timeout=60,
+        )
+        assert r.returncode == 0, (fname, r.stderr.decode()[:300])
+        theirs = np.frombuffer(r.stdout, dtype=np.uint8).reshape(19, 13)
+        assert np.array_equal(theirs.astype(np.float64), img), fname
+
+
+@needs_ffmpeg
 def test_real_ffmpeg_decodes_our_flac(tmp_path):
     """Breaks the FLAC encoder<->decoder self-consistency loop: streams
     built by encode_flac must decode to the EXACT input samples through
