@@ -271,6 +271,56 @@ class TestStrictness:
                     pass
 
 
+def _entry_trees():
+    """Hypothesis strategy: arbitrary archive trees — ascii-safe names
+    (the RAR4 lowest common denominator), dirs, empty and non-empty
+    files, duplicate-free paths."""
+    from hypothesis import strategies as st
+
+    name = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz0123456789 ._-[]",
+        min_size=1, max_size=20,
+    ).filter(lambda s: s.strip(" .") == s)
+    entry = st.tuples(
+        name, st.booleans(), st.binary(min_size=0, max_size=200)
+    )
+    return st.lists(entry, min_size=1, max_size=8, unique_by=lambda e: e[0])
+
+
+class TestPropertyRoundTrip:
+    """Any entry tree stored in any of the four containers must list
+    identically — the property generalization of TestDispatch."""
+
+    def test_any_tree_lists_identically_across_containers(self):
+        from hypothesis import HealthCheck, given, settings
+
+        from tlmc_etl_spark.operators.archive import parse_archive_index
+        from tlmc_etl_spark.operators.sevenzip import encode_7z
+        from tlmc_etl_spark.operators.zipindex import encode_zip
+
+        @settings(max_examples=60, deadline=None,
+                  suppress_health_check=[HealthCheck.too_slow])
+        @given(_entry_trees())
+        def check(tree):
+            entries = [(p, d, None if d else data) for p, d, data in tree]
+            want = [(p, d, 0 if d else len(data or b""))
+                    for p, d, data in entries]
+            blobs = [
+                encode_7z(entries, header_codec="copy"),
+                encode_7z(entries, header_codec="lzma", solid=True),
+                encode_zip(entries),
+                encode_zip(entries, zip64=True),
+                encode_rar5(entries, mtime_unix=1),
+                encode_rar4(entries),
+            ]
+            for blob in blobs:
+                got = [(e["path"], e["is_dir"], e["size"])
+                       for e in parse_archive_index(blob)]
+                assert got == want
+
+        check()
+
+
 class TestDispatch:
     def test_magic_dispatch_covers_all_formats(self):
         from tlmc_etl_spark.operators.archive import parse_archive_index
