@@ -186,6 +186,80 @@ class TestPipeline:
         assert np.abs(y - x).max() < 1e-8
 
 
+def _riff(fmt_tag: int, n_ch: int, sr: int, bits: int, data: bytes,
+          extensible: bool = False) -> bytes:
+    """Hand-built RIFF/WAVE container (independent of stdlib wave)."""
+    import struct
+
+    if extensible:
+        # cbSize=22, valid bits, channel mask, SubFormat GUID with the
+        # real format code in its leading 2 bytes
+        ext = struct.pack("<HHI", 22, bits, 0x4) + struct.pack(
+            "<H", fmt_tag
+        ) + bytes.fromhex("000000001000800000aa00389b71")
+        fmt = struct.pack(
+            "<HHIIHH", 0xFFFE, n_ch, sr, sr * n_ch * bits // 8,
+            n_ch * bits // 8, bits,
+        ) + ext
+    else:
+        fmt = struct.pack(
+            "<HHIIHH", fmt_tag, n_ch, sr, sr * n_ch * bits // 8,
+            n_ch * bits // 8, bits,
+        )
+    body = b"WAVE"
+    body += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"  # word alignment pad
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class TestWavFormats:
+    """The round-12 RIFF walk: IEEE-float, 24-bit and extensible WAVs —
+    the master formats the stdlib `wave` module rejects — must decode
+    exactly; integer-vs-float comes from the format TAG."""
+
+    def test_float32_and_float64_decode_exactly(self):
+        x = (_tone(440, 0.25)).astype(np.float32)
+        y, sr = parse_wav(_riff(3, 1, SAMPLE_RATE, 32, x.tobytes()))
+        assert sr == SAMPLE_RATE and np.array_equal(y, x.astype(np.float64))
+        x64 = _tone(330, 0.25)
+        y, _ = parse_wav(_riff(3, 1, SAMPLE_RATE, 64, x64.tobytes()))
+        assert np.array_equal(y, x64)
+
+    def test_24bit_pcm_decodes_exactly(self):
+        import struct
+
+        vals = np.array([0, 1, -1, 8388607, -8388608, 123456, -654321])
+        raw = b"".join(
+            struct.pack("<i", int(v) << 8)[1:] for v in vals  # 3 LE bytes
+        )
+        y, _ = parse_wav(_riff(1, 1, 44100, 24, raw))
+        assert np.array_equal(y * 8388608.0, vals.astype(np.float64))
+
+    def test_extensible_float_and_stereo_downmix(self):
+        left = np.array([0.5, -0.25, 0.125], dtype=np.float32)
+        right = np.array([0.25, 0.25, -0.125], dtype=np.float32)
+        inter = np.stack([left, right], axis=1).reshape(-1)
+        y, _ = parse_wav(_riff(3, 2, 48000, 32, inter.tobytes(),
+                               extensible=True))
+        want = (left.astype(np.float64) + right.astype(np.float64)) / 2
+        assert np.allclose(y, want, atol=1e-12)
+
+    def test_strictness(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="format tag"):
+            parse_wav(_riff(2, 1, 44100, 16, bytes(4)))  # ADPCM
+        with pytest.raises(ValueError, match="frames"):
+            parse_wav(_riff(1, 2, 44100, 16, bytes(6)))  # torn frame
+        with pytest.raises(ValueError, match="fmt or data"):
+            parse_wav(b"RIFF" + bytes([4, 0, 0, 0]) + b"WAVE")
+        with pytest.raises(ValueError, match="overruns"):
+            full = _riff(1, 1, 44100, 16, bytes(400))
+            parse_wav(full[: len(full) - 100])
+
+
 class TestFlacLane:
     """The embedding lane on FLAC-sourced PCM: a real codec decode
     (operators/flac.py) feeding the same chunk → collate → mel path."""

@@ -99,7 +99,9 @@ def _decode_audio_ffmpeg(payload: bytes) -> np.ndarray:
 def _decode_audio(payload: bytes) -> np.ndarray:
     """Audio payload → RMS-envelope feature. FLAC and RIFF/WAVE decode
     in-container through the exact stdlib+numpy lanes (operators/flac.py
-    is a full RFC 9639 decoder; WAV is integer PCM) — these take priority
+    is a full RFC 9639 decoder; WAV is a direct RIFF walk covering
+    integer PCM 8/16/24/32, IEEE float 32/64 and extensible headers) —
+    these take priority
     over ffmpeg because they are bit-exact and subprocess-free. Other
     formats decode through ffmpeg when on PATH; the remaining boundary
     is format-shaped (MP3/AAC entropy decode needs unsourceable spec

@@ -83,36 +83,78 @@ def decode_audio_payload(payload: bytes) -> tuple[np.ndarray, int]:
 
 
 def parse_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """RIFF/WAVE PCM payload → (float64 mono samples in [-1, 1], rate).
+    """RIFF/WAVE payload → (float64 mono samples in [-1, 1], rate).
 
-    Pure stdlib (`wave` + numpy): 8/16/32-bit integer PCM (stdlib wave
-    rejects IEEE-float WAVs outright, so float never reaches us);
-    multi-channel input is mean-downmixed to mono — the stand-in for
-    the reference's `ffmpeg -ac 1` decode leg."""
-    import io
-    import wave
+    A direct RIFF chunk walk (struct + numpy; round 12 replaced the
+    stdlib `wave` module, which rejects IEEE-float WAVs and 24-bit
+    widths real masters carry): integer PCM at 8/16/24/32 bits (format
+    tag 1), IEEE float at 32/64 bits (tag 3 — the format the
+    reference's soundfile/ffmpeg leg reads transparently), and
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, real format from the SubFormat
+    GUID's leading code). Integer-vs-float comes from the format TAG,
+    never an amplitude heuristic — a quietly-mastered int32 track must
+    not be misread as float. Multi-channel input is mean-downmixed to
+    mono — the stand-in for the reference's `ffmpeg -ac 1` decode leg.
+    ValueError on torn chunks, short frames, or unsupported tags."""
+    import struct
 
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_ch, sw, sr, n_frames = (
-            w.getnchannels(),
-            w.getsampwidth(),
-            w.getframerate(),
-            w.getnframes(),
-        )
-        raw = w.readframes(n_frames)
-    if sw == 2:
-        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
-    elif sw == 4:
-        # Always int32: stdlib wave rejects IEEE-float WAVs (format tag
-        # 3 raises "unknown format" before readframes), so this branch
-        # can only ever receive integer PCM — an amplitude heuristic
-        # here would misclassify any quietly-mastered int32 track as
-        # float and silently corrupt it.
-        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
-    elif sw == 1:
-        x = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("wav: not a RIFF/WAVE payload")
+    pos = 12
+    fmt = data = None
+    while pos + 8 <= len(payload) and (fmt is None or data is None):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        pos += 8
+        body = payload[pos : pos + size]
+        if len(body) < size:
+            raise ValueError("wav: chunk overruns the payload")
+        pos += size + (size & 1)  # chunks are word-aligned
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+    if fmt is None or data is None:
+        raise ValueError("wav: missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError("wav: fmt chunk too short")
+    tag, n_ch, sr, _brate, _balign, bits = struct.unpack_from("<HHIIHH", fmt, 0)
+    if tag == 0xFFFE:  # extensible: real format leads the SubFormat GUID
+        if len(fmt) < 26:
+            raise ValueError("wav: extensible fmt chunk too short")
+        tag = struct.unpack_from("<H", fmt, 24)[0]
+    if n_ch == 0 or sr == 0:
+        raise ValueError("wav: zero channels or sample rate")
+    frame = n_ch * (bits // 8)
+    if bits % 8 or frame == 0 or len(data) % frame:
+        raise ValueError("wav: data is not a whole number of frames")
+    if tag == 1:  # integer PCM
+        if bits == 8:
+            x = (np.frombuffer(data, dtype=np.uint8).astype(np.float64)
+                 - 128.0) / 128.0
+        elif bits == 16:
+            x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+        elif bits == 24:
+            tri = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3).astype(
+                np.int64
+            )
+            v = tri[:, 0] | (tri[:, 1] << 8) | (tri[:, 2] << 16)
+            v -= (v & 0x800000) << 1
+            x = v.astype(np.float64) / 8388608.0
+        elif bits == 32:
+            x = np.frombuffer(data, dtype="<i4").astype(
+                np.float64
+            ) / 2147483648.0
+        else:
+            raise ValueError(f"wav: unsupported PCM bit depth {bits}")
+    elif tag == 3:  # IEEE float
+        if bits == 32:
+            x = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        elif bits == 64:
+            x = np.frombuffer(data, dtype="<f8").astype(np.float64)
+        else:
+            raise ValueError(f"wav: unsupported float bit depth {bits}")
     else:
-        raise ValueError(f"unsupported WAV sample width {sw}")
+        raise ValueError(f"wav: unsupported format tag {tag}")
     if n_ch > 1:
         x = x.reshape(-1, n_ch).mean(axis=1)
     return x, sr
