@@ -76,6 +76,8 @@ HEADLINE = [
     "adts_chunk_plan",
     "mp3_chunk_plan",
     "h264_chunk_plan",
+    "wv_chunk_plan",
+    "m4a_chunk_plan",
     "flac_cue_seek_plan",
     "flac_decode_features",
     "flac_tag_scan",

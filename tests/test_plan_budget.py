@@ -67,6 +67,8 @@ SHUFFLE_BUDGET = {
     "adts_chunk_plan": 0,  # build+parse map, row-local explode; sort is range-part
     "mp3_chunk_plan": 0,  # per-file index+chunk in one map stage
     "h264_chunk_plan": 0,  # per-file NAL index + keyframe chunking, one map
+    "wv_chunk_plan": 0,  # per-file wvpk block index + chunking, one map
+    "m4a_chunk_plan": 0,  # per-file MP4 sample-table index + chunking, one map
     "flac_cue_seek_plan": 0,  # cue parse + seektable walk per file, one map
     "flac_decode_features": 0,  # in-plan encode+exact decode per file, one map
     "flac_tag_scan": 0,  # tag parse in one map; coalesce is row-local JVM exprs

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import re
 import struct
+import zlib
 
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -1148,3 +1149,378 @@ def make_sps(
         w.u(0, 1)
     w.u(0, 1)  # vui_parameters_present
     return bytes([0x67]) + w.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# WavPack (.wv) block framing. The corpus's audio whitelist includes .wv
+# (extract_plan.py:45 _AUDIO_RE family; the reference probes them via
+# ffprobe like every other codec). WavPack's container is publicly
+# documented (wavpack.com file_format.txt): a stream is a sequence of
+# 32-byte "wvpk" block headers, each declaring its byte size, sample
+# index and sample count — so a seekable index (duration, sample→byte
+# ranges) parses with NO entropy decode, the same framing stance as the
+# ADTS/MP3/H.264 lanes. PCM decode stays on the ffmpeg lane (the
+# unpacking tables are implementation constants, not spec text).
+# ---------------------------------------------------------------------------
+
+# flags bits 23-26 (file_format.txt): sample-rate index; 15 = custom
+WVPK_SAMPLE_RATES = (
+    6000, 8000, 9600, 11025, 12000, 16000, 22050, 24000, 32000, 44100,
+    48000, 64000, 88200, 96000, 192000, None,
+)
+_WVPK_MONO = 1 << 2
+_WVPK_INITIAL = 1 << 11
+_WVPK_FINAL = 1 << 12
+
+
+def make_wvpk_block(block_index: int, block_samples: int, payload: bytes,
+                    total_samples: int = 0xFFFFFFFF,
+                    sample_rate: int = 44100, mono: bool = False) -> bytes:
+    """One conformant 32-byte block header + opaque sub-block payload
+    (the indexer never looks inside sub-blocks, mirroring the ADTS
+    builder's opaque AAC payloads)."""
+    sr_index = (
+        WVPK_SAMPLE_RATES.index(sample_rate)
+        if sample_rate in WVPK_SAMPLE_RATES[:15] else 15
+    )
+    flags = 0x3 | _WVPK_INITIAL | _WVPK_FINAL | (sr_index << 23)
+    if mono:
+        flags |= _WVPK_MONO
+    hdr = b"wvpk" + struct.pack(
+        "<IHBBIIIII",
+        24 + len(payload),  # ckSize: block bytes minus 8
+        0x410,  # version
+        0,  # block_index bits 32-39
+        0,  # total_samples bits 32-39
+        total_samples,
+        block_index,
+        block_samples,
+        flags,
+        zlib.crc32(payload),  # stand-in CRC (real CRC covers decoded audio)
+    )
+    return hdr + payload
+
+
+def make_wvpk_stream(block_samples: list[int], payload_lens: list[int],
+                     sample_rate: int = 44100) -> bytes:
+    """Concatenate blocks into a valid .wv stream (cumulative sample
+    indexes, total declared in the first block)."""
+    total = sum(block_samples)
+    out = bytearray()
+    idx = 0
+    for i, (ns, pl) in enumerate(zip(block_samples, payload_lens)):
+        out += make_wvpk_block(
+            idx, ns, bytes((7 * i + j) % 256 for j in range(pl)),
+            total_samples=total if i == 0 else 0xFFFFFFFF,
+            sample_rate=sample_rate,
+        )
+        idx += ns
+    return bytes(out)
+
+
+@_valueerror_boundary
+def parse_wvpk_blocks(data: bytes | None) -> list[dict]:
+    """Walk a WavPack stream into a block index: one dict per block with
+    {idx, byte_offset, byte_length, block_index, block_samples,
+    sample_rate, channels, total_samples (first block's declaration)}.
+
+    Same strictness contract as parse_adts_frames: [] for non-WavPack
+    input, ValueError for a stream that goes bad mid-walk (lost magic,
+    impossible size, torn tail). The header CRC field covers DECODED
+    audio, so it is reported, not verified — verification would need
+    the full unpacker, which stays on the ffmpeg lane."""
+    if not data or data[:4] != b"wvpk":
+        return []
+    if len(data) < 32:
+        raise ValueError("wvpk: truncated first header")
+    out: list[dict] = []
+    pos = 0
+    idx = 0
+    while pos < len(data):
+        if pos + 32 > len(data):
+            raise ValueError(f"wvpk: truncated header at byte {pos}")
+        if data[pos : pos + 4] != b"wvpk":
+            raise ValueError(f"wvpk: lost block sync at byte {pos}")
+        (ck_size, version, index_u8, total_u8, total_samples, block_index,
+         block_samples, flags, crc) = struct.unpack_from(
+            "<IHBBIIIII", data, pos + 4
+        )
+        if not 0x402 <= version <= 0x410:
+            raise ValueError(f"wvpk: unsupported version {version:#x}")
+        if ck_size < 24:
+            raise ValueError("wvpk: block size below the header minimum")
+        length = ck_size + 8
+        if pos + length > len(data):
+            raise ValueError(f"wvpk: block at {pos} overruns the buffer")
+        sr = WVPK_SAMPLE_RATES[(flags >> 23) & 0xF]
+        out.append({
+            "idx": idx,
+            "byte_offset": pos,
+            "byte_length": length,
+            "block_index": (index_u8 << 32) | block_index,
+            "block_samples": block_samples,
+            "sample_rate": sr,
+            "channels": 1 if flags & _WVPK_MONO else 2,
+            "total_samples": (
+                None if total_samples == 0xFFFFFFFF
+                else (total_u8 << 32) | total_samples
+            ),
+            "crc": crc,
+        })
+        pos += length
+        idx += 1
+    declared = out[0]["total_samples"] if out else None
+    if declared is not None:
+        got = sum(b["block_samples"] for b in out)
+        if got != declared:
+            raise ValueError(
+                f"wvpk: blocks deliver {got} samples, first block "
+                f"declared {declared}"
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MP4 / ISO BMFF (.m4a) sample tables. The corpus whitelist includes
+# .m4a (extract_plan.py:45 _AUDIO_RE family; probed via ffprobe in the
+# reference). ISO 14496-12's sample tables ARE the seek index: stts
+# (durations), stsz (sizes), stsc (sample→chunk), stco/co64 (chunk
+# offsets) — so sample-exact byte ranges parse with no decode, the same
+# framing stance as the ADTS/MP3/H.264/WavPack lanes. AAC payload
+# decode stays on the ffmpeg lane.
+# ---------------------------------------------------------------------------
+
+
+def _box(fourcc: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + fourcc + payload
+
+
+def _full_box(fourcc: bytes, payload: bytes, version: int = 0) -> bytes:
+    return _box(fourcc, bytes([version, 0, 0, 0]) + payload)
+
+
+def make_m4a(sample_sizes: list[int], timescale: int = 44100,
+             sample_delta: int = 1024, samples_per_chunk: int = 8) -> bytes:
+    """Minimal structurally-valid .m4a: ftyp + moov (mvhd/trak/mdia/
+    mdhd/minf/stbl with real stts/stsz/stsc/stco tables) + mdat holding
+    opaque sample bytes. The tables are the real thing — the payload is
+    opaque, mirroring the ADTS builder."""
+    n = len(sample_sizes)
+    duration = n * sample_delta
+    n_chunks = (n + samples_per_chunk - 1) // samples_per_chunk
+
+    def boxes(chunk_offsets: list[int]) -> bytes:
+        stts = _full_box(
+            b"stts", struct.pack(">I", 1)
+            + struct.pack(">II", n, sample_delta)
+        )
+        stsz = _full_box(
+            b"stsz", struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", s) for s in sample_sizes)
+        )
+        stsc = _full_box(
+            b"stsc", struct.pack(">I", 1)
+            + struct.pack(">III", 1, samples_per_chunk, 1)
+        )
+        stco = _full_box(
+            b"stco", struct.pack(">I", n_chunks)
+            + b"".join(struct.pack(">I", o) for o in chunk_offsets)
+        )
+        stsd = _full_box(b"stsd", struct.pack(">I", 0))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        dref = _full_box(
+            b"dref", struct.pack(">I", 1) + _full_box(b"url ", b"", 1)
+        )
+        minf = _box(
+            b"minf",
+            _full_box(b"smhd", bytes(4)) + _box(b"dinf", dref) + stbl,
+        )
+        hdlr = _full_box(
+            b"hdlr", bytes(4) + b"soun" + bytes(12) + b"Sound\x00"
+        )
+        mdhd = _full_box(
+            b"mdhd",
+            struct.pack(">IIIIHH", 0, 0, timescale, duration, 0x55C4, 0),
+        )
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        tkhd = _full_box(
+            b"tkhd", struct.pack(">IIII", 0, 0, 1, 0)
+            + struct.pack(">I", duration) + bytes(60)
+        )
+        trak = _box(b"trak", tkhd + mdia)
+        mvhd = _full_box(
+            b"mvhd",
+            struct.pack(">IIII", 0, 0, timescale, duration) + bytes(80),
+        )
+        return _box(b"moov", mvhd + trak)
+
+    ftyp = _box(b"ftyp", b"M4A " + struct.pack(">I", 0) + b"M4A mp42isom")
+    moov_size = len(boxes([0] * n_chunks))
+    mdat_payload_at = len(ftyp) + moov_size + 8
+    offsets = []
+    at = mdat_payload_at
+    for c in range(n_chunks):
+        offsets.append(at)
+        at += sum(
+            sample_sizes[c * samples_per_chunk : (c + 1) * samples_per_chunk]
+        )
+    payload = bytes(
+        (11 * i + 3) % 256 for i in range(sum(sample_sizes))
+    )
+    return ftyp + boxes(offsets) + _box(b"mdat", payload)
+
+
+def _walk_boxes(data: bytes, start: int, end: int):
+    """Yield (fourcc, payload_start, payload_end) for the boxes in
+    [start, end); ValueError on torn sizes."""
+    pos = start
+    while pos < end:
+        if pos + 8 > end:
+            raise ValueError(f"mp4: truncated box header at byte {pos}")
+        size = struct.unpack_from(">I", data, pos)[0]
+        fourcc = data[pos + 4 : pos + 8]
+        body = pos + 8
+        if size == 1:
+            if pos + 16 > end:
+                raise ValueError(f"mp4: truncated largesize at byte {pos}")
+            size = struct.unpack_from(">Q", data, pos + 8)[0]
+            body = pos + 16
+        elif size == 0:
+            size = end - pos  # box extends to the end of the enclosure
+        if size < body - pos or pos + size > end:
+            raise ValueError(f"mp4: box at {pos} overruns its enclosure")
+        yield fourcc, body, pos + size
+        pos += size
+
+
+def _find_box(data: bytes, start: int, end: int, fourcc: bytes
+              ) -> tuple[int, int] | None:
+    for cc, b, e in _walk_boxes(data, start, end):
+        if cc == fourcc:
+            return b, e
+    return None
+
+
+@_valueerror_boundary
+def parse_m4a_sample_index(data: bytes | None) -> dict | None:
+    """ISO BMFF audio → {timescale, duration, sample_delta entries,
+    sample_offsets, sample_sizes} — the sample-exact byte index the
+    chunk planner consumes. None for non-MP4 input (no ftyp); ValueError
+    on torn boxes or inconsistent tables. Reads the FIRST trak whose
+    handler is 'soun' (falls back to the first trak)."""
+    if not data or len(data) < 12 or data[4:8] != b"ftyp":
+        return None
+    moov = _find_box(data, 0, len(data), b"moov")
+    if moov is None:
+        raise ValueError("mp4: missing moov box")
+    chosen = None
+    first = None
+    for cc, b, e in _walk_boxes(data, *moov):
+        if cc != b"trak":
+            continue
+        mdia = _find_box(data, b, e, b"mdia")
+        if mdia is None:
+            raise ValueError("mp4: trak without mdia")
+        if first is None:
+            first = mdia
+        hdlr = _find_box(data, *mdia, b"hdlr")
+        if hdlr and data[hdlr[0] + 8 : hdlr[0] + 12] == b"soun":
+            chosen = mdia
+            break
+    mdia = chosen or first
+    if mdia is None:
+        raise ValueError("mp4: no trak in moov")
+    mdhd = _find_box(data, *mdia, b"mdhd")
+    if mdhd is None:
+        raise ValueError("mp4: missing mdhd")
+    version = data[mdhd[0]]
+    if version == 1:  # 8-byte times: verflags+8+8, then timescale u32
+        timescale, duration = struct.unpack_from(">IQ", data, mdhd[0] + 20)
+    else:  # v0: verflags(4) + creation(4) + modification(4), then u32 pair
+        timescale, duration = struct.unpack_from(">II", data, mdhd[0] + 12)
+    minf = _find_box(data, *mdia, b"minf")
+    stbl = minf and _find_box(data, *minf, b"stbl")
+    if not stbl:
+        raise ValueError("mp4: missing stbl")
+
+    def full(cc: bytes, required: bool = True) -> tuple[int, int] | None:
+        got = _find_box(data, *stbl, cc)
+        if got is None and required:
+            raise ValueError(f"mp4: missing {cc.decode()} box")
+        return got
+
+    # stts: [(count, delta)]
+    b, e = full(b"stts")
+    n_ent = struct.unpack_from(">I", data, b + 4)[0]
+    if b + 8 + 8 * n_ent > e:
+        raise ValueError("mp4: stts overruns its box")
+    stts = [struct.unpack_from(">II", data, b + 8 + 8 * i)
+            for i in range(n_ent)]
+    # stsz
+    b, e = full(b"stsz")
+    uniform, n_samples = struct.unpack_from(">II", data, b + 4)
+    if uniform:
+        sizes = [uniform] * n_samples
+    else:
+        if b + 12 + 4 * n_samples > e:
+            raise ValueError("mp4: stsz overruns its box")
+        sizes = [struct.unpack_from(">I", data, b + 12 + 4 * i)[0]
+                 for i in range(n_samples)]
+    if sum(c for c, _ in stts) != n_samples:
+        raise ValueError("mp4: stts/stsz sample counts disagree")
+    # stsc: [(first_chunk, samples_per_chunk, sdi)]
+    b, e = full(b"stsc")
+    n_ent = struct.unpack_from(">I", data, b + 4)[0]
+    if b + 8 + 12 * n_ent > e:
+        raise ValueError("mp4: stsc overruns its box")
+    stsc = [struct.unpack_from(">III", data, b + 8 + 12 * i)
+            for i in range(n_ent)]
+    # stco / co64
+    got = full(b"stco", required=False)
+    if got:
+        b, e = got
+        n_chunks = struct.unpack_from(">I", data, b + 4)[0]
+        if b + 8 + 4 * n_chunks > e:
+            raise ValueError("mp4: stco overruns its box")
+        chunk_offs = [struct.unpack_from(">I", data, b + 8 + 4 * i)[0]
+                      for i in range(n_chunks)]
+    else:
+        b, e = full(b"co64")
+        n_chunks = struct.unpack_from(">I", data, b + 4)[0]
+        if b + 8 + 8 * n_chunks > e:
+            raise ValueError("mp4: co64 overruns its box")
+        chunk_offs = [struct.unpack_from(">Q", data, b + 8 + 8 * i)[0]
+                      for i in range(n_chunks)]
+    # expand stsc runs to per-chunk sample counts
+    per_chunk: list[int] = []
+    for i, (first, spc, _sdi) in enumerate(stsc):
+        last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+        if first < 1 or last < first - 1:
+            raise ValueError("mp4: stsc chunk runs are not increasing")
+        per_chunk.extend([spc] * (last - first + 1))
+    if len(per_chunk) != n_chunks:
+        raise ValueError("mp4: stsc does not cover every chunk")
+    # per-sample offsets: cumulate sizes inside each chunk
+    offsets: list[int] = []
+    si = 0
+    for ci, base in enumerate(chunk_offs):
+        at = base
+        for _ in range(per_chunk[ci]):
+            if si >= n_samples:
+                break
+            offsets.append(at)
+            at += sizes[si]
+            si += 1
+    if si != n_samples:
+        raise ValueError("mp4: chunks hold fewer samples than declared")
+    for off, sz in zip(offsets, sizes):
+        if off + sz > len(data):
+            raise ValueError("mp4: sample data overruns the file")
+    return {
+        "timescale": timescale,
+        "duration": duration,
+        "n_samples": n_samples,
+        "stts": stts,
+        "sample_offsets": offsets,
+        "sample_sizes": sizes,
+    }

@@ -1490,6 +1490,291 @@ def h264_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# wv_chunk_plan — WavPack block-indexed byte-range chunk work-list
+# --------------------------------------------------------------------------
+
+_WV_CHUNK_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200
+), t AS (
+  SELECT vec_id,
+         CAST(3000 + (vec_id % 4) * 500 AS BIGINT) AS bs,
+         CAST(16 + (vec_id % 5) * 13 AS BIGINT) AS n_blocks
+  FROM ids
+), fr AS (
+  SELECT vec_id, bs, n_blocks, f.i AS bidx,
+         82 + ((vec_id + f.i) % 40) AS blen
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0, n_blocks - 1)) AS i
+  ) f
+), off AS (
+  SELECT vec_id, bidx, blen,
+         CAST(COALESCE(SUM(blen) OVER (
+           PARTITION BY vec_id ORDER BY bidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS boff
+  FROM fr
+), d AS (
+  SELECT vec_id, bs, bs * n_blocks AS n_samples FROM t
+), c AS (
+  SELECT vec_id, bs, n_samples,
+         CAST(floor(greatest(n_samples - 264600, 0) / 176400) + 1 AS BIGINT)
+           AS base
+  FROM d
+), nch AS (
+  SELECT vec_id, bs, n_samples,
+         base + CASE WHEN (base - 1) * 176400 + 264600 < n_samples
+                     THEN 1 ELSE 0 END AS n_chunks
+  FROM c
+), ch AS (
+  SELECT vec_id, bs, n_samples, g.k AS chunk_idx
+  FROM nch, LATERAL (
+    SELECT unnest(generate_series(0, n_chunks - 1)) AS k
+  ) g
+), geo AS (
+  SELECT vec_id, chunk_idx,
+         (chunk_idx * 176400) // bs AS first_block,
+         (least(chunk_idx * 176400 + 264600, n_samples) + bs - 1) // bs - 1
+           AS last_block
+  FROM ch
+)
+SELECT g.vec_id AS track_id,
+       CAST(g.chunk_idx AS BIGINT) AS chunk_idx,
+       g.first_block,
+       g.last_block - g.first_block + 1 AS n_blocks,
+       o1.boff AS byte_start,
+       o2.boff + o2.blen - o1.boff AS byte_len
+FROM geo g
+JOIN off o1 ON o1.vec_id = g.vec_id AND o1.bidx = g.first_block
+JOIN off o2 ON o2.vec_id = g.vec_id AND o2.bidx = g.last_block
+ORDER BY track_id, chunk_idx
+"""
+
+
+@query("wv_chunk_plan", oracle=_WV_CHUNK_ORACLE)
+def wv_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WavPack chunk work-list, value-checked through the REAL block
+    walk: 200 deterministic .wv streams (per-track block size, variable
+    block byte lengths) are BUILT as bytes, indexed by
+    functions/media.parse_wvpk_blocks (32-byte "wvpk" headers: size,
+    sample index, sample count — wavpack.com file_format.txt), and the
+    block index becomes the 6 s / 4 s-hop chunk plan over BLOCK-ALIGNED
+    BYTE RANGES. .wv is in the corpus's audio whitelist
+    (extract_plan.py:45); the reference probes it via ffprobe — this
+    lane gives the seekable geometry with no child process and no
+    decode, completing the framing family (ADTS/MP3/H.264/FLAC/WavPack).
+    The DuckDB oracle re-derives every byte offset arithmetically, so
+    any disagreement between the byte walk and the closed form
+    hash-fails. Plan shape: one map stage, rows emitted in-task — no
+    shuffle until the presentation sort."""
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import (
+        make_wvpk_stream,
+        parse_wvpk_blocks,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def plan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                bs = 3000 + (vid % 4) * 500
+                n_blocks = 16 + (vid % 5) * 13
+                stream = make_wvpk_stream(
+                    [bs] * n_blocks,
+                    [50 + ((vid + i) % 40) for i in range(n_blocks)],
+                )
+                blocks = parse_wvpk_blocks(stream)
+                n_samples = blocks[0]["total_samples"]
+                assert n_samples == sum(b["block_samples"] for b in blocks)
+                window, hop = 264600, 176400  # 6 s / 4 s at 44.1 kHz
+                base = max(n_samples - window, 0) // hop + 1
+                n_chunks = base + (
+                    1 if (base - 1) * hop + window < n_samples else 0
+                )
+                for k in range(n_chunks):
+                    start = k * hop
+                    end = min(start + window, n_samples)
+                    ff = start // bs
+                    lf = (end + bs - 1) // bs - 1
+                    b0, b1 = blocks[ff], blocks[lf]
+                    rows.append(
+                        (
+                            vid, k, ff, lf - ff + 1,
+                            b0["byte_offset"],
+                            b1["byte_offset"] + b1["byte_length"]
+                            - b0["byte_offset"],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "chunk_idx", "first_block", "n_blocks",
+                    "byte_start", "byte_len",
+                ],
+            )
+
+    return fanout(ids).mapInPandas(
+        plan,
+        schema=(
+            "track_id long, chunk_idx long, first_block long, "
+            "n_blocks long, byte_start long, byte_len long"
+        ),
+    ).orderBy("track_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# m4a_chunk_plan — MP4 sample-table byte-range chunk work-list
+# --------------------------------------------------------------------------
+
+# mdat payload base: ftyp(28) + moov(466 + 4*n_frames + 4*n_chunks) +
+# mdat header(8) — the writer's box arithmetic, replayed closed-form so
+# a size drift anywhere in the box layout hash-fails.
+_M4A_CHUNK_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200
+), t AS (
+  SELECT vec_id,
+         CAST(40 + (vec_id % 9) * 25 AS BIGINT) AS n_frames,
+         CAST(4 + vec_id % 5 AS BIGINT) AS spc
+  FROM ids
+), fr AS (
+  SELECT vec_id, n_frames, spc, f.i AS fidx,
+         100 + ((vec_id + f.i) % 53) AS fsize
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0, n_frames - 1)) AS i
+  ) f
+), off AS (
+  SELECT vec_id, n_frames, spc, fidx, fsize,
+         CAST(502 + 4 * n_frames + 4 * ((n_frames + spc - 1) // spc)
+           + COALESCE(SUM(fsize) OVER (
+               PARTITION BY vec_id ORDER BY fidx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS foff
+  FROM fr
+), d AS (
+  SELECT vec_id, n_frames * 1024 AS n_samples FROM t
+), c AS (
+  SELECT vec_id, n_samples,
+         CAST(floor(greatest(n_samples - 264600, 0) / 176400) + 1 AS BIGINT)
+           AS base
+  FROM d
+), nch AS (
+  SELECT vec_id, n_samples,
+         base + CASE WHEN (base - 1) * 176400 + 264600 < n_samples
+                     THEN 1 ELSE 0 END AS n_chunks
+  FROM c
+), ch AS (
+  SELECT vec_id, n_samples, g.k AS chunk_idx
+  FROM nch, LATERAL (
+    SELECT unnest(generate_series(0, n_chunks - 1)) AS k
+  ) g
+), geo AS (
+  SELECT vec_id, chunk_idx,
+         (chunk_idx * 176400) // 1024 AS first_frame,
+         (least(chunk_idx * 176400 + 264600, n_samples) + 1023) // 1024 - 1
+           AS last_frame
+  FROM ch
+)
+SELECT g.vec_id AS track_id,
+       CAST(g.chunk_idx AS BIGINT) AS chunk_idx,
+       g.first_frame,
+       g.last_frame - g.first_frame + 1 AS n_frames,
+       o1.foff AS byte_start,
+       o2.foff + o2.fsize - o1.foff AS byte_len
+FROM geo g
+JOIN off o1 ON o1.vec_id = g.vec_id AND o1.fidx = g.first_frame
+JOIN off o2 ON o2.vec_id = g.vec_id AND o2.fidx = g.last_frame
+ORDER BY track_id, chunk_idx
+"""
+
+
+@query("m4a_chunk_plan", oracle=_M4A_CHUNK_ORACLE)
+def m4a_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4/M4A chunk work-list through the REAL ISO BMFF sample tables:
+    200 deterministic .m4a files (per-track frame counts, variable
+    sample sizes, per-track samples-per-chunk interleave) are BUILT
+    with real stts/stsz/stsc/stco boxes, parsed back by
+    functions/media.parse_m4a_sample_index (box walk → per-sample byte
+    offsets via the stsc chunk runs), and the index becomes the
+    6 s / 4 s-hop chunk plan over SAMPLE-ALIGNED BYTE RANGES. .m4a is
+    in the corpus's audio whitelist (extract_plan.py:45); the reference
+    probes it via ffprobe — the sample tables give the same geometry
+    with no child process. The oracle replays the planted table
+    arithmetic INCLUDING the absolute mdat base (the writer's box-size
+    arithmetic, 502 + 4·frames + 4·chunks), so a drift anywhere in the
+    box walk, the stsc expansion or the offset cumsum hash-fails."""
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import (
+        make_m4a,
+        parse_m4a_sample_index,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def plan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                n_frames = 40 + (vid % 9) * 25
+                sizes = [100 + ((vid + i) % 53) for i in range(n_frames)]
+                enc = make_m4a(
+                    sizes, timescale=44100, sample_delta=1024,
+                    samples_per_chunk=4 + vid % 5,
+                )
+                idx = parse_m4a_sample_index(enc)
+                offs = idx["sample_offsets"]
+                szs = idx["sample_sizes"]
+                n_samples = idx["n_samples"] * 1024
+                window, hop = 264600, 176400
+                base = max(n_samples - window, 0) // hop + 1
+                n_chunks = base + (
+                    1 if (base - 1) * hop + window < n_samples else 0
+                )
+                for k in range(n_chunks):
+                    start = k * hop
+                    end = min(start + window, n_samples)
+                    ff = start // 1024
+                    lf = (end + 1023) // 1024 - 1
+                    rows.append(
+                        (
+                            vid, k, ff, lf - ff + 1,
+                            offs[ff], offs[lf] + szs[lf] - offs[ff],
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "chunk_idx", "first_frame", "n_frames",
+                    "byte_start", "byte_len",
+                ],
+            )
+
+    return fanout(ids).mapInPandas(
+        plan,
+        schema=(
+            "track_id long, chunk_idx long, first_frame long, "
+            "n_frames long, byte_start long, byte_len long"
+        ),
+    ).orderBy("track_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
 # flac_cue_seek_plan — cue-sheet split as byte ranges via FLAC SEEKTABLE
 # --------------------------------------------------------------------------
 
