@@ -16,8 +16,16 @@ Spark-first shape per round:
  - the merge APPLY is a JVM-side F.aggregate fold over each symbol
    array (left-to-right non-overlapping, exactly re.sub's semantics in
    the reference implementation) — no Python touches the data path;
- - localCheckpoint(eager) truncates lineage each round (k chained
-   rounds otherwise stack k analysis passes onto every later job).
+ - localCheckpoint(eager=False) truncates lineage each round (k chained
+   rounds otherwise stack k analysis passes onto every later job); the
+   LAZY form rides the next round's argmax job instead of paying a
+   separate materialization job per round (the CC-loop pattern from
+   PERFORMANCE.md §11) — 1 job per round, not 2;
+ - words already collapsed to one symbol are DROPPED from the loop
+   table at merge-apply time: a 1-symbol word can never contribute a
+   pair again, so carrying it through later rounds' checkpoints and
+   scans is pure waste (and the pair-count filter made it invisible to
+   results already).
 
 Greedy-fold correctness note: folding "last == left and current ==
 right -> replace last with left+right" IS left-to-right non-overlapping
@@ -92,7 +100,7 @@ def train_bpe_merges(
     symbols = words_with_counts(docs, text_col).select(
         F.split("w", "").alias("toks"), "wc"
     )
-    symbols = symbols.localCheckpoint(eager=True)
+    symbols = symbols.localCheckpoint(eager=False)
     out: list[dict] = []
     for rnd in range(n_merges):
         best = (
@@ -113,9 +121,15 @@ def train_bpe_merges(
                 "n_weighted": n,
             }
         )
-        symbols = symbols.select(
-            apply_merge(F.col("toks"), left, right).alias("toks"), "wc"
-        ).localCheckpoint(eager=True)
+        symbols = (
+            symbols.select(
+                apply_merge(F.col("toks"), left, right).alias("toks"), "wc"
+            )
+            # a fully-collapsed word can never pair again — drop it so
+            # later rounds checkpoint and scan a shrinking table
+            .filter(F.size("toks") >= 2)
+            .localCheckpoint(eager=False)
+        )
     return out
 
 
