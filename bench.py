@@ -78,6 +78,7 @@ HEADLINE = [
     "h264_chunk_plan",
     "wv_chunk_plan",
     "m4a_chunk_plan",
+    "ogg_chunk_plan",
     "flac_cue_seek_plan",
     "flac_decode_features",
     "flac_tag_scan",

@@ -1183,3 +1183,162 @@ class TestM4aSampleIndex:
                 parse_m4a_sample_index(blob)
             except ValueError:
                 pass
+
+
+class TestOggFraming:
+    """Ogg page walk (functions/media.py) — RFC 3533 pages, Vorbis I /
+    RFC 7845 identification headers; the .ogg/.opus members of the
+    framing family."""
+
+    def test_crc_matches_published_catalog_vector(self):
+        # Same algorithm as CRC-32/POSIX (poly 0x04c11db7, init 0, no
+        # reflection) minus the final XOR; the catalog check value for
+        # "123456789" is 0x765e7680.
+        from tlmc_etl_spark.functions.media import ogg_crc
+
+        assert ogg_crc(b"123456789") ^ 0xFFFFFFFF == 0x765E7680
+
+    def test_page_walk_geometry(self):
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_stream,
+            parse_ogg_pages,
+        )
+
+        s = make_ogg_stream("vorbis", [[100, 120], [90]], 2048, title="t0042")
+        p = parse_ogg_pages(s)
+        assert [x["page_seq"] for x in p] == [0, 1, 2, 3]
+        assert [x["granule_pos"] for x in p] == [0, 0, 2048, 4096]
+        # ID page: 27 hdr + 1 lacing + 30-byte Vorbis ID packet
+        assert p[0]["byte_length"] == 58 and p[0]["bos"]
+        # tag/setup page: 27 + 2 lacing + (39 comment + 72 setup)
+        assert p[1]["byte_length"] == 140
+        assert p[2]["byte_length"] == 27 + 2 + 100 + 120
+        assert p[3]["eos"] and not p[0]["eos"]
+        assert [x["n_packets"] for x in p] == [1, 2, 2, 1]
+        offs = [x["byte_offset"] for x in p]
+        assert offs == [0, 58, 198, 447]
+        assert offs[-1] + p[-1]["byte_length"] == len(s)
+
+    def test_stream_info_both_codecs(self):
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_stream,
+            parse_ogg_stream_info,
+        )
+
+        v = parse_ogg_stream_info(
+            make_ogg_stream("vorbis", [[80]] * 4, 3072)
+        )
+        assert (v["codec"], v["sample_rate"], v["granule_rate"]) == (
+            "vorbis", 44100, 44100,
+        )
+        assert v["pre_skip"] == 0 and v["n_samples"] == 4 * 3072
+        o = parse_ogg_stream_info(
+            make_ogg_stream("opus", [[80]] * 4, 2880, sample_rate=48000)
+        )
+        assert (o["codec"], o["granule_rate"], o["pre_skip"]) == (
+            "opus", 48000, 312,
+        )
+        # Opus granules include pre-skip; PCM duration excludes it
+        assert o["last_granule"] == 312 + 4 * 2880
+        assert o["n_samples"] == 4 * 2880
+        assert o["duration_s"] == round(4 * 2880 / 48000, 6)
+
+    def test_continued_packet_lacing(self):
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_page,
+            parse_ogg_pages,
+        )
+
+        big = bytes(510)  # laces to [255, 255] with an open tail
+        first = make_ogg_page(7, 0, 0, [bytes(10), big],
+                              bos=True, open_tail=True)
+        second = make_ogg_page(7, 1, 1000, [bytes(20), bytes(5)],
+                               continued=True, eos=True)
+        p = parse_ogg_pages(first + second)
+        # page 0 completes only the 10-byte packet; the 510-byte tail
+        # spills (two 255 lacing values, no terminator)
+        assert p[0]["n_packets"] == 1 and p[0]["n_segments"] == 3
+        assert p[0]["payload_len"] == 520
+        assert p[1]["continued"] and p[1]["n_packets"] == 2
+
+    def test_strictness(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_stream,
+            parse_ogg_pages,
+        )
+
+        assert parse_ogg_pages(None) == []
+        assert parse_ogg_pages(b"") == []
+        assert parse_ogg_pages(b"RIFF" + bytes(40)) == []
+        s = make_ogg_stream("opus", [[60], [70]], 960)
+        pages = parse_ogg_pages(s)
+        bounds = {p["byte_offset"] for p in pages} | {len(s)}
+        for cut in range(1, len(s)):
+            if cut < 4:
+                assert parse_ogg_pages(s[:cut]) == []  # capture pattern torn
+            elif cut in bounds:
+                got = parse_ogg_pages(s[:cut])  # clean page prefix
+                assert cut == got[-1]["byte_offset"] + got[-1]["byte_length"]
+            else:
+                with pytest.raises(ValueError):
+                    parse_ogg_pages(s[:cut])
+        bad = bytearray(s)
+        bad[-1] ^= 0xFF  # payload corruption must fail the page CRC
+        with pytest.raises(ValueError, match="CRC"):
+            parse_ogg_pages(bytes(bad))
+
+    def test_sequence_gap_detected(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_stream,
+            parse_ogg_pages,
+        )
+
+        s = make_ogg_stream("vorbis", [[50], [50], [50]], 1024)
+        pages = parse_ogg_pages(s)
+        third = pages[2]
+        torn = (
+            s[: third["byte_offset"]]
+            + s[third["byte_offset"] + third["byte_length"]:]
+        )
+        with pytest.raises(ValueError, match="sequence gap"):
+            parse_ogg_pages(torn)
+
+    def test_stream_info_contracts(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_page,
+            parse_ogg_stream_info,
+        )
+
+        assert parse_ogg_stream_info(b"not ogg") is None
+        assert parse_ogg_stream_info(None) is None
+        no_bos = make_ogg_page(1, 0, 0, [b"\x01vorbis" + bytes(23)])
+        with pytest.raises(ValueError, match="beginning-of-stream"):
+            parse_ogg_stream_info(no_bos)
+        alien = make_ogg_page(1, 0, 0, [b"theora-ish"], bos=True)
+        with pytest.raises(ValueError, match="unknown codec"):
+            parse_ogg_stream_info(alien)
+        torn = make_ogg_page(1, 0, 0, [b"OpusHead\x01\x02"], bos=True)
+        with pytest.raises(ValueError, match="torn OpusHead"):
+            parse_ogg_stream_info(torn)
+
+    def test_random_bytes_never_leak(self):
+        import numpy as np
+
+        from tlmc_etl_spark.functions.media import parse_ogg_pages
+
+        rng = np.random.default_rng(163)
+        for _ in range(200):
+            blob = b"OggS" + bytes(
+                rng.integers(0, 256, size=int(rng.integers(0, 160)),
+                             dtype=np.uint8)
+            )
+            try:
+                parse_ogg_pages(blob)
+            except ValueError:
+                pass

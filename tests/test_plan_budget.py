@@ -69,6 +69,7 @@ SHUFFLE_BUDGET = {
     "h264_chunk_plan": 0,  # per-file NAL index + keyframe chunking, one map
     "wv_chunk_plan": 0,  # per-file wvpk block index + chunking, one map
     "m4a_chunk_plan": 0,  # per-file MP4 sample-table index + chunking, one map
+    "ogg_chunk_plan": 0,  # per-file Ogg page index + chunking, one map
     "flac_cue_seek_plan": 0,  # cue parse + seektable walk per file, one map
     "flac_decode_features": 0,  # in-plan encode+exact decode per file, one map
     "flac_tag_scan": 0,  # tag parse in one map; coalesce is row-local JVM exprs

@@ -440,3 +440,39 @@ def test_real_ffmpeg_agrees_with_color_jpeg_codec(tmp_path):
         assert np.abs(ours - theirs.astype(np.float64)).max() <= 3.0, (
             enc.__name__, sampling,
         )
+
+
+@needs_ffprobe
+def test_real_ffprobe_agrees_with_ogg_page_walk(tmp_path):
+    """Our spec-built Ogg files must be real files to a real demuxer:
+    ffprobe's codec identity and duration must match what
+    parse_ogg_stream_info derives from the page index (ffmpeg's ogg
+    demuxer verifies page CRCs, so this also cross-checks ogg_crc)."""
+    import json as _json
+    import subprocess
+
+    from tlmc_etl_spark.functions.media import (
+        make_ogg_stream,
+        parse_ogg_stream_info,
+    )
+
+    for codec, rate, spp in (("vorbis", 44100, 3072), ("opus", 48000, 2880)):
+        data = make_ogg_stream(
+            codec, [[60 + j for j in range(3)]] * 20, spp, sample_rate=rate
+        )
+        p = tmp_path / f"t.{codec}.ogg"
+        p.write_bytes(data)
+        out = subprocess.run(
+            ["ffprobe", "-v", "error", "-print_format", "json",
+             "-show_streams", str(p)],
+            capture_output=True, text=True, timeout=30,
+        )
+        assert out.returncode == 0, out.stderr
+        streams = _json.loads(out.stdout)["streams"]
+        assert streams[0]["codec_name"] == codec
+        info = parse_ogg_stream_info(data)
+        assert info["codec"] == codec
+        # ffprobe derives ogg duration from the last granule too; the
+        # filler packets decode as garbage but framing-level duration
+        # must agree (opus: minus pre-skip at 48 kHz)
+        assert abs(float(streams[0]["duration"]) - info["duration_s"]) < 0.05

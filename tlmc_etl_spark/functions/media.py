@@ -1524,3 +1524,256 @@ def parse_m4a_sample_index(data: bytes | None) -> dict | None:
         "sample_offsets": offsets,
         "sample_sizes": sizes,
     }
+
+
+# ---------------------------------------------------------------------------
+# Ogg container (.ogg / .opus) page framing. RFC 3533 defines the page
+# layout (capture pattern, 64-bit granule position, CRC-32 over the
+# whole page, lacing-value segment table); the codec identification
+# headers are the Vorbis I spec §4.2 ("\x01vorbis" ID packet) and
+# RFC 7845 §5.1 ("OpusHead"). Both extensions sit in the reference's
+# own release-format recognizers (disc_scanner.py:72,
+# info_scanner_ph2.py:43); the reference probes them via ffprobe —
+# this lane parses the page index and stream identity with no child
+# process and no payload decode, the framing stance of the
+# ADTS/MP3/H.264/WavPack/MP4 lanes. Packet payloads (Vorbis setup
+# bitstream, Opus frames) stay opaque: PCM decode is the ffmpeg lane.
+# ---------------------------------------------------------------------------
+
+# RFC 3533 §6: CRC-32, generator 0x04c11db7, init 0, no reflection,
+# no final XOR — NOT zlib's reflected CRC.
+_OGG_CRC_TABLE = []
+for _b in range(256):
+    _r = _b << 24
+    for _ in range(8):
+        _r = ((_r << 1) ^ 0x04C11DB7 if _r & 0x80000000 else _r << 1) & 0xFFFFFFFF
+    _OGG_CRC_TABLE.append(_r)
+del _b, _r
+
+
+def ogg_crc(data: bytes) -> int:
+    crc = 0
+    for byte in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) ^ byte) & 0xFF]
+    return crc
+
+
+def make_ogg_page(
+    serial: int,
+    page_seq: int,
+    granule: int,
+    packets: list[bytes],
+    *,
+    continued: bool = False,
+    bos: bool = False,
+    eos: bool = False,
+    open_tail: bool = False,
+) -> bytes:
+    """One RFC 3533 page. Each packet laces to s//255 255-values plus a
+    terminating s%255 value; `open_tail=True` suppresses the terminator
+    of the LAST packet (its lacing ends on a 255), declaring it
+    continued on the next page (which must set `continued=True`)."""
+    lacing = bytearray()
+    for i, p in enumerate(packets):
+        q, r = divmod(len(p), 255)
+        lacing += b"\xff" * q
+        if not (open_tail and i == len(packets) - 1):
+            lacing.append(r)
+        elif r:
+            raise ValueError("ogg: an open tail packet must lace to 255s only")
+    if len(lacing) > 255:
+        raise ValueError("ogg: more than 255 lacing values on one page")
+    htype = (1 if continued else 0) | (2 if bos else 0) | (4 if eos else 0)
+    payload = b"".join(packets)
+    head = struct.pack(
+        "<4sBBqIIIB",
+        b"OggS", 0, htype, granule, serial, page_seq, 0, len(lacing),
+    )
+    page = bytearray(head + bytes(lacing) + payload)
+    crc = ogg_crc(bytes(page))
+    struct.pack_into("<I", page, 22, crc)
+    return bytes(page)
+
+
+def make_vorbis_id_packet(channels: int = 2, sample_rate: int = 44100) -> bytes:
+    """Vorbis I §4.2.2 identification header (blocksizes 256/2048)."""
+    return (
+        b"\x01vorbis"
+        + struct.pack("<IBI", 0, channels, sample_rate)
+        + struct.pack("<iii", -1, 0, -1)
+        + bytes([(11 << 4) | 8, 0x01])
+    )
+
+
+def make_opus_head(channels: int = 2, pre_skip: int = 312,
+                   input_rate: int = 48000) -> bytes:
+    """RFC 7845 §5.1 OpusHead (version 1, mapping family 0)."""
+    return b"OpusHead" + struct.pack(
+        "<BBHIhB", 1, channels, pre_skip, input_rate, 0, 0
+    )
+
+
+def make_ogg_stream(
+    codec: str,
+    page_packet_sizes: list[list[int]],
+    samples_per_page: int,
+    *,
+    serial: int = 0x1234,
+    channels: int = 2,
+    sample_rate: int = 44100,
+    pre_skip: int = 312,
+    title: str = "t0000",
+) -> bytes:
+    """A complete single-bitstream Ogg file: codec ID page (bos) +
+    tag/setup page + one audio page per `page_packet_sizes` entry whose
+    packets are deterministic filler. Granule positions accumulate
+    `samples_per_page` per audio page; Opus granules include `pre_skip`
+    (RFC 7845 §4.2). The last audio page sets eos."""
+    vendor = b"tlmc-etl"
+    comment_body = struct.pack("<I", len(vendor)) + vendor
+    item = f"TITLE={title}".encode()
+    comment_body += struct.pack("<I", 1) + struct.pack("<I", len(item)) + item
+    if codec == "vorbis":
+        id_pkt = make_vorbis_id_packet(channels, sample_rate)
+        tag_pkts = [
+            b"\x03vorbis" + comment_body + b"\x01",
+            b"\x05vorbis" + bytes((3 * i + 1) % 256 for i in range(64)) + b"\x01",
+        ]
+        g0 = 0
+    elif codec == "opus":
+        id_pkt = make_opus_head(channels, pre_skip, sample_rate)
+        tag_pkts = [b"OpusTags" + comment_body]
+        g0 = pre_skip
+    else:
+        raise ValueError(f"ogg: unknown codec {codec!r}")
+    out = bytearray()
+    out += make_ogg_page(serial, 0, 0, [id_pkt], bos=True)
+    out += make_ogg_page(serial, 1, 0, tag_pkts)
+    for i, sizes in enumerate(page_packet_sizes):
+        pkts = [
+            bytes((5 * i + 7 * j + k) % 256 for k in range(s))
+            for j, s in enumerate(sizes)
+        ]
+        out += make_ogg_page(
+            serial, 2 + i, g0 + (i + 1) * samples_per_page, pkts,
+            eos=(i == len(page_packet_sizes) - 1),
+        )
+    return bytes(out)
+
+
+@_valueerror_boundary
+def parse_ogg_pages(data: bytes | None) -> list[dict]:
+    """Walk an Ogg stream into a page index: one dict per page with
+    {idx, byte_offset, byte_length, granule_pos, serial, page_seq,
+    bos, eos, continued, n_segments, n_packets, payload_len}.
+    `n_packets` counts packets COMPLETED on the page (lacing values
+    below 255, per RFC 3533 §5 — a 255-terminated tail continues).
+
+    Same strictness contract as parse_wvpk_blocks: [] for non-Ogg
+    input, ValueError for a stream that goes bad mid-walk (lost
+    capture pattern, bad version, CRC mismatch, per-bitstream sequence
+    gap, torn tail)."""
+    if not data or data[:4] != b"OggS":
+        return []
+    if len(data) < 27:
+        raise ValueError("ogg: truncated first page header")
+    out: list[dict] = []
+    next_seq: dict[int, int] = {}
+    pos = 0
+    idx = 0
+    while pos < len(data):
+        if pos + 27 > len(data):
+            raise ValueError(f"ogg: truncated page header at byte {pos}")
+        if data[pos : pos + 4] != b"OggS":
+            raise ValueError(f"ogg: lost capture pattern at byte {pos}")
+        version, htype, granule, serial, seq, crc, n_segs = struct.unpack_from(
+            "<BBqIIIB", data, pos + 4
+        )
+        if version != 0:
+            raise ValueError(f"ogg: unsupported stream structure version {version}")
+        if pos + 27 + n_segs > len(data):
+            raise ValueError(f"ogg: truncated segment table at byte {pos}")
+        lacing = data[pos + 27 : pos + 27 + n_segs]
+        payload_len = sum(lacing)
+        length = 27 + n_segs + payload_len
+        if pos + length > len(data):
+            raise ValueError(f"ogg: page at {pos} overruns the buffer")
+        page = bytearray(data[pos : pos + length])
+        struct.pack_into("<I", page, 22, 0)
+        if ogg_crc(bytes(page)) != crc:
+            raise ValueError(f"ogg: CRC mismatch on page at byte {pos}")
+        want = next_seq.get(serial)
+        if want is not None and seq != want:
+            raise ValueError(
+                f"ogg: page sequence gap on serial {serial:#x} at byte {pos}"
+                f" (expected {want}, found {seq})"
+            )
+        next_seq[serial] = seq + 1
+        out.append({
+            "idx": idx,
+            "byte_offset": pos,
+            "byte_length": length,
+            "granule_pos": granule,
+            "serial": serial,
+            "page_seq": seq,
+            "bos": bool(htype & 2),
+            "eos": bool(htype & 4),
+            "continued": bool(htype & 1),
+            "n_segments": n_segs,
+            "n_packets": sum(1 for v in lacing if v < 255),
+            "payload_len": payload_len,
+        })
+        pos += length
+        idx += 1
+    return out
+
+
+@_valueerror_boundary
+def parse_ogg_stream_info(data: bytes | None) -> dict | None:
+    """Identify the FIRST logical bitstream of an Ogg file and derive
+    its duration from the page index: {codec, channels, sample_rate,
+    granule_rate, pre_skip, last_granule, n_samples, duration_s,
+    n_pages, n_audio_packets}. Vorbis granules count at the declared
+    sample rate; Opus granules always count at 48 kHz and include
+    pre_skip (RFC 7845 §4.2). None for non-Ogg input; ValueError for a
+    recognized stream whose ID packet is torn or unknown."""
+    pages = parse_ogg_pages(data)
+    if not pages:
+        return None
+    first = pages[0]
+    if not first["bos"]:
+        raise ValueError("ogg: first page is not a beginning-of-stream page")
+    serial = first["serial"]
+    head = data[
+        first["byte_offset"] + 27 + first["n_segments"] :
+        first["byte_offset"] + first["byte_length"]
+    ]
+    if head.startswith(b"\x01vorbis"):
+        if len(head) < 30:
+            raise ValueError("ogg: torn Vorbis identification header")
+        channels, rate = struct.unpack_from("<BI", head, 11)
+        codec, granule_rate, pre_skip = "vorbis", rate, 0
+    elif head.startswith(b"OpusHead"):
+        if len(head) < 19:
+            raise ValueError("ogg: torn OpusHead")
+        _v, channels, pre_skip, rate = struct.unpack_from("<BBHI", head, 8)
+        codec, granule_rate = "opus", 48000
+    else:
+        raise ValueError("ogg: unknown codec identification packet")
+    mine = [p for p in pages if p["serial"] == serial]
+    last_granule = mine[-1]["granule_pos"]
+    n_samples = max(last_granule - pre_skip, 0)
+    # pages 0..1 are the ID and tag/setup pages; packets after them are audio
+    n_audio_packets = sum(p["n_packets"] for p in mine[2:])
+    return {
+        "codec": codec,
+        "channels": channels,
+        "sample_rate": rate,
+        "granule_rate": granule_rate,
+        "pre_skip": pre_skip,
+        "last_granule": last_granule,
+        "n_samples": n_samples,
+        "duration_s": round(n_samples / granule_rate, 6),
+        "n_pages": len(mine),
+        "n_audio_packets": n_audio_packets,
+    }

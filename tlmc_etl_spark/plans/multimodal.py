@@ -2780,3 +2780,180 @@ def mp3_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("title"),
         (track_no.isNull() | artist.isNull()).alias("needs_check"),
     ).orderBy("track_id")
+
+
+# --------------------------------------------------------------------------
+# ogg_chunk_plan — Ogg (Vorbis/Opus) page-indexed byte-range chunk work-list
+# --------------------------------------------------------------------------
+
+# Byte geometry replayed closed-form: header pages are constant-size by
+# construction (vorbis ID page 58 + tag/setup page 140 = 198; OpusHead
+# page 47 + OpusTags page 67 = 114 — 4-digit title pad keeps the
+# comment packet fixed), audio page i is 27 + ppp lacing values +
+# sum_j(60 + ((vid + i*ppp + j) % 120)) payload. Any drift anywhere in
+# the page writer or the page walk hash-fails against this arithmetic.
+_OGG_CHUNK_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200
+), t AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+         CAST(12 + (vec_id % 7) * 8 AS BIGINT) AS n_audio_pages,
+         CAST(3 + vec_id % 3 AS BIGINT) AS ppp,
+         CASE WHEN vec_id % 2 = 0 THEN 44100 ELSE 48000 END AS rate,
+         CASE WHEN vec_id % 2 = 0 THEN 264600 ELSE 288000 END AS win,
+         CASE WHEN vec_id % 2 = 0 THEN 176400 ELSE 192000 END AS hop,
+         CASE WHEN vec_id % 2 = 0 THEN 1024 ELSE 960 END AS spk,
+         CASE WHEN vec_id % 2 = 0 THEN 198 ELSE 114 END AS header_bytes
+  FROM ids
+), sized AS (
+  SELECT *, spk * ppp AS spp_page, n_audio_pages * spk * ppp AS n_samples
+  FROM t
+), pay AS (
+  SELECT vec_id, f.i AS pidx,
+         CAST(27 + ppp + SUM(60 + ((vec_id + f.i * ppp + g.j) % 120))
+           AS BIGINT) AS plen
+  FROM sized,
+       LATERAL (SELECT unnest(generate_series(0, n_audio_pages - 1)) AS i) f,
+       LATERAL (SELECT unnest(generate_series(0, ppp - 1)) AS j) g
+  GROUP BY vec_id, f.i, ppp
+), off AS (
+  SELECT vec_id, pidx, plen,
+         CAST(COALESCE(SUM(plen) OVER (
+           PARTITION BY vec_id ORDER BY pidx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS BIGINT) AS rel_off
+  FROM pay
+), c AS (
+  SELECT vec_id, CAST(floor(greatest(n_samples - win, 0) / hop) + 1 AS BIGINT)
+           AS base
+  FROM sized
+), nch AS (
+  SELECT s.vec_id,
+         c.base + CASE WHEN (c.base - 1) * s.hop + s.win < s.n_samples
+                       THEN 1 ELSE 0 END AS n_chunks
+  FROM sized s JOIN c ON c.vec_id = s.vec_id
+), ch AS (
+  SELECT s.vec_id, s.codec, s.rate, s.win, s.hop, s.spp_page, s.n_samples,
+         s.header_bytes, g.k AS chunk_idx
+  FROM sized s JOIN nch ON nch.vec_id = s.vec_id,
+       LATERAL (SELECT unnest(generate_series(0, nch.n_chunks - 1)) AS k) g
+), geo AS (
+  SELECT vec_id, codec, rate, n_samples, header_bytes, chunk_idx,
+         (chunk_idx * hop) // spp_page AS first_page,
+         (least(chunk_idx * hop + win, n_samples) + spp_page - 1)
+           // spp_page - 1 AS last_page
+  FROM ch
+)
+SELECT g.vec_id AS track_id,
+       g.codec,
+       CAST(g.chunk_idx AS BIGINT) AS chunk_idx,
+       g.first_page,
+       g.last_page - g.first_page + 1 AS n_pages,
+       g.header_bytes + o1.rel_off AS byte_start,
+       o2.rel_off + o2.plen - o1.rel_off AS byte_len,
+       CAST(g.n_samples AS DOUBLE) / g.rate AS duration_s
+FROM geo g
+JOIN off o1 ON o1.vec_id = g.vec_id AND o1.pidx = g.first_page
+JOIN off o2 ON o2.vec_id = g.vec_id AND o2.pidx = g.last_page
+ORDER BY track_id, chunk_idx
+"""
+
+
+@query("ogg_chunk_plan", oracle=_OGG_CHUNK_ORACLE)
+def ogg_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg chunk work-list for BOTH codec families the container carries
+    in the corpus's recognizer list (disc_scanner.py:72 names ogg AND
+    opus; info_scanner_ph2.py:43 likewise): 200 deterministic
+    single-bitstream files alternate Vorbis (44.1 kHz granules) and
+    Opus (48 kHz granules + pre-skip, RFC 7845 §4.2), are BUILT as real
+    RFC 3533 pages (CRC-32 stamped), walked back by
+    functions/media.parse_ogg_pages (capture pattern, lacing, CRC
+    verify) + parse_ogg_stream_info (codec ID packet → rate/pre-skip),
+    and the PARSED granule positions become the 6 s / 4 s-hop chunk
+    plan over PAGE-ALIGNED BYTE RANGES — the seekable geometry with no
+    child process and no packet decode, completing the framing family
+    for every extension the reference's own scanners recognize
+    (ADTS/MP3/H.264/FLAC/WavPack/MP4/WAV + Ogg/Opus). The DuckDB
+    oracle re-derives every byte offset arithmetically, so any
+    disagreement between the page walk and the closed form hash-fails;
+    duration_s value-checks the ID-header rate/pre-skip parse. Plan
+    shape: one map stage, rows emitted in-task — no shuffle until the
+    presentation sort."""
+    import bisect
+
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import (
+        make_ogg_stream,
+        parse_ogg_pages,
+        parse_ogg_stream_info,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def plan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                codec = "vorbis" if vid % 2 == 0 else "opus"
+                n_audio_pages = 12 + (vid % 7) * 8
+                ppp = 3 + vid % 3
+                spk = 1024 if codec == "vorbis" else 960
+                rate = 44100 if codec == "vorbis" else 48000
+                sizes = [
+                    [60 + ((vid + i * ppp + j) % 120) for j in range(ppp)]
+                    for i in range(n_audio_pages)
+                ]
+                data = make_ogg_stream(
+                    codec, sizes, spk * ppp,
+                    sample_rate=rate, title=f"t{vid % 10000:04d}",
+                )
+                pages = parse_ogg_pages(data)
+                info = parse_ogg_stream_info(data)
+                audio = pages[2:]
+                pre = info["pre_skip"]
+                ends = [p["granule_pos"] - pre for p in audio]
+                ns = info["n_samples"]
+                assert ns == ends[-1]
+                gr = info["granule_rate"]
+                win, hop = 6 * gr, 4 * gr
+                base = max(ns - win, 0) // hop + 1
+                n_chunks = base + (1 if (base - 1) * hop + win < ns else 0)
+                dur = ns / gr
+                for k in range(n_chunks):
+                    start = k * hop
+                    end = min(start + win, ns)
+                    fp = bisect.bisect_right(ends, start)
+                    lp = bisect.bisect_left(ends, end)
+                    p0, p1 = audio[fp], audio[lp]
+                    rows.append(
+                        (
+                            vid, codec, k, fp, lp - fp + 1,
+                            p0["byte_offset"],
+                            p1["byte_offset"] + p1["byte_length"]
+                            - p0["byte_offset"],
+                            dur,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "codec", "chunk_idx", "first_page",
+                    "n_pages", "byte_start", "byte_len", "duration_s",
+                ],
+            )
+
+    return fanout(ids).mapInPandas(
+        plan,
+        schema=(
+            "track_id long, codec string, chunk_idx long, first_page long, "
+            "n_pages long, byte_start long, byte_len long, duration_s double"
+        ),
+    ).orderBy("track_id", "chunk_idx")
