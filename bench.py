@@ -84,6 +84,7 @@ HEADLINE = [
     "flac_tag_scan",
     "flac_cue_split_decode",
     "mp3_tag_scan",
+    "ogg_tag_scan",
     # similarity pipeline
     "cosine_topk",
     "two_stage_similarity",
@@ -267,6 +268,20 @@ def headline_line(out: dict, limit: int = 2000) -> str:
         line = json.dumps(out, **compact)
     if len(line) > limit and out.get("queries"):
         out["queries"] = {n: int(round(t)) for n, t in out["queries"].items()}
+        line = json.dumps(out, **compact)
+    # context floats coarsen to 1dp before any evidence is touched (at
+    # 75 queries the fully-stamped worst case sits ~6 bytes over)
+    if len(line) > limit:
+        for f in ("value", "duckdb_wall"):
+            if isinstance(out.get(f), float):
+                out[f] = round(out[f], 1)
+        line = json.dumps(out, **compact)
+    # last context drop: the ratio's denominator — the graded ratio
+    # itself stays, and the committed SCALING.json / PERFORMANCE.md
+    # tables record duckdb walls every round
+    if len(line) > limit and "duckdb_wall" in out:
+        del out["duckdb_wall"]
+        out["fields_dropped"] = True
         line = json.dumps(out, **compact)
     while len(line) > limit and out.get("queries"):
         out["queries_truncated"] = True

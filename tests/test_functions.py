@@ -1342,3 +1342,71 @@ class TestOggFraming:
                 parse_ogg_pages(blob)
             except ValueError:
                 pass
+
+
+class TestOggComments:
+    """Comment-packet tag channel (functions/media.py:parse_ogg_comments)
+    — same list layout as FLAC's VORBIS_COMMENT, one shared parser."""
+
+    def test_tags_roundtrip_both_codecs(self):
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_stream,
+            parse_ogg_comments,
+        )
+
+        v = parse_ogg_comments(make_ogg_stream(
+            "vorbis", [[50]], 1024,
+            tags=[("TITLE", "Foo"), ("Artist", "Bar ♪"),
+                  ("TRACKNUMBER", "3/12")],
+            vendor="xiph-ish 1.2",
+        ))
+        assert v["codec"] == "vorbis" and v["vendor"] == "xiph-ish 1.2"
+        # keys lowercase; values verbatim incl. non-ASCII
+        assert v["tags"] == {
+            "title": "Foo", "artist": "Bar ♪", "tracknumber": "3/12",
+        }
+        o = parse_ogg_comments(make_ogg_stream(
+            "opus", [[50]], 960, tags=[("title", "Baz")],
+        ))
+        assert o["codec"] == "opus" and o["tags"] == {"title": "Baz"}
+
+    def test_default_stream_keeps_single_title(self):
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_stream,
+            parse_ogg_comments,
+        )
+
+        got = parse_ogg_comments(make_ogg_stream(
+            "vorbis", [[40]], 1024, title="t0007"
+        ))
+        assert got["tags"] == {"title": "t0007"}
+
+    def test_contracts(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_page,
+            make_ogg_stream,
+            make_vorbis_id_packet,
+            parse_ogg_comments,
+        )
+
+        assert parse_ogg_comments(b"not ogg") is None
+        assert parse_ogg_comments(None) is None
+        # a bos page alone has no page_seq-1 comment header
+        lone = make_ogg_page(3, 0, 0, [make_vorbis_id_packet()], bos=True)
+        with pytest.raises(ValueError, match="no comment header page"):
+            parse_ogg_comments(lone)
+        # second page whose packet is not a comment header
+        bad = lone + make_ogg_page(3, 1, 0, [b"junk-payload"])
+        with pytest.raises(ValueError, match="not a Vorbis comment"):
+            parse_ogg_comments(bad)
+        # torn comment list inside a CRC-valid page must still ValueError
+        s = make_ogg_stream("vorbis", [[40]], 1024)
+        torn = make_ogg_page(
+            0x1234, 1, 0,
+            [b"\x03vorbis" + b"\x40\x00\x00\x00" + b"v" * 5 + b"\x01"],
+        )
+        pages_0 = s[:58]
+        with pytest.raises(ValueError, match="vendor overruns"):
+            parse_ogg_comments(pages_0 + torn)

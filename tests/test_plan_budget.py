@@ -75,6 +75,7 @@ SHUFFLE_BUDGET = {
     "flac_tag_scan": 0,  # tag parse in one map; coalesce is row-local JVM exprs
     "flac_cue_split_decode": 0,  # per-album decode+cut in one map stage
     "mp3_tag_scan": 0,  # id3 parse in one map; coalesce is row-local JVM exprs
+    "ogg_tag_scan": 0,  # comment-packet parse in one map; coalesce row-local
     "cosine_topk": 1,
     "two_stage_similarity": 3,
     "kde_bandwidth_calibration": 2,

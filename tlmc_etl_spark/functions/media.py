@@ -847,6 +847,43 @@ def make_xing_frame(
 FLAC_PLACEHOLDER_SAMPLE = 0xFFFF_FFFF_FFFF_FFFF
 
 
+def _parse_vorbis_comment_body(body: bytes, where: str) -> tuple[str, dict]:
+    """The Vorbis comment LIST layout shared verbatim by FLAC's
+    VORBIS_COMMENT block (RFC 9639 §8.6), the Ogg Vorbis comment header
+    (Vorbis I §5) and OpusTags (RFC 7845 §5.2): 32-bit LE vendor length
+    + vendor, 32-bit LE item count, items as length-prefixed UTF-8
+    "KEY=value". Returns (vendor, {lowercased key: value}); keys are
+    case-insensitive and repeats keep the last occurrence, matching the
+    reference's probe-tag normalization (info_scanner_ph2.py:148-151)."""
+    try:
+        if len(body) < 8:
+            raise ValueError(f"{where}: truncated VORBIS_COMMENT")
+        vlen = int.from_bytes(body[0:4], "little")
+        vp = 4 + vlen
+        if vp + 4 > len(body):
+            raise ValueError(f"{where}: VORBIS_COMMENT vendor overruns")
+        vendor = body[4:vp].decode("utf-8")
+        count = int.from_bytes(body[vp : vp + 4], "little")
+        vp += 4
+        tags: dict[str, str] = {}
+        for _ in range(count):
+            if vp + 4 > len(body):
+                raise ValueError(f"{where}: truncated comment list")
+            ln = int.from_bytes(body[vp : vp + 4], "little")
+            vp += 4
+            ent = body[vp : vp + ln]
+            if len(ent) < ln:
+                raise ValueError(f"{where}: comment entry overruns")
+            vp += ln
+            key, sep, val = ent.decode("utf-8").partition("=")
+            if not sep:
+                raise ValueError(f"{where}: comment entry missing '='")
+            tags[key.lower()] = val
+        return vendor, tags
+    except UnicodeDecodeError as e:
+        raise ValueError(f"{where}: comment is not UTF-8: {e}") from e
+
+
 @_valueerror_boundary
 def parse_flac_metadata(data: bytes | None) -> dict | None:
     """Walk a FLAC file's metadata blocks: returns {sample_rate,
@@ -900,37 +937,9 @@ def parse_flac_metadata(data: bytes | None) -> dict | None:
                     out["seekpoints"].append((s, off, ns))
         elif btype == 4:  # VORBIS_COMMENT (little-endian island, RFC 9639)
             body = data[body_at : body_at + blen]
-            try:
-                if len(body) < 8:
-                    raise ValueError("flac: truncated VORBIS_COMMENT")
-                vlen = int.from_bytes(body[0:4], "little")
-                vp = 4 + vlen
-                if vp + 4 > len(body):
-                    raise ValueError("flac: VORBIS_COMMENT vendor overruns")
-                out["vendor"] = body[4:vp].decode("utf-8")
-                count = int.from_bytes(body[vp : vp + 4], "little")
-                vp += 4
-                tags: dict[str, str] = {}
-                for _ in range(count):
-                    if vp + 4 > len(body):
-                        raise ValueError("flac: truncated comment list")
-                    ln = int.from_bytes(body[vp : vp + 4], "little")
-                    vp += 4
-                    ent = body[vp : vp + ln]
-                    if len(ent) < ln:
-                        raise ValueError("flac: comment entry overruns")
-                    vp += ln
-                    key, sep, val = ent.decode("utf-8").partition("=")
-                    if not sep:
-                        raise ValueError("flac: comment entry missing '='")
-                    # keys are case-insensitive (lowercased like the
-                    # reference's probe-tag normalization,
-                    # info_scanner_ph2.py:148-151); repeats keep the
-                    # last occurrence, dict-update semantics
-                    tags[key.lower()] = val
-                out["tags"] = tags
-            except UnicodeDecodeError as e:
-                raise ValueError(f"flac: comment is not UTF-8: {e}") from e
+            out["vendor"], out["tags"] = _parse_vorbis_comment_body(
+                body, "flac"
+            )
         pos = body_at + blen
         if last:
             break
@@ -1623,16 +1632,26 @@ def make_ogg_stream(
     sample_rate: int = 44100,
     pre_skip: int = 312,
     title: str = "t0000",
+    tags: list[tuple[str, str]] | None = None,
+    vendor: str = "tlmc-etl",
 ) -> bytes:
     """A complete single-bitstream Ogg file: codec ID page (bos) +
     tag/setup page + one audio page per `page_packet_sizes` entry whose
     packets are deterministic filler. Granule positions accumulate
     `samples_per_page` per audio page; Opus granules include `pre_skip`
-    (RFC 7845 §4.2). The last audio page sets eos."""
-    vendor = b"tlmc-etl"
-    comment_body = struct.pack("<I", len(vendor)) + vendor
-    item = f"TITLE={title}".encode()
-    comment_body += struct.pack("<I", 1) + struct.pack("<I", len(item)) + item
+    (RFC 7845 §4.2). The last audio page sets eos. With `tags`, the
+    comment list carries them in order instead of the single default
+    TITLE item (the default keeps header page sizes constant for the
+    chunk-plan oracle's closed-form arithmetic)."""
+    vb = vendor.encode()
+    comment_body = struct.pack("<I", len(vb)) + vb
+    items = [
+        f"{k}={v}".encode()
+        for k, v in (tags if tags is not None else [("TITLE", title)])
+    ]
+    comment_body += struct.pack("<I", len(items))
+    for item in items:
+        comment_body += struct.pack("<I", len(item)) + item
     if codec == "vorbis":
         id_pkt = make_vorbis_id_packet(channels, sample_rate)
         tag_pkts = [
@@ -1777,3 +1796,61 @@ def parse_ogg_stream_info(data: bytes | None) -> dict | None:
         "n_pages": len(mine),
         "n_audio_packets": n_audio_packets,
     }
+
+
+def _ogg_page_packets(data: bytes, page: dict) -> list[bytes]:
+    """Packets COMPLETED on one parsed page (a 255-terminated tail that
+    continues onto the next page is dropped; a continued head would need
+    the previous page and is out of scope for header pages, which RFC
+    3533 requires to start fresh)."""
+    at = page["byte_offset"]
+    n_segs = page["n_segments"]
+    lacing = data[at + 27 : at + 27 + n_segs]
+    body = at + 27 + n_segs
+    out: list[bytes] = []
+    run = 0
+    for v in lacing:
+        run += v
+        if v < 255:
+            out.append(data[body : body + run])
+            body += run
+            run = 0
+    return out
+
+
+@_valueerror_boundary
+def parse_ogg_comments(data: bytes | None) -> dict | None:
+    """Tag scan for the FIRST logical bitstream of an Ogg file:
+    {codec, vendor, tags} from the Vorbis comment header (Vorbis I §5,
+    the "\\x03vorbis" packet on the second page) or OpusTags (RFC 7845
+    §5.2). Same comment-list layout as FLAC's VORBIS_COMMENT — parsed
+    by the same helper, so the three tag channels (FLAC block, Vorbis
+    header, OpusTags) cannot drift apart. None for non-Ogg input;
+    ValueError for a recognized stream whose comment packet is torn."""
+    pages = parse_ogg_pages(data)
+    if not pages:
+        return None
+    info = parse_ogg_stream_info(data)
+    serial = pages[0]["serial"]
+    second = next(
+        (p for p in pages if p["serial"] == serial and p["page_seq"] == 1),
+        None,
+    )
+    if second is None:
+        raise ValueError("ogg: no comment header page (page_seq 1)")
+    packets = _ogg_page_packets(data, second)
+    if not packets:
+        raise ValueError("ogg: comment header page completes no packet")
+    pkt = packets[0]
+    if info["codec"] == "vorbis":
+        if not pkt.startswith(b"\x03vorbis"):
+            raise ValueError("ogg: second page is not a Vorbis comment header")
+        if not pkt.endswith(b"\x01"):
+            raise ValueError("ogg: Vorbis comment header missing framing bit")
+        body = pkt[7:-1]
+    else:  # opus (parse_ogg_stream_info already rejected unknown codecs)
+        if not pkt.startswith(b"OpusTags"):
+            raise ValueError("ogg: second page is not an OpusTags packet")
+        body = pkt[8:]
+    vendor, tags = _parse_vorbis_comment_body(body, "ogg")
+    return {"codec": info["codec"], "vendor": vendor, "tags": tags}

@@ -2957,3 +2957,172 @@ def ogg_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pages long, byte_start long, byte_len long, duration_s double"
         ),
     ).orderBy("track_id", "chunk_idx")
+
+
+# --------------------------------------------------------------------------
+# ogg_tag_scan — Vorbis-comment / OpusTags parse + the ph2 coalesce
+# --------------------------------------------------------------------------
+
+_OGG_TAG_ORACLE = """
+WITH ids AS (
+  SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 200
+), g AS (
+  SELECT id,
+         CASE WHEN id % 2 = 0 THEN 'vorbis' ELSE 'opus' END AS codec,
+         1 + id % 16 AS n_no,
+         'Circle ' || CAST(id % 11 AS VARCHAR)
+           || CASE WHEN id % 3 = 1 THEN ' ♫' ELSE '' END AS base_artist,
+         'Song ' || CAST(id * 53 % 1000 AS VARCHAR) AS fname_title,
+         CASE WHEN id % 2 = 0 THEN 'libvorbis 1.3.' || CAST(id % 5 AS VARCHAR)
+              ELSE 'libopus 1.' || CAST(id % 5 AS VARCHAR) END AS vendor
+  FROM ids
+), t AS (
+  SELECT id, codec, vendor,
+         CASE WHEN id % 9 <> 0
+              THEN 'OggTag ' || CAST(id * 29 % 1000 AS VARCHAR) END AS tag_title,
+         CASE WHEN id % 4 <> 0 THEN base_artist END AS tag_artist,
+         CASE WHEN id % 3 = 0 THEN CAST(n_no AS VARCHAR)
+              WHEN id % 3 = 1 THEN CAST(n_no AS VARCHAR) || '/16' END AS tag_track,
+         CASE WHEN id % 6 <> 0
+              THEN '(' || lpad(CAST(n_no AS VARCHAR), 2, '0') || ') ['
+                   || base_artist || '] ' || fname_title || '.ogg'
+              ELSE fname_title || '.ogg' END AS filename
+  FROM g
+), r AS (
+  SELECT id, codec, vendor, filename, tag_title, tag_artist,
+         regexp_matches(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$') AS canon,
+         CAST(nullif(regexp_extract(tag_track, '^(\\d+)', 1), '')
+              AS INTEGER) AS tag_no
+  FROM t
+), p AS (
+  SELECT id, codec, vendor, filename, tag_title, tag_artist, tag_no,
+         CASE WHEN canon THEN CAST(regexp_extract(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$', 1)
+           AS INTEGER) END AS fp_no,
+         CASE WHEN canon THEN regexp_extract(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$', 2)
+           END AS fp_artist,
+         CASE WHEN canon THEN regexp_extract(filename,
+           '^\\((\\d{2})\\) \\[([^\\]]+)\\] (.+)\\.([A-Za-z0-9]+)$', 3)
+           END AS fp_title
+  FROM r
+)
+SELECT id AS track_id, codec, vendor,
+       coalesce(fp_no, tag_no) AS track_no,
+       coalesce(fp_artist, tag_artist) AS artist,
+       coalesce(fp_title, tag_title,
+                trim(regexp_replace(regexp_replace(filename,
+                  '\\.[A-Za-z0-9]+$', ''), '\\[[^\\]]*\\]', '', 'g'))) AS title,
+       (coalesce(fp_no, tag_no) IS NULL
+        OR coalesce(fp_artist, tag_artist) IS NULL) AS needs_check
+FROM p
+ORDER BY track_id
+"""
+
+
+@query("ogg_tag_scan", oracle=_OGG_TAG_ORACLE)
+def ogg_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg twin of flac_tag_scan / mp3_tag_scan: 200 Ogg files
+    alternating Vorbis comment headers and OpusTags carry planted tags
+    (title/artist sometimes absent, track numbers in plain and
+    'n/total' form), are built AND parsed in-plan through the REAL page
+    walk + comment-packet parse (functions/media.parse_ogg_comments —
+    the SAME list parser as FLAC's VORBIS_COMMENT, so the three tag
+    channels cannot drift), then merged with the canonical-filename
+    parse under the reference's precedence rule — filename first, probe
+    tags second, basename fallback (info_scanner_ph2.py:138-170). The
+    DuckDB oracle replays the plant plus the same coalesce; the vendor
+    column value-checks the comment header's vendor parse per codec."""
+    import pandas as pd
+
+    from tlmc_etl_spark.functions.media import (
+        make_ogg_stream,
+        parse_ogg_comments,
+    )
+    from tlmc_etl_spark.functions.text import parse_track_filename
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def scan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                codec = "vorbis" if vid % 2 == 0 else "opus"
+                n_no = 1 + vid % 16
+                base_artist = f"Circle {vid % 11}" + (" ♫" if vid % 3 == 1 else "")
+                fname_title = f"Song {vid * 53 % 1000}"
+                tags = []
+                if vid % 9:
+                    tags.append(("TITLE", f"OggTag {vid * 29 % 1000}"))
+                if vid % 4:
+                    tags.append(("ARTIST", base_artist))
+                if vid % 3 == 0:
+                    tags.append(("TRACKNUMBER", str(n_no)))
+                elif vid % 3 == 1:
+                    tags.append(("TRACKNUMBER", f"{n_no}/16"))
+                vendor = (
+                    f"libvorbis 1.3.{vid % 5}" if codec == "vorbis"
+                    else f"libopus 1.{vid % 5}"
+                )
+                data = make_ogg_stream(
+                    codec, [[40 + vid % 30]], 960,
+                    tags=tags, vendor=vendor,
+                )
+                got = parse_ogg_comments(data)
+                filename = (
+                    f"({n_no:02d}) [{base_artist}] {fname_title}.ogg"
+                    if vid % 6
+                    else f"{fname_title}.ogg"
+                )
+                rows.append(
+                    (
+                        vid, got["codec"], got["vendor"], filename,
+                        got["tags"].get("title"), got["tags"].get("artist"),
+                        got["tags"].get("tracknumber"),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "codec", "vendor", "filename",
+                    "tag_title", "tag_artist", "tag_track",
+                ],
+            )
+
+    parsed = fanout(ids).mapInPandas(
+        scan,
+        schema=(
+            "track_id long, codec string, vendor string, filename string, "
+            "tag_title string, tag_artist string, tag_track string"
+        ),
+    ).withColumn("fp", parse_track_filename("filename"))
+    tag_no_s = F.regexp_extract("tag_track", r"^(\d+)", 1)
+    tag_no = F.when(tag_no_s != "", tag_no_s).cast("int")
+    track_no = F.coalesce(F.col("fp.track_no"), tag_no)
+    artist = F.coalesce(F.col("fp.artist"), F.col("tag_artist"))
+    return parsed.select(
+        "track_id",
+        "codec",
+        "vendor",
+        track_no.alias("track_no"),
+        artist.alias("artist"),
+        F.coalesce(
+            F.col("fp.title"),
+            F.col("tag_title"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace("filename", r"\.[A-Za-z0-9]+$", ""),
+                    r"\[[^\]]*\]",
+                    "",
+                )
+            ),
+        ).alias("title"),
+        (track_no.isNull() | artist.isNull()).alias("needs_check"),
+    ).orderBy("track_id")
