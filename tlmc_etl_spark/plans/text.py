@@ -351,11 +351,25 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cold = cold.persist()
     sizes = cold.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = cold.alias("a")
-    b = cold.alias("b")
+    # pair generation from CAPPED posting lists, not a self-join: fold
+    # each surviving shingle's doc list (≤ cap ≤ DF_CAP_CEILING entries
+    # by construction, so the collect_list is bounded and the combo
+    # expansion is ≤ cap²/2 rows, all row-local) and count pairs in one
+    # hash agg — the sort-merge self-join materialized the same df²
+    # candidate rows through the join machinery plus an extra sort
+    cold_by_s = cold.groupBy("s").agg(
+        F.array_sort(F.collect_list("doc_id")).alias("ds")
+    )
+    combos = F.explode(
+        F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds) - i - 1), "
+            "y -> struct(x AS doc_a, y AS doc_b))))"
+        )
+    )
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cold_by_s.select(combos.alias("p"))
+        .groupBy("p.doc_a", "p.doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
