@@ -259,29 +259,33 @@ def headline_line(out: dict, limit: int = 2000) -> str:
             del out[field]
             out["fields_dropped"] = True
             line = json.dumps(out, **compact)
-    # next pressure stages: 1dp then integer walls — EVERY query keeps
-    # its entry (a coarser wall beats a missing one; at 70 queries the
-    # integer stage is what keeps the override-stamped worst case under
-    # the limit — 1,315 bytes of query names leave no room for decimals)
+    # next: per-query walls coarsen to 1dp — EVERY query keeps its entry
+    # (a coarser wall beats a missing one)
     if len(line) > limit and out.get("queries"):
         out["queries"] = {n: round(t, 1) for n, t in out["queries"].items()}
         line = json.dumps(out, **compact)
-    if len(line) > limit and out.get("queries"):
-        out["queries"] = {n: int(round(t)) for n, t in out["queries"].items()}
-        line = json.dumps(out, **compact)
-    # context floats coarsen to 1dp before any evidence is touched (at
-    # 75 queries the fully-stamped worst case sits ~6 bytes over)
+    # then EXHAUST the context before coarsening evidence further: at 75
+    # queries the 1dp map alone is ~1,880 bytes, so the fully-stamped
+    # worst case needs every remaining context byte to keep decimals —
+    # value/duckdb_wall to 1dp, then the ratio's denominator drops (the
+    # graded ratio stays; SCALING.json / PERFORMANCE.md record duckdb
+    # walls every round), then the fields_dropped convenience flag (the
+    # drop set is detectable from the absent fields; loadavg_override is
+    # the honesty stamp and NEVER drops)
     if len(line) > limit:
         for f in ("value", "duckdb_wall"):
             if isinstance(out.get(f), float):
                 out[f] = round(out[f], 1)
         line = json.dumps(out, **compact)
-    # last context drop: the ratio's denominator — the graded ratio
-    # itself stays, and the committed SCALING.json / PERFORMANCE.md
-    # tables record duckdb walls every round
     if len(line) > limit and "duckdb_wall" in out:
         del out["duckdb_wall"]
-        out["fields_dropped"] = True
+        line = json.dumps(out, **compact)
+    if len(line) > limit and "fields_dropped" in out:
+        del out["fields_dropped"]
+        line = json.dumps(out, **compact)
+    # only past ALL of that do walls coarsen to integers
+    if len(line) > limit and out.get("queries"):
+        out["queries"] = {n: int(round(t)) for n, t in out["queries"].items()}
         line = json.dumps(out, **compact)
     while len(line) > limit and out.get("queries"):
         out["queries_truncated"] = True
