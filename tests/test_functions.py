@@ -1395,7 +1395,7 @@ class TestOggComments:
         assert parse_ogg_comments(None) is None
         # a bos page alone has no page_seq-1 comment header
         lone = make_ogg_page(3, 0, 0, [make_vorbis_id_packet()], bos=True)
-        with pytest.raises(ValueError, match="no comment header page"):
+        with pytest.raises(ValueError, match="no comment header"):
             parse_ogg_comments(lone)
         # second page whose packet is not a comment header
         bad = lone + make_ogg_page(3, 1, 0, [b"junk-payload"])
@@ -1410,3 +1410,73 @@ class TestOggComments:
         pages_0 = s[:58]
         with pytest.raises(ValueError, match="vendor overruns"):
             parse_ogg_comments(pages_0 + torn)
+
+
+class TestOggMultiPageHeaders:
+    """Real header packets span pages (large Vorbis setup codebooks,
+    cover art in OpusTags) — packet extraction must reassemble across
+    the continued-page chain, and the audio-packet count must not
+    assume headers end on page 1."""
+
+    def _spanning_opus(self):
+        import struct
+
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_page,
+            make_opus_head,
+        )
+
+        vendor = b"v"
+        art = b"A" * 600  # forces the tags packet past one page
+        item = b"COVERISH=" + art
+        tags_pkt = (
+            b"OpusTags"
+            + struct.pack("<I", len(vendor)) + vendor
+            + struct.pack("<I", 1)
+            + struct.pack("<I", len(item)) + item
+        )
+        # split so the first part laces to 255s only (multiple of 255)
+        cut = 510
+        pages = (
+            make_ogg_page(9, 0, 0, [make_opus_head()], bos=True)
+            + make_ogg_page(9, 1, 0, [tags_pkt[:cut]], open_tail=True)
+            + make_ogg_page(9, 2, 0, [tags_pkt[cut:]], continued=True)
+            + make_ogg_page(9, 3, 312 + 960, [bytes(40)], eos=True)
+        )
+        return pages, art
+
+    def test_comments_reassemble_across_pages(self):
+        from tlmc_etl_spark.functions.media import parse_ogg_comments
+
+        data, art = self._spanning_opus()
+        got = parse_ogg_comments(data)
+        assert got["codec"] == "opus"
+        assert got["tags"] == {"coverish": art.decode()}
+
+    def test_audio_packet_count_ignores_header_span(self):
+        from tlmc_etl_spark.functions.media import parse_ogg_stream_info
+
+        data, _ = self._spanning_opus()
+        info = parse_ogg_stream_info(data)
+        # one audio packet, even though the OpusTags packet completes on
+        # page 2 (a page-1-ends-the-headers assumption would count 2)
+        assert info["n_audio_packets"] == 1
+        assert info["n_samples"] == 960
+
+    def test_continuation_mismatch_detected(self):
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_page,
+            make_opus_head,
+            parse_ogg_comments,
+        )
+
+        # open tail on page 1 but page 2 does NOT set continued
+        bad = (
+            make_ogg_page(9, 0, 0, [make_opus_head()], bos=True)
+            + make_ogg_page(9, 1, 0, [bytes(510)], open_tail=True)
+            + make_ogg_page(9, 2, 960, [bytes(20)])
+        )
+        with pytest.raises(ValueError, match="continuation mismatch"):
+            parse_ogg_comments(bad)

@@ -1747,16 +1747,66 @@ def parse_ogg_pages(data: bytes | None) -> list[dict]:
     return out
 
 
+def _ogg_stream_packets(
+    data: bytes,
+    pages: list[dict],
+    serial: int,
+    max_packets: int | None = None,
+) -> list[bytes]:
+    """Reassemble one logical bitstream's packets across its pages
+    (RFC 3533 §5: a 255-terminated lacing tail continues on the next
+    page, whose header must set the continued flag). Real header
+    packets DO span pages — large Vorbis setup codebooks, cover art in
+    OpusTags — so packet extraction cannot assume one page per packet.
+    Stops after `max_packets` completed packets when given."""
+    out: list[bytes] = []
+    buf = bytearray()
+    for p in pages:
+        if p["serial"] != serial:
+            continue
+        if p["continued"] != bool(buf):
+            raise ValueError(
+                f"ogg: page continuation mismatch at byte {p['byte_offset']}"
+            )
+        at = p["byte_offset"]
+        n_segs = p["n_segments"]
+        lacing = data[at + 27 : at + 27 + n_segs]
+        body = at + 27 + n_segs
+        run = 0
+        for v in lacing:
+            run += v
+            if v < 255:
+                buf += data[body : body + run]
+                body += run
+                run = 0
+                out.append(bytes(buf))
+                buf.clear()
+                if max_packets is not None and len(out) >= max_packets:
+                    return out
+        if run:
+            buf += data[body : body + run]
+    return out
+
+
 @_valueerror_boundary
-def parse_ogg_stream_info(data: bytes | None) -> dict | None:
+def parse_ogg_stream_info(
+    data: bytes | None, pages: list[dict] | None = None
+) -> dict | None:
     """Identify the FIRST logical bitstream of an Ogg file and derive
     its duration from the page index: {codec, channels, sample_rate,
     granule_rate, pre_skip, last_granule, n_samples, duration_s,
     n_pages, n_audio_packets}. Vorbis granules count at the declared
     sample rate; Opus granules always count at 48 kHz and include
     pre_skip (RFC 7845 §4.2). None for non-Ogg input; ValueError for a
-    recognized stream whose ID packet is torn or unknown."""
-    pages = parse_ogg_pages(data)
+    recognized stream whose ID packet is torn or unknown. Pass a
+    pre-parsed `pages` list to skip re-walking (and re-CRCing) the
+    stream. The ID packet is read from the first page alone — both
+    specs require it there — but the audio-packet count subtracts the
+    codec's header-packet count from the cross-page completed-packet
+    total, so multi-page comment/setup headers are not miscounted as
+    audio."""
+    if pages is None:
+        pages = parse_ogg_pages(data)
     if not pages:
         return None
     first = pages[0]
@@ -1772,18 +1822,19 @@ def parse_ogg_stream_info(data: bytes | None) -> dict | None:
             raise ValueError("ogg: torn Vorbis identification header")
         channels, rate = struct.unpack_from("<BI", head, 11)
         codec, granule_rate, pre_skip = "vorbis", rate, 0
+        n_headers = 3  # ID + comment + setup (Vorbis I §4.2)
     elif head.startswith(b"OpusHead"):
         if len(head) < 19:
             raise ValueError("ogg: torn OpusHead")
         _v, channels, pre_skip, rate = struct.unpack_from("<BBHI", head, 8)
         codec, granule_rate = "opus", 48000
+        n_headers = 2  # OpusHead + OpusTags (RFC 7845 §3)
     else:
         raise ValueError("ogg: unknown codec identification packet")
     mine = [p for p in pages if p["serial"] == serial]
     last_granule = mine[-1]["granule_pos"]
     n_samples = max(last_granule - pre_skip, 0)
-    # pages 0..1 are the ID and tag/setup pages; packets after them are audio
-    n_audio_packets = sum(p["n_packets"] for p in mine[2:])
+    n_audio_packets = max(sum(p["n_packets"] for p in mine) - n_headers, 0)
     return {
         "codec": codec,
         "channels": channels,
@@ -1798,59 +1849,46 @@ def parse_ogg_stream_info(data: bytes | None) -> dict | None:
     }
 
 
-def _ogg_page_packets(data: bytes, page: dict) -> list[bytes]:
-    """Packets COMPLETED on one parsed page (a 255-terminated tail that
-    continues onto the next page is dropped; a continued head would need
-    the previous page and is out of scope for header pages, which RFC
-    3533 requires to start fresh)."""
-    at = page["byte_offset"]
-    n_segs = page["n_segments"]
-    lacing = data[at + 27 : at + 27 + n_segs]
-    body = at + 27 + n_segs
-    out: list[bytes] = []
-    run = 0
-    for v in lacing:
-        run += v
-        if v < 255:
-            out.append(data[body : body + run])
-            body += run
-            run = 0
-    return out
-
-
 @_valueerror_boundary
-def parse_ogg_comments(data: bytes | None) -> dict | None:
+def parse_ogg_comments(
+    data: bytes | None, pages: list[dict] | None = None
+) -> dict | None:
     """Tag scan for the FIRST logical bitstream of an Ogg file:
-    {codec, vendor, tags} from the Vorbis comment header (Vorbis I §5,
-    the "\\x03vorbis" packet on the second page) or OpusTags (RFC 7845
-    §5.2). Same comment-list layout as FLAC's VORBIS_COMMENT — parsed
-    by the same helper, so the three tag channels (FLAC block, Vorbis
-    header, OpusTags) cannot drift apart. None for non-Ogg input;
-    ValueError for a recognized stream whose comment packet is torn."""
-    pages = parse_ogg_pages(data)
+    {codec, vendor, tags} from the Vorbis comment header (Vorbis I §5)
+    or OpusTags (RFC 7845 §5.2) — packet 1 of the stream, reassembled
+    across pages (cover-art tags routinely span pages). Same
+    comment-list layout as FLAC's VORBIS_COMMENT — parsed by the same
+    helper, so the three tag channels (FLAC block, Vorbis header,
+    OpusTags) cannot drift apart. Codec dispatch reads the ID packet
+    directly (no second stream walk). None for non-Ogg input;
+    ValueError for a recognized stream whose comment packet is torn.
+    Pass a pre-parsed `pages` list to skip re-walking the stream."""
+    if pages is None:
+        pages = parse_ogg_pages(data)
     if not pages:
         return None
-    info = parse_ogg_stream_info(data)
+    if not pages[0]["bos"]:
+        raise ValueError("ogg: first page is not a beginning-of-stream page")
     serial = pages[0]["serial"]
-    second = next(
-        (p for p in pages if p["serial"] == serial and p["page_seq"] == 1),
-        None,
-    )
-    if second is None:
-        raise ValueError("ogg: no comment header page (page_seq 1)")
-    packets = _ogg_page_packets(data, second)
-    if not packets:
-        raise ValueError("ogg: comment header page completes no packet")
-    pkt = packets[0]
-    if info["codec"] == "vorbis":
+    packets = _ogg_stream_packets(data, pages, serial, max_packets=2)
+    if len(packets) < 2:
+        raise ValueError(
+            "ogg: no comment header completes (stream ends after the ID packet)"
+        )
+    head, pkt = packets[0], packets[1]
+    if head.startswith(b"\x01vorbis"):
+        codec = "vorbis"
         if not pkt.startswith(b"\x03vorbis"):
-            raise ValueError("ogg: second page is not a Vorbis comment header")
+            raise ValueError("ogg: packet 1 is not a Vorbis comment header")
         if not pkt.endswith(b"\x01"):
             raise ValueError("ogg: Vorbis comment header missing framing bit")
         body = pkt[7:-1]
-    else:  # opus (parse_ogg_stream_info already rejected unknown codecs)
+    elif head.startswith(b"OpusHead"):
+        codec = "opus"
         if not pkt.startswith(b"OpusTags"):
-            raise ValueError("ogg: second page is not an OpusTags packet")
+            raise ValueError("ogg: packet 1 is not an OpusTags packet")
         body = pkt[8:]
+    else:
+        raise ValueError("ogg: unknown codec identification packet")
     vendor, tags = _parse_vorbis_comment_body(body, "ogg")
-    return {"codec": info["codec"], "vendor": vendor, "tags": tags}
+    return {"codec": codec, "vendor": vendor, "tags": tags}

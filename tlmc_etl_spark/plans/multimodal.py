@@ -2210,6 +2210,41 @@ def flac_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # flac_tag_scan — VORBIS_COMMENT parse + the ph2 filename/tag coalesce
 # --------------------------------------------------------------------------
 
+def _tag_precedence_select(parsed, *extra_cols: str):
+    """The reference's track-metadata precedence rule, shared by the
+    FLAC/MP3/Ogg tag scans so the three tag channels cannot diverge:
+    canonical-filename parse first, probe tags second, basename
+    fallback for the title, review flag when number or artist is still
+    missing (info_scanner_ph2.py:138-170 / pipelines/metadata
+    parse_tracks). `parsed` carries track_id, filename, tag_title,
+    tag_artist, tag_track plus any `extra_cols` to pass through."""
+    from tlmc_etl_spark.functions.text import parse_track_filename
+
+    parsed = parsed.withColumn("fp", parse_track_filename("filename"))
+    tag_no_s = F.regexp_extract("tag_track", r"^(\d+)", 1)
+    tag_no = F.when(tag_no_s != "", tag_no_s).cast("int")
+    track_no = F.coalesce(F.col("fp.track_no"), tag_no)
+    artist = F.coalesce(F.col("fp.artist"), F.col("tag_artist"))
+    return parsed.select(
+        "track_id",
+        *extra_cols,
+        track_no.alias("track_no"),
+        artist.alias("artist"),
+        F.coalesce(
+            F.col("fp.title"),
+            F.col("tag_title"),
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace("filename", r"\.[A-Za-z0-9]+$", ""),
+                    r"\[[^\]]*\]",
+                    "",
+                )
+            ),
+        ).alias("title"),
+        (track_no.isNull() | artist.isNull()).alias("needs_check"),
+    ).orderBy("track_id")
+
+
 _FLAC_TAG_ORACLE = """
 WITH ids AS (
   SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 200
@@ -2286,7 +2321,6 @@ def flac_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_flac_with_tags,
         parse_flac_metadata,
     )
-    from tlmc_etl_spark.functions.text import parse_track_filename
 
     ids = (
         load_table(spark, sf_dir, "embeddings")
@@ -2343,29 +2377,8 @@ def flac_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "track_id long, vendor string, filename string, "
             "tag_title string, tag_artist string, tag_track string"
         ),
-    ).withColumn("fp", parse_track_filename("filename"))
-    tag_no_s = F.regexp_extract("tag_track", r"^(\d+)", 1)
-    tag_no = F.when(tag_no_s != "", tag_no_s).cast("int")
-    track_no = F.coalesce(F.col("fp.track_no"), tag_no)
-    artist = F.coalesce(F.col("fp.artist"), F.col("tag_artist"))
-    return parsed.select(
-        "track_id",
-        "vendor",
-        track_no.alias("track_no"),
-        artist.alias("artist"),
-        F.coalesce(
-            F.col("fp.title"),
-            F.col("tag_title"),
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace("filename", r"\.[A-Za-z0-9]+$", ""),
-                    r"\[[^\]]*\]",
-                    "",
-                )
-            ),
-        ).alias("title"),
-        (track_no.isNull() | artist.isNull()).alias("needs_check"),
-    ).orderBy("track_id")
+    )
+    return _tag_precedence_select(parsed, "vendor")
 
 
 # --------------------------------------------------------------------------
@@ -2696,7 +2709,6 @@ def mp3_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_mp3_stream,
         parse_id3v2,
     )
-    from tlmc_etl_spark.functions.text import parse_track_filename
 
     ids = (
         load_table(spark, sf_dir, "embeddings")
@@ -2757,29 +2769,8 @@ def mp3_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "track_id long, id3_version int, filename string, "
             "tag_title string, tag_artist string, tag_track string"
         ),
-    ).withColumn("fp", parse_track_filename("filename"))
-    tag_no_s = F.regexp_extract("tag_track", r"^(\d+)", 1)
-    tag_no = F.when(tag_no_s != "", tag_no_s).cast("int")
-    track_no = F.coalesce(F.col("fp.track_no"), tag_no)
-    artist = F.coalesce(F.col("fp.artist"), F.col("tag_artist"))
-    return parsed.select(
-        "track_id",
-        "id3_version",
-        track_no.alias("track_no"),
-        artist.alias("artist"),
-        F.coalesce(
-            F.col("fp.title"),
-            F.col("tag_title"),
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace("filename", r"\.[A-Za-z0-9]+$", ""),
-                    r"\[[^\]]*\]",
-                    "",
-                )
-            ),
-        ).alias("title"),
-        (track_no.isNull() | artist.isNull()).alias("needs_check"),
-    ).orderBy("track_id")
+    )
+    return _tag_precedence_select(parsed, "id3_version")
 
 
 # --------------------------------------------------------------------------
@@ -2916,7 +2907,7 @@ def ogg_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     sample_rate=rate, title=f"t{vid % 10000:04d}",
                 )
                 pages = parse_ogg_pages(data)
-                info = parse_ogg_stream_info(data)
+                info = parse_ogg_stream_info(data, pages=pages)
                 audio = pages[2:]
                 pre = info["pre_skip"]
                 ends = [p["granule_pos"] - pre for p in audio]
@@ -3040,7 +3031,6 @@ def ogg_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_ogg_stream,
         parse_ogg_comments,
     )
-    from tlmc_etl_spark.functions.text import parse_track_filename
 
     ids = (
         load_table(spark, sf_dir, "embeddings")
@@ -3102,27 +3092,5 @@ def ogg_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "track_id long, codec string, vendor string, filename string, "
             "tag_title string, tag_artist string, tag_track string"
         ),
-    ).withColumn("fp", parse_track_filename("filename"))
-    tag_no_s = F.regexp_extract("tag_track", r"^(\d+)", 1)
-    tag_no = F.when(tag_no_s != "", tag_no_s).cast("int")
-    track_no = F.coalesce(F.col("fp.track_no"), tag_no)
-    artist = F.coalesce(F.col("fp.artist"), F.col("tag_artist"))
-    return parsed.select(
-        "track_id",
-        "codec",
-        "vendor",
-        track_no.alias("track_no"),
-        artist.alias("artist"),
-        F.coalesce(
-            F.col("fp.title"),
-            F.col("tag_title"),
-            F.trim(
-                F.regexp_replace(
-                    F.regexp_replace("filename", r"\.[A-Za-z0-9]+$", ""),
-                    r"\[[^\]]*\]",
-                    "",
-                )
-            ),
-        ).alias("title"),
-        (track_no.isNull() | artist.isNull()).alias("needs_check"),
-    ).orderBy("track_id")
+    )
+    return _tag_precedence_select(parsed, "codec", "vendor")
