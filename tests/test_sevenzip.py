@@ -341,3 +341,90 @@ class TestStrictness:
                         header_codec="copy", solid=True)
         idx = parse_7z_index(enc)
         assert [e["size"] for e in idx] == [5, 3]
+
+
+class TestSevenZipExtraction:
+    """extract_7z_members: the Extract stage's payload step in-container
+    (Copy/LZMA1/LZMA2 folders; filter chains stay the child-process
+    boundary)."""
+
+    def test_all_layout_combinations_roundtrip(self):
+        import itertools
+
+        from tlmc_etl_spark.operators.sevenzip import (
+            encode_7z,
+            extract_7z_members,
+            parse_7z_index,
+        )
+
+        payload_a = b"hello archive world" * 9
+        payload_b = bytes(range(256)) * 5
+        for hc, pc, solid, crcs in itertools.product(
+            ("copy", "lzma"), ("copy", "lzma"), (False, True), (False, True)
+        ):
+            arc = encode_7z(
+                [("dir", True, None), ("a.txt", False, payload_a),
+                 ("b/b.bin", False, payload_b), ("empty.txt", False, b"")],
+                header_codec=hc, payload_codec=pc, solid=solid,
+                with_crcs=crcs,
+            )
+            out = extract_7z_members(arc)
+            assert [e["path"] for e in out] == [
+                e["path"] for e in parse_7z_index(arc)
+            ]
+            got = {e["path"]: e for e in out}
+            assert got["dir"]["content"] is None
+            assert got["a.txt"]["content"] == payload_a
+            assert got["b/b.bin"]["content"] == payload_b
+            assert got["empty.txt"]["content"] == b""
+            expect_ok = True if crcs else None
+            assert got["a.txt"]["crc_ok"] is expect_ok, (hc, pc, solid, crcs)
+
+    def test_payload_corruption_fails_crc(self):
+        import pytest
+
+        from tlmc_etl_spark.operators.sevenzip import (
+            encode_7z,
+            extract_7z_members,
+            parse_7z_index,
+        )
+
+        arc = bytearray(encode_7z(
+            [("x.txt", False, b"A" * 100)], with_crcs=True
+        ))
+        arc[40] ^= 0xFF  # inside the copy-stored payload
+        # the LISTING is untouched (headers only) ...
+        assert parse_7z_index(bytes(arc))[0]["size"] == 100
+        # ... but extraction must refuse the corrupt payload
+        with pytest.raises(ValueError, match="CRC mismatch"):
+            extract_7z_members(bytes(arc))
+
+    def test_lzma_payload_corruption_never_silent(self):
+        import pytest
+
+        from tlmc_etl_spark.operators.sevenzip import (
+            encode_7z,
+            extract_7z_members,
+        )
+
+        base = encode_7z(
+            [("x.bin", False, bytes(range(256)) * 4)],
+            payload_codec="lzma", with_crcs=True,
+        )
+        flips = 0
+        for at in range(32, len(base) - 40):
+            arc = bytearray(base)
+            arc[at] ^= 0xFF
+            try:
+                out = extract_7z_members(bytes(arc))
+                # a surviving parse must still have verified the CRC
+                assert all(e["crc_ok"] for e in out if e["content"])
+            except ValueError:
+                flips += 1
+        assert flips > 0  # the payload region is actually covered
+
+    def test_non7z_and_empty(self):
+        from tlmc_etl_spark.operators.sevenzip import extract_7z_members
+
+        assert extract_7z_members(None) is None
+        assert extract_7z_members(b"PK\x03\x04" + bytes(40)) is None

@@ -183,3 +183,78 @@ class TestStrictness:
                 parse_zip_index(blob)
             except ValueError:
                 pass
+
+
+class TestZipExtraction:
+    """extract_zip_members: STORED + DEFLATE payload reads through the
+    local headers, CRC32/size-verified against the central directory."""
+
+    def test_roundtrip_store_deflate_zip64(self):
+        from tlmc_etl_spark.operators.zipindex import (
+            encode_zip,
+            extract_zip_members,
+        )
+
+        pay = b"compress me " * 40
+        for method in ("store", "deflate"):
+            for z64 in (False, True):
+                arc = encode_zip(
+                    [("a.txt", False, pay), ("d", True, None),
+                     ("b.bin", False, bytes(range(256)))],
+                    zip64=z64, method=method,
+                )
+                out = extract_zip_members(arc)
+                got = {e["path"]: e for e in out}
+                assert got["a.txt"]["content"] == pay, (method, z64)
+                assert got["a.txt"]["crc_ok"] is True
+                assert got["d"]["content"] is None
+                assert got["b.bin"]["content"] == bytes(range(256))
+                # internal bookkeeping fields must not leak
+                assert "_method" not in got["a.txt"]
+
+    def test_payload_flips_never_silent(self):
+        from tlmc_etl_spark.operators.zipindex import (
+            encode_zip,
+            extract_zip_members,
+        )
+
+        pay = b"Z" * 100
+        base = encode_zip([("a.txt", False, pay)], method="deflate")
+        import zlib
+        c = zlib.compressobj(6, zlib.DEFLATED, -15)
+        csize = len(c.compress(pay) + c.flush())
+        start = 30 + len("a.txt")
+        raised = 0
+        for at in range(start, start + csize):
+            arc = bytearray(base)
+            arc[at] ^= 0xFF
+            try:
+                out = extract_zip_members(bytes(arc))
+                assert out[0]["content"] == pay  # only exact survives
+            except ValueError:
+                raised += 1
+        assert raised == csize  # every payload flip was caught
+
+    def test_unsupported_method_raises(self):
+        import struct
+
+        import pytest
+
+        from tlmc_etl_spark.operators.zipindex import (
+            encode_zip,
+            extract_zip_members,
+        )
+
+        arc = bytearray(encode_zip([("a.txt", False, b"x" * 10)]))
+        # rewrite method 0 -> 12 (bzip2) in BOTH headers
+        struct.pack_into("<H", arc, 8, 12)  # local header method
+        cd = bytes(arc).find(b"PK\x01\x02")
+        struct.pack_into("<H", arc, cd + 10, 12)
+        with pytest.raises(ValueError, match="method 12 unsupported"):
+            extract_zip_members(bytes(arc))
+
+    def test_non_zip(self):
+        from tlmc_etl_spark.operators.zipindex import extract_zip_members
+
+        assert extract_zip_members(None) is None
+        assert extract_zip_members(b"7z\xbc\xaf\x27\x1c" + bytes(40)) is None

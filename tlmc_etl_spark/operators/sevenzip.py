@@ -140,9 +140,18 @@ def _copy_folder() -> bytes:
     return _write_number(1) + bytes([0x01]) + _CODEC_COPY
 
 
+def _lzma1_folder() -> bytes:
+    # one coder, LZMA1, with the 5-byte props blob
+    return (
+        _write_number(1) + bytes([0x20 | len(_CODEC_LZMA1)]) + _CODEC_LZMA1
+        + _write_number(len(_LZMA1_PROPS)) + _LZMA1_PROPS
+    )
+
+
 def _streams_info(pack_pos: int, pack_sizes: list[int], folders: list[bytes],
                   unpack_sizes: list[int],
-                  substreams: list[list[int]] | None) -> bytes:
+                  substreams: list[list[int]] | None,
+                  sub_crcs: list[int] | None = None) -> bytes:
     out = bytearray([_K_PACK_INFO])
     out += _write_number(pack_pos) + _write_number(len(pack_sizes))
     out += bytes([_K_SIZE])
@@ -157,14 +166,22 @@ def _streams_info(pack_pos: int, pack_sizes: list[int], folders: list[bytes],
     for s in unpack_sizes:
         out += _write_number(s)
     out += bytes([_K_END])
-    if substreams is not None:
-        out += bytes([_K_SUBSTREAMS_INFO, _K_NUM_UNPACK_STREAM])
-        for sizes in substreams:
-            out += _write_number(len(sizes))
-        out += bytes([_K_SIZE])
-        for sizes in substreams:
-            for s in sizes[:-1]:  # last substream size is implied
-                out += _write_number(s)
+    if substreams is not None or sub_crcs is not None:
+        out += bytes([_K_SUBSTREAMS_INFO])
+        if substreams is not None:
+            out += bytes([_K_NUM_UNPACK_STREAM])
+            for sizes in substreams:
+                out += _write_number(len(sizes))
+            out += bytes([_K_SIZE])
+            for sizes in substreams:
+                for s in sizes[:-1]:  # last substream size is implied
+                    out += _write_number(s)
+        if sub_crcs is not None:
+            # no folder CRCs are written, so every substream digest is
+            # present and defined (7zFormat.txt digest-elision rule)
+            out += bytes([_K_CRC, 0x01])  # allDefined
+            for c in sub_crcs:
+                out += struct.pack("<I", c)
         out += bytes([_K_END, _K_END])
     else:
         out += bytes([_K_END])
@@ -173,34 +190,60 @@ def _streams_info(pack_pos: int, pack_sizes: list[int], folders: list[bytes],
 
 def encode_7z(entries: list[tuple[str, bool, bytes | None]],
               header_codec: str = "copy", solid: bool = False,
-              mtime_unix: int | None = None) -> bytes:
+              mtime_unix: int | None = None,
+              payload_codec: str = "copy",
+              with_crcs: bool = False) -> bytes:
     """Entries [(path, is_dir, payload)] → conformant .7z bytes.
 
-    File payloads are stored with the Copy coder — one folder per file,
-    or (solid=True) one folder whose substream table carries the sizes,
-    the layout real solid archives use. header_codec picks how the end
-    header itself is stored: 'copy' = plain kHeader, 'lzma' = LZMA1
-    kEncodedHeader (what `7z a` writes by default)."""
+    File payloads are stored with the Copy coder or (payload_codec=
+    'lzma') compressed per folder with LZMA1 — one folder per file, or
+    (solid=True) one folder whose substream table carries the sizes,
+    the layout real solid archives use. with_crcs plants the substream
+    CRC32 digest table extraction verifies against. header_codec picks
+    how the end header itself is stored: 'copy' = plain kHeader,
+    'lzma' = LZMA1 kEncodedHeader (what `7z a` writes by default)."""
     if header_codec not in ("copy", "lzma"):
         raise ValueError("7z: header_codec must be 'copy' or 'lzma'")
+    if payload_codec not in ("copy", "lzma"):
+        raise ValueError("7z: payload_codec must be 'copy' or 'lzma'")
     files = [(p, d, b"" if data is None else bytes(data))
              for p, d, data in entries]
     payloads = [data for _, is_dir, data in files if not is_dir and data]
-    body = b"".join(payloads)
+
+    def _pack(raw: bytes) -> bytes:
+        if payload_codec == "copy":
+            return raw
+        comp = lzma.LZMACompressor(
+            format=lzma.FORMAT_RAW, filters=[_LZMA1_FILTER]
+        )
+        return comp.compress(raw) + comp.flush()
+
+    folder_bytes = (
+        _copy_folder() if payload_codec == "copy" else _lzma1_folder()
+    )
 
     # ----- streams info for the file payloads
     n_payload = len(payloads)
     main_streams = b""
     if n_payload:
         sizes = [len(p) for p in payloads]
+        crcs = [zlib.crc32(p) for p in payloads] if with_crcs else None
         if solid:
+            raw = b"".join(payloads)
+            body = _pack(raw)
             main_streams = bytes([_K_MAIN_STREAMS]) + _streams_info(
-                0, [len(body)], [_copy_folder()], [len(body)], [sizes]
+                0, [len(body)], [folder_bytes], [len(raw)], [sizes], crcs
             )
         else:
+            packs = [_pack(p) for p in payloads]
+            body = b"".join(packs)
             main_streams = bytes([_K_MAIN_STREAMS]) + _streams_info(
-                0, sizes, [_copy_folder()] * n_payload, list(sizes), None
+                0, [len(p) for p in packs], [folder_bytes] * n_payload,
+                list(sizes),
+                None if not with_crcs else [[sz] for sz in sizes], crcs
             )
+    else:
+        body = b""
 
     # ----- files info
     n = len(files)
@@ -314,7 +357,7 @@ def _decode_folder_stream(r: _Reader, fetch, base: int) -> bytes:
                 raise ValueError("7z: encoded header must be one folder")
             if r.byte():
                 raise ValueError("7z: external folder data unsupported")
-            coders, n_out, bound_out = _read_folder(r)
+            coders, n_out, bound_out, _n_packed = _read_folder(r)
             while True:
                 sub = r.number()
                 if sub == _K_END:
@@ -429,7 +472,7 @@ def _read_folder(
     if n_packed > 1:
         for _ in range(n_packed):
             r.number()
-    return coders, total_out, bound_out
+    return coders, total_out, bound_out, n_packed
 
 
 def _read_crcs(r: _Reader, n: int) -> list[int | None]:
@@ -438,11 +481,20 @@ def _read_crcs(r: _Reader, n: int) -> list[int | None]:
             for d in defined]
 
 
-def _read_streams_info(r: _Reader) -> tuple[list[int], list[int]]:
+def _read_streams_info(
+    r: _Reader, collect: dict | None = None
+) -> tuple[list[int], list[int]]:
     """MainStreamsInfo → (num substreams per folder, substream sizes) —
-    the per-file size table, which is all an index listing needs."""
+    the per-file size table, which is all an index listing needs. With
+    `collect`, also captures what EXTRACTION needs: pack position/sizes,
+    per-folder coder chains, folder unpack sizes, and the per-substream
+    CRC32 table (folder CRCs fill 1-substream folders per 7zFormat.txt's
+    digest-elision rule)."""
     folder_out_sizes: list[int] = []  # main unpack size per folder
     folder_crc_defined: list[bool] = []
+    folder_crcs: list[int | None] = []
+    folder_meta: list[tuple] = []
+    sub_digests: list[int | None] | None = None
     n_folders = 0
     num_unpack: list[int] | None = None
     sub_sizes: list[int] | None = None
@@ -451,15 +503,18 @@ def _read_streams_info(r: _Reader) -> tuple[list[int], list[int]]:
         if prop == _K_END:
             break
         if prop == _K_PACK_INFO:
-            r.number()  # pack pos
+            pack_pos = r.number()
             n_pack = r.number()
+            if collect is not None:
+                collect["pack_pos"] = pack_pos
             while True:
                 sub = r.number()
                 if sub == _K_END:
                     break
                 if sub == _K_SIZE:
-                    for _ in range(n_pack):
-                        r.number()
+                    pack_sizes = [r.number() for _ in range(n_pack)]
+                    if collect is not None:
+                        collect["pack_sizes"] = pack_sizes
                 elif sub == _K_CRC:
                     _read_crcs(r, n_pack)
                 else:
@@ -479,14 +534,14 @@ def _read_streams_info(r: _Reader) -> tuple[list[int], list[int]]:
                     break
                 if sub == _K_CODERS_UNPACK_SIZE:
                     folder_out_sizes = []
-                    for _, n_out, bound_out in folder_meta:
+                    for _, n_out, bound_out, _np in folder_meta:
                         sizes = [r.number() for _ in range(n_out)]
                         folder_out_sizes.append(
                             _folder_output_size(sizes, bound_out)
                         )
                 elif sub == _K_CRC:
-                    crcs = _read_crcs(r, n_folders)
-                    folder_crc_defined = [c is not None for c in crcs]
+                    folder_crcs = _read_crcs(r, n_folders)
+                    folder_crc_defined = [c is not None for c in folder_crcs]
                 else:
                     raise ValueError(f"7z: unexpected unpack property {sub}")
         elif prop == _K_SUBSTREAMS_INFO:
@@ -521,7 +576,7 @@ def _read_streams_info(r: _Reader) -> tuple[list[int], list[int]]:
                         0 if cnt == 1 and known[fi] else cnt
                         for fi, cnt in enumerate(counts)
                     )
-                    _read_crcs(r, n_digests)
+                    sub_digests = _read_crcs(r, n_digests)
                 else:
                     raise ValueError(
                         f"7z: unexpected substream property {sub}"
@@ -536,6 +591,25 @@ def _read_streams_info(r: _Reader) -> tuple[list[int], list[int]]:
                 sub_sizes.append(folder_out_sizes[fi])
             elif cnt != 0:
                 raise ValueError("7z: substream counts without sizes")
+    if collect is not None:
+        # full per-substream CRC table: folders whose single substream
+        # is covered by the folder CRC contribute it; others take the
+        # next digest (None when undefined)
+        known = folder_crc_defined or [False] * n_folders
+        fcrcs = folder_crcs or [None] * n_folders
+        digests = list(sub_digests or [])
+        sub_crcs: list[int | None] = []
+        for fi, cnt in enumerate(counts):
+            if cnt == 1 and known[fi]:
+                sub_crcs.append(fcrcs[fi])
+            else:
+                for _ in range(cnt):
+                    sub_crcs.append(digests.pop(0) if digests else None)
+        collect["folders"] = folder_meta
+        collect["folder_out_sizes"] = folder_out_sizes
+        collect["counts"] = counts
+        collect["sub_sizes"] = sub_sizes
+        collect["sub_crcs"] = sub_crcs
     return counts, sub_sizes
 
 
@@ -605,8 +679,8 @@ def parse_7z_index_file(fh) -> list[dict] | None:
         raise ValueError(f"7z: truncated or corrupt header: {e}") from e
 
 
-def _parse_end_header(end_header: bytes, expect_crc: int,
-                      fetch) -> list[dict]:
+def _parse_end_header(end_header: bytes, expect_crc: int, fetch,
+                      collect: dict | None = None) -> list[dict]:
     if zlib.crc32(end_header) != expect_crc:
         raise ValueError("7z: end header CRC mismatch")
     r = _Reader(end_header)
@@ -616,10 +690,10 @@ def _parse_end_header(end_header: bytes, expect_crc: int,
         kind = r.number()
     if kind != _K_HEADER:
         raise ValueError(f"7z: unexpected top-level property {kind}")
-    return _parse_header_body(r)
+    return _parse_header_body(r, collect)
 
 
-def _parse_header_body(r: _Reader) -> list[dict]:
+def _parse_header_body(r: _Reader, collect: dict | None = None) -> list[dict]:
     sub_counts: list[int] = []
     sub_sizes: list[int] = []
     entries: list[dict] = []
@@ -637,7 +711,7 @@ def _parse_header_body(r: _Reader) -> list[dict]:
         elif prop == _K_ADDITIONAL_STREAMS:
             _read_streams_info(r)  # optional; parse and discard
         elif prop == _K_MAIN_STREAMS:
-            sub_counts, sub_sizes = _read_streams_info(r)
+            sub_counts, sub_sizes = _read_streams_info(r, collect)
         elif prop == _K_FILES_INFO:
             entries = _parse_files_info(r, sub_sizes)
         else:
@@ -725,3 +799,88 @@ def _parse_files_info(r: _Reader, sub_sizes: list[int]) -> list[dict]:
             "mtime_unix": mtimes[i],
         })
     return out
+
+
+def extract_7z_members(data: bytes | None) -> list[dict] | None:
+    """Full in-container extraction: the listing entries of
+    parse_7z_index plus a `content` bytes field (None for directories
+    and empty files), decoded with the stdlib coders the index walk
+    already uses for encoded headers — Copy, LZMA1, LZMA2 — and
+    CRC32-verified against the substream digest table when the archive
+    carries one (`crc_ok` True/False/None-for-absent). This is the
+    reference Extract stage's payload step (extract_plan.py runs
+    `7z x`) for the folder shapes those coders cover; folders using
+    filter chains (BCJ/delta) or AES raise ValueError — the documented
+    child-process boundary, same stance as the MP3 PCM lane. None for
+    non-7z input; ValueError on torn folders, short packs, or a CRC
+    mismatch (never a silently wrong payload)."""
+    span = header_span(data[:32] if data else data)
+    if span is None:
+        return None
+    off, size = span
+    if off + size > len(data):
+        raise ValueError("7z: end header overruns the archive")
+    if size == 0:
+        return []
+    streams: dict = {}
+    entries = _parse_end_header(
+        data[off : off + size],
+        struct.unpack("<I", data[28:32])[0],
+        lambda s0, n0: data[s0 : s0 + n0],
+        collect=streams,
+    )
+    folders = streams.get("folders", [])
+    if not folders:
+        for e in entries:
+            e["content"] = None if e["is_dir"] else b""
+            e["crc_ok"] = None
+        return entries
+    pack_sizes = streams.get("pack_sizes", [])
+    if sum(np for _, _, _, np in folders) != len(pack_sizes):
+        raise ValueError("7z: pack streams do not match folder consumption")
+    base = 32 + streams.get("pack_pos", 0)
+    # decode every folder, slice its substreams, verify digests
+    pieces: list[bytes] = []
+    piece_crc_ok: list[bool | None] = []
+    pack_at = base
+    si = 0
+    sub_sizes = streams["sub_sizes"]
+    sub_crcs = streams["sub_crcs"]
+    for fi, (coders, _n_out, _bound, n_packed) in enumerate(folders):
+        if len(coders) != 1 or n_packed != 1:
+            raise ValueError(
+                "7z: filter-chain folders unsupported for extraction"
+            )
+        psize = pack_sizes[fi]
+        if pack_at + psize > len(data):
+            raise ValueError("7z: packed stream overruns the archive")
+        raw = _decode_coder(
+            coders[0], data[pack_at : pack_at + psize],
+            streams["folder_out_sizes"][fi],
+        )
+        pack_at += psize
+        at = 0
+        for _ in range(streams["counts"][fi]):
+            piece = raw[at : at + sub_sizes[si]]
+            at += sub_sizes[si]
+            crc = sub_crcs[si]
+            ok = None if crc is None else zlib.crc32(piece) == crc
+            if ok is False:
+                raise ValueError(
+                    f"7z: substream {si} CRC mismatch after decode"
+                )
+            pieces.append(piece)
+            piece_crc_ok.append(ok)
+            si += 1
+    pi = 0
+    for e in entries:
+        if e["is_dir"] or e["size"] == 0:
+            e["content"] = None if e["is_dir"] else b""
+            e["crc_ok"] = None
+        else:
+            e["content"] = pieces[pi]
+            e["crc_ok"] = piece_crc_ok[pi]
+            pi += 1
+    if pi != len(pieces):
+        raise ValueError("7z: decoded substreams exceed stream files")
+    return entries

@@ -45,37 +45,48 @@ def _dos_datetime(dos_date: int, dos_time: int) -> tuple:
 
 
 def encode_zip(entries: list[tuple[str, bool, bytes | None]],
-               zip64: bool = False) -> bytes:
+               zip64: bool = False, method: str = "store") -> bytes:
     """Entries [(path, is_dir, payload)] → conformant .zip bytes with
-    STORED (method 0) payloads. zip64=True writes 0xFFFFFFFF size
-    sentinels with the 0x0001 extra field (the layout >4 GB archives
-    force), so the reader's ZIP64 arm is exercisable on small data."""
+    STORED (method 0) or (method='deflate') DEFLATED (method 8)
+    payloads — raw zlib streams, the layout every real zip writer
+    emits. zip64=True writes 0xFFFFFFFF size sentinels with the 0x0001
+    extra field (the layout >4 GB archives force), so the reader's
+    ZIP64 arm is exercisable on small data."""
+    if method not in ("store", "deflate"):
+        raise ValueError("zip: method must be 'store' or 'deflate'")
+    m_id = 0 if method == "store" else 8
     body = bytearray()
     cen = bytearray()
     n = 0
     for path, is_dir, payload in entries:
         data = b"" if is_dir or payload is None else bytes(payload)
+        stored = data
+        if m_id == 8 and data:
+            c = zlib.compressobj(6, zlib.DEFLATED, -15)
+            stored = c.compress(data) + c.flush()
         name = (path + "/" if is_dir and not path.endswith("/") else path)
         raw = name.encode("utf-8")
         crc = zlib.crc32(data)
         offset = len(body)
         extra = b""
         size_field = len(data)
+        csize_field = len(stored)
         off_field = offset
         if zip64:
-            extra = struct.pack("<HHQQQ", 0x0001, 24, len(data), len(data),
-                                offset)
+            extra = struct.pack("<HHQQQ", 0x0001, 24, len(data),
+                                len(stored), offset)
             size_field = _FFFFFFFF
+            csize_field = _FFFFFFFF
             off_field = _FFFFFFFF
         # general-purpose bit 11: UTF-8 names
         body += _LOCAL_SIG + struct.pack(
-            "<HHHHHIII", 45 if zip64 else 20, 0x0800, 0, 0x6C3D, 0x5B0F,
-            crc, size_field, size_field,
-        ) + struct.pack("<HH", len(raw), len(extra)) + raw + extra + data
+            "<HHHHHIII", 45 if zip64 else 20, 0x0800, m_id, 0x6C3D, 0x5B0F,
+            crc, csize_field, size_field,
+        ) + struct.pack("<HH", len(raw), len(extra)) + raw + extra + stored
         cen += _CEN_SIG + struct.pack(
             "<HHHHHHIIIHHHHHII",
-            45, 45 if zip64 else 20, 0x0800, 0, 0x6C3D, 0x5B0F, crc,
-            size_field, size_field, len(raw), len(extra), 0, 0, 0,
+            45, 45 if zip64 else 20, 0x0800, m_id, 0x6C3D, 0x5B0F, crc,
+            csize_field, size_field, len(raw), len(extra), 0, 0, 0,
             0x10 if is_dir else 0x20,  # DOS attrs in external low byte
             off_field,
         ) + raw + extra
@@ -199,9 +210,9 @@ def _parse_central_directory(cd: bytes, n_total: int) -> list[dict]:
             raise ValueError("zip: truncated central directory entry")
         if cd[pos : pos + 4] != _CEN_SIG:
             raise ValueError("zip: bad central directory signature")
-        (_vmade, _vneed, flags, _method, mtime, mdate, _crc, _csize,
+        (_vmade, _vneed, flags, method, mtime, mdate, crc, csize,
          usize, nlen, elen, clen, _disk, _iattr, xattr,
-         _off) = struct.unpack_from("<HHHHHHIIIHHHHHII", cd, pos + 4)
+         off) = struct.unpack_from("<HHHHHHIIIHHHHHII", cd, pos + 4)
         end = pos + 46 + nlen + elen + clen
         if end > len(cd):
             raise ValueError("zip: entry name/extra overruns the directory")
@@ -214,8 +225,10 @@ def _parse_central_directory(cd: bytes, n_total: int) -> list[dict]:
         except UnicodeDecodeError as e:
             raise ValueError(f"zip: undecodable entry name: {e}") from e
         size = usize
+        c_size = csize
+        h_off = off
         if usize == _FFFFFFFF:
-            size = _zip64_extra(extra, 1)[0]
+            size, c_size, h_off = _zip64_extra(extra, 3)
         is_dir = bool(xattr & 0x10) or name.endswith("/")
         out.append({
             "path": name.replace("\\", "/").rstrip("/"),
@@ -223,6 +236,10 @@ def _parse_central_directory(cd: bytes, n_total: int) -> list[dict]:
             "size": size,
             "attrib": xattr & 0xFF,
             "mtime_tuple": _dos_datetime(mdate, mtime),
+            "_method": method,
+            "_crc": crc,
+            "_csize": c_size,
+            "_local_off": h_off,
         })
     # ZIP carries no directory CRC, so internal consistency is the
     # defense: the declared entry count must consume the declared
@@ -238,3 +255,54 @@ def _parse_central_directory(cd: bytes, n_total: int) -> list[dict]:
 
 def _raise_torn():
     raise ValueError("zip: local header present but no central directory")
+
+
+def extract_zip_members(data: bytes | None) -> list[dict] | None:
+    """Full in-container extraction: parse_zip_index's listing plus a
+    `content` bytes field (None for directories), read through each
+    entry's local header and decoded with the stdlib coders real zips
+    use — STORED and DEFLATE (raw zlib) — then CRC32- and size-verified
+    against the central directory (`crc_ok`). This is the reference
+    Extract stage's payload step for zip containers; other methods
+    (implode, bzip2, AES) raise ValueError — the documented boundary.
+    None for non-ZIP input; ValueError on torn local headers, short
+    payloads, or a CRC mismatch (never a silently wrong payload)."""
+    entries = parse_zip_index(data)
+    if entries is None:
+        return None
+    for e in entries:
+        if e["is_dir"]:
+            e["content"] = None
+            e["crc_ok"] = None
+            continue
+        off = e.pop("_local_off") if "_local_off" in e else e["_local_off"]
+        if off + 30 > len(data) or data[off : off + 4] != _LOCAL_SIG:
+            raise ValueError(f"zip: bad local header at {off}")
+        nlen, elen = struct.unpack_from("<HH", data, off + 26)
+        at = off + 30 + nlen + elen
+        csize = e["_csize"]
+        if at + csize > len(data):
+            raise ValueError(f"zip: payload at {at} overruns the archive")
+        raw = data[at : at + csize]
+        method = e["_method"]
+        if method == 0:
+            content = raw
+        elif method == 8:
+            try:
+                content = zlib.decompress(raw, -15)
+            except zlib.error as exc:
+                raise ValueError(f"zip: corrupt deflate stream: {exc}") from exc
+        else:
+            raise ValueError(
+                f"zip: compression method {method} unsupported for extraction"
+            )
+        if len(content) != e["size"]:
+            raise ValueError("zip: decoded size does not match the directory")
+        e["crc_ok"] = zlib.crc32(content) == e["_crc"]
+        if not e["crc_ok"]:
+            raise ValueError(f"zip: member {e['path']} CRC mismatch")
+        e["content"] = content
+    for e in entries:
+        for k in ("_method", "_crc", "_csize", "_local_off"):
+            e.pop(k, None)
+    return entries

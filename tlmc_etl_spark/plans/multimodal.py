@@ -3094,3 +3094,127 @@ def ogg_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return _tag_precedence_select(parsed, "codec", "vendor")
+
+
+# --------------------------------------------------------------------------
+# archive_member_extract — in-container payload extraction (7z + zip)
+# --------------------------------------------------------------------------
+
+_MEMBER_EXTRACT_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 200
+), m AS (
+  SELECT vec_id, k.k AS k,
+         'member-' || CAST(vec_id AS VARCHAR) || '-' || CAST(k.k AS VARCHAR)
+           || ':' || repeat('x', 50 + (vec_id * 7 + k.k) % 100) AS content
+  FROM ids, LATERAL (SELECT unnest(generate_series(0, 1)) AS k) k
+)
+SELECT vec_id AS track_id,
+       CASE vec_id % 4 WHEN 0 THEN '7z-copy' WHEN 1 THEN '7z-lzma-solid'
+                       WHEN 2 THEN 'zip-store' ELSE 'zip-deflate' END AS arm,
+       CASE k WHEN 0 THEN 'm0.txt' ELSE 'sub/m1.txt' END AS path,
+       CAST(length(content) AS BIGINT) AS size,
+       md5(content) AS content_md5,
+       true AS crc_checked
+FROM m
+ORDER BY track_id, path
+"""
+
+
+@query("archive_member_extract", oracle=_MEMBER_EXTRACT_ORACLE)
+def archive_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Extract stage's PAYLOAD step in-container — the reference
+    runs `7z x` per archive (extract_plan.py:84-116); this plan builds
+    real archives cycling the four extractable layouts (7z Copy
+    per-file folders, 7z LZMA1 solid with a substream CRC table, zip
+    STORED, zip DEFLATE), extracts every member through the stdlib
+    coders (operators/sevenzip.extract_7z_members,
+    zipindex.extract_zip_members — CRC32-verified against the archive's
+    own digest tables), and emits one row per extracted file whose
+    md5 the DuckDB oracle re-derives from the plant arithmetic: a
+    single flipped payload byte anywhere in the decode path
+    hash-fails. RAR payloads and 7z filter chains (BCJ/delta/AES) stay
+    the documented child-process boundary — proprietary or
+    unsourceable codecs, same stance as MP3 PCM. Plan shape: one map
+    stage, rows emitted in-task — no shuffle until the presentation
+    sort."""
+    import hashlib
+
+    import pandas as pd
+
+    from tlmc_etl_spark.operators.sevenzip import (
+        encode_7z,
+        extract_7z_members,
+    )
+    from tlmc_etl_spark.operators.zipindex import (
+        encode_zip,
+        extract_zip_members,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(200)
+    )
+
+    def plan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                members = [
+                    ("m0.txt", False,
+                     f"member-{vid}-0:".encode()
+                     + b"x" * (50 + (vid * 7) % 100)),
+                    ("sub", True, None),
+                    ("sub/m1.txt", False,
+                     f"member-{vid}-1:".encode()
+                     + b"x" * (50 + (vid * 7 + 1) % 100)),
+                ]
+                arm = vid % 4
+                if arm == 0:
+                    name = "7z-copy"
+                    arc = encode_7z(members, header_codec="lzma",
+                                    with_crcs=True)
+                    out = extract_7z_members(arc)
+                elif arm == 1:
+                    name = "7z-lzma-solid"
+                    arc = encode_7z(members, payload_codec="lzma",
+                                    solid=True, with_crcs=True)
+                    out = extract_7z_members(arc)
+                elif arm == 2:
+                    name = "zip-store"
+                    arc = encode_zip(members)
+                    out = extract_zip_members(arc)
+                else:
+                    name = "zip-deflate"
+                    arc = encode_zip(members, method="deflate")
+                    out = extract_zip_members(arc)
+                for e in out:
+                    if e["is_dir"]:
+                        continue
+                    rows.append(
+                        (
+                            vid, name, e["path"], len(e["content"]),
+                            hashlib.md5(e["content"]).hexdigest(),
+                            # zip verifies unconditionally; 7z when the
+                            # digest table exists (planted in both arms)
+                            e["crc_ok"] is True,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "arm", "path", "size",
+                    "content_md5", "crc_checked",
+                ],
+            )
+
+    return fanout(ids).mapInPandas(
+        plan,
+        schema=(
+            "track_id long, arm string, path string, size long, "
+            "content_md5 string, crc_checked boolean"
+        ),
+    ).orderBy("track_id", "path")
