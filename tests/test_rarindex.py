@@ -343,3 +343,75 @@ class TestDispatch:
         # listing
         assert listings[0] == listings[1] == listings[2] == listings[3]
         assert parse_archive_index(b"not an archive") is None
+
+
+class TestRarExtraction:
+    """extract_rar_members: STORED members slice + verify in-container;
+    compressed members return a reason instead of raising (the RAR
+    codec is proprietary — the child-process lane owns that decode)."""
+
+    def test_stored_roundtrip_both_generations(self):
+        from tlmc_etl_spark.operators.rarindex import (
+            encode_rar4,
+            encode_rar5,
+            extract_rar_members,
+        )
+
+        pay = b"stored payload bytes " * 8
+        for arc, crc_expect in (
+            (encode_rar5([("a.txt", False, pay), ("d", True, None)],
+                         with_crcs=True), True),
+            (encode_rar5([("a.txt", False, pay)]), None),  # no digest
+            (encode_rar4([("a.txt", False, pay)]), True),  # always has one
+        ):
+            out = extract_rar_members(arc)
+            got = {e["path"]: e for e in out}
+            assert got["a.txt"]["content"] == pay
+            assert got["a.txt"]["crc_ok"] is crc_expect
+            assert got["a.txt"]["reason"] is None
+
+    def test_payload_flip_fails_crc(self):
+        import pytest
+
+        from tlmc_etl_spark.operators.rarindex import (
+            encode_rar5,
+            extract_rar_members,
+            parse_rar_index,
+        )
+
+        pay = b"Z" * 64
+        arc = bytearray(encode_rar5([("a.txt", False, pay)], with_crcs=True))
+        # the stored payload is the final 64 bytes before the end block
+        flip_at = bytes(arc).rindex(pay) + 10
+        arc[flip_at] ^= 0xFF
+        assert parse_rar_index(bytes(arc))[0]["size"] == 64  # listing ok
+        with pytest.raises(ValueError, match="CRC mismatch"):
+            extract_rar_members(bytes(arc))
+
+    def test_compressed_member_is_reasoned_not_raised(self):
+        import struct
+
+        from tlmc_etl_spark.operators.rarindex import (
+            encode_rar4,
+            extract_rar_members,
+        )
+
+        arc = bytearray(encode_rar4([("a.txt", False, b"x" * 30)]))
+        # METHOD sits at body offset 18 (pack4+unp4+host1+crc4+time4+ver1)
+        # = 7 bytes before the name; re-stamp the header CRC after
+        name_pos = bytes(arc).find(b"a.txt")
+        arc[name_pos - 7] = 0x33  # 0x30 store -> 0x33 "normal"
+        import zlib
+        blk = name_pos - 25 - 7
+        hsize = struct.unpack_from("<H", arc, blk + 5)[0]
+        crc = zlib.crc32(bytes(arc[blk + 2 : blk + hsize])) & 0xFFFF
+        struct.pack_into("<H", arc, blk, crc)
+        out = extract_rar_members(bytes(arc))
+        assert out[0]["content"] is None
+        assert out[0]["reason"] == "rar compression unsupported"
+
+    def test_non_rar(self):
+        from tlmc_etl_spark.operators.rarindex import extract_rar_members
+
+        assert extract_rar_members(None) is None
+        assert extract_rar_members(b"PK\x03\x04" + bytes(30)) is None

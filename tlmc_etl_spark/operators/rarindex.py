@@ -89,11 +89,13 @@ def _rar5_block(htype: int, body: bytes, data: bytes = b"") -> bytes:
 
 
 def encode_rar5(entries: list[tuple[str, bool, bytes | None]],
-                mtime_unix: int | None = None) -> bytes:
+                mtime_unix: int | None = None,
+                with_crcs: bool = False) -> bytes:
     """Entries [(path, is_dir, payload)] → RAR 5.0 bytes with stored
     (method 0) payloads — enough container to exercise the full header
     walk: vints, header CRCs, data-area skips, directory and mtime
-    flags."""
+    flags. with_crcs plants the per-file data CRC32 (file flag 0x0004)
+    extraction verifies against."""
     out = bytearray(_SIG_RAR5)
     out += _rar5_block(_R5_MAIN, _write_vint(0))  # archive flags = 0
     for path, is_dir, payload in entries:
@@ -101,11 +103,15 @@ def encode_rar5(entries: list[tuple[str, bool, bytes | None]],
         fflags = 0x0001 if is_dir else 0x0000
         if mtime_unix is not None:
             fflags |= 0x0002
+        if with_crcs and not is_dir:
+            fflags |= 0x0004
         body = _write_vint(fflags)
         body += _write_vint(0 if is_dir else len(data))  # unpacked size
         body += _write_vint(0x10 if is_dir else 0x20)  # attributes
         if mtime_unix is not None:
             body += struct.pack("<I", mtime_unix)
+        if with_crcs and not is_dir:
+            body += struct.pack("<I", zlib.crc32(data))
         body += _write_vint(0)  # compression info: version 0, store
         body += _write_vint(0)  # host OS
         raw = path.encode("utf-8")
@@ -192,7 +198,7 @@ def parse_rar_index_file(fh) -> list[dict] | None:
     return None
 
 
-def _walk_rar5(fh, start: int) -> list[dict]:
+def _walk_rar5(fh, start: int, collect: list | None = None) -> list[dict]:
     fh.seek(0, 2)
     file_end = fh.tell()
     fh.seek(start)
@@ -252,9 +258,13 @@ def _walk_rar5(fh, start: int) -> list[dict]:
                     raise ValueError("rar5: truncated mtime field")
                 mtime = struct.unpack_from("<I", hdr, p)[0]
                 p += 4
+            data_crc = None
             if fflags & 0x0004:
-                p += 4  # data CRC
-            _comp, p = _read_vint(hdr, p)
+                if p + 4 > len(hdr):
+                    raise ValueError("rar5: truncated data CRC field")
+                data_crc = struct.unpack_from("<I", hdr, p)[0]
+                p += 4
+            comp, p = _read_vint(hdr, p)
             _host, p = _read_vint(hdr, p)
             nlen, p = _read_vint(hdr, p)
             if p + nlen > len(hdr):
@@ -269,14 +279,22 @@ def _walk_rar5(fh, start: int) -> list[dict]:
                 # the size field is a placeholder that must not be
                 # reported as a real byte count
                 size_known = not fflags & 0x0008
-                out.append({
+                entry = {
                     "path": name.replace("\\", "/").rstrip("/"),
                     "is_dir": is_dir,
                     "size": (0 if is_dir else unp_size)
                     if size_known else None,
                     "attrib": attrib,
                     "mtime_unix": mtime,
-                })
+                }
+                if collect is not None:
+                    collect.append({
+                        "data_off": fh.tell(),
+                        "data_size": data_size,
+                        "method": (comp >> 7) & 0x07,
+                        "data_crc": data_crc,
+                    })
+                out.append(entry)
         if htype == _R5_END:
             return out
         if data_size:
@@ -287,7 +305,7 @@ def _walk_rar5(fh, start: int) -> list[dict]:
             fh.seek(data_size, 1)
 
 
-def _walk_rar4(fh, start: int) -> list[dict]:
+def _walk_rar4(fh, start: int, collect: list | None = None) -> list[dict]:
     fh.seek(0, 2)
     file_end = fh.tell()
     fh.seek(start)
@@ -337,6 +355,13 @@ def _walk_rar4(fh, start: int) -> list[dict]:
                 raw = raw.split(b"\x00", 1)[0]
             name = raw.decode("utf-8", errors="replace")
             is_dir = (hflags & 0x00E0) == 0x00E0
+            if collect is not None:
+                collect.append({
+                    "data_off": fh.tell(),
+                    "data_size": add_size,
+                    "method": _method,
+                    "data_crc": _crc,
+                })
             out.append({
                 "path": name.replace("\\", "/").rstrip("/"),
                 "is_dir": is_dir,
@@ -354,3 +379,56 @@ def _walk_rar4(fh, start: int) -> list[dict]:
             if add_size > file_end - fh.tell():
                 raise ValueError("rar4: data area overruns the archive")
             fh.seek(add_size, 1)
+
+
+def extract_rar_members(data: bytes | None) -> list[dict] | None:
+    """Payload extraction for the spec-extractable subset of RAR:
+    STORED members (RAR5 method 0 / 4.x method 0x30) slice straight
+    from the data area, size- and CRC32-verified when the header
+    carries a digest. COMPRESSED members return content=None with
+    reason='rar compression unsupported' instead of raising — the RAR
+    codec is proprietary and undocumented, so the child-process lane
+    (`unrar`/`7z`) is the only honest decode path for them; refusing
+    the whole archive would make the function useless on the default
+    layout. None for non-RAR input; ValueError on torn headers, short
+    data areas, or a CRC mismatch on a stored member."""
+    import io
+
+    if not data or len(data) < 8:
+        return None
+    if data.startswith(_SIG_RAR5):
+        fh, walker, start = io.BytesIO(data), _walk_rar5, len(_SIG_RAR5)
+        stored_method = 0
+    elif data.startswith(_SIG_RAR4):
+        fh, walker, start = io.BytesIO(data), _walk_rar4, len(_SIG_RAR4)
+        stored_method = 0x30
+    else:
+        return None
+    info: list[dict] = []
+    entries = walker(fh, start, collect=info)
+    if len(info) != len(entries):
+        raise ValueError("rar: extraction info does not cover the listing")
+    for e, i in zip(entries, info):
+        if e["is_dir"]:
+            e["content"] = None
+            e["crc_ok"] = None
+            e["reason"] = None
+            continue
+        if i["method"] != stored_method:
+            e["content"] = None
+            e["crc_ok"] = None
+            e["reason"] = "rar compression unsupported"
+            continue
+        at, n = i["data_off"], i["data_size"]
+        if at + n > len(data):
+            raise ValueError("rar: stored data overruns the archive")
+        content = data[at : at + n]
+        if e["size"] is not None and len(content) != e["size"]:
+            raise ValueError("rar: stored size does not match the header")
+        crc = i["data_crc"]
+        if crc is not None and zlib.crc32(content) != crc:
+            raise ValueError(f"rar: member {e['path']} CRC mismatch")
+        e["content"] = content
+        e["crc_ok"] = None if crc is None else True
+        e["reason"] = None
+    return entries

@@ -3110,8 +3110,9 @@ WITH ids AS (
   FROM ids, LATERAL (SELECT unnest(generate_series(0, 1)) AS k) k
 )
 SELECT vec_id AS track_id,
-       CASE vec_id % 4 WHEN 0 THEN '7z-copy' WHEN 1 THEN '7z-lzma-solid'
-                       WHEN 2 THEN 'zip-store' ELSE 'zip-deflate' END AS arm,
+       CASE vec_id % 6 WHEN 0 THEN '7z-copy' WHEN 1 THEN '7z-lzma-solid'
+                       WHEN 2 THEN 'zip-store' WHEN 3 THEN 'zip-deflate'
+                       WHEN 4 THEN 'rar5-store' ELSE 'rar4-store' END AS arm,
        CASE k WHEN 0 THEN 'm0.txt' ELSE 'sub/m1.txt' END AS path,
        CAST(length(content) AS BIGINT) AS size,
        md5(content) AS content_md5,
@@ -3125,16 +3126,17 @@ ORDER BY track_id, path
 def archive_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Extract stage's PAYLOAD step in-container — the reference
     runs `7z x` per archive (extract_plan.py:84-116); this plan builds
-    real archives cycling the four extractable layouts (7z Copy
+    real archives cycling the six extractable layouts (7z Copy
     per-file folders, 7z LZMA1 solid with a substream CRC table, zip
-    STORED, zip DEFLATE), extracts every member through the stdlib
-    coders (operators/sevenzip.extract_7z_members,
-    zipindex.extract_zip_members — CRC32-verified against the archive's
+    STORED, zip DEFLATE, RAR5 stored with data CRCs, RAR 4.x stored),
+    extracts every member through the stdlib coders
+    (operators/sevenzip.extract_7z_members, zipindex.extract_zip_members,
+    rarindex.extract_rar_members — CRC32-verified against each archive's
     own digest tables), and emits one row per extracted file whose
     md5 the DuckDB oracle re-derives from the plant arithmetic: a
     single flipped payload byte anywhere in the decode path
-    hash-fails. RAR payloads and 7z filter chains (BCJ/delta/AES) stay
-    the documented child-process boundary — proprietary or
+    hash-fails. COMPRESSED RAR payloads and 7z filter chains
+    (BCJ/delta/AES) stay the documented child-process boundary — proprietary or
     unsourceable codecs, same stance as MP3 PCM. Plan shape: one map
     stage, rows emitted in-task — no shuffle until the presentation
     sort."""
@@ -3142,6 +3144,11 @@ def archive_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
+    from tlmc_etl_spark.operators.rarindex import (
+        encode_rar4,
+        encode_rar5,
+        extract_rar_members,
+    )
     from tlmc_etl_spark.operators.sevenzip import (
         encode_7z,
         extract_7z_members,
@@ -3172,7 +3179,7 @@ def archive_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                      f"member-{vid}-1:".encode()
                      + b"x" * (50 + (vid * 7 + 1) % 100)),
                 ]
-                arm = vid % 4
+                arm = vid % 6
                 if arm == 0:
                     name = "7z-copy"
                     arc = encode_7z(members, header_codec="lzma",
@@ -3187,10 +3194,18 @@ def archive_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     name = "zip-store"
                     arc = encode_zip(members)
                     out = extract_zip_members(arc)
-                else:
+                elif arm == 3:
                     name = "zip-deflate"
                     arc = encode_zip(members, method="deflate")
                     out = extract_zip_members(arc)
+                elif arm == 4:
+                    name = "rar5-store"
+                    arc = encode_rar5(members, with_crcs=True)
+                    out = extract_rar_members(arc)
+                else:
+                    name = "rar4-store"
+                    arc = encode_rar4(members)
+                    out = extract_rar_members(arc)
                 for e in out:
                     if e["is_dir"]:
                         continue
