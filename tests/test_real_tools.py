@@ -476,3 +476,50 @@ def test_real_ffprobe_agrees_with_ogg_page_walk(tmp_path):
         # filler packets decode as garbage but framing-level duration
         # must agree (opus: minus pre-skip at 48 kHz)
         assert abs(float(streams[0]["duration"]) - info["duration_s"]) < 0.05
+
+
+@needs_7z
+def test_real_7z_extracts_from_real_archive(tmp_path):
+    """Extraction cross-engine gate: an archive written by REAL `7z a`
+    (LZMA2-compressed payload, solid) must extract byte-identically
+    through extract_7z_members — the in-container decode against the
+    reference tool's own encode."""
+    from tlmc_etl_spark.operators.sevenzip import extract_7z_members
+
+    src = tmp_path / "tree"
+    src.mkdir()
+    pay_a = ("the quick brown fox " * 40).encode()
+    pay_b = bytes(range(256)) * 3
+    (src / "a.txt").write_bytes(pay_a)
+    (src / "b.bin").write_bytes(pay_b)
+    arc = str(tmp_path / "real.7z")
+    subprocess.run(
+        ["7z", "a", arc, str(src / "a.txt"), str(src / "b.bin")],
+        capture_output=True, check=True,
+    )
+    with open(arc, "rb") as fh:
+        out = extract_7z_members(fh.read())
+    got = {e["path"].rsplit("/", 1)[-1]: e for e in out}
+    assert got["a.txt"]["content"] == pay_a
+    assert got["b.bin"]["content"] == pay_b
+    # real 7z writes the substream digest table — verification must
+    # have actually happened, not been skipped
+    assert got["a.txt"]["crc_ok"] is True
+
+
+@needs_7z
+def test_real_7z_tests_our_payload_archives(tmp_path):
+    """Converse: archives with LZMA payload folders and CRC tables from
+    encode_7z must pass REAL `7z t` (which decodes and CRC-checks)."""
+    from tlmc_etl_spark.operators.sevenzip import encode_7z
+
+    for pc, solid in (("copy", False), ("lzma", False), ("lzma", True)):
+        arc = str(tmp_path / f"p_{pc}_{solid}.7z")
+        with open(arc, "wb") as fh:
+            fh.write(encode_7z(
+                [("x.txt", False, b"payload " * 30),
+                 ("y/z.bin", False, bytes(range(256)))],
+                payload_codec=pc, solid=solid, with_crcs=True,
+            ))
+        rc = subprocess.run(["7z", "t", arc], capture_output=True)
+        assert rc.returncode == 0, (pc, solid, rc.stdout + rc.stderr)
