@@ -428,3 +428,32 @@ class TestSevenZipExtraction:
 
         assert extract_7z_members(None) is None
         assert extract_7z_members(b"PK\x03\x04" + bytes(40)) is None
+
+
+class TestExtractionExceptionBoundary:
+    def test_malformed_but_crc_valid_header_raises_valueerror(self):
+        """CRC-valid headers whose structure is inconsistent (e.g. a
+        substream kSize with no kCodersUnpackSize to bound it) must
+        surface as ValueError from extraction too — the per-row
+        isolation contract catches ValueError only."""
+        import random
+
+        from tlmc_etl_spark.operators.sevenzip import (
+            encode_7z,
+            extract_7z_members,
+        )
+
+        base = encode_7z(
+            [("a.txt", False, b"q" * 80)],
+            payload_codec="lzma", with_crcs=True,
+        )
+        rnd = random.Random(11)
+        rejected = 0
+        for _ in range(300):
+            arc = bytearray(base)
+            arc[rnd.randrange(len(arc))] ^= 1 << rnd.randrange(8)
+            try:
+                extract_7z_members(bytes(arc))
+            except ValueError:
+                rejected += 1  # the ONLY allowed failure type
+        assert rejected > 0

@@ -258,3 +258,58 @@ class TestZipExtraction:
 
         assert extract_zip_members(None) is None
         assert extract_zip_members(b"7z\xbc\xaf\x27\x1c" + bytes(40)) is None
+
+
+class TestZip64FieldwiseSentinels:
+    """APPNOTE 4.5.3: the ZIP64 extra carries ONLY the sentineled
+    fields — an archive may sentinel any subset, so resolution must be
+    field-wise, not all-or-nothing (the all-3 assumption rejected valid
+    archives whose extra holds fewer than 24 bytes)."""
+
+    def _zip_with_partial_sentinel(self, sentinel_fields):
+        import struct
+        import zlib
+
+        pay = b"pp" * 30
+        crc = zlib.crc32(pay)
+        name = b"a.txt"
+        usize = csize = len(pay)
+        off = 0
+        vals = []
+        u_f = c_f = o_f = None
+        if "usize" in sentinel_fields:
+            vals.append(usize); u_f = 0xFFFFFFFF
+        if "csize" in sentinel_fields:
+            vals.append(csize); c_f = 0xFFFFFFFF
+        if "off" in sentinel_fields:
+            vals.append(off); o_f = 0xFFFFFFFF
+        extra = struct.pack("<HH", 0x0001, 8 * len(vals))
+        extra += b"".join(struct.pack("<Q", v) for v in vals)
+        local = (b"PK\x03\x04" + struct.pack(
+            "<HHHHHIII", 45, 0x0800, 0, 0, 0, crc, csize, usize
+        ) + struct.pack("<HH", len(name), 0) + name + pay)
+        cen = (b"PK\x01\x02" + struct.pack(
+            "<HHHHHHIIIHHHHHII", 45, 45, 0x0800, 0, 0, 0, crc,
+            c_f if c_f else csize, u_f if u_f else usize,
+            len(name), len(extra), 0, 0, 0, 0x20,
+            o_f if o_f else off,
+        ) + name + extra)
+        eocd = b"PK\x05\x06" + struct.pack(
+            "<HHHHIIH", 0, 0, 1, 1, len(cen), len(local), 0
+        )
+        return local + cen + eocd, pay
+
+    def test_each_subset_lists_and_extracts(self):
+        from tlmc_etl_spark.operators.zipindex import (
+            extract_zip_members,
+            parse_zip_index,
+        )
+
+        for fields in (["off"], ["usize", "csize"], ["csize"],
+                       ["usize", "csize", "off"]):
+            arc, pay = self._zip_with_partial_sentinel(fields)
+            lst = parse_zip_index(arc)
+            assert lst[0]["size"] == len(pay), fields
+            out = extract_zip_members(arc)
+            assert out[0]["content"] == pay, fields
+            assert "_local_off" not in lst[0]  # public shape stays clean

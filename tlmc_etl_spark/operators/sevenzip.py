@@ -439,10 +439,10 @@ def _decode_coder(coder: tuple[bytes, bytes], packed: bytes,
 
 def _read_folder(
     r: _Reader,
-) -> tuple[list[tuple[bytes, bytes]], int, set[int]]:
+) -> tuple[list[tuple[bytes, bytes]], int, set[int], int]:
     """One folder → ([(codec_id, props)], total out streams, the set of
-    out-stream indexes consumed by bind pairs). Also validates the
-    in/out stream bookkeeping."""
+    out-stream indexes consumed by bind pairs, the folder's packed-
+    stream count). Also validates the in/out stream bookkeeping."""
     n_coders = r.number()
     if not 1 <= n_coders <= 64:
         raise ValueError("7z: implausible coder count")
@@ -803,17 +803,25 @@ def _parse_files_info(r: _Reader, sub_sizes: list[int]) -> list[dict]:
 
 def extract_7z_members(data: bytes | None) -> list[dict] | None:
     """Full in-container extraction: the listing entries of
-    parse_7z_index plus a `content` bytes field (None for directories
-    and empty files), decoded with the stdlib coders the index walk
+    parse_7z_index plus a `content` bytes field (None for directories,
+    b"" for empty files), decoded with the stdlib coders the index walk
     already uses for encoded headers — Copy, LZMA1, LZMA2 — and
     CRC32-verified against the substream digest table when the archive
-    carries one (`crc_ok` True/False/None-for-absent). This is the
+    carries one (`crc_ok` True when verified, None when the table is
+    absent; a mismatch raises rather than returning False). This is the
     reference Extract stage's payload step (extract_plan.py runs
     `7z x`) for the folder shapes those coders cover; folders using
     filter chains (BCJ/delta) or AES raise ValueError — the documented
     child-process boundary, same stance as the MP3 PCM lane. None for
     non-7z input; ValueError on torn folders, short packs, or a CRC
     mismatch (never a silently wrong payload)."""
+    try:
+        return _extract_7z_members(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"7z: truncated or corrupt header: {e}") from e
+
+
+def _extract_7z_members(data: bytes | None) -> list[dict] | None:
     span = header_span(data[:32] if data else data)
     if span is None:
         return None
@@ -846,6 +854,8 @@ def extract_7z_members(data: bytes | None) -> list[dict] | None:
     si = 0
     sub_sizes = streams["sub_sizes"]
     sub_crcs = streams["sub_crcs"]
+    if len(streams.get("folder_out_sizes", [])) != len(folders):
+        raise ValueError("7z: folder unpack sizes missing or miscounted")
     for fi, (coders, _n_out, _bound, n_packed) in enumerate(folders):
         if len(coders) != 1 or n_packed != 1:
             raise ValueError(

@@ -139,17 +139,30 @@ def eocd_span(tail: bytes, file_size: int) -> tuple[int, int, int] | None:
     return cd_off, cd_size, n_total
 
 
-def _zip64_extra(extra: bytes, need: int) -> list[int]:
-    """Pull `need` 8-byte values from the 0x0001 extra field."""
+def _zip64_resolve(extra: bytes, usize: int, csize: int,
+                   off: int) -> tuple[int, int, int]:
+    """Resolve ZIP64 sentinels field-wise: APPNOTE 4.5.3 — the 0x0001
+    extra carries ONLY the fields whose 32-bit counterpart is
+    0xFFFFFFFF, in usize/csize/offset order, so an archive may sentinel
+    any subset (a >4 GB member at a <4 GB offset sentinels two; a small
+    member past 4 GB sentinels only the offset)."""
+    need = [usize == _FFFFFFFF, csize == _FFFFFFFF, off == _FFFFFFFF]
+    if not any(need):
+        return usize, csize, off
     pos = 0
     while pos + 4 <= len(extra):
         tag, ln = struct.unpack_from("<HH", extra, pos)
         pos += 4
         if tag == 0x0001:
-            if ln < 8 * need or pos + ln > len(extra):
+            if ln < 8 * sum(need) or pos + ln > len(extra):
                 raise ValueError("zip: truncated ZIP64 extra field")
-            return [struct.unpack_from("<Q", extra, pos + 8 * i)[0]
-                    for i in range(need)]
+            vals = iter(
+                struct.unpack_from("<Q", extra, pos + 8 * i)[0]
+                for i in range(sum(need))
+            )
+            out = [next(vals) if n else v
+                   for n, v in zip(need, (usize, csize, off))]
+            return out[0], out[1], out[2]
         pos += ln
     raise ValueError("zip: ZIP64 sentinel without the 0x0001 extra field")
 
@@ -200,7 +213,8 @@ def parse_zip_index_file(fh) -> list[dict] | None:
     return _parse_central_directory(cd, n_total)
 
 
-def _parse_central_directory(cd: bytes, n_total: int) -> list[dict]:
+def _parse_central_directory(cd: bytes, n_total: int,
+                             collect: list | None = None) -> list[dict]:
     if n_total > 1 << 24:
         raise ValueError("zip: implausible entry count")
     out: list[dict] = []
@@ -224,22 +238,21 @@ def _parse_central_directory(cd: bytes, n_total: int) -> list[dict]:
             name = raw_name.decode(enc)
         except UnicodeDecodeError as e:
             raise ValueError(f"zip: undecodable entry name: {e}") from e
-        size = usize
-        c_size = csize
-        h_off = off
-        if usize == _FFFFFFFF:
-            size, c_size, h_off = _zip64_extra(extra, 3)
+        size, c_size, h_off = _zip64_resolve(extra, usize, csize, off)
         is_dir = bool(xattr & 0x10) or name.endswith("/")
+        if collect is not None:
+            collect.append({
+                "method": method,
+                "crc": crc,
+                "csize": c_size,
+                "local_off": h_off,
+            })
         out.append({
             "path": name.replace("\\", "/").rstrip("/"),
             "is_dir": is_dir,
             "size": size,
             "attrib": xattr & 0xFF,
             "mtime_tuple": _dos_datetime(mdate, mtime),
-            "_method": method,
-            "_crc": crc,
-            "_csize": c_size,
-            "_local_off": h_off,
         })
     # ZIP carries no directory CRC, so internal consistency is the
     # defense: the declared entry count must consume the declared
@@ -267,24 +280,34 @@ def extract_zip_members(data: bytes | None) -> list[dict] | None:
     (implode, bzip2, AES) raise ValueError — the documented boundary.
     None for non-ZIP input; ValueError on torn local headers, short
     payloads, or a CRC mismatch (never a silently wrong payload)."""
-    entries = parse_zip_index(data)
-    if entries is None:
+    if not data or len(data) < 22:
         return None
-    for e in entries:
+    tail = data[-(65536 + 22):] if len(data) > 65536 + 22 else data
+    span = eocd_span(tail, len(data))
+    if span is None:
+        return None if not data.startswith(_LOCAL_SIG) else _raise_torn()
+    cd_off, cd_size, n_total = span
+    if cd_off + cd_size > len(data):
+        raise ValueError("zip: central directory overruns the archive")
+    info: list[dict] = []
+    entries = _parse_central_directory(
+        data[cd_off : cd_off + cd_size], n_total, collect=info
+    )
+    for e, i in zip(entries, info):
         if e["is_dir"]:
             e["content"] = None
             e["crc_ok"] = None
             continue
-        off = e.pop("_local_off") if "_local_off" in e else e["_local_off"]
+        off = i["local_off"]
         if off + 30 > len(data) or data[off : off + 4] != _LOCAL_SIG:
             raise ValueError(f"zip: bad local header at {off}")
         nlen, elen = struct.unpack_from("<HH", data, off + 26)
         at = off + 30 + nlen + elen
-        csize = e["_csize"]
+        csize = i["csize"]
         if at + csize > len(data):
             raise ValueError(f"zip: payload at {at} overruns the archive")
         raw = data[at : at + csize]
-        method = e["_method"]
+        method = i["method"]
         if method == 0:
             content = raw
         elif method == 8:
@@ -298,11 +321,8 @@ def extract_zip_members(data: bytes | None) -> list[dict] | None:
             )
         if len(content) != e["size"]:
             raise ValueError("zip: decoded size does not match the directory")
-        e["crc_ok"] = zlib.crc32(content) == e["_crc"]
-        if not e["crc_ok"]:
+        if zlib.crc32(content) != i["crc"]:
             raise ValueError(f"zip: member {e['path']} CRC mismatch")
+        e["crc_ok"] = True
         e["content"] = content
-    for e in entries:
-        for k in ("_method", "_crc", "_csize", "_local_off"):
-            e.pop(k, None)
     return entries
