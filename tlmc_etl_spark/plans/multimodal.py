@@ -3233,3 +3233,124 @@ def archive_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_md5 string, crc_checked boolean"
         ),
     ).orderBy("track_id", "path")
+
+
+# --------------------------------------------------------------------------
+# archive_nested_scan — inner-archive listing through in-container extraction
+# --------------------------------------------------------------------------
+
+_NESTED_SCAN_ORACLE = """
+WITH ids AS (
+  SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 100
+), inner_m AS (
+  SELECT vec_id, k.k AS k,
+         'track-' || CAST(vec_id AS VARCHAR) || '-' || CAST(k.k AS VARCHAR)
+           || '.flac' AS inner_path,
+         CAST(40 + (vec_id * 3 + k.k) % 60 AS BIGINT) AS inner_size
+  FROM ids, LATERAL (
+    SELECT unnest(generate_series(0, 2 + vec_id % 3)) AS k
+  ) k
+)
+SELECT vec_id AS track_id,
+       CASE vec_id % 2 WHEN 0 THEN 'zip-in-7z' ELSE '7z-in-zip' END AS nesting,
+       'disc' || CAST(vec_id % 4 AS VARCHAR)
+         || CASE vec_id % 2 WHEN 0 THEN '.zip' ELSE '.7z' END AS inner_archive,
+       inner_path,
+       inner_size,
+       CAST(3 + vec_id % 3 AS BIGINT) AS n_inner_files
+FROM inner_m
+ORDER BY track_id, inner_path
+"""
+
+
+@query("archive_nested_scan", oracle=_NESTED_SCAN_ORACLE)
+def archive_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bundle-layout archives nest ARCHIVES (extract_plan.py:67-71,166:
+    a release bundle carries per-disc archives inside the outer one);
+    listing the inner discs previously required the child-process
+    extract. This plan composes the round-12 extraction with the index
+    walks end to end in-container: an OUTER archive (7z LZMA-solid for
+    even tracks, zip-deflate for odd) holds an INNER archive of the
+    other container kind (zip holding per-track FLAC stubs, or 7z
+    ditto); the inner bytes come out of extract_7z_members /
+    extract_zip_members and feed parse_archive_index directly — no
+    temp files, no child process. One row per inner member; the oracle
+    replays the two-level plant arithmetic, so a byte error in EITHER
+    the outer decode or the inner header walk hash-fails. Plan shape:
+    one map stage, rows emitted in-task — no shuffle until the
+    presentation sort."""
+    import pandas as pd
+
+    from tlmc_etl_spark.operators.archive import parse_archive_index
+    from tlmc_etl_spark.operators.sevenzip import (
+        encode_7z,
+        extract_7z_members,
+    )
+    from tlmc_etl_spark.operators.zipindex import (
+        encode_zip,
+        extract_zip_members,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(100)
+    )
+
+    def plan(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                n_inner = 3 + vid % 3
+                inner_members = [
+                    (f"track-{vid}-{k}.flac", False,
+                     b"fLaC" + bytes((vid + k + j) % 256
+                                     for j in range(36 + (vid * 3 + k) % 60)))
+                    for k in range(n_inner)
+                ]
+                if vid % 2 == 0:
+                    nesting = "zip-in-7z"
+                    inner_name = f"disc{vid % 4}.zip"
+                    inner = encode_zip(inner_members, method="deflate")
+                    outer = encode_7z(
+                        [(inner_name, False, inner)],
+                        payload_codec="lzma", solid=True, with_crcs=True,
+                    )
+                    got = {e["path"]: e for e in extract_7z_members(outer)}
+                else:
+                    nesting = "7z-in-zip"
+                    inner_name = f"disc{vid % 4}.7z"
+                    inner = encode_7z(
+                        inner_members, header_codec="lzma", with_crcs=True,
+                    )
+                    outer = encode_zip(
+                        [(inner_name, False, inner)], method="deflate"
+                    )
+                    got = {e["path"]: e for e in extract_zip_members(outer)}
+                inner_bytes = got[inner_name]["content"]
+                assert inner_bytes == inner  # CRC-verified upstream too
+                listing = parse_archive_index(inner_bytes)
+                for e in listing:
+                    rows.append(
+                        (
+                            vid, nesting, inner_name, e["path"], e["size"],
+                            len(listing),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "nesting", "inner_archive", "inner_path",
+                    "inner_size", "n_inner_files",
+                ],
+            )
+
+    return fanout(ids).mapInPandas(
+        plan,
+        schema=(
+            "track_id long, nesting string, inner_archive string, "
+            "inner_path string, inner_size long, n_inner_files long"
+        ),
+    ).orderBy("track_id", "inner_path")
