@@ -3354,3 +3354,135 @@ def archive_nested_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "inner_path string, inner_size long, n_inner_files long"
         ),
     ).orderBy("track_id", "inner_path")
+
+
+# --------------------------------------------------------------------------
+# archive_flac_decode — the Extract→Process hop composed in one plan
+# --------------------------------------------------------------------------
+
+_ARCHIVE_FLAC_ORACLE = """
+WITH ids AS (
+  SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 16
+), t AS (
+  SELECT id, CAST(1536 + (id % 3) * 512 AS BIGINT) AS n FROM ids
+), samp AS (
+  SELECT id, n, i.i AS i,
+         ((id % 8) + 2) * (i.i % 241) + ((i.i * 11 + id) % 29) - 14 AS l,
+         ((id % 6) + 1) * (i.i % 199) + ((i.i * 3 + id) % 17) - 8 AS r
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(0, n - 1)) AS i
+  ) i
+), chan AS (
+  SELECT id, n, 0 AS ch, l AS v FROM samp
+  UNION ALL
+  SELECT id, n, 1 AS ch, r FROM samp
+)
+SELECT id AS track_id,
+       CASE id % 2 WHEN 0 THEN '7z-lzma-solid' ELSE 'zip-deflate' END
+         AS container,
+       ch,
+       CAST(n AS BIGINT) AS n_samples,
+       CAST(SUM(v) AS BIGINT) AS s_sum,
+       CAST(MIN(v) AS BIGINT) AS s_min,
+       CAST(MAX(v) AS BIGINT) AS s_max
+FROM chan
+GROUP BY id, ch, n
+ORDER BY track_id, ch
+"""
+
+
+@query("archive_flac_decode", oracle=_ARCHIVE_FLAC_ORACLE)
+def archive_flac_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's Extract→Process hop as ONE in-container plan
+    with no child process anywhere: a REAL FLAC (encoded in-plan,
+    rotating stereo modes and predictor families) rides inside a REAL
+    compressed archive (7z LZMA1-solid with CRC table for even ids,
+    zip-deflate for odd), the member comes back out through the
+    round-12 extraction (CRC-verified), and the FULL RFC 9639 decode
+    reduces it to per-channel PCM stats. The reference runs this as
+    `7z x` to a temp tree followed by soundfile/ffmpeg reads
+    (extract_plan.py:84-116 → loader.py:113-146); here it is a single
+    map stage whose output must equal DuckDB's closed-form integer
+    arithmetic on the generator formulas — any defect in the archive
+    decode, the member slicing OR the audio decode shifts a value.
+    Plan shape: one map stage, no shuffle until the presentation
+    sort."""
+    import numpy as np
+    import pandas as pd
+
+    from tlmc_etl_spark.operators.flac import encode_flac, parse_flac_audio
+    from tlmc_etl_spark.operators.sevenzip import (
+        encode_7z,
+        extract_7z_members,
+    )
+    from tlmc_etl_spark.operators.zipindex import (
+        encode_zip,
+        extract_zip_members,
+    )
+
+    ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .orderBy("vec_id")
+        .limit(16)
+    )
+
+    _STEREO = ("independent", "left_side", "right_side", "mid_side")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for vid in pdf["vec_id"]:
+                vid = int(vid)
+                n = 1536 + (vid % 3) * 512
+                i = np.arange(n, dtype=np.int64)
+                left = ((vid % 8) + 2) * (i % 241) + ((i * 11 + vid) % 29) - 14
+                right = ((vid % 6) + 1) * (i % 199) + ((i * 3 + vid) % 17) - 8
+                pcm = np.stack([left, right], axis=1)
+                flac = encode_flac(
+                    pcm, 44100, block_size=1024,
+                    stereo=_STEREO[vid % 4],
+                    mode="lpc" if vid % 2 else "auto",
+                )
+                name = f"track-{vid}.flac"
+                if vid % 2 == 0:
+                    container = "7z-lzma-solid"
+                    arc = encode_7z(
+                        [(name, False, flac)],
+                        payload_codec="lzma", solid=True, with_crcs=True,
+                    )
+                    member = {
+                        e["path"]: e for e in extract_7z_members(arc)
+                    }[name]
+                else:
+                    container = "zip-deflate"
+                    arc = encode_zip([(name, False, flac)], method="deflate")
+                    member = {
+                        e["path"]: e for e in extract_zip_members(arc)
+                    }[name]
+                dec = parse_flac_audio(member["content"])
+                got = dec["samples"]
+                assert got.shape == (n, 2)
+                for ch in range(2):
+                    seg = got[:, ch]
+                    rows.append(
+                        (
+                            vid, container, ch, n,
+                            int(seg.sum()), int(seg.min()), int(seg.max()),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "track_id", "container", "ch", "n_samples",
+                    "s_sum", "s_min", "s_max",
+                ],
+            )
+
+    return fanout(ids).mapInPandas(
+        run,
+        schema=(
+            "track_id long, container string, ch int, n_samples long, "
+            "s_sum long, s_min long, s_max long"
+        ),
+    ).orderBy("track_id", "ch")
