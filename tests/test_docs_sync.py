@@ -39,6 +39,11 @@ def test_registry_counts_match_docs():
                 f"{doc} quotes {m.group(1)} registry queries; registry has "
                 f"{n_queries}"
             )
+        for m in re.finditer(r"the (\d+) `ext` queries", text):
+            assert int(m.group(1)) == n_queries - n_oracle, (
+                f"{doc} quotes {m.group(1)} ext queries; registry has "
+                f"{n_queries - n_oracle}"
+            )
 
 
 def test_headline_count_matches_perf_doc():
