@@ -331,3 +331,71 @@ class TestRound7PlanShapes:
         plan = plan_of(spark, sf_dir, "q13_order_count_distribution")
         pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
         assert any("o_orderpriority" in ln for ln in pushed), plan
+
+
+class TestGlobalWindowLint:
+    """Registry-wide ban on the one plan shape that silently serializes a
+    corpus-sized table through a single task: a Window with an EMPTY
+    partitionSpec whose input is not bounded by a Limit.
+
+    `row_number().over(orderBy(...))` on a full table is correct and green
+    at sf0.1 — and a 1000-executor cluster would funnel 100 TB through one
+    WindowExec task. The scalable spelling is `orderBy(...).limit(k)`
+    (TakeOrderedAndProject: parallel partial top-k per partition) followed
+    by ranking the ≤k survivors, whose single-partition window is bounded
+    by construction. This lint walks the optimized logical plan of EVERY
+    registered query and fails on any unpartitioned Window whose subtree
+    has no GlobalLimit/LocalLimit — so the shape can never re-enter the
+    registry (round 12 shipped three of them in rank_merge_full_outer and
+    a global max() over () in q15_top_supplier; both rewritten round 13).
+    """
+
+    # Documented-bounded sites that an auditor has sized by hand may be
+    # whitelisted by query name here, with the justification inline.
+    # Currently empty: every registered global window rides a Limit.
+    WHITELIST: frozenset = frozenset()
+
+    @staticmethod
+    def _subtree_has_limit(node) -> bool:
+        stack = [node]
+        while stack:
+            n = stack.pop()
+            if n.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit"):
+                return True
+            ch = n.children()
+            for i in range(ch.length()):
+                stack.append(ch.apply(i))
+        return False
+
+    @classmethod
+    def _unbounded_global_windows(cls, plan) -> list:
+        out = []
+        stack = [plan]
+        while stack:
+            n = stack.pop()
+            if (
+                n.getClass().getSimpleName() == "Window"
+                and n.partitionSpec().isEmpty()
+                and not cls._subtree_has_limit(n.child())
+            ):
+                out.append(n.simpleString(160))
+            ch = n.children()
+            for i in range(ch.length()):
+                stack.append(ch.apply(i))
+        return out
+
+    def test_no_registered_query_windows_an_unbounded_input(self, spark, sf_dir):
+        offenders = {}
+        for name in sorted(QUERIES):
+            if name in self.WHITELIST:
+                continue
+            df = QUERIES[name].fn(spark, sf_dir)
+            wins = self._unbounded_global_windows(
+                df._jdf.queryExecution().optimizedPlan()
+            )
+            if wins:
+                offenders[name] = wins
+        assert not offenders, (
+            "unpartitioned Window over a non-limited input — single-task "
+            f"serialization at scale: {offenders}"
+        )

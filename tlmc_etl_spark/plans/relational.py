@@ -353,22 +353,34 @@ def rank_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
+    # Scale contract: never rank the corpus-sized table through a global
+    # (unpartitioned) window — that serializes every row through ONE task.
+    # Instead orderBy(...).limit(100) compiles to TakeOrderedAndProject
+    # (parallel partial top-k on every partition, merge of 100-row heaps on
+    # the driver side of the exchange), and only the ≤100 survivors flow
+    # through the ranking window, whose single partition is then bounded by
+    # construction.  Same rows, same ranks: row_number over the identical
+    # total order commutes with taking the top 100 of that order.
     by_bal = (
-        customer.withColumn(
+        customer.select("c_custkey", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+        .limit(100)
+        .withColumn(
             "rank_bal", F.row_number().over(W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
         )
-        .filter(F.col("rank_bal") <= 100)
         .select("c_custkey", "rank_bal")
     )
     cnt = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("spend"))
     by_cnt = (
-        cnt.withColumn("rank_cnt", F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("o_custkey"))))
-        .filter(F.col("rank_cnt") <= 100)
+        cnt.orderBy(F.col("cnt").desc(), F.col("o_custkey"))
+        .limit(100)
+        .withColumn("rank_cnt", F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("o_custkey"))))
         .select(F.col("o_custkey").alias("k1"), "rank_cnt")
     )
     by_spend = (
-        cnt.withColumn("rank_spend", F.row_number().over(W.orderBy(F.col("spend").desc(), F.col("o_custkey"))))
-        .filter(F.col("rank_spend") <= 100)
+        cnt.orderBy(F.col("spend").desc(), F.col("o_custkey"))
+        .limit(100)
+        .withColumn("rank_spend", F.row_number().over(W.orderBy(F.col("spend").desc(), F.col("o_custkey"))))
         .select(F.col("o_custkey").alias("k2"), "rank_spend")
     )
     merged = by_bal.join(by_cnt, by_bal.c_custkey == by_cnt.k1, "full").withColumn(

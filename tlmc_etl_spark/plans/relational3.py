@@ -108,20 +108,24 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Models "the heaviest sub-bucket decides the node split" accounting
     (shard_math.py:10-38, per-bucket totals -> choose max). Naively
     expressing the scalar subquery as two consumers of the revenue CTE
-    makes Spark scan lineitem TWICE (no automatic subtree reuse across
-    consumers) — at 100 TB that doubles the fact scan. Instead the max
-    rides an unpartitioned window over the ALREADY-AGGREGATED rows (one
-    per supplier — bounded, dimension-sized), so lineitem is scanned
-    once and the single-partition window pass touches only small data.
-    The revenue sum accumulates DECIMAL(18,6) before the 2dp round
-    (q11/q19 hardening) — here the rounded value feeds an == against the
-    max, so ulp drift would change which SUPPLIERS appear, not just a
-    displayed digit; the decimal sum makes membership engine- and
-    partitioning-invariant. Verified against the oracle at sf0.001
-    through sf1.
+    makes Spark scan lineitem TWICE (measured: AQE compiles the two
+    identical revenue shuffles as separate, un-reused query stages) —
+    at 100 TB that doubles the fact scan. The round-12 shape avoided
+    that with an unpartitioned `max() over ()` window, but that funnels
+    every per-supplier row through ONE task; the supplier dimension
+    grows with the corpus, so the plan-lint (test_plan_quality) bans
+    the shape. Instead the per-supplier aggregate — the THIN table, two
+    columns per supplier — is persisted: lineitem is scanned once to
+    build the cache, the global max is a partial-aggregating 1-row
+    `agg(max)` (local max per partition in parallel, single-row merge),
+    and membership is a broadcast equality join back against the same
+    cache. The revenue sum accumulates DECIMAL(18,6) before the 2dp
+    round (q11/q19 hardening) — here the rounded value feeds an ==
+    against the max, so ulp drift would change which SUPPLIERS appear,
+    not just a displayed digit; the decimal sum makes membership
+    engine- and partitioning-invariant. Verified against the oracle at
+    sf0.001 through sf1.
     """
-    from pyspark.sql import Window as W
-
     li = load_table(spark, sf_dir, "lineitem")
     sup = load_table(spark, sf_dir, "supplier")
     revenue = (
@@ -145,10 +149,15 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             .alias("total_revenue")
         )
+        # Both consumers (max + membership join) read this cache, so the
+        # fact table is scanned once. Dimension-thin (2 cols/supplier);
+        # LRU-evictable, repo-standard for tiny multi-scan reuse tables.
+        .persist()
     )
-    top = revenue.withColumn(
-        "max_revenue", F.max("total_revenue").over(W.partitionBy())
-    ).filter(F.col("total_revenue") == F.col("max_revenue"))
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    top = revenue.join(
+        F.broadcast(max_rev), F.col("total_revenue") == F.col("max_revenue")
+    )
     return (
         sup.join(top, sup.s_suppkey == F.col("supplier_no"))
         .select("s_suppkey", "s_name", "total_revenue")
