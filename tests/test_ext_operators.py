@@ -245,6 +245,88 @@ class TestTokenSetMatch:
             ref = round(token_set_ratio(r["left_name"], r["right_name"]), 4)
             assert r["score"] == ref
 
+    def test_blocked_join_equals_unblocked_brute_force(self, spark, sf_dir):
+        """Differential gate: the token-blocked candidate join + JVM
+        pruning cuts + subset shortcut must produce EXACTLY the winner
+        set of an exhaustive |L|x|R| scoring pass with an independently
+        written token_set_ratio (fresh difflib matchers over the three
+        string pairs, no prebuilt-string reuse, no shortcuts).
+
+        This is what `prop` could not prove: that no >threshold pair is
+        lost to blocking (a winning pair sharing no normalized token) or
+        to an over-eager length/char bound, and that no sub-threshold
+        pair sneaks in. Reference semantics under test: best-score,
+        lowest-id, strictly-above-90 winner per left row
+        (thdb_album_scraper.py:17-21)."""
+        import unicodedata
+        from difflib import SequenceMatcher
+
+        def ref_score(a: str, b: str) -> float:
+            # independent spelling of the pinned spec: NFKC+lower,
+            # alnum-token sets, max difflib ratio over (inter, full_a),
+            # (inter, full_b), (full_a, full_b)
+            def toks(s):
+                s = unicodedata.normalize("NFKC", s).lower()
+                return {
+                    t
+                    for t in "".join(c if c.isalnum() else " " for c in s).split()
+                    if t
+                }
+            ta, tb = toks(a), toks(b)
+            inter = " ".join(sorted(ta & tb))
+            fa, fb = " ".join(sorted(ta)), " ".join(sorted(tb))
+            best = 0.0
+            for x, y in ((inter, fa), (inter, fb), (fa, fb)):
+                if not (x or y):
+                    continue
+                sm = SequenceMatcher(None, x, y)
+                # documented difflib upper bounds — exactness-preserving
+                # speed cut for the exhaustive pass only
+                if 100.0 * sm.real_quick_ratio() <= best:
+                    continue
+                if 100.0 * sm.quick_ratio() <= best:
+                    continue
+                best = max(best, 100.0 * sm.ratio())
+            return best
+
+        part = spark.read.parquet(f"{sf_dir}/part.parquet")
+        alt_rows = (
+            part.filter(F.col("p_partkey") % 7 == 0)
+            .select(
+                F.col("p_partkey").alias("alt_key"),
+                F.concat(
+                    F.split("p_name", " ").getItem(1),
+                    F.lit(" "),
+                    F.split("p_name", " ").getItem(0),
+                ).alias("alt_name"),
+            )
+            .collect()
+        )
+        right_rows = part.select("p_partkey", "p_name").collect()
+        threshold = 90.0
+        expect = {}
+        for l in alt_rows:
+            best = None
+            for r in right_rows:
+                s = round(ref_score(l["alt_name"], r["p_name"]), 4)
+                if s > threshold and (
+                    best is None
+                    or s > best[1]
+                    or (s == best[1] and r["p_partkey"] < best[0])
+                ):
+                    best = (r["p_partkey"], s)
+            if best is not None:
+                expect[l["alt_key"]] = best
+        got = {
+            r["left_id"]: (r["right_id"], r["score"])
+            for r in QUERIES["token_set_match"].fn(spark, sf_dir).collect()
+        }
+        assert got == expect, (
+            f"blocked != brute force: missing={set(expect) - set(got)}, "
+            f"extra={set(got) - set(expect)}, "
+            f"diff={ {k: (got.get(k), expect.get(k)) for k in set(got) | set(expect) if got.get(k) != expect.get(k)} }"
+        )
+
     def test_query_matches_reversed_names_exactly(self, spark, sf_dir):
         got = QUERIES["token_set_match"].fn(spark, sf_dir).collect()
         assert len(got) > 0

@@ -205,8 +205,20 @@ def token_set_match_join(
     """
     from pyspark.sql import Window as W
 
-    tok_udf = F.udf(tokens, "array<string>")
-    ratio3_udf = F.udf(_ratio3, "double")
+    # Arrow-batched pandas UDFs, not row-at-a-time F.udf: the tokenizer and
+    # scorer are the only Python in this plan, and batch transfer amortizes
+    # the serialization that per-row pickling pays per value.
+    @F.pandas_udf("array<string>")
+    def tok_udf(s: pd.Series) -> pd.Series:
+        return s.map(tokens)
+
+    @F.pandas_udf("double")
+    def ratio3_udf(inter: pd.Series, full_a: pd.Series, full_b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_ratio3(i, a, b) for i, a, b in zip(inter, full_a, full_b)],
+            dtype="float64",
+            index=inter.index,
+        )
     # Round-robin repartition both exploded sides: a small parquet input is
     # one scan partition, and a broadcast join would otherwise run the whole
     # candidate expansion + scoring in that ONE task. The shuffles are tiny
