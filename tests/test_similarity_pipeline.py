@@ -280,3 +280,36 @@ def test_weighted_two_stage_matches_numpy_composition(spark, sf_dir, numpy_ref):
     assert len(by_anchor) == N_TRACKS
     for ranks in by_anchor.values():
         assert sorted(ranks) == list(range(1, K_FINAL + 1))
+
+
+def test_n_known_threads_through_without_a_count_job(spark, monkeypatch):
+    """Every production caller passes n_known, so the recall stage must
+    never fall back to its own pooled.count() — that is one extra Spark
+    job PER QUERY CALL at any corpus size. Pinned by intercepting
+    DataFrame.count for the duration of plan build + execution."""
+    import numpy as np
+    from pyspark.sql import DataFrame
+
+    from tlmc_etl_spark.pipelines.similarity import recall_candidates
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(40):
+        v = rng.normal(size=8)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    pooled = spark.createDataFrame(rows, "track long, pooled array<double>")
+
+    count_calls: list[int] = []
+    orig_count = DataFrame.count
+
+    def spying_count(self):
+        count_calls.append(1)
+        return orig_count(self)
+
+    monkeypatch.setattr(DataFrame, "count", spying_count)
+    out = recall_candidates(pooled, 5, n_known=40).collect()
+    assert len(out) > 0
+    assert not count_calls, (
+        f"recall stage ran {len(count_calls)} count() job(s) despite n_known"
+    )

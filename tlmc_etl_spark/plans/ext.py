@@ -1276,7 +1276,9 @@ def two_stage_weighted_similarity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     weights = chunk_idf_weights(chunks, "vec_id", "track", "vec")
     pooled = pooled_unit_mean(chunks, "track", "vec").persist()
-    recall = cosine_recall(pooled, 15)
+    # n_known by construction (track = vec_id % 50): skips the per-call
+    # count() job; any value ≤ tile_rows yields the same single tile.
+    recall = cosine_recall(pooled, 15, n_known=50)
     pooled.unpersist()
     wsets = gather_weighted_chunks(
         chunks, weights, "track", "vec", "vec_id", cap=96, order_col="vec_id"
