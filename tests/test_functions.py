@@ -1243,6 +1243,34 @@ class TestOggFraming:
         assert o["n_samples"] == 4 * 2880
         assert o["duration_s"] == round(4 * 2880 / 48000, 6)
 
+    def test_granule_minus_one_final_page_uses_last_carrying_page(self):
+        # RFC 3533 §6: granule_pos = -1 marks a page where no packet
+        # completes; duration must come from the last page that CARRIES
+        # a position, not read 0 samples off the -1.
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_page,
+            make_ogg_stream,
+            make_vorbis_id_packet,
+            parse_ogg_stream_info,
+        )
+
+        base = make_ogg_stream("vorbis", [[80], [80]], 2048)
+        # append a trailing -1 page (big packet whose tail never closes
+        # here would be the real cause; a plain -1 page exercises the
+        # same path)
+        tail = make_ogg_page(0x1234, 4, -1, [bytes(10)], eos=True)
+        info = parse_ogg_stream_info(base[: len(base) - 0] + tail)
+        assert info["last_granule"] == 2 * 2048
+        assert info["n_samples"] == 2 * 2048
+        # a stream where NO page carries a position is an error, not a
+        # silent zero-duration success
+        all_blank = make_ogg_page(5, 0, -1, [make_vorbis_id_packet()], bos=True)
+        all_blank += make_ogg_page(5, 1, -1, [bytes(8)], eos=True)
+        with pytest.raises(ValueError, match="granule position"):
+            parse_ogg_stream_info(all_blank)
+
     def test_continued_packet_lacing(self):
         from tlmc_etl_spark.functions.media import (
             make_ogg_page,
@@ -1380,6 +1408,37 @@ class TestOggComments:
             "vorbis", [[40]], 1024, title="t0007"
         ))
         assert got["tags"] == {"title": "t0007"}
+
+    def test_framing_bit_is_low_bit_not_exact_byte(self):
+        # Vorbis I §5.2 mandates a NONZERO framing BIT — any final byte
+        # with the low bit set is conformant (e.g. 0x81), and any with it
+        # clear is torn, even if nonzero (0x80).
+        import struct
+
+        import pytest
+
+        from tlmc_etl_spark.functions.media import (
+            make_ogg_page,
+            make_vorbis_id_packet,
+            parse_ogg_comments,
+        )
+
+        vendor = b"v"
+        body = struct.pack("<I", len(vendor)) + vendor + struct.pack("<I", 1)
+        item = b"TITLE=x"
+        body += struct.pack("<I", len(item)) + item
+
+        def stream(framing: bytes) -> bytes:
+            p0 = make_ogg_page(9, 0, 0, [make_vorbis_id_packet()], bos=True)
+            p1 = make_ogg_page(9, 1, 0, [b"\x03vorbis" + body + framing])
+            return p0 + p1
+
+        assert parse_ogg_comments(stream(b"\x81"))["tags"] == {"title": "x"}
+        assert parse_ogg_comments(stream(b"\x01"))["tags"] == {"title": "x"}
+        with pytest.raises(ValueError, match="framing bit"):
+            parse_ogg_comments(stream(b"\x80"))
+        with pytest.raises(ValueError, match="framing bit"):
+            parse_ogg_comments(stream(b"\x00"))
 
     def test_contracts(self):
         import pytest

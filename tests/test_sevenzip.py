@@ -380,6 +380,35 @@ class TestSevenZipExtraction:
             expect_ok = True if crcs else None
             assert got["a.txt"]["crc_ok"] is expect_ok, (hc, pc, solid, crcs)
 
+    def test_zero_length_substream_extracts(self):
+        # rare but legal: an empty FILE backed by a genuine 0-length
+        # SUBSTREAM (inside a solid folder's size table) instead of the
+        # usual kEmptyStream+kEmptyFile bits. Extraction pairs pieces by
+        # stream membership, so the zero piece is consumed, neighbours
+        # stay aligned, and the trailing piece-count guard holds.
+        import itertools
+
+        from tlmc_etl_spark.operators.sevenzip import (
+            encode_7z,
+            extract_7z_members,
+        )
+
+        payload_a = b"front payload" * 7
+        payload_b = b"back payload" * 11
+        for pc, crcs in itertools.product(("copy", "lzma"), (False, True)):
+            arc = encode_7z(
+                [("a.txt", False, payload_a), ("zero.bin", False, b""),
+                 ("b.txt", False, payload_b)],
+                payload_codec=pc, solid=True, with_crcs=crcs,
+                stream_empty_payloads=True,
+            )
+            got = {e["path"]: e for e in extract_7z_members(arc)}
+            assert got["a.txt"]["content"] == payload_a, (pc, crcs)
+            assert got["zero.bin"]["content"] == b""
+            assert got["b.txt"]["content"] == payload_b
+            if crcs:
+                assert got["zero.bin"]["crc_ok"] is True
+
     def test_payload_corruption_fails_crc(self):
         import pytest
 

@@ -1550,21 +1550,26 @@ def parse_m4a_sample_index(data: bytes | None) -> dict | None:
 # ---------------------------------------------------------------------------
 
 # RFC 3533 §6: CRC-32, generator 0x04c11db7, init 0, no reflection,
-# no final XOR — NOT zlib's reflected CRC.
-_OGG_CRC_TABLE = []
-for _b in range(256):
-    _r = _b << 24
-    for _ in range(8):
-        _r = ((_r << 1) ^ 0x04C11DB7 if _r & 0x80000000 else _r << 1) & 0xFFFFFFFF
-    _OGG_CRC_TABLE.append(_r)
-del _b, _r
+# no final XOR — NOT zlib's reflected CRC. But it IS computable THROUGH
+# zlib: a non-reflected CRC over data equals the bit-reversal of a
+# reflected CRC (reversed polynomial 0xEDB88320 — exactly zlib's) over
+# bit-reversed bytes. So the hot path is one bytes.translate (C) + one
+# zlib.crc32 (C) + a 32-bit bit reversal, instead of a per-byte Python
+# loop that dominated corpus-sized page walks (every page is CRC-verified).
+# zlib.crc32(data, 0xFFFFFFFF) = ~raw_update(0, data), so the raw
+# init-0/no-xor register is ~result.
+_BITREV8 = bytes(int(f"{b:08b}"[::-1], 2) for b in range(256))
+_BITREV8_TABLE = bytes.maketrans(bytes(range(256)), _BITREV8)
 
 
 def ogg_crc(data: bytes) -> int:
-    crc = 0
-    for byte in data:
-        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TABLE[((crc >> 24) ^ byte) & 0xFF]
-    return crc
+    raw = ~zlib.crc32(data.translate(_BITREV8_TABLE), 0xFFFFFFFF) & 0xFFFFFFFF
+    return (
+        _BITREV8[raw & 0xFF] << 24
+        | _BITREV8[(raw >> 8) & 0xFF] << 16
+        | _BITREV8[(raw >> 16) & 0xFF] << 8
+        | _BITREV8[(raw >> 24) & 0xFF]
+    )
 
 
 def make_ogg_page(
@@ -1832,7 +1837,15 @@ def parse_ogg_stream_info(
     else:
         raise ValueError("ogg: unknown codec identification packet")
     mine = [p for p in pages if p["serial"] == serial]
-    last_granule = mine[-1]["granule_pos"]
+    # RFC 3533 §6 allows granule_pos = -1 on a page where no packet
+    # completes; duration must come from the last page that CARRIES a
+    # position, not blindly from the final page (which would silently
+    # yield 0 samples).
+    last_granule = next(
+        (p["granule_pos"] for p in reversed(mine) if p["granule_pos"] != -1), None
+    )
+    if last_granule is None:
+        raise ValueError("ogg: no page of the stream carries a granule position")
     n_samples = max(last_granule - pre_skip, 0)
     n_audio_packets = max(sum(p["n_packets"] for p in mine) - n_headers, 0)
     return {
@@ -1880,7 +1893,10 @@ def parse_ogg_comments(
         codec = "vorbis"
         if not pkt.startswith(b"\x03vorbis"):
             raise ValueError("ogg: packet 1 is not a Vorbis comment header")
-        if not pkt.endswith(b"\x01"):
+        # Vorbis I §5.2 mandates a NONZERO framing bit — the low bit of the
+        # final byte; the other seven bits are padding a conformant muxer
+        # may set, so an exact 0x01 compare would reject e.g. 0x81.
+        if not (pkt[-1] & 1):
             raise ValueError("ogg: Vorbis comment header missing framing bit")
         body = pkt[7:-1]
     elif head.startswith(b"OpusHead"):

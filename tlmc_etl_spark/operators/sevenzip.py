@@ -192,7 +192,8 @@ def encode_7z(entries: list[tuple[str, bool, bytes | None]],
               header_codec: str = "copy", solid: bool = False,
               mtime_unix: int | None = None,
               payload_codec: str = "copy",
-              with_crcs: bool = False) -> bytes:
+              with_crcs: bool = False,
+              stream_empty_payloads: bool = False) -> bytes:
     """Entries [(path, is_dir, payload)] → conformant .7z bytes.
 
     File payloads are stored with the Copy coder or (payload_codec=
@@ -208,7 +209,14 @@ def encode_7z(entries: list[tuple[str, bool, bytes | None]],
         raise ValueError("7z: payload_codec must be 'copy' or 'lzma'")
     files = [(p, d, b"" if data is None else bytes(data))
              for p, d, data in entries]
-    payloads = [data for _, is_dir, data in files if not is_dir and data]
+    # stream_empty_payloads plants the rare-but-legal layout where an
+    # empty FILE is backed by a genuine 0-length SUBSTREAM instead of a
+    # kEmptyStream+kEmptyFile bit pair (extraction must consume a piece
+    # for it — pairing is by stream membership, not by size)
+    payloads = [
+        data for _, is_dir, data in files
+        if not is_dir and (data or stream_empty_payloads)
+    ]
 
     def _pack(raw: bytes) -> bytes:
         if payload_codec == "copy":
@@ -247,7 +255,10 @@ def encode_7z(entries: list[tuple[str, bool, bytes | None]],
 
     # ----- files info
     n = len(files)
-    empty_stream = [is_dir or not data for _, is_dir, data in files]
+    empty_stream = [
+        is_dir or (not data and not stream_empty_payloads)
+        for _, is_dir, data in files
+    ]
     empty_file = [not is_dir for (_, is_dir, data), es
                   in zip(files, empty_stream) if es]
     fi = bytearray([_K_FILES_INFO]) + _write_number(n)
@@ -713,13 +724,15 @@ def _parse_header_body(r: _Reader, collect: dict | None = None) -> list[dict]:
         elif prop == _K_MAIN_STREAMS:
             sub_counts, sub_sizes = _read_streams_info(r, collect)
         elif prop == _K_FILES_INFO:
-            entries = _parse_files_info(r, sub_sizes)
+            entries = _parse_files_info(r, sub_sizes, collect)
         else:
             raise ValueError(f"7z: unexpected header property {prop}")
     return entries
 
 
-def _parse_files_info(r: _Reader, sub_sizes: list[int]) -> list[dict]:
+def _parse_files_info(
+    r: _Reader, sub_sizes: list[int], collect: dict | None = None
+) -> list[dict]:
     n = r.number()
     if n > 1 << 24:
         raise ValueError("7z: implausible file count")
@@ -775,6 +788,11 @@ def _parse_files_info(r: _Reader, sub_sizes: list[int]) -> list[dict]:
         raise ValueError(
             f"7z: {n_streams} stream files but {len(sub_sizes)} substreams"
         )
+    if collect is not None:
+        # extraction pairs decoded substreams with entries by STREAM
+        # MEMBERSHIP (the kEmptyStream vector), never by size — a
+        # genuine 0-length substream is rare but legal
+        collect["empty_stream"] = empty_stream
     out = []
     stream_i = 0
     empty_i = 0
@@ -882,15 +900,22 @@ def _extract_7z_members(data: bytes | None) -> list[dict] | None:
             pieces.append(piece)
             piece_crc_ok.append(ok)
             si += 1
+    # Pair pieces with entries by STREAM MEMBERSHIP, not size: an entry
+    # outside the kEmptyStream vector consumes exactly one substream even
+    # when that substream is a legal 0-length one (size == 0 alone cannot
+    # distinguish it from an empty-stream kEmptyFile entry, which is not
+    # backed by a piece).
+    empty_stream = streams.get("empty_stream", [False] * len(entries))
     pi = 0
-    for e in entries:
-        if e["is_dir"] or e["size"] == 0:
-            e["content"] = None if e["is_dir"] else b""
-            e["crc_ok"] = None
-        else:
+    for i, e in enumerate(entries):
+        backed = i < len(empty_stream) and not empty_stream[i]
+        if backed:
             e["content"] = pieces[pi]
             e["crc_ok"] = piece_crc_ok[pi]
             pi += 1
+        else:
+            e["content"] = None if e["is_dir"] else b""
+            e["crc_ok"] = None
     if pi != len(pieces):
         raise ValueError("7z: decoded substreams exceed stream files")
     return entries
