@@ -107,6 +107,7 @@ HEADLINE = [
     "bigram_lm_doc_score",
     "tfidf_top_terms",
     "collocation_pmi_top",
+    "doc_quality_classifier",
     # curation sampling ops (plans/text.py, round 7)
     "per_source_quota_sample",
     "quality_resample",

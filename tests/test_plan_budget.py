@@ -94,6 +94,7 @@ SHUFFLE_BUDGET = {
     "q21_waiting_suppliers": 2,
     "q22_idle_customers": 1,
     "bigram_lm_doc_score": 5,  # model/ctx/score train+apply over a checkpointed explode
+    "doc_quality_classifier": 0,  # GD rounds run as checkpointed jobs; scoring is map-only + broadcast hydrate
     "tfidf_top_terms": 2,
     "collocation_pmi_top": 4,
     "per_source_quota_sample": 1,

@@ -308,3 +308,107 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(50)
         .select("w1", "w2", "c2", "pmi")
     )
+
+
+_LOGREG_ORACLE = """
+WITH docs AS (
+  SELECT doc_id, lang,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y, text
+  FROM documents
+), nn AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n FROM docs
+), tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+  FROM docs
+), feat0 AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('ngq' || t), 1, 15))::BIGINT % 16 AS j,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM tok GROUP BY doc_id, 2
+), ntok AS (
+  SELECT doc_id, sum(c) AS nt FROM feat0 GROUP BY doc_id
+), feat AS (
+  SELECT doc_id, j, c / nt AS x FROM feat0 JOIN ntok USING (doc_id)
+  UNION ALL
+  SELECT doc_id, 16 AS j, 1.0 AS x FROM docs
+), fy AS (
+  SELECT f.doc_id, f.j, f.x, d.y FROM feat f JOIN docs d USING (doc_id)
+), g1 AS (  -- iteration 1: w = 0 so sigmoid(margin) is exactly 0.5
+  SELECT j, sum((0.5 - y) * x) / (SELECT n FROM nn) AS g FROM fy GROUP BY j
+), w1 AS (
+  SELECT j, -1.0 * g AS w FROM g1
+), m1 AS (
+  SELECT doc_id, sum(x * w) AS m FROM feat JOIN w1 USING (j) GROUP BY doc_id
+), g2 AS (
+  SELECT fy.j, sum((1.0 / (1.0 + exp(-m1.m)) - fy.y) * fy.x)
+               / (SELECT n FROM nn) AS g
+  FROM fy JOIN m1 USING (doc_id) GROUP BY fy.j
+), w2 AS (
+  SELECT w1.j, w1.w - 1.0 * g2.g AS w FROM w1 JOIN g2 ON w1.j = g2.j
+), m2 AS (
+  SELECT doc_id, sum(x * w) AS m FROM feat JOIN w2 USING (j) GROUP BY doc_id
+), g3 AS (
+  SELECT fy.j, sum((1.0 / (1.0 + exp(-m2.m)) - fy.y) * fy.x)
+               / (SELECT n FROM nn) AS g
+  FROM fy JOIN m2 USING (doc_id) GROUP BY fy.j
+), w3 AS (
+  SELECT w2.j, w2.w - 1.0 * g3.g AS w FROM w2 JOIN g3 ON w2.j = g3.j
+), m3 AS (
+  SELECT doc_id, sum(x * w) AS m FROM feat JOIN w3 USING (j) GROUP BY doc_id
+)
+SELECT d.doc_id, d.lang, d.y AS label,
+       round(1.0 / (1.0 + exp(-m3.m)), 6) AS score,
+       (1.0 / (1.0 + exp(-m3.m)) >= 0.5) AS pred
+FROM docs d JOIN m3 ON d.doc_id = m3.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@query("doc_quality_classifier", oracle=_LOGREG_ORACLE)
+def doc_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality/domain classifier (CCNet/fastText pattern):
+    logistic regression over hashed token-frequency features, weak
+    labels from a trusted property (here lang='en'), scored over every
+    document.
+
+    Train and score in one deterministic trajectory: w0 = 0, fixed
+    learning rate 1.0, exactly 3 batch-GD iterations. Each iteration is
+    ONE partial-aggregating job over the checkpointed feature table
+    (17 sums merged map-side, single-partition final merge — no hash
+    shuffle); the driver holds one 18-double row per round, the same
+    bounded-driver contract as the BPE argmax and the PQ codebooks. The
+    oracle replays the identical trajectory closed-form in SQL (the
+    bigram-LM train+score pattern extended to an iterative model).
+    100 TB shape: featurization is explode + two keyed aggregates,
+    training cost is n_iterations linear scans, scoring is map-only
+    with the weights as literals.
+    """
+    from tlmc_etl_spark.operators.classifier import (
+        N_BUCKETS,
+        hashed_ngram_features,
+        score_logreg,
+        train_logreg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = hashed_ngram_features(
+        docs,
+        "doc_id",
+        "text",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0),
+        n_buckets=N_BUCKETS,
+    ).localCheckpoint(eager=True)
+    w = train_logreg(feats, dim=N_BUCKETS + 1)
+    scored = score_logreg(feats, w)
+    lang = docs.select(F.col("doc_id").alias("_id"), "lang")
+    return (
+        scored.join(lang, "_id")
+        .select(
+            F.col("_id").alias("doc_id"),
+            "lang",
+            F.col("y").alias("label"),
+            "score",
+            "pred",
+        )
+        .orderBy("doc_id")
+    )
