@@ -108,6 +108,7 @@ HEADLINE = [
     "tfidf_top_terms",
     "collocation_pmi_top",
     "doc_quality_classifier",
+    "similarity_incremental_rebuild",
     # curation sampling ops (plans/text.py, round 7)
     "per_source_quota_sample",
     "quality_resample",

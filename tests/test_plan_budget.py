@@ -95,6 +95,7 @@ SHUFFLE_BUDGET = {
     "q22_idle_customers": 1,
     "bigram_lm_doc_score": 5,  # model/ctx/score train+apply over a checkpointed explode
     "doc_quality_classifier": 0,  # GD rounds run as checkpointed jobs; scoring is map-only + broadcast hydrate
+    "similarity_incremental_rebuild": 4,  # delta-path only: changed-pooled agg is checkpointed; carry/rescore join broadcast
     "tfidf_top_terms": 2,
     "collocation_pmi_top": 4,
     "per_source_quota_sample": 1,

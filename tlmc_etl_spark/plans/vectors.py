@@ -690,3 +690,159 @@ def int8_quant_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("rel_err"),
     ).orderBy("vec_id")
+
+
+# --- incremental similarity maintenance -----------------------------------
+
+# The threshold that defines a "similar" edge over pooled track vectors;
+# membership compares the ROUNDED score in both engines so edge sets are
+# engine-stable.
+SIM_EDGE_TAU = 0.1
+# The delta scenario: these tracks receive late-arriving chunks
+# (vec_id % 11 == 0), so their pooled vectors change between the old and
+# new snapshots. The CHANGED set is still DERIVED from the data (distinct
+# tracks owning a late chunk), never assumed.
+_SIM_DELTA_TRACKS = (3, 19, 29, 41)
+
+_SIM_INCR_ORACLE = """
+WITH chunks AS (
+  SELECT vec_id % 50 AS track, vec_id, embedding FROM embeddings
+), changed AS (
+  SELECT DISTINCT track FROM chunks
+  WHERE vec_id % 11 = 0 AND track IN (3, 19, 29, 41)
+), expanded AS (
+  SELECT track, t.pos, CAST(embedding[t.pos] AS DOUBLE) AS x
+  FROM chunks, LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS pos) t
+), mean_vec AS (
+  SELECT track, pos, avg(x) AS m FROM expanded GROUP BY track, pos
+), norms AS (
+  SELECT track, sqrt(sum(m * m)) AS nrm FROM mean_vec GROUP BY track
+), unit AS (
+  SELECT track, pos, m / nrm AS u FROM mean_vec JOIN norms USING (track)
+), pairs AS (
+  SELECT a.track AS anchor, b.track AS neighbor, round(sum(a.u * b.u), 6) AS score
+  FROM unit a JOIN unit b ON a.pos = b.pos AND a.track < b.track
+  GROUP BY a.track, b.track
+)
+SELECT anchor, neighbor, score,
+       (anchor NOT IN (SELECT track FROM changed)
+        AND neighbor NOT IN (SELECT track FROM changed)) AS carried
+FROM pairs
+WHERE score >= 0.1
+ORDER BY anchor, neighbor
+"""
+
+
+def _pair_dot(a: str, b: str):
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+@query("similarity_incremental_rebuild", oracle=_SIM_INCR_ORACLE)
+def similarity_incremental_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the similar-track edge table, with
+    incremental ≡ full PROVEN by the oracle — the vector-layer extension
+    of catalog_incremental_rebuild's contract (the reference rebuilds
+    similar_track from scratch every release,
+    precompute_similar_tracks.py; this is the delta cadence it never
+    built).
+
+    Delta semantics: a set of tracks receives late-arriving chunks
+    between the old and new snapshots (the changed set is DERIVED from
+    the data via the same fingerprint-diff idea as delta_detect). The
+    incremental path then:
+      1. recomputes pooled vectors ONLY for changed tracks over the new
+         snapshot (an aggregate over |changed| tracks' chunks, not the
+         corpus);
+      2. rescores ONLY pairs touching a changed track — an
+         n × |changed| broadcast join, never n², because an edge's score
+         is a pure function of its two endpoint vectors, so every
+         unchanged-unchanged edge is carried verbatim from the stored
+         table;
+      3. merges: carried edges (both endpoints unchanged) union the
+         rescored delta edges, threshold applied to the rounded score.
+    Exactness holds BY CONSTRUCTION for threshold edges (unlike top-k
+    lists, where an unchanged pair can re-enter a list when a changed
+    neighbor drops out — that shape needs the stored (k+1..k') buffer or
+    a full rescore of affected anchors). The stored old state is stood
+    in by checkpointed in-plan builds, deterministic like the catalog
+    twin's carried arm. The DuckDB oracle computes the FULL rebuild over
+    the new snapshot plus the same carried flag, so the driver's value
+    compare IS the invariant: the delta path must be indistinguishable
+    from a from-scratch run. 100 TB shape: step 1 scans only changed
+    tracks' chunks; step 2 broadcasts |changed| pooled vectors against
+    the pooled table (and would go IVF-probed candidate gen with a
+    recall floor if |changed| × n itself became the bottleneck —
+    pipelines/similarity.py's recall_candidates contract).
+    """
+    from tlmc_etl_spark.pipelines.similarity import pooled_unit_mean
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    chunks = emb.select(
+        (F.col("vec_id") % 50).alias("track"), "vec_id", F.col("embedding").alias("vec")
+    )
+    late = (F.col("vec_id") % 11 == 0) & F.col("track").isin(*_SIM_DELTA_TRACKS)
+    old_chunks = chunks.filter(~late)
+    changed = chunks.filter(late).select("track").distinct()
+
+    # ---- stored state stand-ins (production reads these from the gold
+    # tables; checkpoints make the "previously materialized" boundary
+    # explicit and keep the old-state subtree out of the delta plans)
+    old_pooled = pooled_unit_mean(old_chunks, "track", "vec").localCheckpoint(eager=True)
+    rhs_all = old_pooled.select(
+        F.col("track").alias("b_track"), F.col("pooled").alias("b_pooled")
+    )
+    old_edges = (
+        old_pooled.join(F.broadcast(rhs_all), F.col("track") < F.col("b_track"))
+        .select(
+            F.col("track").alias("anchor"),
+            F.col("b_track").alias("neighbor"),
+            F.round(_pair_dot("pooled", "b_pooled"), 6).alias("score"),
+        )
+        .filter(F.col("score") >= SIM_EDGE_TAU)
+        .localCheckpoint(eager=True)
+    )
+
+    # ---- the incremental path proper
+    # 1. pooled vectors recomputed ONLY for changed tracks, new snapshot;
+    # checkpointed because it feeds both the merged table and the rescore
+    # side (|changed| rows — recompute ONCE is the whole point)
+    new_changed_pooled = pooled_unit_mean(
+        chunks.join(F.broadcast(changed), "track", "left_semi"), "track", "vec"
+    ).localCheckpoint(eager=True)
+    merged_pooled = old_pooled.join(F.broadcast(changed), "track", "left_anti").unionByName(
+        new_changed_pooled
+    )
+    # 2. rescore only pairs touching a changed track: n x |changed|
+    rhs_changed = new_changed_pooled.select(
+        F.col("track").alias("b_track"), F.col("pooled").alias("b_pooled")
+    )
+    rescored = (
+        merged_pooled.join(F.broadcast(rhs_changed), F.col("track") != F.col("b_track"))
+        .select(
+            F.least("track", "b_track").alias("anchor"),
+            F.greatest("track", "b_track").alias("neighbor"),
+            F.round(_pair_dot("pooled", "b_pooled"), 6).alias("score"),
+        )
+        # changed-changed pairs surface twice with operands swapped; the
+        # elementwise product commutes and the fold order is positional,
+        # so both copies are bit-identical — keep one
+        .dropDuplicates(["anchor", "neighbor"])
+        .filter(F.col("score") >= SIM_EDGE_TAU)
+        .withColumn("carried", F.lit(False))
+    )
+    # 3. carry every edge with both endpoints unchanged, verbatim
+    carried = (
+        old_edges.join(
+            F.broadcast(changed.select(F.col("track").alias("anchor"))), "anchor", "left_anti"
+        )
+        .join(
+            F.broadcast(changed.select(F.col("track").alias("neighbor"))), "neighbor", "left_anti"
+        )
+        .select("anchor", "neighbor", "score")
+        .withColumn("carried", F.lit(True))
+    )
+    return carried.unionByName(rescored).orderBy("anchor", "neighbor")
