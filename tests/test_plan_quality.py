@@ -367,6 +367,20 @@ class TestGlobalWindowLint:
                 stack.append(ch.apply(i))
         return False
 
+    @staticmethod
+    def _spec_is_global(node) -> bool:
+        """Empty partitionSpec, or the bounded_one_partition idiom
+        (pmod(key, 1) — constant 0 for every row, used ONLY to silence
+        WindowExec's warning on provably-bounded inputs). Treating the
+        idiom as global means it cannot be used to evade this lint."""
+        import re
+
+        spec = node.partitionSpec()
+        if spec.isEmpty():
+            return True
+        exprs = [spec.apply(i).toString() for i in range(spec.length())]
+        return all(re.match(r"^pmod\(.*, 1\)$", e) for e in exprs)
+
     @classmethod
     def _unbounded_global_windows(cls, plan) -> list:
         out = []
@@ -375,7 +389,7 @@ class TestGlobalWindowLint:
             n = stack.pop()
             if (
                 n.getClass().getSimpleName() == "Window"
-                and n.partitionSpec().isEmpty()
+                and cls._spec_is_global(n)
                 and not cls._subtree_has_limit(n.child())
             ):
                 out.append(n.simpleString(160))

@@ -83,7 +83,13 @@ def key_skew_profile(df: DataFrame, key: str, top_k: int = 10) -> DataFrame:
         F.max("n_rows").alias("max_rows"),
     )
     top = counts.orderBy(F.col("n_rows").desc(), "key").limit(top_k)
-    w = W.orderBy(F.col("n_rows").desc(), "key")
+    # ranking a limit(top_k) result: bounded_one_partition silences the
+    # single-partition warning for a window whose input is ≤top_k rows
+    from tlmc_etl_spark.tuning import bounded_one_partition
+
+    w = W.partitionBy(bounded_one_partition("n_rows")).orderBy(
+        F.col("n_rows").desc(), "key"
+    )
     top = top.withColumn("rank", F.row_number().over(w))
     return (
         top.crossJoin(F.broadcast(summary))

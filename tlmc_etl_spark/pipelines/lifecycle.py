@@ -28,6 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tlmc_etl_spark.pipelines.similarity import two_stage_similar_tracks
+from tlmc_etl_spark.tuning import bounded_one_partition
 from tlmc_etl_spark.sinks.shards import (
     read_similar_track_shards,
     write_similar_track_shards,
@@ -53,7 +54,15 @@ def lifecycle_pre_sink(
             F.col("album_name"),
             # 24-row dimension: the global sort is a broadcast-sized no-op; at
             # real scale the release key would ride the track table instead.
-            F.row_number().over(W.orderBy("circle_dir", "album_dir")).alias("rn"),
+            # bounded_one_partition: real (one-group) partitionSpec so the
+            # fixed-dimension rank stops tripping WindowExec's warning.
+            F.row_number()
+            .over(
+                W.partitionBy(bounded_one_partition(F.length("circle_dir"))).orderBy(
+                    "circle_dir", "album_dir"
+                )
+            )
+            .alias("rn"),
             (F.col("needs_review_reasons") == "").alias("clean"),
         )
         .withColumn("release_idx", F.col("rn") - 1)

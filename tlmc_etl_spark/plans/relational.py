@@ -359,14 +359,23 @@ def rank_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (parallel partial top-k on every partition, merge of 100-row heaps on
     # the driver side of the exchange), and only the ≤100 survivors flow
     # through the ranking window, whose single partition is then bounded by
-    # construction.  Same rows, same ranks: row_number over the identical
-    # total order commutes with taking the top 100 of that order.
+    # construction (bounded_one_partition keeps WindowExec from warning
+    # about a single partition that is ≤100 rows by design).  Same rows,
+    # same ranks: row_number over the identical total order commutes with
+    # taking the top 100 of that order.
+    from tlmc_etl_spark.tuning import bounded_one_partition
+
     by_bal = (
         customer.select("c_custkey", "c_acctbal")
         .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
         .limit(100)
         .withColumn(
-            "rank_bal", F.row_number().over(W.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey")))
+            "rank_bal",
+            F.row_number().over(
+                W.partitionBy(bounded_one_partition("c_custkey")).orderBy(
+                    F.col("c_acctbal").desc(), F.col("c_custkey")
+                )
+            ),
         )
         .select("c_custkey", "rank_bal")
     )
@@ -374,13 +383,27 @@ def rank_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     by_cnt = (
         cnt.orderBy(F.col("cnt").desc(), F.col("o_custkey"))
         .limit(100)
-        .withColumn("rank_cnt", F.row_number().over(W.orderBy(F.col("cnt").desc(), F.col("o_custkey"))))
+        .withColumn(
+            "rank_cnt",
+            F.row_number().over(
+                W.partitionBy(bounded_one_partition("o_custkey")).orderBy(
+                    F.col("cnt").desc(), F.col("o_custkey")
+                )
+            ),
+        )
         .select(F.col("o_custkey").alias("k1"), "rank_cnt")
     )
     by_spend = (
         cnt.orderBy(F.col("spend").desc(), F.col("o_custkey"))
         .limit(100)
-        .withColumn("rank_spend", F.row_number().over(W.orderBy(F.col("spend").desc(), F.col("o_custkey"))))
+        .withColumn(
+            "rank_spend",
+            F.row_number().over(
+                W.partitionBy(bounded_one_partition("o_custkey")).orderBy(
+                    F.col("spend").desc(), F.col("o_custkey")
+                )
+            ),
+        )
         .select(F.col("o_custkey").alias("k2"), "rank_spend")
     )
     merged = by_bal.join(by_cnt, by_bal.c_custkey == by_cnt.k1, "full").withColumn(

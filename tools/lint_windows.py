@@ -25,13 +25,26 @@ def subtree_has_limit(node) -> bool:
     return False
 
 
+def spec_is_global(node) -> bool:
+    """Empty partitionSpec, or the bounded_one_partition pmod(key, 1)
+    idiom — constant for every row, counted as global so it cannot be
+    used to evade the lint."""
+    import re
+
+    spec = node.partitionSpec()
+    if spec.isEmpty():
+        return True
+    exprs = [spec.apply(i).toString() for i in range(spec.length())]
+    return all(re.match(r"^pmod\(.*, 1\)$", e) for e in exprs)
+
+
 def global_windows(plan):
     out = []
     stack = [plan]
     while stack:
         n = stack.pop()
         name = n.getClass().getSimpleName()
-        if name == "Window" and n.partitionSpec().isEmpty():
+        if name == "Window" and spec_is_global(n):
             bounded = subtree_has_limit(n.child())
             out.append((bounded, n.simpleString(200)))
         ch = n.children()
