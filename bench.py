@@ -63,6 +63,7 @@ HEADLINE = [
     "sequence_packing",
     "corpus_mix_sample",
     "bpe_train_merges",
+    "bpe_encode_corpus",
     "curation_lifecycle",
     "benchmark_contamination",
     "minhash_lsh_dedup",

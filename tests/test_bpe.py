@@ -136,3 +136,48 @@ class TestBpeTraining:
             ref_enc["".join(syms)] = syms
         for w in words:
             assert enc[w] == ref_enc[w], w
+
+
+class TestBpeCorpusEncode:
+    def test_corpus_encode_matches_python_replay(self, spark, sf_dir):
+        """bpe_encode_corpus sequential-replay gate: train the reference
+        BPE from scratch, greedily re-encode every document in Python,
+        and the per-doc (n_words, n_symbols, n_tokens) integers must be
+        IDENTICAL — proving the vocabulary-encode + broadcast-multiplicity
+        aggregation loses nothing vs tokenizing each document directly."""
+        import duckdb
+
+        from tlmc_etl_spark.plans import QUERIES
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT doc_id, text FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+        wc: Counter = Counter()
+        for _, text in rows:
+            for w in text.split(" "):
+                if len(w) >= 2:
+                    wc[w] += 1
+        _, ref_vocab = _reference_bpe(dict(wc), 8)
+        enc_len = {"".join(syms): len(syms) for syms in ref_vocab}
+        expect = {}
+        for doc_id, text in rows:
+            words = [w for w in text.split(" ") if w]
+            n_sym = sum(len(w) for w in words)
+            n_tok = sum(enc_len.get(w, 1) for w in words)
+            expect[doc_id] = (len(words), n_sym, n_tok)
+        got = QUERIES["bpe_encode_corpus"].fn(spark, sf_dir).collect()
+        assert len(got) == len(expect)
+        for r in got:
+            e = expect[r["doc_id"]]
+            assert (r["n_words"], r["n_symbols"], r["n_tokens"]) == e, (
+                r["doc_id"], (r["n_words"], r["n_symbols"], r["n_tokens"]), e
+            )
+            # Spark F.round is HALF_UP; Python round is banker's — compare
+            # through decimal with the HALF_UP rule Spark pins
+            from decimal import ROUND_HALF_UP, Decimal
+
+            want = float(
+                Decimal(e[1] / e[2]).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+            )
+            assert r["compression"] == want

@@ -54,6 +54,7 @@ SHUFFLE_BUDGET = {
     "sequence_packing": 1,
     "corpus_mix_sample": 0,
     "bpe_train_merges": 0,  # iterative: rounds run via checkpoints, result is a local table
+    "bpe_encode_corpus": 3,  # vocab fold + per-doc word counts + final doc agg; vocab joins back via broadcast
     "curation_lifecycle": 2,
     "benchmark_contamination": 1,
     "minhash_lsh_dedup": 2,

@@ -1339,3 +1339,65 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "merge_round int, left string, right string, merged string, n_weighted long",
     ).orderBy("merge_round")
+
+
+@query("bpe_encode_corpus")
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLICATION at corpus scale: train the 8-merge BPE
+    table (the bpe_train_merges loop), then tokenize every document
+    with it and report per-doc token accounting — the pass a training
+    pipeline runs over the whole corpus once per tokenizer release.
+
+    Scale shape — the standard vocabulary/corpus split: the merge fold
+    runs over the DISTINCT-WORD table only (10^7 rows where the corpus
+    has 10^11 tokens), producing each word's encoded length; per-doc
+    numbers are then a broadcast join of that vocabulary onto per-doc
+    word multiplicities — no document's text ever flows through the
+    merge fold. Single-character words bypass the vocabulary (they
+    encode to themselves; training's len>=2 floor excludes them).
+    Output: (doc_id, n_words, n_symbols, n_tokens, compression) where
+    n_symbols is the pre-merge character-symbol count and compression =
+    n_symbols / n_tokens. Ext tier (the 8-round argmax loop has no SQL
+    replay); the differential gate replays train+encode+aggregate from
+    scratch in Python (tests/test_bpe.py::TestBpeCorpusEncode).
+    """
+    from tlmc_etl_spark.operators.bpe import (
+        encode_with_merges,
+        train_bpe_merges,
+        words_with_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=8)
+    vocab = words_with_counts(docs).select(
+        "w",
+        F.size(encode_with_merges(F.split("w", ""), merges)).alias("n_tok"),
+    )
+    doc_words = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") >= 1)
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    joined = doc_words.join(F.broadcast(vocab), "w", "left").select(
+        "doc_id",
+        "c",
+        (F.length("w") * F.col("c")).alias("n_sym"),
+        (F.coalesce("n_tok", F.lit(1)) * F.col("c")).alias("n_tok"),
+    )
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.sum("n_sym").cast("long").alias("n_symbols"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            "n_symbols",
+            "n_tokens",
+            F.round(F.col("n_symbols") / F.col("n_tokens"), 4).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )
