@@ -333,8 +333,13 @@ WITH by_bal AS (
          row_number() OVER (ORDER BY count(*) DESC, o_custkey) AS rank_cnt
   FROM orders GROUP BY o_custkey QUALIFY rank_cnt <= 100
 ), by_spend AS (
+  -- decimal-sum-then-round before RANKING (the q11/q15/q19 hardening):
+  -- a double sum is partition-order dependent, so logically-tied spends
+  -- differ by ulps differently per engine and the rank cut diverges
   SELECT o_custkey AS c_custkey,
-         row_number() OVER (ORDER BY sum(o_totalprice) DESC, o_custkey) AS rank_spend
+         row_number() OVER (
+           ORDER BY CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 2) AS DOUBLE) DESC,
+                    o_custkey) AS rank_spend
   FROM orders GROUP BY o_custkey QUALIFY rank_spend <= 100
 )
 SELECT coalesce(b.c_custkey, c.c_custkey, s.c_custkey) AS c_custkey,
@@ -379,7 +384,19 @@ def rank_merge_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("c_custkey", "rank_bal")
     )
-    cnt = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("spend"))
+    # spend accumulates DECIMAL(18,6) then rounds to 2dp BEFORE ranking:
+    # the value feeds an ORDER BY whose top-100 cut must be engine- and
+    # partitioning-invariant, and gen_scale's sf1 (10 copies of every
+    # customer with identical order values) makes the hazard concrete —
+    # double sums of the same multiset differ by ulps per copy and the
+    # tied ranks diverge across engines (caught by the round-13 sf1
+    # parity sweep).
+    cnt = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,6)")), 2)
+        .cast("double")
+        .alias("spend"),
+    )
     by_cnt = (
         cnt.orderBy(F.col("cnt").desc(), F.col("o_custkey"))
         .limit(100)
