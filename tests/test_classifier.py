@@ -103,6 +103,29 @@ class TestPlanShape:
         assert plan.count("Arguments: SinglePartition") == 1, plan
         assert "partial_sum" in plan  # map-side combine before the merge
 
+    def test_featurization_is_map_only(self, spark, sf_dir):
+        # the 100 TB contract of the round-13 rewrite: the feature table
+        # is ONE narrow stage — tokens never shuffle; an exchange here
+        # means featurization regressed to the explode+regather form
+        import contextlib
+        import io
+
+        from pyspark.sql import functions as F
+
+        from tlmc_etl_spark.operators.classifier import hashed_ngram_features
+        from tlmc_etl_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        feats = hashed_ngram_features(
+            docs, "doc_id", "text",
+            F.when(F.col("lang") == "en", 1.0).otherwise(0.0),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            feats.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+
     def test_scoring_plan_is_map_only_over_the_checkpoint(self, spark, sf_dir):
         import contextlib
         import io

@@ -6,9 +6,10 @@ CCNet/fastText pattern: weak labels from a trusted corpus, hashed
 bag-of-n-grams features, a linear model scored over everything), not
 only by rules. This is that shape, Spark-first:
 
- - featurization is one JVM-side explode + count (hashed bucket =
+ - featurization is MAP-ONLY: each document's bucket histogram folds
+   inside one JVM `aggregate` over its own token array (hashed bucket =
    portable md5 hash of the token, so a DuckDB oracle can replay it
-   bit-for-bit), densified per document;
+   bit-for-bit) — zero exchanges before the gradient job;
  - training is FIXED-ITERATION batch gradient descent: each iteration
    is ONE partial-aggregating job over the checkpointed feature table
    (d+1 sums merged map-side; the only exchange is the final
@@ -51,54 +52,43 @@ def hashed_ngram_features(
     """(id, x: array<double> of dim n_buckets+1, y) — relative token
     frequency per hashed bucket plus a trailing intercept feature 1.0.
 
+    MAP-ONLY: tokens never leave their row. Each document's bucket
+    histogram folds inside one JVM `aggregate` over the token array
+    (O(tokens × n_buckets) when-branches, whole-stage codegen), so
+    featurization is a single narrow stage with ZERO exchanges — at
+    100 TB the alternative (explode → per-(doc,bucket) count →
+    re-gather per doc) shuffles the corpus twice for the same numbers.
+    The round-13 original shipped that explode form; this rewrite is
+    value-identical (integer-valued double counts, same division) and
+    the oracle did not move.
+
     The bucket hash is the portable 60-bit md5 prefix ('ngq' salt), so
     an ANSI-SQL oracle reproduces the bucketing exactly. Documents with
-    zero tokens keep the intercept-only vector (left join), so every
-    row is scored.
+    zero tokens keep the intercept-only vector, so every row is scored.
     """
     d = n_buckets
-    tok = docs.select(
+    staged = docs.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)")
-        ).alias("t"),
+        label_col.alias("y"),
+        F.expr(f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)").alias("_toks"),
     )
-    feat0 = (
-        tok.groupBy(
-            "_id",
-            (portable_hash60(F.concat(F.lit("ngq"), F.col("t"))) % d).alias("j"),
-        )
-        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    buckets = F.transform(
+        F.col("_toks"),
+        lambda t: (portable_hash60(F.concat(F.lit("ngq"), t)) % d).cast("int"),
     )
-    # densify: (j, c) pairs -> length-d array; one more shuffle on _id
-    # (the groupBy above keyed (_id, j)); relative frequency divides by
-    # the in-row total so no extra pass is needed
-    dense = (
-        feat0.groupBy("_id")
-        .agg(F.collect_list(F.struct("j", "c")).alias("jc"), F.sum("c").alias("nt"))
-        .select(
-            "_id",
-            F.transform(
-                F.aggregate(
-                    "jc",
-                    F.array_repeat(F.lit(0.0), d),
-                    lambda acc, s: F.transform(
-                        acc,
-                        lambda v, i: F.when(i == s["j"].cast("int"), v + s["c"]).otherwise(v),
-                    ),
-                ),
-                lambda v: v / F.col("nt"),
-            ).alias("xb"),
-        )
+    hist = F.aggregate(
+        buckets,
+        F.array_repeat(F.lit(0.0), d),
+        lambda acc, b: F.transform(
+            acc, lambda v, i: F.when(i == b, v + F.lit(1.0)).otherwise(v)
+        ),
     )
-    base = docs.select(F.col(id_col).alias("_id"), label_col.alias("y"))
-    return base.join(dense, "_id", "left").select(
-        "_id",
-        F.concat(
-            F.coalesce("xb", F.array_repeat(F.lit(0.0), d)),
-            F.array(F.lit(1.0)),
-        ).alias("x"),
-        "y",
+    nt = F.size("_toks")
+    xb = F.when(
+        nt > 0, F.transform(hist, lambda v: v / nt)
+    ).otherwise(F.array_repeat(F.lit(0.0), d))
+    return staged.select(
+        "_id", F.concat(xb, F.array(F.lit(1.0))).alias("x"), "y"
     )
 
 
