@@ -1129,13 +1129,23 @@ WITH chunks AS (
            ) AS rk
     FROM pooled a JOIN pooled b ON a.track != b.track
   ) WHERE rk <= 15
+), capped AS (
+  -- the rerank's 96-chunk gather cap, replayed exactly (first 96 by
+  -- vec_id per track — gather_chunks' order_col contract), so the
+  -- oracle stays valid at EVERY sf: at sf1 a track has ~4k chunks and
+  -- an uncapped replay scores a different chamfer (round-13 sf1 sweep)
+  SELECT track, vec_id, vec FROM (
+    SELECT track, vec_id, vec,
+           row_number() OVER (PARTITION BY track ORDER BY vec_id) AS rn
+    FROM chunks
+  ) WHERE rn <= 96
 ), cos AS (
   SELECT r.anchor, r.neighbor, ca.vec_id AS ia, cb.vec_id AS ib,
          list_dot_product(ca.vec, cb.vec) /
          (sqrt(list_dot_product(ca.vec, ca.vec)) * sqrt(list_dot_product(cb.vec, cb.vec))) AS s
   FROM recall r
-  JOIN chunks ca ON ca.track = r.anchor
-  JOIN chunks cb ON cb.track = r.neighbor
+  JOIN capped ca ON ca.track = r.anchor
+  JOIN capped cb ON cb.track = r.neighbor
 ), d1 AS (
   SELECT anchor, neighbor, avg(ms) AS ma FROM (
     SELECT anchor, neighbor, ia, max(s) AS ms FROM cos GROUP BY anchor, neighbor, ia
@@ -1223,13 +1233,22 @@ idf_scored AS (
            ) AS rk
     FROM pooled a JOIN pooled b ON a.track != b.track
   ) WHERE rk <= 15
+), capped AS (
+  -- the 96-chunk gather cap replayed exactly (first 96 by vec_id per
+  -- track), keeping this oracle valid at every sf — same fix as the
+  -- unweighted form's round-13 sf1 hardening
+  SELECT track, vec_id, vec FROM (
+    SELECT track, vec_id, vec,
+           row_number() OVER (PARTITION BY track ORDER BY vec_id) AS rn
+    FROM chunks
+  ) WHERE rn <= 96
 ), cos AS (
   SELECT r.anchor, r.neighbor, ca.vec_id AS ia, cb.vec_id AS ib,
          list_dot_product(ca.vec, cb.vec) /
          (sqrt(list_dot_product(ca.vec, ca.vec)) * sqrt(list_dot_product(cb.vec, cb.vec))) AS s
   FROM recall r
-  JOIN chunks ca ON ca.track = r.anchor
-  JOIN chunks cb ON cb.track = r.neighbor
+  JOIN capped ca ON ca.track = r.anchor
+  JOIN capped cb ON cb.track = r.neighbor
 ), d1 AS (
   SELECT anchor, neighbor, sum(ms * w) / sum(w) AS q_side FROM (
     SELECT anchor, neighbor, ia, max(s) AS ms FROM cos GROUP BY anchor, neighbor, ia

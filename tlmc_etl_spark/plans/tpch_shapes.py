@@ -341,7 +341,8 @@ def event_user_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     oracle="""
 SELECT n_name,
-       CAST(round(sum(l_extendedprice * (1 - l_discount)), 2) AS DOUBLE) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2)
+            AS DOUBLE) AS revenue
 FROM customer
 JOIN orders   ON c_custkey  = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -385,9 +386,20 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(reg, nat.n_regionkey == reg.r_regionkey)
         .groupBy("n_name")
         .agg(
+            # decimal accumulation before the 2dp round (q11/q19
+            # hardening): at sf1 the double sum lands within an ulp of a
+            # half-cent boundary and the engines round opposite ways
+            # (caught by the round-13 sf1 parity sweep)
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                        "decimal(18,6)"
+                    )
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("revenue")
         )
     )
 
