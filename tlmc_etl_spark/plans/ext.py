@@ -1330,10 +1330,17 @@ def token_set_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cue_split_plan",
     oracle="""
 WITH tracks AS (
+  -- TOTAL track order (linenumber, duration): the synthetic lineitem
+  -- carries duplicate l_linenumber within an order (surfaced by the
+  -- round-13 sf1 sweep), and a tie there let each engine pick its own
+  -- track sequence; any residual (linenumber, duration) duplicate is
+  -- value-invariant — same title, same prefix sums either way
   SELECT l_orderkey, l_linenumber, CAST(l_quantity AS INTEGER) AS dur_s,
-         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS track_number,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_linenumber, CAST(l_quantity AS INTEGER)) AS track_number,
          CAST(coalesce(sum(CAST(l_quantity AS INTEGER))
-                 OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                 OVER (PARTITION BY l_orderkey
+                       ORDER BY l_linenumber, CAST(l_quantity AS INTEGER)
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_s
   FROM lineitem WHERE l_orderkey % 50 = 0
 )
@@ -1361,7 +1368,9 @@ def cue_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_orderkey") % 50 == 0)
         .select("l_orderkey", "l_linenumber", F.col("l_quantity").cast("int").alias("dur_s"))
     )
-    w = W.partitionBy("l_orderkey").orderBy("l_linenumber")
+    # total order (linenumber, duration) — see the oracle comment: the
+    # synthetic data duplicates l_linenumber within an order
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "dur_s")
     timed = li.withColumn(
         "start_s", F.coalesce(F.sum("dur_s").over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0))
     )
