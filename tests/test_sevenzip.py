@@ -380,6 +380,114 @@ class TestSevenZipExtraction:
             expect_ok = True if crcs else None
             assert got["a.txt"]["crc_ok"] is expect_ok, (hc, pc, solid, crcs)
 
+    def test_filter_chain_layouts_roundtrip(self):
+        # the BCJ x86 / Delta folder chains `7z a -mf=...` writes: two
+        # coders + a bind pair, decoded through one stdlib FORMAT_RAW
+        # chain (xz ships the identical transforms). The BCJ payload
+        # carries real E8 rel32 call opcodes so the branch converter
+        # actually transforms bytes; delta gets a sawtooth that delta
+        # coding collapses.
+        import itertools
+
+        from tlmc_etl_spark.operators.sevenzip import (
+            encode_7z,
+            extract_7z_members,
+            parse_7z_index,
+        )
+
+        x86ish = b"".join(
+            b"\x90\x50\xe8" + (i * 16).to_bytes(4, "little") + b"\x58\xc3"
+            for i in range(200)
+        )
+        sawtooth = bytes((i * 3) % 251 for i in range(2048))
+        for codec, payload in (("lzma+bcj", x86ish), ("lzma+delta", sawtooth)):
+            for solid, crcs in itertools.product((False, True), (False, True)):
+                arc = encode_7z(
+                    [("a.bin", False, payload), ("b.txt", False, b"plain" * 40)],
+                    payload_codec=codec, solid=solid, with_crcs=crcs,
+                )
+                # the LISTING never decodes payloads — sizes must be right
+                assert [e["size"] for e in parse_7z_index(arc)] == [
+                    len(payload), 200
+                ]
+                got = {e["path"]: e for e in extract_7z_members(arc)}
+                assert got["a.bin"]["content"] == payload, (codec, solid, crcs)
+                assert got["b.txt"]["content"] == b"plain" * 40
+                if crcs:
+                    assert got["a.bin"]["crc_ok"] is True
+
+    def test_delta_chain_against_independent_delta_encoder(self):
+        # differential: hand-implement the delta ENCODER (out[i] =
+        # in[i] - in[i-dist], the xz/7z Delta definition), compress the
+        # hand-encoded bytes with plain LZMA1, and the engine's chain
+        # decode of a [LZMA1, Delta] folder must reproduce the ORIGINAL
+        # payload — stdlib's chained delta decode is cross-checked
+        # against an implementation it has never seen.
+        import lzma
+
+        from tlmc_etl_spark.operators.sevenzip import (
+            _CODEC_DELTA,
+            _CODEC_LZMA1,
+            _LZMA1_FILTER,
+            _LZMA1_PROPS,
+            _decode_chain,
+        )
+
+        dist = 2
+        payload = bytes((7 * i + (i >> 3)) % 256 for i in range(4096))
+        hand_delta = bytearray(payload)
+        for i in range(len(payload) - 1, dist - 1, -1):
+            hand_delta[i] = (payload[i] - payload[i - dist]) % 256
+        comp = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[_LZMA1_FILTER])
+        packed = comp.compress(bytes(hand_delta)) + comp.flush()
+        out = _decode_chain(
+            [(_CODEC_LZMA1, _LZMA1_PROPS), (_CODEC_DELTA, bytes([dist - 1]))],
+            packed,
+            len(payload),
+        )
+        assert out == payload
+
+    def test_filter_chain_corruption_never_silent(self):
+        import pytest
+
+        from tlmc_etl_spark.operators.sevenzip import (
+            encode_7z,
+            extract_7z_members,
+        )
+
+        base = encode_7z(
+            [("x.bin", False, bytes(range(256)) * 6)],
+            payload_codec="lzma+delta", with_crcs=True,
+        )
+        flips = 0
+        for at in range(32, len(base) - 60):
+            arc = bytearray(base)
+            arc[at] ^= 0xFF
+            try:
+                out = extract_7z_members(bytes(arc))
+                assert all(e["crc_ok"] for e in out if e["content"])
+            except ValueError:
+                flips += 1
+        assert flips > 0
+
+    def test_unsupported_chains_still_refuse(self):
+        # AES / stacked-filter folders stay the documented boundary:
+        # a 3-coder folder must raise, not decode garbage
+        import pytest
+
+        from tlmc_etl_spark.operators.sevenzip import _decode_chain
+
+        with pytest.raises(ValueError, match="unsupported|>2-coder"):
+            _decode_chain(
+                [(b"\x21", b"\x00"), (b"\x03", b"\x01"), (b"\x03", b"\x01")],
+                b"x", 1,
+            )
+        with pytest.raises(ValueError, match="unsupported"):
+            # 2 coders but neither is a known filter (e.g. AES 06f10701)
+            _decode_chain(
+                [(b"\x21", b"\x00"), (b"\x06\xf1\x07\x01", b"")], b"x", 1
+            )
+
     def test_zero_length_substream_extracts(self):
         # rare but legal: an empty FILE backed by a genuine 0-length
         # SUBSTREAM (inside a solid folder's size table) instead of the

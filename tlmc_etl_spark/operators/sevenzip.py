@@ -58,6 +58,8 @@ _K_ENCODED_HEADER = 0x17
 _CODEC_COPY = b"\x00"
 _CODEC_LZMA1 = b"\x03\x01\x01"
 _CODEC_LZMA2 = b"\x21"
+_CODEC_DELTA = b"\x03"
+_CODEC_BCJ_X86 = b"\x03\x03\x01\x03"
 
 _FILETIME_EPOCH_S = 11644473600  # 1601-01-01 -> 1970-01-01
 _ATTR_DIRECTORY = 0x10
@@ -148,6 +150,34 @@ def _lzma1_folder() -> bytes:
     )
 
 
+def _chain_folder(filter_codec: bytes, filter_props: bytes) -> bytes:
+    """Two-coder folder: LZMA1 feeding a branch/delta filter (the layout
+    `7z a -mf=Delta/-mf=BCJ` writes). Decode order: packed → LZMA1⁻¹ →
+    filter⁻¹; the bind pair routes LZMA's out (out-index 0) into the
+    filter's in (in-index 1), leaving the filter's out as the folder
+    output (NumBindPairs and packed indexes are implied per
+    7zFormat.txt when the counts are 1)."""
+    out = bytearray(_write_number(2))
+    out += bytes([0x20 | len(_CODEC_LZMA1)]) + _CODEC_LZMA1
+    out += _write_number(len(_LZMA1_PROPS)) + _LZMA1_PROPS
+    flags = len(filter_codec) | (0x20 if filter_props else 0)
+    out += bytes([flags]) + filter_codec
+    if filter_props:
+        out += _write_number(len(filter_props)) + filter_props
+    out += _write_number(1) + _write_number(0)  # the one bind pair
+    return bytes(out)
+
+
+# encode-order stdlib filter chains per payload_codec (the filter runs
+# FIRST on encode, so decode inverts it last — liblzma chain semantics)
+_DELTA_DIST = 2
+_PAYLOAD_CHAINS = {
+    "lzma": [_LZMA1_FILTER],
+    "lzma+delta": [{"id": lzma.FILTER_DELTA, "dist": _DELTA_DIST}, _LZMA1_FILTER],
+    "lzma+bcj": [{"id": lzma.FILTER_X86}, _LZMA1_FILTER],
+}
+
+
 def _streams_info(pack_pos: int, pack_sizes: list[int], folders: list[bytes],
                   unpack_sizes: list[int],
                   substreams: list[list[int]] | None,
@@ -205,8 +235,10 @@ def encode_7z(entries: list[tuple[str, bool, bytes | None]],
     'lzma' = LZMA1 kEncodedHeader (what `7z a` writes by default)."""
     if header_codec not in ("copy", "lzma"):
         raise ValueError("7z: header_codec must be 'copy' or 'lzma'")
-    if payload_codec not in ("copy", "lzma"):
-        raise ValueError("7z: payload_codec must be 'copy' or 'lzma'")
+    if payload_codec not in ("copy", "lzma", "lzma+delta", "lzma+bcj"):
+        raise ValueError(
+            "7z: payload_codec must be copy|lzma|lzma+delta|lzma+bcj"
+        )
     files = [(p, d, b"" if data is None else bytes(data))
              for p, d, data in entries]
     # stream_empty_payloads plants the rare-but-legal layout where an
@@ -222,13 +254,21 @@ def encode_7z(entries: list[tuple[str, bool, bytes | None]],
         if payload_codec == "copy":
             return raw
         comp = lzma.LZMACompressor(
-            format=lzma.FORMAT_RAW, filters=[_LZMA1_FILTER]
+            format=lzma.FORMAT_RAW, filters=_PAYLOAD_CHAINS[payload_codec]
         )
         return comp.compress(raw) + comp.flush()
 
-    folder_bytes = (
-        _copy_folder() if payload_codec == "copy" else _lzma1_folder()
-    )
+    if payload_codec == "copy":
+        folder_bytes = _copy_folder()
+    elif payload_codec == "lzma":
+        folder_bytes = _lzma1_folder()
+    elif payload_codec == "lzma+delta":
+        folder_bytes = _chain_folder(_CODEC_DELTA, bytes([_DELTA_DIST - 1]))
+    else:
+        folder_bytes = _chain_folder(_CODEC_BCJ_X86, b"")
+    # out-stream sizes per folder: a chain folder declares BOTH coder
+    # outputs (filters are size-preserving, so both equal the raw size)
+    n_outs = 2 if payload_codec.startswith("lzma+") else 1
 
     # ----- streams info for the file payloads
     n_payload = len(payloads)
@@ -240,14 +280,15 @@ def encode_7z(entries: list[tuple[str, bool, bytes | None]],
             raw = b"".join(payloads)
             body = _pack(raw)
             main_streams = bytes([_K_MAIN_STREAMS]) + _streams_info(
-                0, [len(body)], [folder_bytes], [len(raw)], [sizes], crcs
+                0, [len(body)], [folder_bytes], [len(raw)] * n_outs,
+                [sizes], crcs
             )
         else:
             packs = [_pack(p) for p in payloads]
             body = b"".join(packs)
             main_streams = bytes([_K_MAIN_STREAMS]) + _streams_info(
                 0, [len(p) for p in packs], [folder_bytes] * n_payload,
-                list(sizes),
+                [s for sz in sizes for s in [sz] * n_outs],
                 None if not with_crcs else [[sz] for sz in sizes], crcs
             )
     else:
@@ -405,13 +446,8 @@ def _folder_output_size(sizes: list[int], bound_out: set[int]) -> int:
     return sizes[unbound[0]]
 
 
-def _decode_coder(coder: tuple[bytes, bytes], packed: bytes,
-                  unpack_size: int) -> bytes:
-    codec, props = coder
-    if codec == _CODEC_COPY:
-        if len(packed) != unpack_size:
-            raise ValueError("7z: copy stream size mismatch")
-        return packed
+def _lzma_filter_spec(codec: bytes, props: bytes) -> dict:
+    """Stdlib filter dict for a 7z compression coder (LZMA1/LZMA2)."""
     if codec == _CODEC_LZMA1:
         if len(props) != 5:
             raise ValueError("7z: bad LZMA properties size")
@@ -420,12 +456,12 @@ def _decode_coder(coder: tuple[bytes, bytes], packed: bytes,
             raise ValueError("7z: bad LZMA properties byte")
         lc, rem = p % 9, p // 9
         lp, pb = rem % 5, rem // 5
-        filters = [{
+        return {
             "id": lzma.FILTER_LZMA1,
             "dict_size": max(4096, struct.unpack("<I", props[1:5])[0]),
             "lc": lc, "lp": lp, "pb": pb,
-        }]
-    elif codec == _CODEC_LZMA2:
+        }
+    if codec == _CODEC_LZMA2:
         if len(props) != 1:
             raise ValueError("7z: bad LZMA2 properties size")
         p = props[0]
@@ -433,9 +469,33 @@ def _decode_coder(coder: tuple[bytes, bytes], packed: bytes,
             raise ValueError("7z: bad LZMA2 dictionary size byte")
         # LZMA2 props byte: 40 = 4 GiB-1, else (2 | p&1) << (p//2 + 11)
         dict_size = (1 << 32) - 1 if p == 40 else (2 | (p & 1)) << (p // 2 + 11)
-        filters = [{"id": lzma.FILTER_LZMA2, "dict_size": dict_size}]
-    else:
-        raise ValueError(f"7z: unsupported header codec {codec.hex()}")
+        return {"id": lzma.FILTER_LZMA2, "dict_size": dict_size}
+    raise ValueError(f"7z: unsupported compression codec {codec.hex()}")
+
+
+def _branch_filter_spec(codec: bytes, props: bytes) -> dict:
+    """Stdlib filter dict for a 7z branch/delta filter coder — the
+    non-encumbered filter chains (xz ships the identical transforms, so
+    stdlib lzma decodes them natively in a FORMAT_RAW chain)."""
+    if codec == _CODEC_DELTA:
+        if len(props) != 1:
+            raise ValueError("7z: bad delta properties size")
+        return {"id": lzma.FILTER_DELTA, "dist": props[0] + 1}
+    if codec == _CODEC_BCJ_X86:
+        if props:
+            raise ValueError("7z: BCJ x86 start offsets unsupported")
+        return {"id": lzma.FILTER_X86}
+    raise ValueError(f"7z: unsupported filter codec {codec.hex()}")
+
+
+def _decode_coder(coder: tuple[bytes, bytes], packed: bytes,
+                  unpack_size: int) -> bytes:
+    codec, props = coder
+    if codec == _CODEC_COPY:
+        if len(packed) != unpack_size:
+            raise ValueError("7z: copy stream size mismatch")
+        return packed
+    filters = [_lzma_filter_spec(codec, props)]
     dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=filters)
     try:
         # 7z LZMA streams carry no end marker: the unpack size bounds
@@ -445,6 +505,40 @@ def _decode_coder(coder: tuple[bytes, bytes], packed: bytes,
         raise ValueError(f"7z: corrupt header stream: {e}") from e
     if len(out) != unpack_size:
         raise ValueError("7z: header decoded short")
+    return out
+
+
+def _decode_chain(coders: list[tuple[bytes, bytes]], packed: bytes,
+                  unpack_size: int) -> bytes:
+    """Decode a folder's coder chain: one compression coder, optionally
+    composed with ONE branch/delta filter (the BCJ x86 / Delta layouts
+    `7z a -mf=...` writes). The whole chain runs through a single stdlib
+    FORMAT_RAW decompressor — decode order packed → LZMA⁻¹ → filter⁻¹ is
+    exactly liblzma's chain semantics. AES and multi-filter chains stay
+    the documented boundary (ValueError)."""
+    if len(coders) == 1:
+        return _decode_coder(coders[0], packed, unpack_size)
+    if len(coders) != 2:
+        raise ValueError("7z: >2-coder folders unsupported for extraction")
+    comp = [c for c in coders if c[0] in (_CODEC_LZMA1, _CODEC_LZMA2)]
+    filt = [c for c in coders if c[0] in (_CODEC_DELTA, _CODEC_BCJ_X86)]
+    if len(comp) != 1 or len(filt) != 1:
+        raise ValueError(
+            "7z: unsupported coder chain "
+            f"{[c[0].hex() for c in coders]} (AES / stacked filters stay "
+            "the child-process boundary)"
+        )
+    filters = [
+        _branch_filter_spec(*filt[0]),
+        _lzma_filter_spec(*comp[0]),
+    ]
+    dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=filters)
+    try:
+        out = dec.decompress(packed, max_length=unpack_size)
+    except lzma.LZMAError as e:
+        raise ValueError(f"7z: corrupt filtered stream: {e}") from e
+    if len(out) != unpack_size:
+        raise ValueError("7z: filtered stream decoded short")
     return out
 
 
@@ -875,15 +969,15 @@ def _extract_7z_members(data: bytes | None) -> list[dict] | None:
     if len(streams.get("folder_out_sizes", [])) != len(folders):
         raise ValueError("7z: folder unpack sizes missing or miscounted")
     for fi, (coders, _n_out, _bound, n_packed) in enumerate(folders):
-        if len(coders) != 1 or n_packed != 1:
+        if n_packed != 1:
             raise ValueError(
-                "7z: filter-chain folders unsupported for extraction"
+                "7z: multi-pack-stream folders unsupported for extraction"
             )
         psize = pack_sizes[fi]
         if pack_at + psize > len(data):
             raise ValueError("7z: packed stream overruns the archive")
-        raw = _decode_coder(
-            coders[0], data[pack_at : pack_at + psize],
+        raw = _decode_chain(
+            coders, data[pack_at : pack_at + psize],
             streams["folder_out_sizes"][fi],
         )
         pack_at += psize

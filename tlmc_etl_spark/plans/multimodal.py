@@ -3110,9 +3110,10 @@ WITH ids AS (
   FROM ids, LATERAL (SELECT unnest(generate_series(0, 1)) AS k) k
 )
 SELECT vec_id AS track_id,
-       CASE vec_id % 6 WHEN 0 THEN '7z-copy' WHEN 1 THEN '7z-lzma-solid'
+       CASE vec_id % 8 WHEN 0 THEN '7z-copy' WHEN 1 THEN '7z-lzma-solid'
                        WHEN 2 THEN 'zip-store' WHEN 3 THEN 'zip-deflate'
-                       WHEN 4 THEN 'rar5-store' ELSE 'rar4-store' END AS arm,
+                       WHEN 4 THEN 'rar5-store' WHEN 5 THEN 'rar4-store'
+                       WHEN 6 THEN '7z-lzma-delta' ELSE '7z-lzma-bcj' END AS arm,
        CASE k WHEN 0 THEN 'm0.txt' ELSE 'sub/m1.txt' END AS path,
        CAST(length(content) AS BIGINT) AS size,
        md5(content) AS content_md5,
@@ -3126,18 +3127,22 @@ ORDER BY track_id, path
 def archive_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Extract stage's PAYLOAD step in-container — the reference
     runs `7z x` per archive (extract_plan.py:84-116); this plan builds
-    real archives cycling the six extractable layouts (7z Copy
+    real archives cycling the EIGHT extractable layouts (7z Copy
     per-file folders, 7z LZMA1 solid with a substream CRC table, zip
-    STORED, zip DEFLATE, RAR5 stored with data CRCs, RAR 4.x stored),
+    STORED, zip DEFLATE, RAR5 stored with data CRCs, RAR 4.x stored,
+    and — round 13 — the 7z BCJ-x86 and Delta FILTER CHAINS, two-coder
+    folders decoded through one stdlib FORMAT_RAW chain, the transforms
+    xz ships),
     extracts every member through the stdlib coders
     (operators/sevenzip.extract_7z_members, zipindex.extract_zip_members,
     rarindex.extract_rar_members — CRC32-verified against each archive's
     own digest tables), and emits one row per extracted file whose
     md5 the DuckDB oracle re-derives from the plant arithmetic: a
     single flipped payload byte anywhere in the decode path
-    hash-fails. COMPRESSED RAR payloads and 7z filter chains
-    (BCJ/delta/AES) stay the documented child-process boundary — proprietary or
-    unsourceable codecs, same stance as MP3 PCM. Plan shape: one map
+    hash-fails. COMPRESSED RAR payloads, AES and stacked 7z filter
+    chains stay the documented child-process boundary — proprietary or
+    unsourceable codecs, same stance as MP3 PCM (BCJ/Delta left that
+    list in round 13). Plan shape: one map
     stage, rows emitted in-task — no shuffle until the presentation
     sort."""
     import hashlib
@@ -3179,7 +3184,7 @@ def archive_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                      f"member-{vid}-1:".encode()
                      + b"x" * (50 + (vid * 7 + 1) % 100)),
                 ]
-                arm = vid % 6
+                arm = vid % 8
                 if arm == 0:
                     name = "7z-copy"
                     arc = encode_7z(members, header_codec="lzma",
@@ -3202,10 +3207,20 @@ def archive_member_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
                     name = "rar5-store"
                     arc = encode_rar5(members, with_crcs=True)
                     out = extract_rar_members(arc)
-                else:
+                elif arm == 5:
                     name = "rar4-store"
                     arc = encode_rar4(members)
                     out = extract_rar_members(arc)
+                elif arm == 6:
+                    name = "7z-lzma-delta"
+                    arc = encode_7z(members, payload_codec="lzma+delta",
+                                    solid=True, with_crcs=True)
+                    out = extract_7z_members(arc)
+                else:
+                    name = "7z-lzma-bcj"
+                    arc = encode_7z(members, payload_codec="lzma+bcj",
+                                    solid=True, with_crcs=True)
+                    out = extract_7z_members(arc)
                 for e in out:
                     if e["is_dir"]:
                         continue
