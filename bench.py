@@ -72,6 +72,7 @@ HEADLINE = [
     "embedding_near_dup",
     "embedding_near_dup_lsh",
     "embedding_near_dup_lsh_hi",
+    "embedding_near_dup_lsh_lowthr",
     "multimodal_features",
     "frame_sample_plan",
     "adts_chunk_plan",
@@ -117,16 +118,15 @@ HEADLINE = [
     "pca_scatter_projection",
     "scatter_density_serving",
     # round-9 curation surface (plans/curation2.py): semantic dedup and
-    # the xengine twins that made the LSH near-dup / minhash-CC /
-    # PQ-recon families driver value-checkable
+    # the portable-hash primaries (renamed from their *_xengine twin
+    # forms in round 14 so the driver-sampled names carry the oracles)
     "semantic_dedup_clusters",
-    "embedding_near_dup_lsh_xengine",
-    "minhash_cc_xengine",
-    "pq_recon_xengine",
+    "minhash_dedup_clusters",
+    "pq_reconstruction_audit",
     # storage-layout curve arithmetic (the write_zordered primitive)
     "zorder_curve_assign",
-    # OPQ chain twin (rotate -> encode -> decode, signed-perm rotation)
-    "opq_recon_xengine",
+    # OPQ chain (rotate -> encode -> decode, signed-perm rotation)
+    "opq_pq_recon_audit",
 ]
 
 # Deliberately-forced scale-stress entries: still timed and reported
@@ -136,7 +136,11 @@ HEADLINE = [
 # scheduler floor measures the scheduler, not the plan — the adaptive
 # path (doc_dedup_clusters, which IS what runs at sf0.1 in production)
 # stays in the subset.
-STRESS = ("doc_dedup_clusters_distributed",)
+# embedding_near_dup_lsh_lowthr: the 0.35-threshold recall demo sits
+# below any LSH family's separation range (candidates approach all
+# pairs) — an off-design stress form, timed but not graded; the
+# design-regime 0.9 forms (embedding_near_dup_lsh{,_hi}) are graded.
+STRESS = ("doc_dedup_clusters_distributed", "embedding_near_dup_lsh_lowthr")
 
 LOAD_THRESHOLD = 4.0  # 1-min loadavg above this => the walls are suspect
 WAIT_POLL_SEC = 15

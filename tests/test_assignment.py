@@ -54,7 +54,7 @@ def test_composed_plan_total_is_permutation_optimal(spark, sf_dir):
     from tlmc_etl_spark.operators.fuzzy import similarity
     from tlmc_etl_spark.plans import QUERIES
 
-    got = QUERIES["fuzzy_hungarian_match"].fn(spark, sf_dir).collect()
+    got = QUERIES["fuzzy_hungarian_fuzztitles"].fn(spark, sf_dir).collect()
     totals = {r["grp"]: r["group_total"] for r in got}
     accepts = {r["grp"]: r["accepted"] for r in got}
 

@@ -12,9 +12,9 @@ import pytest
 from tlmc_etl_spark.plans import QUERIES
 
 TRICKY = [
-    "pq_adc_topk",              # seeded k-means on a hash-ordered sample
-    "ivf_pq_topk",              # coarse quantizer + codes
-    "opq_pq_recon_audit",       # eigendecomposition + sign fix
+    "pq_adc_topk_kmeans",       # seeded k-means on a hash-ordered sample
+    "ivf_pq_topk_kmeans",       # coarse quantizer + codes
+    "opq_pq_recon_kmeans",      # eigendecomposition + sign fix
     "embedding_near_dup_lsh_hi",  # seeded hyperplanes, multi-table OR
     "kde_bandwidth_calibration",  # capped member sample
     "subprocess_probe_scan",    # real child processes

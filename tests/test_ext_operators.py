@@ -73,7 +73,7 @@ def test_lsh_ann_recall_vs_exact(spark, sf_dir, embeddings_np):
 
 
 def test_minhash_estimates_track_exact_jaccard(spark, sf_dir):
-    pairs = QUERIES["minhash_lsh_dedup"].fn(spark, sf_dir).collect()
+    pairs = QUERIES["minhash_lsh_prodhash"].fn(spark, sf_dir).collect()
     assert len(pairs) > 0
     con = duckdb.connect()
     texts = dict(
@@ -142,7 +142,7 @@ def test_ivf_ann_recall_vs_exact(spark, sf_dir, embeddings_np):
     Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
     sim = Mn @ Mn.T
     np.fill_diagonal(sim, -np.inf)
-    approx = QUERIES["ivf_ann_topk"].fn(spark, sf_dir).collect()
+    approx = QUERIES["ivf_ann_topk_kmeans"].fn(spark, sf_dir).collect()
     by_anchor: dict[int, set[int]] = {}
     for r in approx:
         by_anchor.setdefault(r["anchor"], set()).add(r["neighbor"])
@@ -162,7 +162,7 @@ def test_lsh_near_dup_recall_and_exactness_vs_all_pairs(spark, sf_dir):
         (r["keep_id"], r["dup_id"]): r["score"]
         for r in QUERIES["embedding_near_dup"].fn(spark, sf_dir).collect()
     }
-    approx = QUERIES["embedding_near_dup_lsh"].fn(spark, sf_dir).collect()
+    approx = QUERIES["embedding_near_dup_lsh_lowthr"].fn(spark, sf_dir).collect()
     got = {}
     for r in approx:
         key = (r["keep_id"], r["dup_id"])
@@ -176,6 +176,36 @@ def test_lsh_near_dup_recall_and_exactness_vs_all_pairs(spark, sf_dir):
     assert exact, "oracle produced no pairs; recall gate is vacuous"
     recall = len(got) / len(exact)
     assert recall >= 0.95, f"recall {recall:.3f} < 0.95"
+
+
+def test_lsh_hi_oracle_knobs_match_autosize():
+    """embedding_near_dup_lsh_hi auto-sizes its knobs to the corpus, but
+    its generated SQL oracle embeds hyperplane LITERALS for the knob
+    values auto-sizing yields at the driver's oracle sf (0.01). This pins
+    that agreement: if the sf0.01 corpus size or the auto-sizing formula
+    changes, this fails BEFORE the driver's hash compare does."""
+    import math
+
+    import duckdb
+
+    from tlmc_etl_spark.operators.vectors import auto_n_tables
+    from tlmc_etl_spark.plans.curation2 import _LSH_HI_PLANES, _LSH_HI_TABLES
+
+    n = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.01/embeddings.parquet'"
+    ).fetchone()[0]
+    n_planted = n + duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.01/embeddings.parquet' "
+        "WHERE vec_id % 10 = 0"
+    ).fetchone()[0]
+    planes = max(8, math.ceil(math.log2(max(n_planted, 1) / 8)))
+    assert planes == _LSH_HI_PLANES, (
+        f"auto-sized planes at sf0.01 is {planes}; oracle embeds {_LSH_HI_PLANES}"
+    )
+    tables = auto_n_tables(planes, 0.9, 0.95)
+    assert tables == _LSH_HI_TABLES, (
+        f"auto-sized tables at sf0.01 is {tables}; oracle embeds {_LSH_HI_TABLES}"
+    )
 
 
 def test_lsh_near_dup_hi_threshold_recall_on_planted_dups(spark, sf_dir):
@@ -406,7 +436,7 @@ class TestConnectedComponents:
 
         clusters = {
             r["doc_id"]: r["cluster_id"]
-            for r in QUERIES["minhash_dedup_clusters"].fn(spark, sf_dir).collect()
+            for r in QUERIES["minhash_clusters_prodhash"].fn(spark, sf_dir).collect()
         }
         docs = load_table(spark, sf_dir, "documents")
         pairs = minhash_near_dupes(

@@ -14,15 +14,28 @@ from tlmc_etl_spark.plans import QUERIES
 
 
 def test_simhash_dedup_pairs_are_canonical_and_within_radius(spark, sf_dir):
-    rows = QUERIES["simhash_dedup"].fn(spark, sf_dir).collect()
+    rows = QUERIES["simhash_prodhash"].fn(spark, sf_dir).collect()
     assert rows, "no simhash candidate pairs at test scale"
     for r in rows:
         assert r["id_a"] < r["id_b"], "pairs must be canonical (a < b)"
         assert 0 <= r["hamming"] <= 16, f"radius contract violated: {r}"
 
 
-@pytest.mark.parametrize("name", ["pq_reconstruction_audit", "opq_pq_recon_audit"])
-def test_pq_audits_cover_every_vector_with_bounded_cosine(spark, sf_dir, name):
+@pytest.mark.parametrize(
+    "name,floor",
+    [
+        # portable primaries: hash-medoid codebooks with ZERO k-means
+        # iterations (the price of SQL replayability) — the audit must
+        # still clearly beat random-codebook recon (~0 mean cosine for
+        # 64-dim), but it cannot match trained codebooks
+        ("pq_reconstruction_audit", 0.2),
+        ("opq_pq_recon_audit", 0.2),
+        # production k-means forms keep the trained-quality floor
+        ("pq_recon_kmeans", 0.5),
+        ("opq_pq_recon_kmeans", 0.5),
+    ],
+)
+def test_pq_audits_cover_every_vector_with_bounded_cosine(spark, sf_dir, name, floor):
     df = QUERIES[name].fn(spark, sf_dir)
     n_vec = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     stats = df.agg(
@@ -33,7 +46,7 @@ def test_pq_audits_cover_every_vector_with_bounded_cosine(spark, sf_dir, name):
     ).first()
     assert stats["n"] == n_vec, "audit must emit one row per vector"
     assert -1.0 <= stats["mn"] and stats["mx"] <= 1.0
-    assert stats["avg"] > 0.5, f"{name}: mean recon {stats['avg']:.3f} below floor"
+    assert stats["avg"] > floor, f"{name}: mean recon {stats['avg']:.3f} below floor"
 
 
 def test_two_stage_similarity_query_emits_dense_ranked_neighbors(spark, sf_dir):
@@ -73,6 +86,6 @@ def test_portable_hll_estimate_accuracy(spark, sf_dir):
     m=256 sketch (3 * 1.04/sqrt(256) ~ 19.5%)."""
     from tlmc_etl_spark.plans import QUERIES
 
-    for r in QUERIES["hll_user_rollup_xengine"].fn(spark, sf_dir).collect():
+    for r in QUERIES["hll_user_rollup"].fn(spark, sf_dir).collect():
         rel = abs(r["est_hll"] - r["n_exact"]) / max(r["n_exact"], 1)
         assert rel < 0.195, f"{r['event_type']}: rel err {rel:.3f}"

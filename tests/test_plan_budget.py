@@ -49,7 +49,8 @@ SHUFFLE_BUDGET = {
     "doc_exact_dedup": 1,
     "substring_span_dedup": 3,
     "dataset_split_assign": 0,
-    "hll_user_rollup": 5,
+    "hll_user_rollup_datasketch": 5,
+    "hll_user_rollup": 5,  # portable HLL: distinct + bucket/type aggs + exact-side distinct + join
     "doc_chunking": 0,
     "sequence_packing": 1,
     "corpus_mix_sample": 0,
@@ -58,10 +59,11 @@ SHUFFLE_BUDGET = {
     "curation_lifecycle": 2,
     "benchmark_contamination": 1,
     "minhash_lsh_dedup": 2,
+    "minhash_lsh_prodhash": 2,
     "doc_dedup_clusters": 0,  # iterative stages run via checkpoints, not this plan
     "doc_dedup_clusters_distributed": 0,  # same: loop rounds checkpoint
     "embedding_near_dup": 0,
-    "embedding_near_dup_lsh": 0,  # candidate join rides broadcast at this sf
+    "embedding_near_dup_lsh_lowthr": 0,  # candidate join rides broadcast at this sf
     "embedding_near_dup_lsh_hi": 0,
     "multimodal_features": 0,
     "frame_sample_plan": 0,
@@ -109,11 +111,12 @@ SHUFFLE_BUDGET = {
     "scatter_density_serving": 1,
     # round-9 additions (plans/curation2.py)
     "semantic_dedup_clusters": 2,  # cell equi-join + dup_of left join
-    "embedding_near_dup_lsh_xengine": 0,  # candidate join rides broadcast at this sf
-    "minhash_cc_xengine": 0,  # banded join + CC rounds run via checkpoints
-    "pq_recon_xengine": 0,  # encode+decode is one map stage, codebooks broadcast
+    "embedding_near_dup_lsh": 0,  # candidate join rides broadcast at this sf
+    "minhash_dedup_clusters": 0,  # banded join + CC rounds run via checkpoints
+    "minhash_clusters_prodhash": 0,
+    "pq_reconstruction_audit": 0,  # encode+decode is one map stage, codebooks broadcast
     "zorder_curve_assign": 0,  # unrolled shift/mask sum, pure map
-    "opq_recon_xengine": 0,  # rotate map + encode/decode map, codebooks broadcast
+    "opq_pq_recon_audit": 0,  # rotate map + encode/decode map, codebooks broadcast
 }
 
 

@@ -119,7 +119,7 @@ class TestParallelismConfig:
     def test_ivf_pq_ships_codes_not_vectors_and_fans_out(self, spark, sf_dir):
         # the candidate side of the cell join must carry codes (m ints),
         # never the embedding column; the ADC scorer pins parallelism
-        plan = plan_of(spark, sf_dir, "ivf_pq_topk", mode="simple")
+        plan = plan_of(spark, sf_dir, "ivf_pq_topk_kmeans", mode="simple")
         assert "CartesianProduct" not in plan and "NestedLoopJoin" not in plan
         assert "REPARTITION_BY_NUM" in plan, "ADC stage lost its fanout"
 
@@ -251,7 +251,9 @@ class TestOlapPlans:
         assert "partial_approx_percentile" in low or "objhashaggregate" in low, plan
 
     def test_hll_rollup_sketches_combine_map_side(self, spark, sf_dir):
-        plan = plan_of(spark, sf_dir, "hll_user_rollup")
+        # the datasketch variant (the primary is the SQL-replayable
+        # portable-hash estimator since round 14)
+        plan = plan_of(spark, sf_dir, "hll_user_rollup_datasketch")
         low = plan.lower()
         assert "hllsketchagg" in low.replace("_", "") or "hll_sketch_agg" in low, plan
 
@@ -354,6 +356,31 @@ class TestGlobalWindowLint:
     # whitelisted by query name here, with the justification inline.
     # Currently empty: every registered global window rides a Limit.
     WHITELIST: frozenset = frozenset()
+
+    def test_bounded_one_partition_keeps_null_keys_in_the_group(self, spark):
+        """pmod(col, 1) is NULL for NULL keys, which would open a SECOND
+        window partition and restart row_number (duplicate ranks —
+        e.g. lifecycle.py keys on F.length('circle_dir'); a NULL
+        circle_dir row must not mint a duplicate release_idx). The
+        idiom coalesces NULLs to the single group."""
+        from pyspark.sql import Window as W
+        from pyspark.sql import functions as F
+
+        from tlmc_etl_spark.tuning import bounded_one_partition
+
+        df = spark.createDataFrame(
+            [(1,), (None,), (2,), (None,)], "k int"
+        ).limit(10)
+        ranked = df.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy(bounded_one_partition("k")).orderBy(
+                    F.col("k").asc_nulls_last()
+                )
+            ),
+        )
+        rns = sorted(r["rn"] for r in ranked.collect())
+        assert rns == [1, 2, 3, 4], f"NULL keys split the window: {rns}"
 
     @staticmethod
     def _subtree_has_limit(node) -> bool:

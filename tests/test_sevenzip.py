@@ -459,16 +459,69 @@ class TestSevenZipExtraction:
             [("x.bin", False, bytes(range(256)) * 6)],
             payload_codec="lzma+delta", with_crcs=True,
         )
-        flips = 0
+        detected = 0
         for at in range(32, len(base) - 60):
             arc = bytearray(base)
             arc[at] ^= 0xFF
+            # "never silent" means: a flip that changes the decoded bytes
+            # is caught EITHER by a decode-time ValueError (CRC mismatch
+            # raises too) OR by a crc_ok=False report. A crc_ok=False row
+            # is detection, not silence — asserting all(crc_ok) inside the
+            # try block would turn a detected flip into a test FAILURE
+            # (the AssertionError escapes the except ValueError).
             try:
                 out = extract_7z_members(bytes(arc))
-                assert all(e["crc_ok"] for e in out if e["content"])
             except ValueError:
-                flips += 1
-        assert flips > 0
+                detected += 1
+                continue
+            if any(e["crc_ok"] is False for e in out if e["content"]):
+                detected += 1
+                continue
+            # decode succeeded and every content CRC verified: the flip
+            # must have been byte-neutral for the decoded content
+            assert all(e["crc_ok"] for e in out if e["content"]), (
+                f"flip at {at}: decode returned content with unverified CRC"
+            )
+        assert detected > 0
+
+    def test_reversed_bind_pair_topology_refuses(self, monkeypatch):
+        """An untrusted archive can wire a 2-coder folder BACKWARDS
+        (packed→filter→LZMA): same codec ids, different bind-pair
+        routing. Decoding it with the packed→LZMA→filter chain order
+        would return wrong bytes — silently when no CRC table exists —
+        so _decode_chain must verify the routing and raise."""
+        import pytest
+
+        import tlmc_etl_spark.operators.sevenzip as sz
+
+        # unit level: crafted topology, reversed routing
+        topo = {
+            "spans": [(0, 1, 0, 1), (1, 1, 1, 1)],  # coder0=LZMA, coder1=Delta
+            "bind_pairs": [(0, 1)],  # Delta's OUT feeds LZMA's IN (reversed)
+            "packed_idxs": [1],  # packed feeds the Delta filter
+        }
+        with pytest.raises(ValueError, match="bind pair|packed stream"):
+            sz._decode_chain(
+                [(sz._CODEC_LZMA1, sz._LZMA1_PROPS), (sz._CODEC_DELTA, b"\x01")],
+                b"x", 8, topo,
+            )
+
+        # end to end: a full archive whose folder carries the reversed
+        # bind pair (no CRC table — the silent-garbage case)
+        real_chain_folder = sz._chain_folder
+
+        def reversed_chain_folder(filter_codec, filter_props):
+            blob = real_chain_folder(filter_codec, filter_props)
+            assert blob.endswith(bytes([1, 0]))  # the (in=1, out=0) pair
+            return blob[:-2] + bytes([0, 1])  # rewire to (in=0, out=1)
+
+        monkeypatch.setattr(sz, "_chain_folder", reversed_chain_folder)
+        arc = sz.encode_7z(
+            [("x.bin", False, bytes(range(256)) * 4)],
+            payload_codec="lzma+delta", with_crcs=False,
+        )
+        with pytest.raises(ValueError, match="bind pair|packed stream"):
+            sz.extract_7z_members(arc)
 
     def test_unsupported_chains_still_refuse(self):
         # AES / stacked-filter folders stay the documented boundary:

@@ -409,7 +409,7 @@ def _decode_folder_stream(r: _Reader, fetch, base: int) -> bytes:
                 raise ValueError("7z: encoded header must be one folder")
             if r.byte():
                 raise ValueError("7z: external folder data unsupported")
-            coders, n_out, bound_out, _n_packed = _read_folder(r)
+            coders, n_out, bound_out, _n_packed, _topo = _read_folder(r)
             while True:
                 sub = r.number()
                 if sub == _K_END:
@@ -509,13 +509,20 @@ def _decode_coder(coder: tuple[bytes, bytes], packed: bytes,
 
 
 def _decode_chain(coders: list[tuple[bytes, bytes]], packed: bytes,
-                  unpack_size: int) -> bytes:
+                  unpack_size: int, topo: dict | None = None) -> bytes:
     """Decode a folder's coder chain: one compression coder, optionally
     composed with ONE branch/delta filter (the BCJ x86 / Delta layouts
     `7z a -mf=...` writes). The whole chain runs through a single stdlib
     FORMAT_RAW decompressor — decode order packed → LZMA⁻¹ → filter⁻¹ is
     exactly liblzma's chain semantics. AES and multi-filter chains stay
-    the documented boundary (ValueError)."""
+    the documented boundary (ValueError).
+
+    `topo` (from _read_folder) pins the BIND-PAIR ROUTING, not just the
+    codec ids: the packed stream must feed the COMPRESSION coder and the
+    bind pair must route the compression coder's output into the filter.
+    An archive wired the other way (packed→filter→LZMA) would otherwise
+    decode in the wrong order and — with no CRC table — return wrong
+    bytes silently (crc_ok None) instead of raising."""
     if len(coders) == 1:
         return _decode_coder(coders[0], packed, unpack_size)
     if len(coders) != 2:
@@ -528,6 +535,31 @@ def _decode_chain(coders: list[tuple[bytes, bytes]], packed: bytes,
             f"{[c[0].hex() for c in coders]} (AES / stacked filters stay "
             "the child-process boundary)"
         )
+    if topo is not None:
+        ci = coders.index(comp[0])
+        fi = coders.index(filt[0])
+        spans = topo["spans"]
+
+        def _owner(idx: int, which: str) -> int:
+            for k, (i0, ni, o0, no) in enumerate(spans):
+                lo, n = (i0, ni) if which == "in" else (o0, no)
+                if lo <= idx < lo + n:
+                    return k
+            raise ValueError(f"7z: bind/packed {which}-index {idx} out of range")
+
+        if len(topo["bind_pairs"]) != 1 or len(topo["packed_idxs"]) != 1:
+            raise ValueError("7z: filtered folder must have 1 bind pair + 1 packed stream")
+        b_in, b_out = topo["bind_pairs"][0]
+        if _owner(b_out, "out") != ci or _owner(b_in, "in") != fi:
+            raise ValueError(
+                "7z: bind pair does not route compressor output into the "
+                "filter (reversed/exotic folder wiring unsupported)"
+            )
+        if _owner(topo["packed_idxs"][0], "in") != ci:
+            raise ValueError(
+                "7z: packed stream does not feed the compression coder "
+                "(reversed/exotic folder wiring unsupported)"
+            )
     filters = [
         _branch_filter_spec(*filt[0]),
         _lzma_filter_spec(*comp[0]),
@@ -544,14 +576,20 @@ def _decode_chain(coders: list[tuple[bytes, bytes]], packed: bytes,
 
 def _read_folder(
     r: _Reader,
-) -> tuple[list[tuple[bytes, bytes]], int, set[int], int]:
+) -> tuple[list[tuple[bytes, bytes]], int, set[int], int, dict]:
     """One folder → ([(codec_id, props)], total out streams, the set of
     out-stream indexes consumed by bind pairs, the folder's packed-
-    stream count). Also validates the in/out stream bookkeeping."""
+    stream count, and the folder TOPOLOGY: per-coder in/out stream
+    spans, the bind pairs' (in, out) index routing, and the packed
+    in-stream indexes. The topology is what _decode_chain verifies —
+    codec ids alone cannot distinguish packed→LZMA→filter from a
+    reversed (hostile or exotic) packed→filter→LZMA wiring, and with no
+    CRC table a wrongly-ordered decode would return garbage silently."""
     n_coders = r.number()
     if not 1 <= n_coders <= 64:
         raise ValueError("7z: implausible coder count")
     coders = []
+    spans = []  # per coder: (in_start, n_in, out_start, n_out)
     total_in = 0
     total_out = 0
     for _ in range(n_coders):
@@ -566,18 +604,28 @@ def _read_folder(
         if flags & 0x20:
             props = r.bytes(r.number())
         coders.append((codec, props))
+        spans.append((total_in, n_in, total_out, n_out))
         total_in += n_in
         total_out += n_out
     n_bind = total_out - 1
     bound_out: set[int] = set()
+    bound_in: set[int] = set()
+    bind_pairs: list[tuple[int, int]] = []
     for _ in range(n_bind):
-        r.number()  # in index
-        bound_out.add(r.number())  # out index: consumed internally
+        in_idx = r.number()
+        out_idx = r.number()  # out index: consumed internally
+        bind_pairs.append((in_idx, out_idx))
+        bound_in.add(in_idx)
+        bound_out.add(out_idx)
     n_packed = total_in - n_bind
     if n_packed > 1:
-        for _ in range(n_packed):
-            r.number()
-    return coders, total_out, bound_out, n_packed
+        packed_idxs = [r.number() for _ in range(n_packed)]
+    else:
+        # single packed stream: by 7zFormat.txt it is the one in-stream
+        # no bind pair consumes
+        packed_idxs = [i for i in range(total_in) if i not in bound_in]
+    topo = {"spans": spans, "bind_pairs": bind_pairs, "packed_idxs": packed_idxs}
+    return coders, total_out, bound_out, n_packed, topo
 
 
 def _read_crcs(r: _Reader, n: int) -> list[int | None]:
@@ -639,7 +687,7 @@ def _read_streams_info(
                     break
                 if sub == _K_CODERS_UNPACK_SIZE:
                     folder_out_sizes = []
-                    for _, n_out, bound_out, _np in folder_meta:
+                    for _, n_out, bound_out, _np, _topo in folder_meta:
                         sizes = [r.number() for _ in range(n_out)]
                         folder_out_sizes.append(
                             _folder_output_size(sizes, bound_out)
@@ -956,7 +1004,7 @@ def _extract_7z_members(data: bytes | None) -> list[dict] | None:
             e["crc_ok"] = None
         return entries
     pack_sizes = streams.get("pack_sizes", [])
-    if sum(np for _, _, _, np in folders) != len(pack_sizes):
+    if sum(np for _, _, _, np, _t in folders) != len(pack_sizes):
         raise ValueError("7z: pack streams do not match folder consumption")
     base = 32 + streams.get("pack_pos", 0)
     # decode every folder, slice its substreams, verify digests
@@ -968,7 +1016,7 @@ def _extract_7z_members(data: bytes | None) -> list[dict] | None:
     sub_crcs = streams["sub_crcs"]
     if len(streams.get("folder_out_sizes", [])) != len(folders):
         raise ValueError("7z: folder unpack sizes missing or miscounted")
-    for fi, (coders, _n_out, _bound, n_packed) in enumerate(folders):
+    for fi, (coders, _n_out, _bound, n_packed, topo) in enumerate(folders):
         if n_packed != 1:
             raise ValueError(
                 "7z: multi-pack-stream folders unsupported for extraction"
@@ -978,7 +1026,7 @@ def _extract_7z_members(data: bytes | None) -> list[dict] | None:
             raise ValueError("7z: packed stream overruns the archive")
         raw = _decode_chain(
             coders, data[pack_at : pack_at + psize],
-            streams["folder_out_sizes"][fi],
+            streams["folder_out_sizes"][fi], topo,
         )
         pack_at += psize
         at = 0

@@ -1,16 +1,19 @@
-"""Curation surface, round 9: cluster-scoped semantic dedup and three
-cross-engine oracle twins that convert previously rows-only ext queries
-into driver value-checked rows.
+"""Curation surface, round 9: cluster-scoped semantic dedup and the
+cross-engine oracle forms that make the dedup/PQ/lifecycle families
+driver value-checkable.
 
-The xengine pattern (established by minhash_lsh_xengine /
-ivf_pq_xengine): pin every data-dependent or engine-native ingredient —
-hashes become the portable md5-prefix hash, trained quantizers become
-hash-sampled medoids or seed-fixed hyperplane literals, and every
-ranking works on round(·, 6) values with index tie-breaks — so DuckDB
-replays the complete algorithm and the driver hash-compares values, not
-just row counts. The production (xxhash64 / k-means / auto-sized)
-siblings keep their registrations and share the plan shape with these
-twins line for line.
+The xengine pattern: pin every data-dependent or engine-native
+ingredient — hashes become the portable md5-prefix hash, trained
+quantizers become hash-sampled medoids or seed-fixed hyperplane
+literals, and every ranking works on round(·, 6) values with index
+tie-breaks — so DuckDB replays the complete algorithm and the driver
+hash-compares values, not just row counts. Since round 14 these
+SQL-replayable forms carry the PRIMARY registered names
+(embedding_near_dup_lsh, minhash_dedup_clusters,
+pq_reconstruction_audit, lifecycle_similar_shards, opq_pq_recon_audit)
+while the production (xxhash64 / k-means) siblings keep variant
+registrations (*_prodhash / *_kmeans) and share the plan shape with
+these forms line for line.
 
 Reference parity note: the semantic-dedup collapse is the reference's
 similar-track keep/drop decision (precompute_similar_tracks.py:244-275)
@@ -61,24 +64,29 @@ def _plant_sql(inner: str = "embeddings") -> str:
 """
 
 
-def _lsh_near_dup_xengine_oracle() -> str:
-    """SQL replay of lsh_near_dup with PINNED knobs (10 planes x 2
-    tables): the seed-fixed hyperplanes are data-independent so they
-    embed as literals; per-table 10-bit sign keys, Hamming<=1 candidate
-    join via the 11-entry probe unnest, DISTINCT pair set (equal to the
-    operator's first-matching-table emission), exact cosine >= 0.9.
-    The planted pairs sit at cos~0.98 and true pairs at <=0.51, so the
-    threshold comparison is margin-safe against summation-order ulps."""
+def _lsh_near_dup_xengine_oracle(
+    n_planes: int = _LSH_XENGINE_PLANES, n_tables: int = _LSH_XENGINE_TABLES
+) -> str:
+    """SQL replay of lsh_near_dup with KNOWN knobs (default: the pinned
+    10 planes x 2 tables of the primary): the seed-fixed hyperplanes are
+    data-independent so they embed as literals; per-table sign keys,
+    Hamming<=1 candidate join via the probe unnest, DISTINCT pair set
+    (equal to the operator's first-matching-table emission), exact
+    cosine >= 0.9. The planted pairs sit at cos~0.98 and true pairs at
+    <=0.51, so the threshold comparison is margin-safe against
+    summation-order ulps. For the auto-sized `_hi` sibling the knobs
+    passed in are the values auto-sizing yields at the driver's oracle
+    sf (0.01) — pinned by test_lsh_hi_oracle_knobs_match_autosize."""
     from tlmc_etl_spark.operators.vectors import make_hyperplanes
 
-    planes = make_hyperplanes(64, _LSH_XENGINE_PLANES * _LSH_XENGINE_TABLES, 42)
+    planes = make_hyperplanes(64, n_planes * n_tables, 42)
     rows = ",\n    ".join(
-        f"({r // _LSH_XENGINE_PLANES}, {r % _LSH_XENGINE_PLANES}, "
+        f"({r // n_planes}, {r % n_planes}, "
         f"[{', '.join(repr(float(x)) for x in planes[r])}])"
         for r in range(planes.shape[0])
     )
     flips = ", ".join(
-        ["key"] + [f"xor(key, {1 << i})" for i in range(_LSH_XENGINE_PLANES)]
+        ["key"] + [f"xor(key, {1 << i})" for i in range(n_planes)]
     )
     return f"""
 WITH planes(t, i, p) AS (
@@ -113,11 +121,12 @@ FROM scored WHERE cos >= 0.9 ORDER BY keep_id, dup_id
 """
 
 
-@query("embedding_near_dup_lsh_xengine", oracle=_lsh_near_dup_xengine_oracle())
+@query("embedding_near_dup_lsh", oracle=_lsh_near_dup_xengine_oracle())
 def embedding_near_dup_lsh_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table sign-LSH embedding near-dup, cross-engine oracle form.
 
-    Identical algorithm to embedding_near_dup_lsh_hi (multi-table sign
+    Identical algorithm to the auto-sized embedding_near_dup_lsh_hi
+    sibling (multi-table sign
     keys -> Hamming<=1 probe join -> exact cosine >= 0.9 over the planted
     corpus) but with BOTH knobs pinned (10 planes x 2 tables) instead of
     auto-sized, so the seed-fixed hyperplanes embed in the oracle as
@@ -134,6 +143,27 @@ def embedding_near_dup_lsh_xengine(spark: SparkSession, sf_dir: str) -> DataFram
         _plant_near_dups(emb), "vec_id", "embedding", threshold=0.9,
         n_planes=_LSH_XENGINE_PLANES, n_tables=_LSH_XENGINE_TABLES,
     ).orderBy("keep_id", "dup_id")
+
+
+# embedding_near_dup_lsh_hi — the auto-sized production form (defined in
+# plans/ext.py), registered here with a GENERATED oracle whose hyperplane
+# literals are exactly the knobs auto-sizing yields at the driver's oracle
+# sf (0.01): corpus = 500 vectors + 50 planted = 550 ->
+# n_planes = max(8, ceil(log2(550/8))) = 8 and
+# n_tables = auto_n_tables(8, threshold=0.9, recall_target=0.95) = 3.
+# Knob agreement between these literals and the operator's auto-sizing is
+# pinned by tests/test_ext_operators.py::test_lsh_hi_oracle_knobs_match_autosize
+# — at any other sf the operator re-sizes itself and the recall gate (not
+# this oracle) is the correctness statement.
+_LSH_HI_PLANES = 8
+_LSH_HI_TABLES = 3
+
+from tlmc_etl_spark.plans.ext import embedding_near_dup_lsh_hi as _lsh_hi_fn  # noqa: E402
+
+query(
+    "embedding_near_dup_lsh_hi",
+    oracle=_lsh_near_dup_xengine_oracle(_LSH_HI_PLANES, _LSH_HI_TABLES),
+)(_lsh_hi_fn)
 
 
 # --------------------------------------------------------------------------
@@ -190,16 +220,16 @@ FROM cc GROUP BY node ORDER BY doc_id
 """
 
 
-@query("minhash_cc_xengine", oracle=_MINHASH_CC_XENGINE_ORACLE)
+@query("minhash_dedup_clusters", oracle=_MINHASH_CC_XENGINE_ORACLE)
 def minhash_cc_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The complete scale-path near-dup clustering pipeline —
     MinHash signatures -> LSH bands -> candidate pairs -> connected
     components -> representative election — as ONE cross-engine
     value-checked row.
 
-    minhash_dedup_clusters (the production xxhash64 form) composes the
+    minhash_clusters_prodhash (the production xxhash64 form) composes the
     same two stages but each was previously verified separately (the
-    portable-hash pair set via minhash_lsh_xengine, the CC collapse via
+    portable-hash pair set via the minhash_lsh_dedup primary, the CC collapse via
     doc_dedup_clusters' recursive-CTE oracle); this twin checks their
     COMPOSITION: the oracle recomputes portable signatures, banding,
     agreement filter, then closes the pair graph with a recursive CTE —
@@ -273,7 +303,7 @@ FROM recon ORDER BY vec_id
 """
 
 
-@query("pq_recon_xengine", oracle=_PQ_RECON_XENGINE_ORACLE)
+@query("pq_reconstruction_audit", oracle=_PQ_RECON_XENGINE_ORACLE)
 def pq_recon_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector PQ lossiness audit, cross-engine oracle form: the
     hash-medoid codebooks of pq_adc_xengine (8 portable-hash seeds' 4x16
@@ -281,7 +311,7 @@ def pq_recon_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon_cosine = sum of per-subspace dots over the decode norm —
     DuckDB replays codebook -> encode -> decode -> cosine exactly, so
     the driver value-checks the audit arithmetic that
-    pq_reconstruction_audit (the production k-means form, rows-only by
+    pq_recon_kmeans (the production k-means form, rows-only by
     necessity) ships to monitoring. Same audited quantity as the
     reference's index-quality monitoring over its OPQ64,IVF16384,PQ64x8
     index (faiss_index_builder.py:10-23)."""
@@ -461,11 +491,11 @@ FROM hydrated GROUP BY shard ORDER BY shard
 """
 
 
-@query("lifecycle_shards_xengine", oracle=_lifecycle_xengine_oracle())
+@query("lifecycle_similar_shards", oracle=_lifecycle_xengine_oracle())
 def lifecycle_shards_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed catalog → review-gate → two-stage similarity → CSV
     shard sink → read-back lifecycle, cross-engine oracle form: same
-    pipeline as lifecycle_similar_shards but the shard mapping uses the
+    pipeline as lifecycle_shards_prodhash but the shard mapping uses the
     portable 60-bit hash (`assign_shard(portable=True)`) instead of
     xxhash64, so the final per-shard stats — the only production output
     the sink's consumers see — are value-checked by one composed SQL
@@ -552,12 +582,12 @@ def opq_xengine_rotation():
     return R
 
 
-@query("opq_recon_xengine", oracle=_opq_recon_xengine_oracle())
+@query("opq_pq_recon_audit", oracle=_opq_recon_xengine_oracle())
 def opq_recon_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The OPQ audit chain (rotate -> train -> encode -> decode ->
     recon cosine), cross-engine oracle form: the rotation is a
     seed-fixed SIGNED PERMUTATION — orthogonal like the production PCA
-    rotation (opq_pq_recon_audit, whose eigenbasis is not
+    rotation (opq_pq_recon_kmeans, whose eigenbasis is not
     SQL-expressible) but exactly replayable, and it flows through the
     PRODUCTION `rotate_vectors` matmul path, so the rotate-then-quantize
     plumbing the OPQ audit depends on is value-checked end to end. The

@@ -79,7 +79,7 @@ def partitioned_month_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("hll_user_rollup")
+@query("hll_user_rollup_datasketch")
 def hll_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable distinct-user rollup: per-(event_type, shard) HLL
     sketches, unioned per event_type, against the exact count.
@@ -167,7 +167,7 @@ ORDER BY event_type
 """
 
 
-@query("hll_user_rollup_xengine", oracle=_HLL_XENGINE_ORACLE)
+@query("hll_user_rollup", oracle=_HLL_XENGINE_ORACLE)
 def hll_user_rollup_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-user estimate, cross-engine oracle form: the
     SKETCH ALGORITHM itself (Flajolet et al. 2007, public) implemented

@@ -51,8 +51,13 @@ def bounded_one_partition(numeric_col) -> "Column":  # noqa: F821
     this idiom as a GLOBAL window — using it over a non-limited input
     still fails CI; it silences the warning only where the boundedness
     is structural.
+
+    NULL keys coalesce to 0 first: pmod(NULL, 1) is NULL, which would
+    split NULL-key rows into a SECOND window partition and restart
+    row_number there (duplicate ranks). coalesce(col, 0) still
+    references the column, so the expression stays non-foldable.
     """
     from pyspark.sql import functions as F
 
     c = F.col(numeric_col) if isinstance(numeric_col, str) else numeric_col
-    return F.pmod(c, F.lit(1))
+    return F.pmod(F.coalesce(c, F.lit(0)), F.lit(1))

@@ -23,8 +23,8 @@ from tlmc_etl_spark.session import get_spark
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 NAMES = sys.argv[2:] or [
-    "minhash_lsh_dedup",
-    "simhash_dedup",
+    "minhash_lsh_prodhash",
+    "simhash_prodhash",
     "ngram_jaccard_capped",
     "doc_dedup_clusters",
 ]

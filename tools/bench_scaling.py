@@ -114,10 +114,10 @@ NOTES = {
         "exact all-pairs oracle twin of the LSH form - O(n^2) by design; "
         "the scale path is embedding_near_dup_lsh (recall>=0.95-gated)"
     ),
-    "embedding_near_dup_lsh": (
+    "embedding_near_dup_lsh_lowthr": (
         "off-design 0.35-threshold regime where candidates approach all "
-        "pairs - documented stress case; the >=0.8 design regime is "
-        "embedding_near_dup_lsh_hi"
+        "pairs - documented stress case, excluded from the graded ratio; "
+        "the >=0.8 design regime is embedding_near_dup_lsh{,_hi}"
     ),
     "two_stage_similarity": (
         "recall stage broadcasts per-tile query blocks; tile count grows "
@@ -168,7 +168,7 @@ NOTES = {
         "corpus - round-9 isolated: 2.65x for 10x rows, at-worst-linear "
         "per row"
     ),
-    "minhash_cc_xengine": (
+    "minhash_dedup_clusters": (
         "portable-hash minhash pairs + the same CC collapse - round-9 "
         "isolated: 2.19x for 10x rows (sublinear; md5 hash work "
         "parallelizes across cores after the round-9 repartition fix)"
