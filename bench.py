@@ -85,8 +85,10 @@ HEADLINE = [
     "flac_decode_features",
     "flac_tag_scan",
     "flac_cue_split_decode",
+    "cue_split_worklist_lifecycle",
     "mp3_tag_scan",
     "ogg_tag_scan",
+    "lyrics_heal_join",
     # similarity pipeline
     "cosine_topk",
     "two_stage_similarity",

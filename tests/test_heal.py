@@ -1,0 +1,104 @@
+"""Cached healing enrichment stage (operators/heal.py): idempotent cache
+merge, one-heal-per-distinct-template, pluggable healer, provenance.
+
+Reference contract: lyrics_formatter.py's AI healing layer behind
+AdvancedCache's hashed-id cache, with the strip-code fallback when
+healing is disabled (ENABLE_AI_HEALING=0)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tlmc_etl_spark.operators.heal import heal_enrich, standin_heal
+
+
+@pytest.fixture()
+def bronze(spark):
+    # 6 lines over 3 distinct templates (2 lines each)
+    rows = []
+    for i in range(3):
+        for line in range(2):
+            rows.append((i * 10 + line, f"{{{{tpl{i}|arg {i}|x}}}}"))
+    return spark.createDataFrame(rows, "line_id long, raw_text string")
+
+
+def empty_cache(spark):
+    return spark.createDataFrame([], "cache_key long, healed_text string")
+
+
+def test_standin_heal_strips_code(spark):
+    df = spark.createDataFrame(
+        [("{{ruby|body 1|anno}}",), ("{{broken|payload 2",), ("{{lone}}",)],
+        "raw_text string",
+    )
+    got = [r["h"] for r in df.select(standin_heal(F.col("raw_text")).alias("h")).collect()]
+    assert got == ["body 1 anno", "payload 2", "lone"]
+
+
+def test_cold_run_heals_misses_with_provenance(spark, bronze):
+    healed, cache = heal_enrich(bronze, empty_cache(spark))
+    rows = healed.collect()
+    assert len(rows) == 6
+    assert all(r["healed_by"] == "standin" and r["need_review"] for r in rows)
+    assert all(r["healed_text"].startswith("arg ") for r in rows)
+    # cache holds one row per DISTINCT template, not per line
+    assert cache.count() == 3
+
+
+def test_second_run_is_all_cache_hits_and_cache_is_fixed_point(spark, bronze):
+    _, cache1 = heal_enrich(bronze, empty_cache(spark))
+    cache1 = cache1.localCheckpoint(eager=True)
+    healed2, cache2 = heal_enrich(bronze, cache1)
+    rows = healed2.collect()
+    assert all(r["healed_by"] == "cache" and not r["need_review"] for r in rows)
+    assert sorted(map(tuple, cache2.collect())) == sorted(map(tuple, cache1.collect()))
+
+
+def test_cache_wins_over_recompute(spark, bronze):
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+
+    # seed ONE template with a curated healed text the stand-in cannot
+    # produce; the other two templates heal fresh
+    seed = (
+        bronze.filter("line_id = 0")
+        .select(
+            portable_hash60(F.col("raw_text")).alias("cache_key"),
+            F.lit("CURATED").alias("healed_text"),
+        )
+        .distinct()
+    )
+    healed, cache = heal_enrich(bronze, seed)
+    by_line = {r["line_id"]: r for r in healed.collect()}
+    for line in (0, 1):  # both lines of template 0 hit the seed
+        assert by_line[line]["healed_text"] == "CURATED"
+        assert by_line[line]["healed_by"] == "cache"
+        assert not by_line[line]["need_review"]
+    assert by_line[10]["healed_by"] == "standin"
+    # merge keeps the curated row, never overwrites it with a recompute
+    kept = {r["cache_key"]: r["healed_text"] for r in cache.collect()}
+    seed_key = seed.first()["cache_key"]
+    assert kept[seed_key] == "CURATED"
+    assert len(kept) == 3
+
+
+def test_pluggable_healer_called_once_per_distinct_template(spark, bronze):
+    calls = spark.sparkContext.accumulator(0)
+
+    @F.udf("string")
+    def llm_standin(raw: str) -> str:
+        calls.add(1)
+        return f"LLM({raw})"
+
+    healed, cache = heal_enrich(
+        bronze, empty_cache(spark), heal=lambda c: llm_standin(c), healer_name="llm"
+    )
+    rows = healed.collect()
+    cache_rows = cache.collect()
+    assert all(r["healed_by"] == "llm" for r in rows)
+    assert all(r["healed_text"].startswith("LLM(") for r in rows)
+    assert len(cache_rows) == 3
+    # 6 lines, 3 distinct templates: the healer ran once per distinct
+    # template per consuming job (healed + cache materializations may
+    # each evaluate the lazy plan once — bound, never per line)
+    assert calls.value <= 3 * 2, f"healer ran {calls.value}x for 3 templates"

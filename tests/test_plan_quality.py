@@ -199,6 +199,35 @@ class TestRollupAndManifestPlans:
 class TestComposedLifecycle:
     """The §3.1→§3.2 composed DAG: the sink is the stage boundary."""
 
+    def test_cue_lifecycle_stats_lineage_reads_the_sink(self, spark, sf_dir):
+        # the Preprocessor-phase twin of the similarity lifecycle gate:
+        # the returned per-shard stats must hang off the CSV shard sink,
+        # never the FLAC decode subtree — a MapInPandas node here means
+        # every downstream consumer silently re-decodes 6 albums
+        plan = plan_of(spark, sf_dir, "cue_split_worklist_lifecycle", mode="simple")
+        assert "csv" in plan.lower(), "stats must scan the shard sink"
+        for node in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"):
+            assert node not in plan, f"{node} in post-sink lineage: decode recomputed"
+
+    def test_cue_lifecycle_sink_resume_skips_existing_shards(self, spark, sf_dir):
+        # the per-shard resume contract on the cue worklist sink: a rerun
+        # over the same out_dir writes ZERO shards and the read-back stats
+        # are unchanged (crash-recovery = emit only missing shards)
+        from tlmc_etl_spark.plans.multimodal import _cue_split_track_stats
+        from tlmc_etl_spark.scratch import scratch_dir
+        from tlmc_etl_spark.sinks.shards import write_shards_resumable
+
+        tracks = _cue_split_track_stats(spark, sf_dir).localCheckpoint(eager=True)
+        out_dir = scratch_dir(spark, "cue_split_resume_test", sf_dir)
+        first = write_shards_resumable(
+            tracks, "album_id", out_dir, n_shards=4, fmt="csv", portable=True
+        )
+        assert first, "first run must write shards"
+        again = write_shards_resumable(
+            tracks, "album_id", out_dir, n_shards=4, fmt="csv", portable=True
+        )
+        assert again == [], f"rerun rewrote shards {again}"
+
     def test_stats_lineage_reads_the_sink_not_the_pipeline(self, spark, sf_dir):
         # The returned stats must hang off the CSV shard sink: a plan that
         # still contains a Python-eval node means the similarity subtree

@@ -1668,6 +1668,101 @@ def lyrics_sections_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LYRICS_HEAL_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey AS page, CAST(o_orderkey AS VARCHAR) AS k
+  FROM orders WHERE o_orderkey % 45 = 0
+)
+SELECT page, 0 AS line_no, 'plain ' || k AS raw_text,
+       'plain ' || k AS healed_text, 'parsed' AS healed_by,
+       FALSE AS need_review
+FROM o
+UNION ALL
+SELECT page, 1, '{{ruby|body ' || k || '|anno}}',
+       CASE WHEN page % 2 = 0 THEN 'RUBY body ' || k
+            ELSE 'body ' || k || ' anno' END,
+       CASE WHEN page % 2 = 0 THEN 'cache' ELSE 'standin' END,
+       page % 2 != 0
+FROM o
+UNION ALL
+SELECT page, 2, '{{broken|payload ' || k, 'payload ' || k, 'standin', TRUE
+FROM o
+ORDER BY page, line_no
+"""
+
+
+@query("lyrics_heal_join", oracle=_LYRICS_HEAL_ORACLE)
+def lyrics_heal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's LLM lyric-healing enrichment stage as a table
+    contract (lyrics_formatter.py:1-3, Shared/openai_utils.py,
+    AdvancedCache.py's hashed-id cache): lines the rule-based template
+    parser REFUSES (the real functions/wikitext.template_refs gate — not
+    a synthetic flag) become the bronze `unparseable` table, resolve
+    through a content-hash enrichment cache (hits carry provenance
+    'cache' and never re-heal), and misses run the pluggable healer —
+    in-container the deterministic strip-code stand-in, provenance
+    'standin' + need_review=true, exactly the reference's
+    ENABLE_AI_HEALING=0 fallback. Parseable lines ride around the stage
+    with provenance 'parsed'.
+
+    Synthesis: per page, one plain line (parsed), one well-formed-but-
+    unknown {{ruby|...}} template (non-numeric ordinal — template_refs
+    yields nothing) and one brace-broken template. Every even page's
+    ruby template is PRE-SEEDED in the cache with a DIFFERENT healed
+    text than the stand-in would produce ('RUBY ...'), so the oracle
+    distinguishes cache-hit from recompute: a broken hash join or a
+    cache that loses to recompute flips healed_text/healed_by. Cache
+    idempotence (second run all-cache, zero new heals) is
+    property-tested in tests/test_heal.py.
+    """
+    from tlmc_etl_spark.functions.wikitext import template_refs_udf
+    from tlmc_etl_spark.operators.dedup import portable_hash60
+    from tlmc_etl_spark.operators.heal import heal_enrich
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 45 == 0)
+    k = F.col("o_orderkey").cast("string")
+    page = F.col("o_orderkey").alias("page")
+    lines = (
+        o.select(page, F.lit(0).alias("line_no"),
+                 F.concat(F.lit("plain "), k).alias("raw_text"))
+        .unionByName(o.select(
+            page, F.lit(1).alias("line_no"),
+            F.concat(F.lit("{{ruby|body "), k, F.lit("|anno}}")).alias("raw_text")))
+        .unionByName(o.select(
+            page, F.lit(2).alias("line_no"),
+            F.concat(F.lit("{{broken|payload "), k).alias("raw_text")))
+    )
+    # the REAL parser is the gate: a line with template braces that
+    # yields no reference rows is unparseable (lyrics_formatter.py's
+    # healing trigger)
+    refused = (F.instr("raw_text", "{{") > 0) & (
+        F.size(template_refs_udf()(F.col("raw_text"))) == 0
+    )
+    bronze = lines.filter(refused)
+    parsed = lines.filter(~refused).select(
+        "page", "line_no", "raw_text",
+        F.col("raw_text").alias("healed_text"),
+        F.lit("parsed").alias("healed_by"),
+        F.lit(False).alias("need_review"),
+    )
+    # pre-seeded enrichment cache: even pages' ruby template, healed by
+    # the (absent) upstream healer to a text the stand-in cannot produce
+    seed = o.filter(F.col("o_orderkey") % 2 == 0).select(
+        portable_hash60(
+            F.concat(F.lit("{{ruby|body "), k, F.lit("|anno}}"))
+        ).alias("cache_key"),
+        F.concat(F.lit("RUBY body "), k).alias("healed_text"),
+    )
+    healed, _cache = heal_enrich(bronze, seed)
+    return (
+        healed.select(
+            "page", "line_no", "raw_text", "healed_text", "healed_by", "need_review"
+        )
+        .unionByName(parsed)
+        .orderBy("page", "line_no")
+    )
+
+
 @query("minhash_clusters_prodhash")
 def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup clustering: MinHash-LSH pairs → connected

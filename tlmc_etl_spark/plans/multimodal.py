@@ -2538,20 +2538,14 @@ ORDER BY album_id, track_number
 """
 
 
-@query("flac_cue_split_decode", oracle=_CUE_SPLIT_DECODE_ORACLE)
-def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The CueSplitter made real in-container: 6 album FLACs are
-    encoded in-plan from closed-form PCM, their cue sheets are built
-    with INDEX 01 times at exact 75 fps frame boundaries (44100/75 =
-    588 samples per cue frame), and the split runs the REAL lanes end
-    to end — parse_cue for the time grid, parse_flac_audio for the full
-    lossless decode, sample-exact slicing at each track boundary.
-    Per-track stats must equal DuckDB's closed-form replay of the
-    generator over each track's sample range. This upgrades
-    flac_cue_seek_plan (byte-range planning, no decode) to the actual
-    cut the reference performs via ffmpeg
-    (CueSplitter/cue_designator.py; CueSplit.cs:203-262 for the cue
-    semantics)."""
+def _cue_split_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared cue-split decode stage: 6 album FLACs encoded in-plan from
+    closed-form PCM, cue sheets at exact 75 fps frame boundaries, split
+    through the REAL lanes (parse_cue grid, SEEKTABLE-aware decode_range,
+    sample-exact cuts). Emits per-track stats including s_abs (Σ|v|, the
+    loudness stand-in's input) — flac_cue_split_decode projects the
+    decode-audit columns; cue_split_worklist_lifecycle composes the full
+    worklist (gain → shard sink → read-back)."""
     import numpy as np
     import pandas as pd
 
@@ -2608,13 +2602,14 @@ def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (
                             vid, ct["track_number"], ct["index01_frames"],
                             len(seg), int(seg.sum()), int(seg.min()),
+                            int(np.abs(seg).sum()),
                         )
                     )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "album_id", "track_number", "start_frames",
-                    "n_samples", "s_sum", "s_min",
+                    "n_samples", "s_sum", "s_min", "s_abs",
                 ],
             )
 
@@ -2622,9 +2617,138 @@ def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema=(
             "album_id long, track_number int, start_frames long, "
-            "n_samples long, s_sum long, s_min long"
+            "n_samples long, s_sum long, s_min long, s_abs long"
         ),
+    )
+
+
+@query("flac_cue_split_decode", oracle=_CUE_SPLIT_DECODE_ORACLE)
+def flac_cue_split_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CueSplitter made real in-container: 6 album FLACs are
+    encoded in-plan from closed-form PCM, their cue sheets are built
+    with INDEX 01 times at exact 75 fps frame boundaries (44100/75 =
+    588 samples per cue frame), and the split runs the REAL lanes end
+    to end — parse_cue for the time grid, parse_flac_audio for the full
+    lossless decode, sample-exact slicing at each track boundary.
+    Per-track stats must equal DuckDB's closed-form replay of the
+    generator over each track's sample range. This upgrades
+    flac_cue_seek_plan (byte-range planning, no decode) to the actual
+    cut the reference performs via ffmpeg
+    (CueSplitter/cue_designator.py; CueSplit.cs:203-262 for the cue
+    semantics)."""
+    return _cue_split_track_stats(spark, sf_dir).select(
+        "album_id", "track_number", "start_frames", "n_samples", "s_sum", "s_min"
     ).orderBy("album_id", "track_number")
+
+
+_CUE_LIFECYCLE_ORACLE = """
+WITH ids AS (
+  SELECT vec_id AS id FROM embeddings ORDER BY vec_id LIMIT 6
+), t AS (
+  SELECT id, 3 + id % 3 AS n_tracks FROM ids
+), trk AS (
+  SELECT id, n_tracks, g.t AS trk,
+         60 + ((id * 7 + g.t * 13) % 40) AS len_frames
+  FROM t, LATERAL (SELECT unnest(generate_series(0, n_tracks - 1)) AS t) g
+), pos AS (
+  SELECT id, trk, len_frames,
+         COALESCE(SUM(len_frames) OVER (
+           PARTITION BY id ORDER BY trk
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_frames
+  FROM trk
+), px AS (
+  SELECT id, trk,
+         start_frames * 588 AS start_sample,
+         len_frames * 588 AS n_samples
+  FROM pos
+), samp AS (
+  SELECT p.id, p.trk, p.n_samples,
+         ((p.id % 5) + 1) * (s.i % 588) + ((s.i * 3 + p.id) % 41) - 20 AS v
+  FROM px p, LATERAL (
+    SELECT unnest(generate_series(CAST(p.start_sample AS BIGINT),
+                                  CAST(p.start_sample + p.n_samples - 1
+                                       AS BIGINT))) AS i
+  ) s
+), stats AS (
+  SELECT id AS album_id, trk + 1 AS track_number,
+         CAST(max(n_samples) AS BIGINT) AS n_samples,
+         CAST(SUM(v) AS BIGINT) AS s_sum,
+         CAST(SUM(ABS(v)) AS BIGINT) AS s_abs
+  FROM samp GROUP BY id, trk
+), gains AS (
+  SELECT album_id, track_number, n_samples, s_sum,
+         round(-1 * s_abs / (n_samples * 40.0), 4) AS i,
+         round(-1 * s_abs / (n_samples * 400.0), 4) AS tp
+  FROM stats
+), worklist AS (
+  SELECT album_id, track_number, n_samples, s_sum,
+         CASE WHEN i <= -60 THEN 0.0
+              ELSE round(least(least(-14.0 - i, -1.0 - tp), 12.0), 4)
+         END AS gain_db
+  FROM gains
+), sharded AS (
+  SELECT ('0x' || substr(md5(album_id::VARCHAR), 1, 15))::BIGINT % 4 AS shard, *
+  FROM worklist
+)
+SELECT CAST(shard AS INT) AS shard,
+       count(*) AS n_tracks,
+       count(DISTINCT album_id) AS n_albums,
+       CAST(sum(n_samples) AS BIGINT) AS total_samples,
+       CAST(sum(s_sum) AS BIGINT) AS sum_s,
+       min(gain_db) AS min_gain,
+       max(gain_db) AS max_gain
+FROM sharded GROUP BY shard ORDER BY shard
+"""
+
+
+@query("cue_split_worklist_lifecycle", oracle=_CUE_LIFECYCLE_ORACLE)
+def cue_split_worklist_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full Preprocessor cue-split worklist as ONE composed bench
+    entry, mirroring lifecycle_similar_shards for the §3.1 phase:
+    cue seek-plan → SEEKTABLE-aware decode_range cuts → per-track
+    loudness static gain (the loudness_measure.py:72-108 formula over a
+    deterministic i/tp derived FROM THE DECODED SAMPLES, so decode
+    correctness flows into the gain) → resumable per-shard CSV sink
+    (portable-hash shard mapping, tmp+rename commit — the
+    precompute_similar_tracks.py:244-275 contract applied to the
+    cue_splitter.py:28-37 worklist) → read-back per-shard stats.
+
+    The returned stats hang off the CSV sink: their lineage holds only
+    the shard scan + aggregation, never the decode subtree (plan-gated
+    in tests/test_plan_quality.py — recomputing the FLAC decode in every
+    downstream consumer is the cross-stage regression this entry
+    catches). The oracle replays decode stats, gain arithmetic, the
+    60-bit shard hash and the aggregation from first principles — a
+    garbled sink, a wrong cut, or a changed gain clamp all flip the row.
+    """
+    from tlmc_etl_spark.scratch import scratch_dir
+    from tlmc_etl_spark.sinks.shards import write_shards_resumable
+
+    tracks = _cue_split_track_stats(spark, sf_dir)
+    i_col = F.round(F.lit(-1) * F.col("s_abs") / (F.col("n_samples") * 40.0), 4)
+    tp_col = F.round(F.lit(-1) * F.col("s_abs") / (F.col("n_samples") * 400.0), 4)
+    gain = F.least(F.least(F.lit(-14.0) - i_col, F.lit(-1.0) - tp_col), F.lit(12.0))
+    worklist = tracks.select(
+        "album_id", "track_number", "n_samples", "s_sum",
+        F.when(i_col <= -60, F.lit(0.0)).otherwise(F.round(gain, 4)).alias("gain_db"),
+    )
+    out_dir = scratch_dir(spark, "cue_split_shards", sf_dir)
+    write_shards_resumable(
+        worklist, "album_id", out_dir, n_shards=4, fmt="csv", portable=True
+    )
+    back = spark.read.option("header", True).csv(out_dir)
+    return (
+        back.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tracks"),
+            F.countDistinct("album_id").alias("n_albums"),
+            F.sum(F.col("n_samples").cast("long")).alias("total_samples"),
+            F.sum(F.col("s_sum").cast("long")).alias("sum_s"),
+            F.min(F.col("gain_db").cast("double")).alias("min_gain"),
+            F.max(F.col("gain_db").cast("double")).alias("max_gain"),
+        )
+        .orderBy("shard")
+    )
 
 
 # --------------------------------------------------------------------------
