@@ -271,6 +271,66 @@ def make_adts_stream(payload_lens: list[int], sf_index: int = 6) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Golden-PCM silent frames (spec-built, decodable): the ffmpeg decode lane
+# (_decode_audio_ffmpeg) is smoke-checked everywhere but VALUE-checked only
+# where a golden encoded↔PCM pair exists. Full entropy ENCODE is out of
+# scope in-container, but both MP3 and AAC-LC admit a degenerate frame
+# whose decode is exactly silence and whose construction needs only the
+# public bitstream grammar, no Huffman/codebook tables:
+#  - Layer III: side info all zeros ⇒ part2_3_length = 0 for every
+#    granule ⇒ no spectral bits are read ⇒ the synthesis filterbank sees
+#    zeros (ISO 11172-3 side-info layout; every field's zero value is
+#    legal: block_type 0, table_select 0, region counts 0).
+#  - AAC-LC: a single_channel_element with max_sfb = 0 ⇒ section and
+#    scale-factor loops run zero iterations, three zero flags, TERM ⇒
+#    the raw_data_block is exactly 4 bytes (00 00 00 07) and the inverse
+#    transform input is all zeros (ISO 14496-3 ics_info/section_data
+#    grammar).
+# Vorbis and Opus deliberately have NO golden here: a Vorbis stream needs
+# full codebook headers (hand-building them is possible but unverifiable
+# in-container — the round-13 sourcing analysis), and an Opus DTX/PLC
+# "silent" packet's output is decoder comfort-noise, implementation- not
+# spec-pinned, so a golden would pin ffmpeg's CNG, not the format.
+# ---------------------------------------------------------------------------
+
+
+def silent_mp3_frames(n_frames: int, channels: int = 1) -> bytes:
+    """`n_frames` decodable MPEG-1 Layer III frames of exact digital
+    silence (44.1 kHz, 32 kbit/s): header + all-zero side info + zero
+    main data. Golden PCM = n_frames * 1152 zero samples."""
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    mode = 0x3 if channels == 1 else 0x0
+    hdr = bytes([0xFF, 0xFB, 0x10, (mode << 6)])
+    frame_len = (144 * 32000) // 44100  # 104 bytes, no padding
+    frame = hdr + bytes(frame_len - 4)
+    return frame * n_frames
+
+
+def silent_aac_adts_frames(n_frames: int, sf_index: int = 4) -> bytes:
+    """`n_frames` decodable AAC-LC ADTS frames of exact digital silence
+    (mono, sampling index 4 = 44.1 kHz): each raw_data_block is the
+    4-byte max_sfb=0 SCE (b'\\x00\\x00\\x00\\x07'). Golden PCM =
+    n_frames * 1024 zero samples."""
+    if n_frames < 1:
+        raise ValueError("n_frames must be >= 1")
+    payload = b"\x00\x00\x00\x07"  # SCE(tag 0, gain 0, max_sfb 0) + TERM
+    frame_len = 7 + len(payload)
+    hdr = bytes(
+        [
+            0xFF,
+            0xF1,  # MPEG-4, layer 0, protection_absent=1
+            (1 << 6) | (sf_index << 2) | 0,  # AAC-LC, channel cfg 1 (mono)
+            (1 << 6) | ((frame_len >> 11) & 0x3),
+            (frame_len >> 3) & 0xFF,
+            ((frame_len & 0x7) << 5) | 0x1F,
+            (0x3F << 2) | 0x0,
+        ]
+    )
+    return (hdr + payload) * n_frames
+
+
+# ---------------------------------------------------------------------------
 # MPEG-1 Layer III (MP3) framing. The corpus is 10,084 mp3 files
 # (Docs/v6-run-record/README.md:127); the reference's own in-process mp3
 # handling is mutagen duration (= this framing math,

@@ -78,24 +78,35 @@ def _read_vint(data: bytes, pos: int) -> tuple[int, int]:
 # ---------------------------------------------------------------------------
 
 
-def _rar5_block(htype: int, body: bytes, data: bytes = b"") -> bytes:
-    flags = 0x0002 if data else 0x0000
+def _rar5_block(htype: int, body: bytes, data: bytes = b"",
+                extra: bytes = b"") -> bytes:
+    flags = (0x0002 if data else 0x0000) | (0x0001 if extra else 0x0000)
     fields = _write_vint(htype) + _write_vint(flags)
+    if extra:
+        fields += _write_vint(len(extra))
     if data:
         fields += _write_vint(len(data))
-    fields += body
+    fields += body + extra  # extra area sits at the END of the header
     hdr = _write_vint(len(fields)) + fields
     return struct.pack("<I", zlib.crc32(hdr)) + hdr + data
 
 
 def encode_rar5(entries: list[tuple[str, bool, bytes | None]],
                 mtime_unix: int | None = None,
-                with_crcs: bool = False) -> bytes:
+                with_crcs: bool = False,
+                method: int = 0,
+                encrypted: bool = False) -> bytes:
     """Entries [(path, is_dir, payload)] → RAR 5.0 bytes with stored
     (method 0) payloads — enough container to exercise the full header
     walk: vints, header CRCs, data-area skips, directory and mtime
     flags. with_crcs plants the per-file data CRC32 (file flag 0x0004)
-    extraction verifies against."""
+    extraction verifies against.
+
+    `method` > 0 stamps that compression method into compression_info
+    (the payload bytes are then opaque filler — refusal-test double for
+    the proprietary-codec boundary); `encrypted=True` appends a minimal
+    file-encryption extra record (type 0x01, AES-256 v0 shape) so the
+    encryption refusal family is constructible too."""
     out = bytearray(_SIG_RAR5)
     out += _rar5_block(_R5_MAIN, _write_vint(0))  # archive flags = 0
     for path, is_dir, payload in entries:
@@ -112,11 +123,16 @@ def encode_rar5(entries: list[tuple[str, bool, bytes | None]],
             body += struct.pack("<I", mtime_unix)
         if with_crcs and not is_dir:
             body += struct.pack("<I", zlib.crc32(data))
-        body += _write_vint(0)  # compression info: version 0, store
+        body += _write_vint((method & 0x07) << 7)  # compression info
         body += _write_vint(0)  # host OS
         raw = path.encode("utf-8")
         body += _write_vint(len(raw)) + raw
-        out += _rar5_block(_R5_FILE, body, data)
+        extra = b""
+        if encrypted and not is_dir:
+            # extra record: size vint covers type + record data
+            rec = _write_vint(0x01) + _write_vint(0) + bytes(1)  # type, ver, flags
+            extra = _write_vint(len(rec)) + rec
+        out += _rar5_block(_R5_FILE, body, data, extra=extra)
     out += _rar5_block(_R5_END, _write_vint(0))
     return bytes(out)
 
@@ -133,7 +149,9 @@ def _rar4_block(htype: int, flags: int, body: bytes,
 
 
 def encode_rar4(entries: list[tuple[str, bool, bytes | None]],
-                dos_time: int = 0x5B0F6C3D) -> bytes:
+                dos_time: int = 0x5B0F6C3D,
+                method: int = 0x30,
+                encrypted: bool = False) -> bytes:
     """Entries → RAR 1.5–4.x bytes with stored (0x30) payloads. Names
     must be ASCII (the 4.x single-byte name page; the corpus's wide
     names arrived with the 5.0-era releases)."""
@@ -143,6 +161,8 @@ def encode_rar4(entries: list[tuple[str, bool, bytes | None]],
         raw = path.encode("ascii")
         data = b"" if is_dir or payload is None else bytes(payload)
         flags = 0x8000  # ADD_SIZE always present in our file blocks
+        if encrypted and not is_dir:
+            flags |= 0x0004  # LHD_PASSWORD
         if is_dir:
             flags |= 0x00E0  # directory: all three "window" bits set
         body = struct.pack(
@@ -153,7 +173,7 @@ def encode_rar4(entries: list[tuple[str, bool, bytes | None]],
             zlib.crc32(data),  # FILE_CRC
             dos_time,  # FTIME (DOS packed)
             20,  # UNP_VER
-            0x30,  # METHOD: store
+            method,  # METHOD: 0x30 = store
             len(raw),  # NAME_SIZE
             0x10 if is_dir else 0x20,  # ATTR
         ) + raw
@@ -196,6 +216,22 @@ def parse_rar_index_file(fh) -> list[dict] | None:
     if sig[:7] == _SIG_RAR4:
         return _walk_rar4(fh, 7)
     return None
+
+
+def _rar5_extra_has_encryption(extra: bytes) -> bool:
+    """Walk a RAR5 extra area's (size, type, data) records; True when a
+    file-encryption record (type 0x01) is present — the header-level
+    signal that the data area is AES ciphertext."""
+    p = 0
+    while p < len(extra):
+        rec_size, p = _read_vint(extra, p)
+        if rec_size == 0 or p + rec_size > len(extra):
+            raise ValueError("rar5: torn extra-area record")
+        rtype, q = _read_vint(extra, p)
+        if rtype == 0x01:
+            return True
+        p += rec_size
+    return False
 
 
 def _walk_rar5(fh, start: int, collect: list | None = None) -> list[dict]:
@@ -244,8 +280,11 @@ def _walk_rar5(fh, start: int, collect: list | None = None) -> list[dict]:
         htype, p = _read_vint(hdr, p)
         hflags, p = _read_vint(hdr, p)
         data_size = 0
+        extra_size = 0
         if hflags & 0x0001:
-            _extra, p = _read_vint(hdr, p)  # extra area: inside `size`
+            extra_size, p = _read_vint(hdr, p)  # extra area: inside `size`
+            if extra_size > len(hdr):
+                raise ValueError("rar5: extra area overruns the header")
         if hflags & 0x0002:
             data_size, p = _read_vint(hdr, p)
         if htype in (_R5_FILE, _R5_SERVICE):
@@ -293,6 +332,9 @@ def _walk_rar5(fh, start: int, collect: list | None = None) -> list[dict]:
                         "data_size": data_size,
                         "method": (comp >> 7) & 0x07,
                         "data_crc": data_crc,
+                        "encrypted": _rar5_extra_has_encryption(
+                            hdr[len(hdr) - extra_size:] if extra_size else b""
+                        ),
                     })
                 out.append(entry)
         if htype == _R5_END:
@@ -361,6 +403,7 @@ def _walk_rar4(fh, start: int, collect: list | None = None) -> list[dict]:
                     "data_size": add_size,
                     "method": _method,
                     "data_crc": _crc,
+                    "encrypted": bool(hflags & 0x0004),  # LHD_PASSWORD
                 })
             out.append({
                 "path": name.replace("\\", "/").rstrip("/"),
@@ -413,6 +456,13 @@ def extract_rar_members(data: bytes | None) -> list[dict] | None:
             e["content"] = None
             e["crc_ok"] = None
             e["reason"] = None
+            continue
+        if i.get("encrypted"):
+            # AES-256 payloads need the password + the RAR KDF — a
+            # secret-handling concern, out of engine scope by design
+            e["content"] = None
+            e["crc_ok"] = None
+            e["reason"] = "rar encryption unsupported"
             continue
         if i["method"] != stored_method:
             e["content"] = None
