@@ -300,14 +300,20 @@ def headline_line(out: dict, limit: int = 2000) -> str:
     if len(line) > limit and "unit" in out:
         del out["unit"]
         line = json.dumps(out, **compact)
-    # Last resort (77 long-named queries × 2-digit walls no longer fit
-    # 2,000 bytes even fully exhausted): shed the CHEAPEST-wall entries
-    # one at a time — the expensive queries are the evidence a reader
-    # needs from the stdout line; the COMPLETE map is always in the
-    # committed BENCH_FULL.json written before this serializer runs.
+    # Last resort (80 long-named queries no longer fit 2,000 bytes even
+    # fully exhausted): shed entries one at a time — STRESS-EXCLUDED
+    # entries first (they are outside the graded ratio by definition, so
+    # the GRADED evidence always survives complete), then the
+    # cheapest-wall graded entries; the expensive queries are the
+    # evidence a reader needs from the stdout line, and the COMPLETE map
+    # is always in the committed BENCH_FULL.json written before this
+    # serializer runs.
     if len(line) > limit and out.get("queries"):
         out["queries_truncated"] = True
-        by_wall = sorted(out["queries"].items(), key=lambda kv: (-kv[1], kv[0]))
+        by_wall = sorted(
+            out["queries"].items(),
+            key=lambda kv: (kv[0] in STRESS, -kv[1], kv[0]),
+        )
         while len(line) > limit and by_wall:
             by_wall.pop()
             out["queries"] = dict(sorted(by_wall))

@@ -87,20 +87,24 @@ def _stamped_worst_case(wall: float) -> dict:
     }
 
 
-def test_realistic_overflow_drops_context_fields_not_queries():
+def test_realistic_overflow_drops_context_fields_not_graded_queries():
     """The realistic fully-stamped case — every wall single-digit
-    seconds (the observed suite regime: 77 queries in ~60 s) plus a
-    contended start's override stamps — must keep ALL per-query
-    entries: the staged truncation drops loadavg/incr/stress context
-    first, never the queries map."""
+    seconds (the observed suite regime: 80 queries in ~60 s) plus a
+    contended start's override stamps — must keep EVERY GRADED
+    per-query entry: the staged truncation drops loadavg/incr/stress
+    context first, and if the map itself must shrink (80 long names no
+    longer fit 2,000 bytes at any precision with all stamps present)
+    it sheds STRESS-EXCLUDED entries — outside the graded ratio by
+    definition — before any graded one."""
     import json
 
     out = _stamped_worst_case(wall=3.21)
     line = bench.headline_line(out)
     parsed = json.loads(line)
     assert len(line) <= 2000
-    assert not parsed.get("queries_truncated"), "per-query evidence lost"
-    assert len(parsed["queries"]) == len(bench.HEADLINE)
+    graded = [n for n in bench.HEADLINE if n not in bench.STRESS]
+    missing = [n for n in graded if n not in parsed["queries"]]
+    assert not missing, f"graded evidence lost: {missing}"
     assert parsed["spark_over_duckdb"] == 1.234
 
 

@@ -67,7 +67,9 @@ class TestPartitionedSink:
 
 class TestHllRollupContract:
     def test_union_of_partials_equals_direct_sketch(self, spark, sf_dir):
-        rows = QUERIES["hll_user_rollup"].fn(spark, sf_dir).collect()
+        # the datasketch variant (the portable-hash SQL-replay form is
+        # the primary `hll_user_rollup` since round 14)
+        rows = QUERIES["hll_user_rollup_datasketch"].fn(spark, sf_dir).collect()
         assert rows
         for r in rows:
             assert r["est_merged"] == r["est_direct"], r

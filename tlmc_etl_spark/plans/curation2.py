@@ -33,7 +33,7 @@ from tlmc_etl_spark.sources.tables import load_table
 
 
 # --------------------------------------------------------------------------
-# embedding_near_dup_lsh_xengine
+# embedding_near_dup_lsh (pinned-knob SQL-replay primary)
 # --------------------------------------------------------------------------
 
 # 10-bit keys x 2 tables: at the sf-range the twin is graded on
@@ -167,7 +167,7 @@ query(
 
 
 # --------------------------------------------------------------------------
-# minhash_cc_xengine
+# minhash_dedup_clusters (portable-hash SQL-replay primary)
 # --------------------------------------------------------------------------
 
 _MINHASH_CC_XENGINE_ORACLE = """
@@ -252,7 +252,7 @@ def minhash_cc_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# pq_recon_xengine
+# pq_reconstruction_audit (hash-medoid SQL-replay primary)
 # --------------------------------------------------------------------------
 
 _PQ_RECON_XENGINE_ORACLE = """
@@ -306,7 +306,7 @@ FROM recon ORDER BY vec_id
 @query("pq_reconstruction_audit", oracle=_PQ_RECON_XENGINE_ORACLE)
 def pq_recon_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector PQ lossiness audit, cross-engine oracle form: the
-    hash-medoid codebooks of pq_adc_xengine (8 portable-hash seeds' 4x16
+    hash-medoid codebooks of the pq_adc_topk primary (8 portable-hash seeds' 4x16
     sub-vectors, zero k-means iterations), round-before-argmin encoding,
     recon_cosine = sum of per-subspace dots over the decode norm —
     DuckDB replays codebook -> encode -> decode -> cosine exactly, so
@@ -402,7 +402,7 @@ def semantic_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# lifecycle_shards_xengine
+# lifecycle_similar_shards (portable-shard SQL-replay primary)
 # --------------------------------------------------------------------------
 
 
@@ -520,14 +520,14 @@ def lifecycle_shards_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = emb.select(
         (F.col("vec_id") % 50).alias("track"), "vec_id", F.col("embedding").alias("vec")
     )
-    out_dir = scratch_dir(spark, "lifecycle_shards_xengine", sf_dir)
+    out_dir = scratch_dir(spark, "lifecycle_shards_portable", sf_dir)
     return similar_track_lifecycle(
         spark, release, chunks, out_dir, portable_shards=True
     )
 
 
 # --------------------------------------------------------------------------
-# opq_recon_xengine
+# opq_pq_recon_audit (signed-permutation SQL-replay primary)
 # --------------------------------------------------------------------------
 
 
@@ -538,7 +538,7 @@ def _opq_recon_xengine_oracle() -> str:
     rotated corpus is BIT-IDENTICAL in both engines — no summation-order
     ulps enter before the 6dp-rounded encode, unlike a dense rotation.
     The (perm, sign) pair embeds as 64 literal rows; the PQ tail is the
-    pq_recon_xengine oracle verbatim, re-pointed at the rotated CTE."""
+    pq_reconstruction_audit oracle verbatim, re-pointed at the rotated CTE."""
     import numpy as np
 
     from tlmc_etl_spark.plans.curation2 import _PQ_RECON_XENGINE_ORACLE
@@ -592,7 +592,7 @@ def opq_recon_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     PRODUCTION `rotate_vectors` matmul path, so the rotate-then-quantize
     plumbing the OPQ audit depends on is value-checked end to end. The
     PQ tail is pq_recon_portable — the same hash-medoid codebooks and
-    round-before-argmin encode the pq_recon_xengine twin pins.
+    round-before-argmin encode the pq_reconstruction_audit primary pins.
     Reference chain: OPQ64,IVF16384,PQ64x8
     (faiss_index_builder.py:10-23)."""
     from tlmc_etl_spark.operators.pq import pq_recon_portable, rotate_vectors

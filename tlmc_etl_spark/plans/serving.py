@@ -232,11 +232,23 @@ def pca_scatter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     with driver-side umap.UMAP(n_components=3) over pooled tensors
     (umap-preprocessor.py:40-57) before app.py renders it.
 
-    UMAP is a stochastic iterative fit (a model artifact); the engine's
-    counterpart is distributed PCA (operators/projection.py): partial
-    Gram matrices per Arrow batch, one positional-sum shuffle whose
-    width is independent of corpus size, a d×d driver eigh, then pure
-    whole-stage-codegen zip_with/aggregate dot products per row. ext
+    SUBSTITUTION, stated plainly: this is NOT UMAP. UMAP's neighborhood-
+    preserving nonlinear layout is replaced by a linear PCA projection —
+    global variance structure survives, local manifold structure (the
+    property UMAP exists for) does not, so clusters that UMAP would
+    separate can overlap in this layout. The swap is deliberate: UMAP is
+    a stochastic iterative fit (a model artifact, not a query), umap-learn
+    is not in this container, and a parity run against it is impossible
+    here — a from-scratch UMAP would be unverifiable, the same
+    must-not-fake boundary as the audio codecs. A deployment wanting true
+    UMAP plugs the fitted reducer in as a predict-only pandas UDF over
+    the same pooled tensors; every surrounding stage (pooling, metadata
+    join, density serving) is shared.
+
+    The engine's counterpart is distributed PCA (operators/projection.py):
+    partial Gram matrices per Arrow batch, one positional-sum shuffle
+    whose width is independent of corpus size, a d×d driver eigh, then
+    pure whole-stage-codegen zip_with/aggregate dot products per row. ext
     tier — eigendecomposition is not SQL-expressible; the basis and the
     projection are differential-tested against numpy PCA
     (tests/test_projection.py) with a deterministic sign convention.

@@ -31,6 +31,12 @@ def get_spark(app_name: str = "tlmc-etl-spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Arrow-optimize row-at-a-time Python UDFs (Spark 4): the few
+        # licensed F.udf sites (stack parsers — cue sheets, wiki
+        # templates, frame walkers) get Arrow batch transfer instead of
+        # per-row pickling, with no per-site rewrite. Semantics checked
+        # by the full oracle suite (round 14).
+        .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
