@@ -470,19 +470,30 @@ class TestRarExtraction:
         assert out[0]["content"] is None
 
     def test_stored_members_alongside_refused_still_extract(self):
+        # ONE archive, mixed families, refused members FIRST: a
+        # compressed and an encrypted data area both precede the stored
+        # member, so its slice offset must account for every skipped
+        # payload — the realistic mixed layout, not per-archive isolation
         from tlmc_etl_spark.operators.rarindex import (
             encode_rar5,
             extract_rar_members,
         )
 
-        # one archive, mixed families: the refusal is per MEMBER
-        enc = encode_rar5([("sec.bin", False, b"\x01" * 8)], encrypted=True)
-        ok = encode_rar5([("ok.txt", False, b"fine")], with_crcs=True)
-        # merge: strip ok's signature+main block and end block splicing is
-        # format surgery — instead assert per-archive behavior matches
-        assert extract_rar_members(enc)[0]["content"] is None
-        got = extract_rar_members(ok)
-        assert got[0]["content"] == b"fine" and got[0]["crc_ok"] is True
+        arc = encode_rar5(
+            [
+                ("comp.bin", False, b"\x55" * 37),
+                ("sec.bin", False, b"\x01" * 19),
+                ("ok.txt", False, b"fine"),
+            ],
+            with_crcs=True,
+            method={"comp.bin": 3},
+            encrypted={"sec.bin"},
+        )
+        got = {e["path"]: e for e in extract_rar_members(arc)}
+        assert got["comp.bin"]["reason"] == "rar compression unsupported"
+        assert got["sec.bin"]["reason"] == "rar encryption unsupported"
+        assert got["ok.txt"]["content"] == b"fine"
+        assert got["ok.txt"]["crc_ok"] is True
 
     def test_non_rar(self):
         from tlmc_etl_spark.operators.rarindex import extract_rar_members

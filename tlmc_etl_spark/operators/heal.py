@@ -89,6 +89,13 @@ def heal_enrich(
     healed_new = distinct_missed.select(
         "cache_key", heal(F.col(raw_col)).alias("healed_text")
     )
+    # Materialize ONCE, eagerly: healed_new feeds BOTH the output join
+    # and the cache merge — left lazy, a nondeterministic healer (the
+    # real LLM case) would run twice per template and could write a
+    # cache row that differs from the emitted output (breaking the
+    # cache-is-what-you-saw contract and doubling API spend). The
+    # checkpoint is distinct-template-sized, not line-sized.
+    healed_new = healed_new.localCheckpoint(eager=True)
     miss_rows = missed.join(F.broadcast(healed_new), "cache_key").withColumn(
         "healed_by", F.lit(healer_name)
     )

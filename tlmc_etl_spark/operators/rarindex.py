@@ -94,8 +94,8 @@ def _rar5_block(htype: int, body: bytes, data: bytes = b"",
 def encode_rar5(entries: list[tuple[str, bool, bytes | None]],
                 mtime_unix: int | None = None,
                 with_crcs: bool = False,
-                method: int = 0,
-                encrypted: bool = False) -> bytes:
+                method: int | dict[str, int] = 0,
+                encrypted: bool | set[str] = False) -> bytes:
     """Entries [(path, is_dir, payload)] → RAR 5.0 bytes with stored
     (method 0) payloads — enough container to exercise the full header
     walk: vints, header CRCs, data-area skips, directory and mtime
@@ -106,7 +106,10 @@ def encode_rar5(entries: list[tuple[str, bool, bytes | None]],
     (the payload bytes are then opaque filler — refusal-test double for
     the proprietary-codec boundary); `encrypted=True` appends a minimal
     file-encryption extra record (type 0x01, AES-256 v0 shape) so the
-    encryption refusal family is constructible too."""
+    encryption refusal family is constructible too. Both knobs accept a
+    per-path form (dict path→method / set of paths) so MIXED archives —
+    a refused member's data area preceding a stored one — exercise the
+    extraction offset accounting across skipped payloads."""
     out = bytearray(_SIG_RAR5)
     out += _rar5_block(_R5_MAIN, _write_vint(0))  # archive flags = 0
     for path, is_dir, payload in entries:
@@ -123,12 +126,14 @@ def encode_rar5(entries: list[tuple[str, bool, bytes | None]],
             body += struct.pack("<I", mtime_unix)
         if with_crcs and not is_dir:
             body += struct.pack("<I", zlib.crc32(data))
-        body += _write_vint((method & 0x07) << 7)  # compression info
+        m = method.get(path, 0) if isinstance(method, dict) else method
+        body += _write_vint((m & 0x07) << 7)  # compression info
         body += _write_vint(0)  # host OS
         raw = path.encode("utf-8")
         body += _write_vint(len(raw)) + raw
+        enc = (path in encrypted) if isinstance(encrypted, set) else encrypted
         extra = b""
-        if encrypted and not is_dir:
+        if enc and not is_dir:
             # extra record: size vint covers type + record data
             rec = _write_vint(0x01) + _write_vint(0) + bytes(1)  # type, ver, flags
             extra = _write_vint(len(rec)) + rec
