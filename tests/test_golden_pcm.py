@@ -67,6 +67,74 @@ def test_aac_golden_structure_via_in_repo_indexer():
     assert sum(f["n_samples"] for f in frames) == AAC_FRAMES * 1024
 
 
+class _Bits:
+    """Independent MSB-first bit reader — deliberately NOT the builders'
+    code, so these tests are a second encoding of the spec grammar."""
+
+    def __init__(self, data: bytes):
+        self.data, self.pos = data, 0
+
+    def take(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos // 8]
+            v = (v << 1) | ((byte >> (7 - self.pos % 8)) & 1)
+            self.pos += 1
+        return v
+
+
+def test_mp3_golden_silence_condition_holds_bit_level():
+    """The spec reason the MP3 golden IS silence, checked from the raw
+    bits (ISO 11172-3): part2_3_length == 0 for both granules means the
+    decoder reads zero spectral bits, and main_data_begin == 0 means no
+    reservoir reach-back — executable in-container, independent of both
+    the builder and ffmpeg."""
+    data = open(MP3_PATH, "rb").read()
+    for off in range(0, len(data), 104):
+        hdr = data[off : off + 4]
+        assert hdr[0] == 0xFF and hdr[1] == 0xFB  # MPEG-1 L3, no CRC
+        b = _Bits(data[off + 4 : off + 4 + 17])  # mono side info
+        assert b.take(9) == 0  # main_data_begin
+        b.take(5)  # private bits (mono)
+        b.take(4)  # scfsi
+        for _granule in range(2):
+            assert b.take(12) == 0  # part2_3_length -> zero audio bits
+            assert b.take(9) == 0  # big_values
+            b.take(8)  # global_gain
+            b.take(4)  # scalefac_compress
+            assert b.take(1) == 0  # window_switching_flag
+            b.take(15)  # table_select (3x5)
+            b.take(4 + 3)  # region0/region1 counts
+            b.take(3)  # preflag, scalefac_scale, count1table_select
+        # all remaining main data must be zero bytes
+        assert set(data[off + 21 : off + 104]) <= {0}
+
+
+def test_aac_golden_silence_condition_holds_bit_level():
+    """Same for the AAC-LC golden (ISO 14496-3): a lone SCE with
+    max_sfb == 0 (zero section/scale-factor loops, no spectral data),
+    all optional tools off, then TERM — so the inverse transform input
+    is all zeros."""
+    data = open(AAC_PATH, "rb").read()
+    for off in range(0, len(data), 11):
+        payload = data[off + 7 : off + 11]
+        b = _Bits(payload)
+        assert b.take(3) == 0  # id_syn_ele = SCE
+        b.take(4)  # element_instance_tag
+        b.take(8)  # global_gain
+        assert b.take(1) == 0  # ics_reserved_bit
+        assert b.take(2) == 0  # window_sequence = ONLY_LONG
+        b.take(1)  # window_shape
+        assert b.take(6) == 0  # max_sfb = 0 -> no sections, no sfs
+        assert b.take(1) == 0  # predictor_data_present
+        assert b.take(1) == 0  # pulse_data_present
+        assert b.take(1) == 0  # tns_data_present
+        assert b.take(1) == 0  # gain_control_data_present
+        assert b.take(3) == 7  # id_syn_ele = TERM
+        # byte-align padding must be zero
+        assert b.take(32 - b.pos) == 0
+
+
 def _ffmpeg_pcm(path: str) -> np.ndarray:
     r = subprocess.run(
         ["ffmpeg", "-hide_banner", "-v", "error", "-i", path,

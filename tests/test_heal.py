@@ -106,6 +106,40 @@ def test_pluggable_healer_called_once_per_distinct_template(spark, bronze):
     assert calls.value == 3, f"healer ran {calls.value}x for 3 templates"
 
 
+def test_null_raw_rows_are_preserved_and_never_cached(spark):
+    rows = [(1, "{{a|x}}"), (2, None), (3, "{{b|y}}")]
+    bronze = spark.createDataFrame(rows, "line_id long, raw_text string")
+    healed, cache = heal_enrich(bronze, empty_cache(spark))
+    got = {r["line_id"]: r for r in healed.collect()}
+    assert sorted(got) == [1, 2, 3], "enrichment must be row-preserving"
+    assert got[2]["healed_text"] is None and got[2]["need_review"]
+    keys = [r["cache_key"] for r in cache.collect()]
+    assert None not in keys and len(keys) == 2
+
+
+def test_failed_heal_is_emitted_but_never_poisons_the_cache(spark, bronze):
+    @F.udf("string")
+    def failing_heal(raw: str) -> str:
+        # the real LLM case: one template's API call fails -> NULL
+        return None if "tpl0" in raw else f"LLM({raw})"
+
+    healed1, cache1 = heal_enrich(
+        bronze, empty_cache(spark), heal=lambda c: failing_heal(c), healer_name="llm"
+    )
+    # the failure is visible this run (need_review), not silently dropped
+    failed = [r for r in healed1.collect() if r["healed_text"] is None]
+    assert len(failed) == 2 and all(r["need_review"] for r in failed)
+    # ...but never persisted: the cache holds only the 2 successful heals
+    cache1 = cache1.localCheckpoint(eager=True)
+    assert cache1.filter(F.col("healed_text").isNull()).count() == 0
+    assert cache1.count() == 2
+    # a later run with a recovered healer REPAIRS the key (the poisoned-
+    # cache bug: a cached NULL used to win the merge forever)
+    healed2, cache2 = heal_enrich(bronze, cache1)
+    assert all(r["healed_text"] is not None for r in healed2.collect())
+    assert cache2.count() == 3
+
+
 def test_nondeterministic_healer_output_matches_cache(spark, bronze):
     """An LLM healer is nondeterministic call-to-call. The contract: the
     healed_text emitted to consumers and the healed_text persisted in

@@ -495,6 +495,53 @@ class TestRarExtraction:
         assert got["ok.txt"]["content"] == b"fine"
         assert got["ok.txt"]["crc_ok"] is True
 
+    def test_crafted_extra_size_overlapping_fields_is_torn_not_misread(self):
+        # an attacker controls the header CRC (it's plain CRC32 over
+        # bytes they write), so a hostile extra_size that makes the
+        # 'extra area' alias the name/body fields VALIDATES — extraction
+        # must refuse the header as torn rather than walk field bytes as
+        # extra records (which could spuriously mark a stored member
+        # encrypted and withhold valid content)
+        import struct
+        import zlib
+
+        from tlmc_etl_spark.operators.rarindex import (
+            _SIG_RAR5,
+            _rar5_block,
+            _write_vint,
+            encode_rar5,
+            extract_rar_members,
+        )
+
+        base = encode_rar5([("ok.txt", False, b"fine")], with_crcs=True)
+        # rebuild the FILE block with flag 0x0001 and extra_size spanning
+        # the whole remaining header (no real extra records appended)
+        sig = len(_SIG_RAR5)
+        main = _rar5_block(1, _write_vint(0))  # type 1 = MAIN, flags 0
+        file_block_at = sig + len(main)
+        # parse the original file block to splice: crc(4) + size vint
+        want = base[file_block_at:]
+        size_len = 1
+        while want[4 + size_len - 1] & 0x80:
+            size_len += 1
+        hsize = want[4 : 4 + size_len]
+        size = 0
+        for i, b in enumerate(hsize):
+            size |= (b & 0x7F) << (7 * i)
+        hdr = bytearray(want[4 + size_len : 4 + size_len + size])
+        # hdr = [htype=2][hflags][data_size vint][file fields...]
+        assert hdr[0] == 2 and hdr[1] == 0x02  # FILE, data-flag only
+        hdr[1] = 0x03  # + extra-area flag
+        hacked = bytes([hdr[0], hdr[1]]) + _write_vint(size) + bytes(hdr[2:])
+        # extra_size vint = claim the whole header; CRC re-stamped
+        new_hdr = _write_vint(len(hacked)) + hacked
+        block = struct.pack("<I", zlib.crc32(new_hdr)) + new_hdr
+        arc = base[:file_block_at] + block + b"fine" + base[file_block_at + 4 + size_len + size + 4:]
+        import pytest
+
+        with pytest.raises(ValueError):
+            extract_rar_members(bytes(arc))
+
     def test_non_rar(self):
         from tlmc_etl_spark.operators.rarindex import extract_rar_members
 

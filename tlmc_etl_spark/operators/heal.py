@@ -73,10 +73,32 @@ def heal_enrich(
     stage on its own output cache is the identity on the cache and every
     row resolves 'cache' (the reference decorator's
     row-exists/replace/create dance, declaratively).
+
+    NULL discipline (both reproduced as silent-loss bugs in review):
+     - a NULL `raw_col` row is row-PRESERVED: it flows to the output with
+       healed_text NULL / need_review true (there is nothing to heal or
+       key on), and never touches the cache;
+     - a NULL healed_text — a FAILED heal (the real LLM case: API error
+       mapped to NULL) — is emitted this run (need_review true) but is
+       NEVER persisted: caching a failure would poison the key forever
+       (the cache-wins merge would keep the NULL while the row re-heals
+       every run, breaking the fixed-point contract AND re-spending the
+       API call). NULL cache rows arriving from outside are likewise
+       treated as absent.
     """
     if heal is None:
         heal = standin_heal
+    # a failed-heal (NULL) cache row must behave as a miss, never a hit
+    cache = cache.select("cache_key", "healed_text").filter(
+        F.col("cache_key").isNotNull() & F.col("healed_text").isNotNull()
+    )
     keyed = bronze.withColumn("cache_key", portable_hash60(F.col(raw_col)))
+    null_raw = keyed.filter(F.col(raw_col).isNull()).select(
+        "*",
+        F.lit(None).cast("string").alias("healed_text"),
+        F.lit(healer_name).alias("healed_by"),
+    )
+    keyed = keyed.filter(F.col(raw_col).isNotNull())
     # the cache is distinct-template-sized: broadcast the join
     resolved = keyed.join(F.broadcast(cache), "cache_key", "left")
     hits = resolved.filter(F.col("healed_text").isNotNull()).withColumn(
@@ -99,14 +121,24 @@ def heal_enrich(
     miss_rows = missed.join(F.broadcast(healed_new), "cache_key").withColumn(
         "healed_by", F.lit(healer_name)
     )
-    healed = hits.unionByName(miss_rows).withColumn(
-        "need_review", F.col("healed_by") != F.lit("cache")
+    healed = (
+        hits.unionByName(miss_rows)
+        .unionByName(null_raw)
+        .withColumn(
+            "need_review",
+            (F.col("healed_by") != F.lit("cache")) | F.col("healed_text").isNull(),
+        )
     )
     # keyed idempotent merge, cache-wins: tag the provenance and take the
-    # min-tagged row per key (0 = pre-existing cache, 1 = fresh heal)
+    # min-tagged row per key (0 = pre-existing cache, 1 = fresh heal);
+    # failed heals (NULL) stay out so the key re-heals next run
     updated_cache = (
-        cache.select("cache_key", "healed_text").withColumn("__src", F.lit(0))
-        .unionByName(healed_new.withColumn("__src", F.lit(1)))
+        cache.withColumn("__src", F.lit(0))
+        .unionByName(
+            healed_new.filter(F.col("healed_text").isNotNull()).withColumn(
+                "__src", F.lit(1)
+            )
+        )
         .groupBy("cache_key")
         .agg(F.min(F.struct("__src", "healed_text")).alias("w"))
         .select("cache_key", F.col("w.healed_text").alias("healed_text"))

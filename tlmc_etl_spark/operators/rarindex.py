@@ -332,6 +332,15 @@ def _walk_rar5(fh, start: int, collect: list | None = None) -> list[dict]:
                     "mtime_unix": mtime,
                 }
                 if collect is not None:
+                    # the extra area occupies the header TAIL; it must
+                    # not overlap the fields just parsed (p = end of the
+                    # name) — a crafted header could otherwise alias
+                    # htype/name bytes as extra records and spuriously
+                    # mark a stored member encrypted (or tear the walk)
+                    if extra_size > len(hdr) - (p + nlen):
+                        raise ValueError(
+                            "rar5: extra area overlaps header fields"
+                        )
                     collect.append({
                         "data_off": fh.tell(),
                         "data_size": data_size,
