@@ -85,10 +85,11 @@ HEADLINE = [
     "flac_decode_features",
     "flac_tag_scan",
     "flac_cue_split_decode",
-    "cue_split_worklist_lifecycle",
+    "cue_split_lifecycle",
     "mp3_tag_scan",
     "ogg_tag_scan",
     "lyrics_heal_join",
+    "rate_limit_schedule",
     # similarity pipeline
     "cosine_topk",
     "two_stage_similarity",

@@ -77,7 +77,8 @@ SHUFFLE_BUDGET = {
     "flac_decode_features": 0,  # in-plan encode+exact decode per file, one map
     "flac_tag_scan": 0,  # tag parse in one map; coalesce is row-local JVM exprs
     "flac_cue_split_decode": 0,  # per-album decode+cut in one map stage
-    "cue_split_worklist_lifecycle": 2,  # post-sink stats only: shard-scan groupBy + countDistinct
+    "cue_split_lifecycle": 2,
+    "rate_limit_schedule": 1,  # one per-worker window partition  # post-sink stats only: shard-scan groupBy + countDistinct
     "mp3_tag_scan": 0,  # id3 parse in one map; coalesce is row-local JVM exprs
     "ogg_tag_scan": 0,  # comment-packet parse in one map; coalesce row-local
     "cosine_topk": 1,

@@ -204,7 +204,7 @@ class TestComposedLifecycle:
         # the returned per-shard stats must hang off the CSV shard sink,
         # never the FLAC decode subtree — a MapInPandas node here means
         # every downstream consumer silently re-decodes 6 albums
-        plan = plan_of(spark, sf_dir, "cue_split_worklist_lifecycle", mode="simple")
+        plan = plan_of(spark, sf_dir, "cue_split_lifecycle", mode="simple")
         assert "csv" in plan.lower(), "stats must scan the shard sink"
         for node in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"):
             assert node not in plan, f"{node} in post-sink lineage: decode recomputed"
@@ -228,15 +228,45 @@ class TestComposedLifecycle:
         )
         assert again == [], f"rerun rewrote shards {again}"
 
+    @staticmethod
+    def _live_lines(plan: str) -> list[str]:
+        """Plan lines OUTSIDE InMemoryRelation subtrees: a persisted
+        reuse table's BUILD plan is printed by explain but served from
+        cache, never re-executed — its Python-eval nodes are not live
+        lineage (same exclusion as test_plan_budget._live_shuffles;
+        surfaced when the Arrow-UDF session flag made the catalog's
+        bracket parsers print as ArrowEvalPython inside the cached
+        release subtree)."""
+        import re
+
+        def indent(line: str) -> int:
+            return re.match(r"^[\s:+|*-]*", line).end()
+
+        live, skip = [], None
+        for line in plan.splitlines():
+            i = indent(line)
+            if skip is not None:
+                if i > skip:
+                    continue
+                skip = None
+            if "InMemoryRelation" in line:
+                skip = i
+                continue
+            live.append(line)
+        return live
+
     def test_stats_lineage_reads_the_sink_not_the_pipeline(self, spark, sf_dir):
-        # The returned stats must hang off the CSV shard sink: a plan that
-        # still contains a Python-eval node means the similarity subtree
-        # would be silently recomputed by every downstream consumer —
-        # the cross-stage regression this gate exists for.
+        # The returned stats must hang off the CSV shard sink: a LIVE
+        # Python-eval node means the similarity subtree would be
+        # silently recomputed by every downstream consumer — the
+        # cross-stage regression this gate exists for. (The persisted
+        # catalog's build plan is excluded: printed, not re-executed.)
         plan = plan_of(spark, sf_dir, "lifecycle_similar_shards", mode="simple")
         assert "csv" in plan.lower(), "stats must scan the shard sink"
-        for node in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython"):
-            assert node not in plan, f"{node} in post-sink lineage: similarity recomputed"
+        live = "\n".join(self._live_lines(plan))
+        for node in ("MapInPandas", "FlatMapGroupsInPandas", "ArrowEvalPython",
+                     "BatchEvalPython"):
+            assert node not in live, f"{node} in post-sink lineage: similarity recomputed"
 
     def test_catalog_hydration_broadcasts_cached_catalog(self, spark, sf_dir):
         plan = plan_of(spark, sf_dir, "lifecycle_similar_shards", mode="simple")

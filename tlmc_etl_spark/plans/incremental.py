@@ -301,3 +301,46 @@ def cached_fetch_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("k") % 5 == 0) | ((F.col("k") % 3 == 0) & (F.col("k") % 21 != 0))
     ).select(cache_key_from_url("thwiki", F.col("url")).alias("cache_key"))
     return cache_resolve(requests, index, store).orderBy("cache_key")
+
+
+_RATE_SCHEDULE_ORACLE = """
+WITH req AS (
+  SELECT o_orderkey AS req_key FROM orders WHERE o_orderkey % 25 = 0
+), w AS (
+  SELECT req_key,
+         CAST(('0x' || substr(md5(req_key::VARCHAR), 1, 15))::BIGINT % 8
+              AS INT) AS worker
+  FROM req
+), s AS (
+  SELECT req_key, worker,
+         row_number() OVER (PARTITION BY worker ORDER BY req_key) AS seq
+  FROM w
+)
+SELECT req_key, worker, CAST(seq AS INT) AS seq,
+       CAST(round((seq - 1) / 2.0, 4) AS DOUBLE) AS scheduled_offset_s
+FROM s ORDER BY worker, seq
+"""
+
+
+@query("rate_limit_schedule", oracle=_RATE_SCHEDULE_ORACLE)
+def rate_limit_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's API rate limiting (`sleep(0.5/1.5)` between calls,
+    song_page_scraper.py:142,157) as an engine contract: a DETERMINISTIC
+    dispatch plan — worker = portable_hash(key) % 8, per-worker sequence,
+    scheduled offset seq/rps at 2 req/s per worker — so the aggregate
+    rate is bounded by workers × rps BY CONSTRUCTION and the schedule is
+    auditable before any call fires (a sleep buried in a scraper loop is
+    neither). Enforcement is operators/ratelimit.py's per-task token
+    bucket (`rate_limited`, the LLM-healer/fetch wrapper),
+    property-tested with an injected clock in tests/test_ratelimit.py —
+    wall-clock pacing is not SQL-expressible, the plan is."""
+    from tlmc_etl_spark.operators.ratelimit import dispatch_schedule
+
+    req = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 25 == 0)
+        .select(F.col("o_orderkey").alias("req_key"))
+    )
+    return dispatch_schedule(req, "req_key", n_workers=8, rps_per_worker=2.0).orderBy(
+        "worker", "seq"
+    )

@@ -2544,7 +2544,7 @@ def _cue_split_track_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     through the REAL lanes (parse_cue grid, SEEKTABLE-aware decode_range,
     sample-exact cuts). Emits per-track stats including s_abs (Σ|v|, the
     loudness stand-in's input) — flac_cue_split_decode projects the
-    decode-audit columns; cue_split_worklist_lifecycle composes the full
+    decode-audit columns; cue_split_lifecycle composes the full
     worklist (gain → shard sink → read-back)."""
     import numpy as np
     import pandas as pd
@@ -2701,8 +2701,8 @@ FROM sharded GROUP BY shard ORDER BY shard
 """
 
 
-@query("cue_split_worklist_lifecycle", oracle=_CUE_LIFECYCLE_ORACLE)
-def cue_split_worklist_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+@query("cue_split_lifecycle", oracle=_CUE_LIFECYCLE_ORACLE)
+def cue_split_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full Preprocessor cue-split worklist as ONE composed bench
     entry, mirroring lifecycle_similar_shards for the §3.1 phase:
     cue seek-plan → SEEKTABLE-aware decode_range cuts → per-track
