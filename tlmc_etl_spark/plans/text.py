@@ -1317,17 +1317,133 @@ def curation_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("bpe_train_merges")
+def _bpe_merge_sql(sym: str, best: str) -> str:
+    """The left-to-right non-overlapping merge of ({best}.l, {best}.r)
+    over {sym}.toks as a closed-form DuckDB list expression — the SQL
+    replay of operators/bpe.apply_merge's F.aggregate fold. For l <> r
+    matches can never chain (a match at j-1 consumes toks[j] as r, and a
+    new match at j would need toks[j] = l = r); for l = r the greedy
+    pairing inside a run of k equal symbols takes positions at ODD
+    offsets from the run start, where the run start is found via the
+    last preceding non-l symbol."""
+    t = f"{sym}.toks"
+    prev = (
+        "coalesce(list_max(list_filter(generate_series(1, {up}), "
+        f"i -> {t}[i] <> {best}.l)), 0)"
+    )
+    return f"""list_filter(
+    list_transform(generate_series(1, len({t})),
+      j -> CASE
+        WHEN j < len({t}) AND {t}[j] = {best}.l AND {t}[j+1] = {best}.r
+             AND ({best}.l <> {best}.r OR (j - {prev.format(up='j-1')}) % 2 = 1)
+        THEN {best}.l || {best}.r
+        WHEN j > 1 AND {t}[j-1] = {best}.l AND {t}[j] = {best}.r
+             AND ({best}.l <> {best}.r OR ((j-1) - {prev.format(up='j-2')}) % 2 = 1)
+        THEN NULL
+        ELSE {t}[j] END),
+    x -> x IS NOT NULL)"""
+
+
+def _bpe_chain_sql(n_rounds: int = 8) -> str:
+    """Shared CTE prefix replaying the iterative BPE training loop,
+    UNROLLED: the k-round driver loop becomes k chained stages (pair
+    count -> thresholded argmax with the count-DESC/left-ASC/right-ASC
+    tie-break -> closed-form merge fold). The word key rides the fold so
+    the encode oracle can map each vocabulary word to its final token
+    count. Early stop replays via the LEFT JOIN ON TRUE: a round whose
+    best pair falls under the 2-occurrence floor yields an empty best
+    CTE, later stages carry symbols unchanged, and later pair counts
+    re-derive the same sub-floor maximum — no round past the stop can
+    emit."""
+    parts = [
+        """WITH w AS (
+  SELECT word, count(*) AS wc FROM (
+    SELECT unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE len(word) >= 2 GROUP BY word
+), s0 AS (
+  SELECT word, list_transform(generate_series(1, len(word)), i -> word[i]) AS toks, wc
+  FROM w
+)"""
+    ]
+    for k in range(n_rounds):
+        merge = _bpe_merge_sql("t", f"b{k}")
+        parts.append(
+            f""", p{k} AS (
+  SELECT t.toks[g.i] AS l, t.toks[g.i + 1] AS r,
+         CAST(sum(t.wc) AS BIGINT) AS n_weighted
+  FROM s{k} t, LATERAL (
+    SELECT unnest(generate_series(1, len(t.toks) - 1)) AS i) g
+  WHERE len(t.toks) >= 2
+  GROUP BY 1, 2
+), b{k} AS (
+  SELECT l, r, n_weighted FROM p{k} WHERE n_weighted >= 2
+  ORDER BY n_weighted DESC, l, r LIMIT 1
+), s{k + 1} AS (
+  SELECT t.word,
+         CASE WHEN b{k}.l IS NULL THEN t.toks ELSE {merge} END AS toks,
+         t.wc
+  FROM s{k} t LEFT JOIN b{k} ON TRUE
+)"""
+        )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_rounds: int = 8) -> str:
+    """The training trajectory off the shared chain: which pairs won, in
+    which order, at which weighted counts — the complete Sennrich loop
+    value-checked by DuckDB."""
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS merge_round, l AS left, r AS right, l || r AS merged,"
+        f" n_weighted FROM b{k}"
+        for k in range(n_rounds)
+    )
+    return _bpe_chain_sql(n_rounds) + f"\n{selects}\nORDER BY merge_round"
+
+
+def _bpe_encode_oracle(n_rounds: int = 8) -> str:
+    """The corpus-encode accounting off the SAME chain: the trained
+    vocabulary's final token count per word (len of the fully-folded
+    symbol list), broadcast onto per-doc word multiplicities — the SQL
+    replay of the vocabulary/corpus split the Spark plan uses.
+    Single-character words bypass the vocabulary (encode to themselves,
+    the len>=2 training floor)."""
+    return (
+        _bpe_chain_sql(n_rounds)
+        + f""", vocab AS (
+  SELECT word, CAST(len(toks) AS BIGINT) AS n_tok FROM s{n_rounds}
+), dw AS (
+  SELECT doc_id, word, count(*) AS c FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+  ) WHERE len(word) >= 1 GROUP BY doc_id, word
+), j AS (
+  SELECT dw.doc_id, dw.c,
+         len(dw.word) * dw.c AS n_sym,
+         coalesce(v.n_tok, 1) * dw.c AS n_tok
+  FROM dw LEFT JOIN vocab v ON dw.word = v.word
+)
+SELECT doc_id,
+       CAST(sum(c) AS BIGINT) AS n_words,
+       CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(round(CAST(sum(n_sym) AS DOUBLE) / sum(n_tok), 4) AS DOUBLE)
+         AS compression
+FROM j GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
+@query("bpe_train_merges", oracle=_bpe_train_oracle())
 def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full BPE tokenizer training (Sennrich et al. 2016) as an iterative
     Spark job: 8 rounds of [distributed pair count over the (distinct
     word, count) fold -> 1-row deterministic argmax -> JVM-side
-    F.aggregate merge fold], lineage truncated per round. Ext tier (an
-    iterative argmax loop has no SQL replay); the differential gate is
-    tests/test_bpe.py::TestBpeTraining — a from-scratch pure-
-    Python reference implementation must produce the IDENTICAL merge
-    table on the same corpus, and the encode path must re-tokenize
-    fixtures identically."""
+    F.aggregate merge fold], lineage truncated per round. Oracle-backed
+    since round 14: the loop UNROLLS into 8 chained SQL stages
+    (_bpe_train_oracle) with the merge fold as a closed-form list
+    expression, so DuckDB value-checks the complete merge trajectory —
+    previously this was the flagship 'no SQL replay' ext claim, and the
+    unroll deletes it. The from-scratch pure-Python differential
+    (tests/test_bpe.py::TestBpeTraining) and the encode re-tokenization
+    gate stay as independent second witnesses."""
     from tlmc_etl_spark.operators.bpe import train_bpe_merges
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1341,7 +1457,7 @@ def bpe_train_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("merge_round")
 
 
-@query("bpe_encode_corpus")
+@query("bpe_encode_corpus", oracle=_bpe_encode_oracle())
 def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLICATION at corpus scale: train the 8-merge BPE
     table (the bpe_train_merges loop), then tokenize every document
@@ -1357,9 +1473,11 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode to themselves; training's len>=2 floor excludes them).
     Output: (doc_id, n_words, n_symbols, n_tokens, compression) where
     n_symbols is the pre-merge character-symbol count and compression =
-    n_symbols / n_tokens. Ext tier (the 8-round argmax loop has no SQL
-    replay); the differential gate replays train+encode+aggregate from
-    scratch in Python (tests/test_bpe.py::TestBpeCorpusEncode).
+    n_symbols / n_tokens. Oracle-backed since round 14: the unrolled
+    training chain (_bpe_chain_sql) carries each vocabulary word through
+    the 8 merge folds, so DuckDB replays train -> encode -> per-doc
+    accounting end to end; the from-scratch Python differential
+    (tests/test_bpe.py::TestBpeCorpusEncode) stays as a second witness.
     """
     from tlmc_etl_spark.operators.bpe import (
         encode_with_merges,
