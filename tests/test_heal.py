@@ -160,3 +160,40 @@ def test_nondeterministic_healer_output_matches_cache(spark, bronze):
             "output and cache diverged for one template — the heal was "
             "evaluated more than once"
         )
+
+
+def test_hash_collision_does_not_duplicate_or_cross_assign(spark, monkeypatch):
+    """Two DISTINCT raw texts that collide under the content hash must
+    not duplicate the colliding missed rows or hand one template's
+    healed text to the other (review finding: the miss join used to key
+    on cache_key alone while distinct_missed kept both raw values under
+    the one key). Forced by patching the hash to a constant."""
+    import tlmc_etl_spark.operators.heal as heal_mod
+
+    monkeypatch.setattr(
+        heal_mod, "portable_hash60", lambda c: F.lit(7).cast("long")
+    )
+    rows = [(1, "{{a|left}}"), (2, "{{b|right}}")]
+    bronze = spark.createDataFrame(rows, "line_id long, raw_text string")
+    healed, cache = heal_enrich(bronze, empty_cache(spark))
+    got = sorted(healed.collect(), key=lambda r: r["line_id"])
+    assert len(got) == 2, "colliding keys must not duplicate missed rows"
+    assert got[0]["healed_text"] == "left"
+    assert got[1]["healed_text"] == "right"
+    # the hashed cache itself can only keep one value per key — that is
+    # inherent to a hash-keyed cache; the merge must still be a single
+    # deterministic row, not two
+    assert cache.count() == 1
+
+
+def test_null_raw_provenance_is_not_the_healer(spark):
+    """A NULL raw row runs no healer, so healed_by must be NULL — not
+    the healer's name (review finding: provenance accounting counted
+    these rows as healer output)."""
+    bronze = spark.createDataFrame(
+        [(1, None), (2, "{{a|x}}")], "line_id long, raw_text string"
+    )
+    healed, _ = heal_enrich(bronze, empty_cache(spark), healer_name="llm")
+    got = {r["line_id"]: r for r in healed.collect()}
+    assert got[1]["healed_by"] is None and got[1]["need_review"]
+    assert got[2]["healed_by"] == "llm"

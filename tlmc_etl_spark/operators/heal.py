@@ -93,10 +93,12 @@ def heal_enrich(
         F.col("cache_key").isNotNull() & F.col("healed_text").isNotNull()
     )
     keyed = bronze.withColumn("cache_key", portable_hash60(F.col(raw_col)))
+    # healed_by stays NULL here — no healer ran on a NULL raw row, and
+    # provenance accounting must not count these as healer output
     null_raw = keyed.filter(F.col(raw_col).isNull()).select(
         "*",
         F.lit(None).cast("string").alias("healed_text"),
-        F.lit(healer_name).alias("healed_by"),
+        F.lit(None).cast("string").alias("healed_by"),
     )
     keyed = keyed.filter(F.col(raw_col).isNotNull())
     # the cache is distinct-template-sized: broadcast the join
@@ -109,7 +111,7 @@ def heal_enrich(
     missed = resolved.filter(F.col("healed_text").isNull()).drop("healed_text")
     distinct_missed = missed.select("cache_key", raw_col).distinct()
     healed_new = distinct_missed.select(
-        "cache_key", heal(F.col(raw_col)).alias("healed_text")
+        "cache_key", raw_col, heal(F.col(raw_col)).alias("healed_text")
     )
     # Materialize ONCE, eagerly: healed_new feeds BOTH the output join
     # and the cache merge — left lazy, a nondeterministic healer (the
@@ -118,9 +120,13 @@ def heal_enrich(
     # cache-is-what-you-saw contract and doubling API spend). The
     # checkpoint is distinct-template-sized, not line-sized.
     healed_new = healed_new.localCheckpoint(eager=True)
-    miss_rows = missed.join(F.broadcast(healed_new), "cache_key").withColumn(
-        "healed_by", F.lit(healer_name)
-    )
+    # join back on (cache_key, raw_col), not cache_key alone: a
+    # portable_hash60 collision between two distinct raw texts must not
+    # duplicate the colliding missed rows or cross-assign healed texts
+    # (distinct_missed keeps both raw values under the one key)
+    miss_rows = missed.join(
+        F.broadcast(healed_new), ["cache_key", raw_col]
+    ).withColumn("healed_by", F.lit(healer_name))
     healed = (
         hits.unionByName(miss_rows)
         .unionByName(null_raw)
@@ -135,9 +141,9 @@ def heal_enrich(
     updated_cache = (
         cache.withColumn("__src", F.lit(0))
         .unionByName(
-            healed_new.filter(F.col("healed_text").isNotNull()).withColumn(
-                "__src", F.lit(1)
-            )
+            healed_new.filter(F.col("healed_text").isNotNull())
+            .select("cache_key", "healed_text")
+            .withColumn("__src", F.lit(1))
         )
         .groupBy("cache_key")
         .agg(F.min(F.struct("__src", "healed_text")).alias("w"))

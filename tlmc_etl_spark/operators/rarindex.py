@@ -333,8 +333,8 @@ def _walk_rar5(fh, start: int, collect: list | None = None) -> list[dict]:
                 }
                 if collect is not None:
                     # the extra area occupies the header TAIL; it must
-                    # not overlap the fields just parsed (p = end of the
-                    # name) — a crafted header could otherwise alias
+                    # not overlap the fields just parsed (the name ends
+                    # at p + nlen) — a crafted header could otherwise alias
                     # htype/name bytes as extra records and spuriously
                     # mark a stored member encrypted (or tear the walk)
                     if extra_size > len(hdr) - (p + nlen):

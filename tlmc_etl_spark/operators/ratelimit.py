@@ -106,7 +106,16 @@ def dispatch_schedule(
     seq = rank within worker (key order), scheduled_offset_s =
     (seq - 1) / rps. The aggregate dispatch rate is bounded by
     k × rps_per_worker; per-worker order is total and reproducible, so
-    a resumed run re-derives the identical schedule."""
+    a resumed run re-derives the identical schedule.
+
+    Duplicate key values are totally ordered by (key, portable hash of
+    key) — since equal keys share a hash, ties among them are broken by
+    Spark's row_number over an ordering that cannot distinguish them,
+    so when `key_col` is non-unique the rows of one key value receive
+    an arbitrary-but-contiguous block of seq numbers. Their OFFSETS are
+    still deterministic as a multiset (same keys → same offset set on
+    every run); only WHICH duplicate gets which offset can vary. For a
+    byte-identical resumed schedule pass a unique key."""
     if n_workers < 1:
         raise ValueError("n_workers must be >= 1")
     if rps_per_worker <= 0:
