@@ -28,6 +28,23 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", RELATIONAL)
 def test_matches_oracle(name, spark, duck, sf_dir):
     q = QUERIES[name]
+    if q.oracle_sf_dir and q.oracle_sf_dir != sf_dir:
+        # literal-pinned oracle (embeds artifacts trained at one sf):
+        # run BOTH engines at the pinned directory
+        import os
+
+        import duckdb
+
+        from tlmc_etl_spark.sources.tables import TABLES
+
+        if not os.path.isdir(q.oracle_sf_dir):
+            pytest.skip(f"pinned sf dir {q.oracle_sf_dir} absent")
+        duck = duckdb.connect()
+        for t in TABLES:
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{q.oracle_sf_dir}/{t}.parquet'"
+            )
+        sf_dir = q.oracle_sf_dir
     got = q.fn(spark, sf_dir).toPandas()
     want = duck.execute(q.oracle).fetchdf()
     assert sorted(got.columns) == sorted(want.columns), "schema mismatch"

@@ -866,8 +866,11 @@ def pq_adc_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes via ADC lookup tables — the PQ index's serving arithmetic
     (m table reads per pair, candidates never decoded). Exact-rewrite
     identity (ADC == decode-then-dot) and recall floors gated in
-    tests/test_pq.py. The k-means codebooks are not SQL-replayable;
-    the portable-hash primary `pq_adc_topk` is the value-checked form."""
+    tests/test_pq.py. Value-checked two ways: the portable-hash twin
+    `pq_adc_topk` replays training+serving in SQL, and this production
+    form's CONVERGED codebooks are embedded as SQL literals at the
+    driver sf (plans/ann_kmeans_oracles.py) so DuckDB replays its full
+    serving path too."""
     from tlmc_etl_spark.operators.pq import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1014,8 +1017,10 @@ def ivf_pq_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     on round(·, 6) values with index tie-breaks — DuckDB replays
     quantize -> encode -> probe -> ADC -> rank end-to-end, so the
     driver value-checks the complete serving path of the production
-    ivf_pq_topk_kmeans (which keeps its k-means quantizers and stays
-    rows-only by necessity; the two share the ADC plan shape)."""
+    ivf_pq_topk_kmeans (which keeps its k-means quantizers; since
+    round 15 its converged quantizers embed as SQL literals at the
+    driver sf — plans/ann_kmeans_oracles.py — so both forms are
+    value-checked; the two share the ADC plan shape)."""
     from tlmc_etl_spark.operators.pq import ivf_pq_topk_portable
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1033,9 +1038,10 @@ def pq_adc_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations), encoding ranks round(|c|^2 - 2 x·c, 6) with index
     tie-break, and the ADC sum rounds once at the end — DuckDB replays
     codebook -> encode -> m-table-read scoring -> rank exactly, so the
-    driver value-checks the whole serving path. pq_adc_topk_kmeans (the
-    production k-means form) stays rows-only by necessity and shares
-    the scoring kernel with this twin."""
+    driver value-checks the whole serving path. pq_adc_topk_kmeans
+    (the production k-means form) shares the scoring kernel and is
+    itself value-checked via generated-literal codebooks
+    (plans/ann_kmeans_oracles.py)."""
     from tlmc_etl_spark.operators.pq import pq_adc_topk_portable
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1117,9 +1123,10 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 cosine neighbors (k-means coarse quantizer,
     4-cell probe) — the faiss-IVF shape reduced to Spark-native joins
-    (faiss_index_builder.py:10-23). The k-means quantizer is not
-    SQL-replayable; the portable-hash primary `ivf_ann_topk` is the
-    value-checked form."""
+    (faiss_index_builder.py:10-23). Value-checked two ways: the
+    portable-hash primary `ivf_ann_topk` replays quantizer+serving in
+    SQL, and this form's CONVERGED k-means centroids embed as SQL
+    literals at the driver sf (plans/ann_kmeans_oracles.py)."""
     from tlmc_etl_spark.operators.vectors import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1182,7 +1189,8 @@ def ivf_ann_topk_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
     round(cosine, 6) with index tie-break — every step SQL-replayable,
     so the driver value-checks the full assign -> probe -> score ->
     rank pipeline. Identical serving plan shape to ivf_ann_topk_kmeans
-    (the production k-means form, rows-only by necessity)."""
+    (the production k-means form, value-checked via generated-literal
+    centroids, plans/ann_kmeans_oracles.py)."""
     from tlmc_etl_spark.operators.vectors import ivf_topk_portable
 
     emb = load_table(spark, sf_dir, "embeddings")

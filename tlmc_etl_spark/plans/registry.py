@@ -29,6 +29,13 @@ class Query:
     fn: PlanFn
     oracle: str | None  # DuckDB SQL, None for ext-verified operators
     doc: str = ""
+    # Some oracles embed TRAINED literals (converged k-means centroids,
+    # OPQ rotations) generated at one specific scale factor — they are
+    # value-valid only against that data. When set, parity harnesses
+    # (tests/test_oracle_parity.py, tools/check_oracle.py) must run BOTH
+    # engines at this directory regardless of the requested sf; the
+    # driver's own check runs at sf0.01, where these are generated.
+    oracle_sf_dir: str | None = None
 
 
 QUERIES: dict[str, Query] = {}

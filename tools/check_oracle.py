@@ -74,14 +74,28 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     names = sys.argv[2:] or list(QUERIES)
     spark = get_spark("oracle-check")
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    cons: dict[str, duckdb.DuckDBPyConnection] = {}
+
+    def con_for(d: str) -> duckdb.DuckDBPyConnection:
+        if d not in cons:
+            c = duckdb.connect()
+            for t in TABLES:
+                c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+            cons[d] = c
+        return cons[d]
+
     failures = 0
     for name in names:
         q = QUERIES[name]
+        # literal-pinned oracles (trained artifacts embedded as SQL
+        # literals) are value-valid only at their generation sf — run
+        # BOTH engines there, whatever dir the CLI asked for
+        run_dir = q.oracle_sf_dir or sf_dir
+        con = con_for(run_dir)
+        pinned = " [pinned sf]" if run_dir != sf_dir else ""
         try:
-            sdf = q.fn(spark, sf_dir).toPandas()
+            sdf = q.fn(spark, run_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"{name:30s} SPARK-ERROR {type(e).__name__}: {str(e)[:200]}")
             failures += 1
@@ -96,7 +110,7 @@ def main() -> int:
             failures += 1
             continue
         verdict = compare(name, sdf, ddf)
-        print(f"{name:30s} {verdict} (rows={len(sdf)})")
+        print(f"{name:30s} {verdict} (rows={len(sdf)}){pinned}")
         if verdict != "OK":
             failures += 1
     return 1 if failures else 0
