@@ -99,3 +99,64 @@ class TestScatterDensityServing:
         for r in rows:
             best[r["label"]] = max(best.get(r["label"], 0.0), r["density"])
         assert all(v > 0.01 for v in best.values())
+
+
+class TestReducerPlugPoint:
+    """VERDICT r14 #4: the UMAP predict-only swap, exercised — a fitted
+    reducer served through the SAME plans as the PCA substitution."""
+
+    def test_reducer_project_serves_exact_stub_coordinates(
+        self, spark, sf_dir, emb_np
+    ):
+        from tlmc_etl_spark.operators.projection import reducer_project
+
+        ids, M = emb_np
+        from tlmc_etl_spark.operators.projection import FrozenLinearReducer
+
+        red = FrozenLinearReducer(M.shape[1], 3)
+        emb = load_table(spark, sf_dir, "embeddings")
+        got = {
+            r["vec_id"]: (r["x"], r["y"], r["z"])
+            for r in reducer_project(emb, "vec_id", "embedding", red).collect()
+        }
+        want = M @ red.W
+        for i, vid in enumerate(ids):
+            assert got[vid] == pytest.approx(tuple(want[i]), abs=0, rel=0), (
+                "reducer output must pass through the serving path untouched"
+            )
+
+    def test_density_plan_is_layout_blind(self, spark, sf_dir, emb_np):
+        """Swap the reducer into scatter_density_serving's exact density
+        plan (density_over_layout) — zero plan changes, and the densities
+        equal a local recomputation from the stub's coordinates."""
+        from tlmc_etl_spark.operators.projection import reducer_project
+        from tlmc_etl_spark.plans.serving import density_over_layout
+
+        ids, M = emb_np
+        emb = load_table(spark, sf_dir, "embeddings")
+        labels = {
+            r["vec_id"]: r["label"]
+            for r in emb.select("vec_id", "label").collect()
+        }
+        from tlmc_etl_spark.operators.projection import FrozenLinearReducer
+
+        red = FrozenLinearReducer(M.shape[1], 2, seed=11)
+        pts = reducer_project(
+            emb, "vec_id", "embedding", red, out_cols=("x", "y")
+        ).select("label", "x", "y")
+        got = density_over_layout(spark, pts).collect()
+
+        # local recomputation from the stub's own coordinates
+        Y = M @ red.W
+        lab = np.array([labels[v] for v in ids])
+        x0, x1 = Y[:, 0].min(), Y[:, 0].max()
+        y0, y1 = Y[:, 1].min(), Y[:, 1].max()
+        dx, dy = (x1 - x0) / 4 or 1.0, (y1 - y0) / 4 or 1.0
+        assert len(got) == 25 * len(np.unique(lab))
+        for r in got:
+            gx, gy = x0 + r["ix"] * dx, y0 + r["iy"] * dy
+            m = lab == r["label"]
+            want = np.exp(
+                -4.0 * ((Y[m, 0] - gx) ** 2 + (Y[m, 1] - gy) ** 2)
+            ).mean()
+            assert r["density"] == pytest.approx(round(want, 6), abs=2e-6)

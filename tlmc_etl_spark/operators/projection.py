@@ -30,6 +30,7 @@ parallel passes.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -73,6 +74,58 @@ def pca_basis(
         if comps[j, np.argmax(np.abs(comps[j]))] < 0:
             comps[j] = -comps[j]
     return mean, comps, eigval[order]
+
+
+class FrozenLinearReducer:
+    """Minimal fitted-reducer stand-in with umap-learn's predict-only
+    interface (`.transform(X: (n, d)) -> (n, k)`): a frozen seeded random
+    linear map. Used by tests/test_projection.py to prove a real fitted
+    reducer (umap.UMAP, not in this container) drops into
+    reducer_project and the layout-blind density plan with zero plan
+    changes; lives here (not in the test module) so the broadcast
+    unpickles on executors."""
+
+    def __init__(self, d: int, k: int, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.W = rng.standard_normal((d, k))
+
+    def transform(self, X):
+        return X @ self.W
+
+
+def reducer_project(
+    emb: DataFrame, id_col: str, vec_col: str, reducer,
+    out_cols: tuple[str, ...] = ("x", "y", "z"),
+) -> DataFrame:
+    """The UMAP predict-only plug point, exercised: project with ANY
+    fitted reducer exposing umap-learn's serving interface
+    (`reducer.transform(X: (n, d)) -> (n, k)`), as an Arrow-batched
+    pandas UDF. This is the documented swap for a deployment that wants
+    true UMAP instead of the deterministic PCA substitution: fit the
+    reducer offline (a model artifact), broadcast it, and serve through
+    THIS map-only pass — the surrounding plan (pooling, metadata join,
+    scatter_density_serving's grid) is untouched, which
+    tests/test_projection.py proves by driving the density plan with a
+    frozen stub reducer. The reducer must be picklable (umap-learn
+    reducers are); one `.transform` call per Arrow batch.
+
+    Reference: umap-preprocessor.py:40-57 fits UMAP driver-side over
+    ALL pooled tensors; this path keeps the fit offline and distributes
+    the predict, which is what survives a 100 TB corpus."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = emb.sparkSession.sparkContext.broadcast(reducer)
+
+    @pandas_udf("array<double>")
+    def transform(vs: pd.Series) -> pd.Series:
+        X = np.array(vs.tolist(), dtype=np.float64)
+        Y = np.asarray(bc.value.transform(X), dtype=np.float64)
+        return pd.Series([row.tolist() for row in Y])
+
+    proj = emb.withColumn("__y", transform(F.col(vec_col).cast("array<double>")))
+    for j, c in enumerate(out_cols):
+        proj = proj.withColumn(c, F.element_at("__y", j + 1))
+    return proj.drop("__y")
 
 
 def pca_project(

@@ -269,31 +269,18 @@ def pca_scatter_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("scatter_density_serving")
-def scatter_density_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The composed serving map: PCA layout (the projection half) feeding
-    the per-label KDE contour grid (the density half) — app.py:114-308's
-    full scatter+contour payload as ONE Catalyst plan instead of a
-    pandas/scipy pipeline per request.
-
-    The 5×5 evaluation grid spans the PROJECTED point cloud (min/max per
-    axis from one tiny agg — at corpus scale a 2-value reduce), then the
-    same broadcast-grid × map-side-exp × single-groupBy shape as
-    kde_density_grid. ext tier (inherits the eigh); density values are
-    property-tested (mass positivity, symmetry under label permutation)
-    and the composition re-uses the oracle-backed KDE aggregation shape.
-    """
-    from tlmc_etl_spark.operators.projection import pca_project
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    pts = pca_project(emb, "vec_id", "embedding", k=2, out_cols=("x", "y")).select(
-        "label", "x", "y"
-    )
+def density_over_layout(spark: SparkSession, pts: DataFrame, nx: int = 5) -> DataFrame:
+    """The density half of the serving map, layout-agnostic: takes ANY
+    projected point cloud (label, x, y) — PCA, or a fitted reducer via
+    operators/projection.reducer_project — and evaluates the per-label
+    KDE contour grid over its span. Keeping this tail layout-blind is
+    what makes the UMAP plug point real: swapping the reducer changes
+    zero lines of the density plan (tests/test_projection.py drives it
+    with a frozen stub reducer and gets the stub's exact coordinates)."""
     span = pts.agg(
         F.min("x").alias("x0"), F.max("x").alias("x1"),
         F.min("y").alias("y0"), F.max("y").alias("y1"),
     ).first()
-    nx = 5
     dx = (span["x1"] - span["x0"]) / (nx - 1) or 1.0
     dy = (span["y1"] - span["y0"]) / (nx - 1) or 1.0
     grid = (
@@ -324,3 +311,29 @@ def scatter_density_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "ix", "iy")
     )
+
+
+@query("scatter_density_serving")
+def scatter_density_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed serving map: PCA layout (the projection half) feeding
+    the per-label KDE contour grid (the density half) — app.py:114-308's
+    full scatter+contour payload as ONE Catalyst plan instead of a
+    pandas/scipy pipeline per request.
+
+    The 5×5 evaluation grid spans the PROJECTED point cloud (min/max per
+    axis from one tiny agg — at corpus scale a 2-value reduce), then the
+    same broadcast-grid × map-side-exp × single-groupBy shape as
+    kde_density_grid. ext tier (inherits the eigh); density values are
+    property-tested (mass positivity, symmetry under label permutation)
+    and the composition re-uses the oracle-backed KDE aggregation shape.
+    The density tail is layout-agnostic (density_over_layout) — a fitted
+    UMAP reducer drops in through operators/projection.reducer_project
+    with zero plan changes.
+    """
+    from tlmc_etl_spark.operators.projection import pca_project
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = pca_project(emb, "vec_id", "embedding", k=2, out_cols=("x", "y")).select(
+        "label", "x", "y"
+    )
+    return density_over_layout(spark, pts)
