@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import unicodedata
 
+import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -70,6 +71,31 @@ def remove_brackets(s: str | None) -> str:
 
 extract_brackets_udf = F.udf(extract_brackets, T.ArrayType(T.StringType()))
 remove_brackets_udf = F.udf(remove_brackets, T.StringType())
+
+
+def extract_brackets_pandas():
+    """Arrow-batched extract_brackets: one Python call per Arrow batch
+    instead of per row. Same stack parser, same output; this is the form
+    the hot paths use (the scalar UDF stays for scattered small-column
+    uses). At corpus scale the per-row UDF's pickle/invoke overhead
+    dominates the actual parse — the batch form amortizes it. A factory
+    (not a module-level UDF object) so importing this module on an
+    executor, which happens whenever any UDF defined here unpickles,
+    never constructs a UDF without a session."""
+
+    def go(s: pd.Series) -> pd.Series:
+        return s.map(extract_brackets)
+
+    return F.pandas_udf(go, "array<string>")
+
+
+def remove_brackets_pandas():
+    """Arrow-batched remove_brackets (see extract_brackets_pandas)."""
+
+    def go(s: pd.Series) -> pd.Series:
+        return s.map(remove_brackets)
+
+    return F.pandas_udf(go, "string")
 
 
 # ---------------------------------------------------------------------------

@@ -28,6 +28,8 @@ is out-of-engine by design (SURVEY.md §2.1).
 
 from __future__ import annotations
 
+import pandas as pd
+
 import re
 from typing import Optional
 
@@ -209,6 +211,23 @@ def template_refs_udf():
         return template_refs(text)
 
     return F.udf(go, "array<struct<template string, ordinal int, track_ref string>>")
+
+
+def template_refs_pandas_udf():
+    """Arrow-batched template_refs: one Python call per Arrow batch, the
+    form the corpus-scale paths use (wiki_template_explode,
+    lyrics_heal_join's refusal gate). The parse itself is unchanged —
+    only the per-row invoke/pickle overhead is amortized, which is what
+    dominates when the wiki/lyrics corpus (rows ∝ pages, not albums)
+    is the input. Scalar template_refs_udf stays for small columns."""
+    from pyspark.sql import functions as F
+
+    def go_batch(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: [] if t is None else template_refs(t))
+
+    return F.pandas_udf(
+        go_batch, "array<struct<template string, ordinal int, track_ref string>>"
+    )
 
 
 def lyrics_rows_udf():

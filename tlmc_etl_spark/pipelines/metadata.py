@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from tlmc_etl_spark.functions.text import (
-    extract_brackets_udf,
+    extract_brackets_pandas,
     parse_track_filename,
     remove_brackets_udf,
     stable_id,
@@ -145,7 +145,7 @@ def vote_albums(tracks: DataFrame) -> DataFrame:
     catalog/convention from bracket tokens, artist by majority vote over
     track artists (mode with value-ascending tie break)."""
     albums = tracks.select("circle_dir", "album_dir").distinct()
-    toks = albums.withColumn("brackets", extract_brackets_udf("album_dir"))
+    toks = albums.withColumn("brackets", extract_brackets_pandas()("album_dir"))
     year = F.regexp_extract("album_dir", ALBUM_DATE_RE, 1)
     month = F.regexp_extract("album_dir", ALBUM_DATE_RE, 2)
     day = F.regexp_extract("album_dir", ALBUM_DATE_RE, 3)

@@ -1582,7 +1582,7 @@ def wiki_template_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     never went through the text format. Index normalization = leading-zero
     trim (original_track_map.py:209-211).
     """
-    from tlmc_etl_spark.functions.wikitext import template_refs_udf
+    from tlmc_etl_spark.functions.wikitext import template_refs_pandas_udf
 
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 40 == 0)
     text = F.concat(
@@ -1596,7 +1596,7 @@ def wiki_template_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("")),
     )
     parsed = o.select(
-        F.col("o_orderkey").alias("page"), F.explode(template_refs_udf()(text)).alias("t")
+        F.col("o_orderkey").alias("page"), F.explode(template_refs_pandas_udf()(text)).alias("t")
     )
     return parsed.select(
         "page",
@@ -1723,7 +1723,7 @@ def lyrics_heal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     idempotence (second run all-cache, zero new heals) is
     property-tested in tests/test_heal.py.
     """
-    from tlmc_etl_spark.functions.wikitext import template_refs_udf
+    from tlmc_etl_spark.functions.wikitext import template_refs_pandas_udf
     from tlmc_etl_spark.operators.dedup import portable_hash60
     from tlmc_etl_spark.operators.heal import heal_enrich
 
@@ -1744,7 +1744,7 @@ def lyrics_heal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # yields no reference rows is unparseable (lyrics_formatter.py's
     # healing trigger)
     refused = (F.instr("raw_text", "{{") > 0) & (
-        F.size(template_refs_udf()(F.col("raw_text"))) == 0
+        F.size(template_refs_pandas_udf()(F.col("raw_text"))) == 0
     )
     bronze = lines.filter(refused)
     parsed = lines.filter(~refused).select(
