@@ -5,7 +5,12 @@ The engine's entropy-codec PCM decode rides ffmpeg when present
 mert_batched_uuid.py / loader.py:113-146). Everywhere ffmpeg exists these
 fixtures turn that lane's smoke checks into VALUE checks: spec-built
 silent MP3 / AAC-LC streams whose golden PCM is exactly zero, committed
-under fixtures/golden_pcm/ and pinned byte-for-byte against the builders.
+under fixtures/golden_pcm/ and pinned byte-for-byte against the builders —
+plus, since round 15, NON-silent tone goldens (WAV + in-repo-encoded FLAC
+with a formula-exact PCM .npy) that close the silence pairs' blind spot:
+an all-zeros decode bug passes a silence check but fails the tone's
+sample-level agreement. The tone pair is also value-checked WITHOUT
+ffmpeg via the in-repo RFC 9639 / RIFF decoders.
 
 Vorbis/Opus carry no golden by design: Vorbis needs hand-built codebook
 headers (unverifiable in-container — COVERAGE.md's sourcing analysis) and
@@ -171,3 +176,93 @@ def test_decode_audio_lane_feature_is_zero_vector_on_golden(path):
 
     feat = _decode_audio_ffmpeg(open(path, "rb").read())
     assert np.all(feat == 0.0), "RMS envelope of digital silence must be 0"
+
+
+# ---------------------------------------------------------------------------
+# NON-silent tone goldens (round-14 VERDICT #1): the silence pairs cannot
+# catch an all-zeros decode bug; these can. Everything below is derivable
+# in-container — the tone is formula-exact, the WAV is the RIFF grammar,
+# the FLAC is the in-repo RFC 9639 encoder's real Rice-coded frames — so
+# the pair is two-sided: the in-repo decoders value-check it everywhere,
+# and ffmpeg value-checks the real-tool lane wherever it exists. MP3/AAC
+# stay silence-only by the sourcing boundary (functions/media.py): their
+# non-silent goldens need spec tables that must not be approximated; the
+# harness below accepts any (file, npy) pair once a sourced environment
+# generates them.
+# ---------------------------------------------------------------------------
+
+TONE_NPY = os.path.join(GOLDEN, "tone_44k_mono_pcm.npy")
+TONE_WAV = os.path.join(GOLDEN, "tone_44k_mono.wav")
+TONE_FLAC = os.path.join(GOLDEN, "tone_44k_mono.flac")
+
+
+def test_tone_fixtures_match_the_builders():
+    from tlmc_etl_spark.functions.media import build_wav_pcm16, tone_pcm_s16
+    from tlmc_etl_spark.operators.flac import encode_flac
+
+    pcm = tone_pcm_s16()
+    assert np.array_equal(np.load(TONE_NPY), pcm)
+    assert open(TONE_WAV, "rb").read() == build_wav_pcm16(pcm)
+    assert open(TONE_FLAC, "rb").read() == encode_flac(
+        pcm, 44100, mode="lpc", block_size=4096
+    )
+
+
+def test_tone_golden_is_not_degenerate():
+    """The property the silence goldens lack: rich nonzero content, so a
+    decoder that returns zeros (or constant DC) FAILS the value check."""
+    pcm = np.load(TONE_NPY).astype(np.float64)
+    assert len(pcm) == 11025
+    rms = np.sqrt(np.mean(pcm**2))
+    assert rms > 0.2 * 32767, f"tone RMS too low to be non-degenerate: {rms}"
+    assert np.mean(pcm != 0) > 0.9, "tone must be nonzero almost everywhere"
+
+
+def test_in_repo_flac_decodes_tone_golden_exactly():
+    from tlmc_etl_spark.operators.flac import parse_flac_audio
+
+    pcm = np.load(TONE_NPY)
+    dec = parse_flac_audio(open(TONE_FLAC, "rb").read())
+    assert dec["sample_rate"] == 44100
+    assert np.array_equal(dec["samples"][:, 0], pcm.astype(np.int64))
+
+
+def test_in_repo_wav_parse_decodes_tone_golden_exactly():
+    from tlmc_etl_spark.pipelines.mert_standin import parse_wav
+
+    pcm = np.load(TONE_NPY).astype(np.float64) / 32768.0
+    mono, sr = parse_wav(open(TONE_WAV, "rb").read())
+    assert sr == 44100
+    assert mono.shape == pcm.shape
+    assert np.max(np.abs(mono - pcm)) == 0.0
+
+
+def test_decode_audio_lane_feature_matches_expected_on_tone():
+    """The in-container lane value check with real content: both
+    containers land on the identical feature vector computed straight
+    from the golden PCM."""
+    from tlmc_etl_spark.operators.multimodal import _decode_audio, _rms_envelope
+
+    expected = _rms_envelope(np.load(TONE_NPY).astype(np.float64) / 32768.0)
+    assert np.linalg.norm(expected) > 0  # non-degenerate feature too
+    for path in (TONE_WAV, TONE_FLAC):
+        feat = _decode_audio(open(path, "rb").read())
+        assert np.max(np.abs(feat - expected)) < 1e-12, path
+
+
+@needs_ffmpeg
+@pytest.mark.parametrize("path", [TONE_WAV, TONE_FLAC])
+def test_real_ffmpeg_decodes_tone_golden_sample_exact(path):
+    """The non-degenerate value check through the real-tool lane
+    (round-14 VERDICT #1's 'Done' condition): sample-level agreement
+    with the committed golden PCM — max-abs and RMS, not just shape.
+    Both containers are lossless, and int16 -> f32 is exact, so the
+    tolerance is quantization-free."""
+    want = np.load(TONE_NPY).astype(np.float64) / 32768.0
+    got = _ffmpeg_pcm(path).astype(np.float64)
+    assert got.size == want.size, (got.size, want.size)
+    diff = np.abs(got - want)
+    assert diff.max() <= 1e-6, f"max abs diff {diff.max()}"
+    assert np.sqrt(np.mean(diff**2)) <= 1e-7
+    # and the content really arrived: decoded RMS matches the golden's
+    assert abs(np.sqrt(np.mean(got**2)) - np.sqrt(np.mean(want**2))) < 1e-6

@@ -294,6 +294,44 @@ def make_adts_stream(payload_lens: list[int], sf_index: int = 6) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+def tone_pcm_s16(n_samples: int = 11025, sample_rate: int = 44100):
+    """Deterministic NON-silent golden content: 0.5·sin(2π·440t) +
+    0.25·sin(2π·1337t + 0.5), 500-sample linear fade at both ends,
+    rounded to int16. Formula-exact (numpy float64 → round-half-even →
+    int16), so the committed PCM fixture regenerates bit-for-bit and
+    the golden value check is non-degenerate: an all-zeros decode bug —
+    the failure mode the silence goldens cannot catch — fails against
+    this content. Returns (n_samples,) int16."""
+    import numpy as np
+
+    t = np.arange(n_samples, dtype=np.float64) / sample_rate
+    x = 0.5 * np.sin(2 * np.pi * 440.0 * t) + 0.25 * np.sin(
+        2 * np.pi * 1337.0 * t + 0.5
+    )
+    fade = np.ones(n_samples)
+    ramp = np.arange(500) / 500.0
+    fade[:500] = ramp
+    fade[-500:] = ramp[::-1]
+    return np.clip(np.round(x * fade * 32767.0), -32768, 32767).astype(np.int16)
+
+
+def build_wav_pcm16(samples, sample_rate: int = 44100) -> bytes:
+    """Minimal canonical RIFF/WAVE, integer PCM 16-bit mono — the
+    golden-fixture twin of parse_wav (pipelines/mert_standin.py), built
+    from the RIFF grammar directly so builder and parser stay
+    independent implementations."""
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def silent_mp3_frames(n_frames: int, channels: int = 1) -> bytes:
     """`n_frames` decodable MPEG-1 Layer III frames of exact digital
     silence (44.1 kHz, 32 kbit/s): header + all-zero side info + zero
