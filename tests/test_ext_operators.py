@@ -605,3 +605,29 @@ def test_semantic_dedup_finds_cohabiting_planted_pairs(spark):
     for v in cohabiting:
         assert not by_id.loc[v, "is_kept"], f"cohabiting plant {v} was kept"
         assert by_id.loc[v, "dup_of"] <= v - 1_000_000_000
+
+
+def test_lsh_topk_routes_to_ivf_past_corpus_ceiling(spark, sf_dir):
+    """Round-15 scaling fix: the fixed-plane LSH top-k is quadratic in
+    corpus size (the sf10 point measured 71 s at 8k vectors), so past
+    LSH_TOPK_CORPUS_CEILING the operator must serve through the IVF
+    quantizer — same output contract, occupancy-sized cells. Forced
+    here by lowering the ceiling under the 500-row corpus."""
+    from tlmc_etl_spark.operators.vectors import ivf_topk, lsh_topk
+    from tlmc_etl_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    routed = lsh_topk(
+        emb, "vec_id", "embedding", k=10, corpus_ceiling=100
+    ).orderBy("anchor", "rank")
+    want = ivf_topk(
+        emb, "vec_id", "embedding", k=10, n_centroids=16, n_probe=4
+    ).orderBy("anchor", "rank")
+    assert [tuple(r) for r in routed.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+    # below the ceiling the LSH form is untouched (its SQL-replay oracle
+    # stays the value check at the driver sf)
+    lsh = lsh_topk(emb, "vec_id", "embedding", k=10)
+    forced = lsh_topk(emb, "vec_id", "embedding", k=10, corpus_ceiling=None)
+    assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, forced.collect()))

@@ -147,6 +147,18 @@ def lsh_bucket_ids(emb: DataFrame, vec_col: str, planes: np.ndarray) -> DataFram
     return emb.mapInPandas(bucketize, schema=f"{schema}, bucket long")
 
 
+# Corpus ceiling for the fixed-plane LSH top-k form: with b planes and
+# radius-1 probing, candidates are n·(1+b)·(n/2^b) — QUADRATIC in n for
+# fixed b, and raising b to hold bucket occupancy collapses radius-1
+# recall (catch prob p^b + b(1-p)p^(b-1) with p = 1 - arccos(c)/π). Past
+# this ceiling the operator auto-routes to the IVF quantizer — the same
+# takeover pattern pipelines/similarity.recall_candidates uses past
+# EXACT_TILE_CEILING, and the shape the reference itself serves at scale
+# (faiss IVF, faiss_index_builder.py:10-23). Found by the round-15 sf10
+# scaling point: 8k vectors measured 71 s through the fixed-plane form.
+LSH_TOPK_CORPUS_CEILING = 4096
+
+
 def lsh_topk(
     emb: DataFrame,
     id_col: str,
@@ -155,6 +167,7 @@ def lsh_topk(
     n_planes: int = 4,
     seed: int = 42,
     multi_probe: bool = True,
+    corpus_ceiling: int = LSH_TOPK_CORPUS_CEILING,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the same LSH
     bucket (plus one-bit-flip probe buckets), then exact cosine + a
@@ -166,7 +179,22 @@ def lsh_topk(
     Recall against exact brute force is property-tested
     (tests/test_ext_operators.py); only the candidate set is approximate —
     scores of returned pairs are exact cosine.
+
+    Above `corpus_ceiling` rows the fixed-plane form is the wrong tool
+    (see LSH_TOPK_CORPUS_CEILING) and the call routes to ivf_topk with an
+    occupancy-sized quantizer (cells ≈ n/256, so candidate work stays
+    ~n·probe·256) — same output contract (anchor, neighbor, score, rank;
+    exact cosine scores, approximate candidate set), IVF recall gates in
+    tests/test_pq.py. Pass corpus_ceiling=None to force the LSH form.
     """
+    if corpus_ceiling is not None:
+        n = emb.count()
+        if n > corpus_ceiling:
+            n_centroids = min(max(16, n // 256), SEMDEDUP_CENTROID_CEILING)
+            return ivf_topk(
+                emb, id_col, vec_col, k=k,
+                n_centroids=n_centroids, n_probe=4, seed=seed,
+            )
     planes = make_hyperplanes(_dim_of(emb, vec_col), n_planes, seed)
     bucketed = _with_unit_norm(
         lsh_bucket_ids(emb.select(id_col, vec_col), vec_col, planes), vec_col
