@@ -97,3 +97,40 @@ def test_scaling_claims_derive_from_artifact():
             "PERFORMANCE.md does not name it — superlinear queries must "
             "be documented, not averaged away"
         )
+
+
+def test_sf10_ledger_derives_from_artifact():
+    """Round-14 VERDICT #3: the second-decade scaling point. The ledger
+    of families whose per-output-row cost rose sf1->sf10 must be
+    RECOMPUTED from the stored walls/rows, and PERFORMANCE.md must name
+    every ledgered family — never average one away."""
+    import json
+
+    art = json.load(open(os.path.join(ROOT, "SCALING.json")))
+    sec = art.get("sf10_families")
+    assert sec is not None, "SCALING.json lost its sf10_families section"
+    bar = sec["ledger_bar"]
+    names = list(sec["sf1"]["walls"])
+
+    recomputed = {}
+    for n in names:
+        w1, w10 = sec["sf1"]["walls"][n], sec["sf10"]["walls"][n]
+        r1, r10 = sec["sf1"]["output_rows"][n], sec["sf10"]["output_rows"][n]
+        if r1 and r10:
+            eff = round((1000.0 * w10 / r10) / (1000.0 * w1 / r1), 2)
+        elif w1:
+            eff = round(w10 / w1, 2)
+        else:
+            eff = None
+        if eff is not None and eff > bar:
+            recomputed[n] = eff
+    assert sorted(recomputed) == sorted(sec["ledger"]), (
+        f"stored ledger {sorted(sec['ledger'])} != recomputed "
+        f"{sorted(recomputed)} from the stored walls/rows"
+    )
+    text = _read("PERFORMANCE.md")
+    for n in recomputed:
+        assert n in text, (
+            f"sf10 ledger names {n} ({recomputed[n]}x) but PERFORMANCE.md "
+            "does not discuss it"
+        )

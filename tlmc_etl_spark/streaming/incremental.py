@@ -69,6 +69,7 @@ def start_incremental_catalog_stream(
     probe: DataFrame,
     target: str,
     checkpoint: str,
+    max_bytes_per_batch: int | None = None,
 ):
     """Drain the album-change journal and upsert the gold release table.
 
@@ -77,6 +78,24 @@ def start_incremental_catalog_stream(
     rebuild is deterministic and the merge keyed). Returns the started
     query; `.awaitTermination()` completes when the journal is drained
     (availableNow).
+
+    `max_bytes_per_batch` forwards journal_tail's backpressure bound: a
+    large catch-up delta drains as a SEQUENCE of bounded micro-batches
+    instead of one unbounded batch, which is what makes mid-drain
+    recovery per-batch-bounded — a kill loses at most the in-flight
+    batch; committed batches never replay (chaos-tested at a 10k-album
+    delta in tests/test_incremental_stream.py). Default None keeps the
+    single-batch drain for small deltas.
+
+    The bounded path cannot use Trigger.AvailableNow: Python simple
+    stream sources have no admission control, so availableNow latches
+    its end offset from the FIRST bounded read() and would terminate
+    after ONE micro-batch with the rest of the journal silently
+    stranded (caught by the chaos test). Instead it runs an unbounded
+    processingTime trigger and a monitor thread that stops the query
+    once the last completed batch's end offset reaches the
+    complete-line EOF latched at start — same drain contract
+    ("everything appended before the run"), bounded batches throughout.
     """
     from tlmc_etl_spark.streaming.foreach_merge import (
         _recover_target,
@@ -87,10 +106,11 @@ def start_incremental_catalog_stream(
     register_journal_tail_source(spark)
     _recover_target(target)
     keys = ["circle_dir", "album_dir"]
+    reader = spark.readStream.format("journal_tail").option("path", journal_path)
+    if max_bytes_per_batch is not None:
+        reader = reader.option("max_bytes_per_batch", str(max_bytes_per_batch))
     parsed = (
-        spark.readStream.format("journal_tail")
-        .option("path", journal_path)
-        .load()
+        reader.load()
         .select(
             F.get_json_object("line", "$.circle_dir").alias("circle_dir"),
             F.get_json_object("line", "$.album_dir").alias("album_dir"),
@@ -110,9 +130,63 @@ def start_incremental_catalog_stream(
             spark, release, epoch_id, target, "album_key", "__seq"
         )
 
-    return (
+    if max_bytes_per_batch is None:
+        return (
+            parsed.writeStream.foreachBatch(rebuild_batch)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    import ast as _ast
+    import json as _json
+    import threading
+    import time as _time
+
+    from tlmc_etl_spark.streaming.source import complete_eof
+
+    eof0 = complete_eof(journal_path)
+    q = (
         parsed.writeStream.foreachBatch(rebuild_batch)
         .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
+        .trigger(processingTime="0 seconds")
         .start()
     )
+
+    def _drained(progress) -> bool:
+        # progress reflects the last COMPLETED (committed) batch; its
+        # end offset at or past the latched EOF means the pre-run
+        # journal is fully drained
+        try:
+            sources = (
+                progress["sources"]
+                if isinstance(progress, dict)
+                else progress.sources
+            )
+            src = sources[0]
+            end = src["endOffset"] if isinstance(src, dict) else src.endOffset
+            if isinstance(end, str):
+                # Python-source offsets surface as the DICT REPR
+                # ("{'pos': N}"), not JSON — try both
+                try:
+                    end = _json.loads(end)
+                except ValueError:
+                    end = _ast.literal_eval(end)
+            return int(end["pos"]) >= eof0
+        except (KeyError, IndexError, TypeError, ValueError, AttributeError,
+                SyntaxError):
+            return False
+
+    def _stop_when_drained() -> None:
+        while q.isActive:
+            p = q.lastProgress
+            if p is not None and _drained(p):
+                try:
+                    q.stop()
+                except Exception:
+                    pass
+                return
+            _time.sleep(0.2)
+
+    threading.Thread(target=_stop_when_drained, daemon=True).start()
+    return q

@@ -43,6 +43,29 @@ class JournalTailDataSource(DataSource):
         return _JournalTailReader(self.options)
 
 
+def complete_eof(path: str) -> int:
+    """Byte offset just past the last complete (newline-terminated) line.
+
+    Module-level because drain monitors (streaming/incremental.py's
+    bounded-batch path) must latch the SAME boundary the reader uses —
+    a drain is done exactly when the committed offset reaches this."""
+    if not os.path.exists(path):
+        return 0
+    size = os.path.getsize(path)
+    if size == 0:
+        return 0
+    with open(path, "rb") as fh:
+        fh.seek(size - 1)
+        if fh.read(1) == b"\n":
+            return size
+        # scan back to the last newline; a journal line is small, so
+        # reading the tail chunk is bounded
+        fh.seek(0)
+        data = fh.read(size)
+        nl = data.rfind(b"\n")
+        return nl + 1 if nl >= 0 else 0
+
+
 class _JournalTailReader(SimpleDataSourceStreamReader):
     """`max_bytes_per_batch` is the backpressure bound (the reference's
     bounded work queue, SURVEY §2.9; Spark's maxOffsetsPerTrigger
@@ -80,22 +103,7 @@ class _JournalTailReader(SimpleDataSourceStreamReader):
         return rows
 
     def _complete_eof(self) -> int:
-        """Byte offset just past the last complete (newline-terminated) line."""
-        if not os.path.exists(self.path):
-            return 0
-        size = os.path.getsize(self.path)
-        if size == 0:
-            return 0
-        with open(self.path, "rb") as fh:
-            fh.seek(size - 1)
-            if fh.read(1) == b"\n":
-                return size
-            # scan back to the last newline; a journal line is small, so
-            # reading the tail chunk is bounded
-            fh.seek(0)
-            data = fh.read(size)
-            nl = data.rfind(b"\n")
-            return nl + 1 if nl >= 0 else 0
+        return complete_eof(self.path)
 
     def _bounded_end(self, start_pos: int, eof: int) -> int:
         """Largest complete-line boundary within the backpressure bound;

@@ -157,12 +157,18 @@ def main() -> int:
     ap.add_argument("dst", nargs="?", default="benchdata/sf1")
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--copies", type=int, default=10)
+    ap.add_argument(
+        "--embed-copies", type=int, default=None,
+        help="embeddings copies (default min(4, copies) — the driver's "
+        "observed ~4x-per-decade trend for this table; sf10 uses 16)",
+    )
     args = ap.parse_args()
     os.makedirs(args.dst, exist_ok=True)
     con = duckdb.connect()
     gen_relational(con, args.src, args.dst, args.copies)
     gen_documents(con, args.src, args.dst, args.copies)
-    gen_embeddings(args.src, args.dst, min(EMBED_COPIES, args.copies))
+    gen_embeddings(args.src, args.dst,
+                   args.embed_copies or min(EMBED_COPIES, args.copies))
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings"
