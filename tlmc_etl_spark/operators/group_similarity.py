@@ -281,8 +281,13 @@ def chunk_idf_weights(
 
     Background = a bounded deterministic sample of corpus chunk vectors
     (hash-ordered take, ≤`background_cap` rows — the reference says "100k
-    rows is plenty"), broadcast to tasks. Generic-ness (mean cosine vs
-    background) computes in one Arrow matmul; the z-score normalizes
+    rows is plenty"). Generic-ness is the mean cosine vs the background,
+    and mean-of-dots EQUALS the dot with the background's MEAN unit
+    vector (the identity the SQL oracle replays) — so the sample
+    collapses driver-side to ONE d-vector riding the task closure, and
+    per-chunk work is O(d) instead of an n×cap matmul (which measured
+    QUADRATIC below the cap: at 32k corpus the old form did 32k×32k×d
+    flops for what one 32k×d pass computes). The z-score normalizes
     WITHIN each group's chunks via a window, and the sigmoid stays in
     whole-stage codegen. Output: (id, group, weight).
     """
@@ -292,27 +297,25 @@ def chunk_idf_weights(
         .limit(background_cap)
         .collect()
     )
-    BG = _unit(np.array([r[vec_col] for r in bg_rows], dtype=np.float64))
-    bc = chunks.sparkSession.sparkContext.broadcast(BG)
+    bg_mean = _unit(
+        np.array([r[vec_col] for r in bg_rows], dtype=np.float64)
+    ).mean(axis=0)
 
     def generic_of(batches):
-        B = bc.value
         for pdf in batches:
             Q = _unit(np.array(pdf[vec_col].tolist(), dtype=np.float64))
             out = pdf[[id_col, group_col]].copy()
-            out["generic"] = (Q @ B.T).mean(axis=1)
+            out["generic"] = Q @ bg_mean
             yield out
 
-    # Materialize the generic scores eagerly (one double per chunk) so the
-    # background-matrix broadcast can be destroyed now instead of living
-    # as long as the returned lazy plan does (up to 100k×dim doubles
-    # pinned on driver and disk per call otherwise).
+    # Materialized eagerly (one double per chunk): the scores feed both
+    # sides of the weighted rerank, and a single deterministic
+    # evaluation keeps the weight table identical everywhere it joins.
     scored = (
         chunks.select(id_col, group_col, vec_col)
         .mapInPandas(generic_of, schema=f"{id_col} long, {group_col} long, generic double")
         .localCheckpoint(eager=True)
     )
-    bc.destroy()
     gw = W.partitionBy(group_col)
     mu = F.mean("generic").over(gw)
     sd = F.stddev_pop("generic").over(gw)

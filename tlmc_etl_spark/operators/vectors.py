@@ -155,7 +155,10 @@ def lsh_bucket_ids(emb: DataFrame, vec_col: str, planes: np.ndarray) -> DataFram
 # takeover pattern pipelines/similarity.recall_candidates uses past
 # EXACT_TILE_CEILING, and the shape the reference itself serves at scale
 # (faiss IVF, faiss_index_builder.py:10-23). Found by the round-15 sf10
-# scaling point: 8k vectors measured 71 s through the fixed-plane form.
+# scaling point: 8k vectors measured 71 s through the fixed-plane form
+# (pre-cogroup-scorer; the scorer rewrite cut the constant ~17x but the
+# Σ bucket² candidate count is still quadratic in n at fixed planes —
+# the ceiling is about the asymptote, not that constant).
 LSH_TOPK_CORPUS_CEILING = 4096
 
 
@@ -208,9 +211,9 @@ def lsh_topk(
     b = bucketed.select(F.col(id_col).alias("neighbor"), F.col(vec_col).alias("vb"), F.col("nrm").alias("nb"), "bucket")
     # No pair dedup needed: each neighbor lives in exactly ONE bucket and
     # the probe keys per anchor are distinct values, so a pair can match at
-    # most once — the distinct shuffle the naive plan pays here is a no-op.
-    pairs = a.join(b, "bucket").filter(F.col("anchor") != F.col("neighbor"))
-    return _exact_cosine_topk(pairs, k)
+    # most once. Scoring is a cogrouped per-bucket matmul — each vector
+    # crosses the Arrow boundary once per side, never once per pair.
+    return _grouped_cosine_topk(a, b, "bucket", k)
 
 
 def table_catch_probability(n_planes: int, cos_threshold: float) -> float:
@@ -481,8 +484,9 @@ def _ivf_serve(
     )
     # No pair dedup needed: each neighbor lives in exactly ONE cell and an
     # anchor's probe cells are distinct, so a pair can match at most once.
-    pairs = anchors.join(cands, "cell").filter(F.col("anchor") != F.col("neighbor"))
-    return _exact_cosine_topk(pairs, k)
+    # Scoring is a cogrouped per-cell matmul — each vector crosses the
+    # Arrow boundary once per side, never once per candidate pair.
+    return _grouped_cosine_topk(anchors, cands, "cell", k)
 
 
 def ivf_topk_portable(
@@ -520,39 +524,114 @@ def _with_unit_norm(df: DataFrame, vec_col: str) -> DataFrame:
     )
 
 
-def _exact_cosine_topk(pairs: DataFrame, k: int) -> DataFrame:
-    """Exact cosine + per-anchor top-k over candidate pairs carrying
-    (anchor, va, na, neighbor, vb, nb).
-
-    Scoring is one vectorized numpy matmul-row per Arrow batch — measured
-    ~2x faster end-to-end than a JVM zip_with/aggregate dot product, whose
-    higher-order lambdas evaluate interpreted per element. Norms arrive
-    precomputed per row, and the post-score shuffle carries only the slim
-    (anchor, neighbor, score) window input.
-    """
-
-    def score(batches):
-        for pdf in batches:
-            A = np.array(pdf["va"].tolist(), dtype=np.float64)
-            B = np.array(pdf["vb"].tolist(), dtype=np.float64)
-            cos = (A * B).sum(axis=1) / (pdf["na"].to_numpy() * pdf["nb"].to_numpy())
-            yield pd.DataFrame(
-                {
-                    "anchor": pdf["anchor"].to_numpy(),
-                    "neighbor": pdf["neighbor"].to_numpy(),
-                    "score": np.round(cos, 6),
-                }
-            )
-
-    scored = pairs.select("anchor", "va", "na", "neighbor", "vb", "nb").mapInPandas(
-        score, schema="anchor long, neighbor long, score double"
-    )
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global per-anchor rank over (anchor, neighbor, score) rows —
+    score desc, neighbor asc: the one deterministic total order every
+    ANN form (and its SQL oracle) ranks by."""
     w = W.partitionBy("anchor").orderBy(F.col("score").desc(), F.col("neighbor").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("anchor", "neighbor", "score", "rank")
     )
+
+
+def _topk_with_ties(scores: np.ndarray, ids: np.ndarray, k: int):
+    """Per-row top-k by score KEEPING boundary ties (every column whose
+    score equals the k-th largest survives) — the invariant that makes a
+    per-group partial top-k exact: the global rank's tie-break (neighbor
+    asc) is applied later by `_rank_topk`, so a partial cut may only
+    drop columns strictly below the k-th score. Returns matrices padded
+    with -inf (dropped at emit)."""
+    rows, w = scores.shape
+    if w <= k:
+        return scores, ids
+    kth = -np.partition(-scores, k - 1, axis=1)[:, k - 1]
+    keep = scores >= kth[:, None]
+    masked = np.where(keep, scores, -np.inf)
+    width = int(keep.sum(axis=1).max())
+    order = np.argsort(-masked, axis=1, kind="stable")[:, :width]
+    rix = np.arange(rows)[:, None]
+    return masked[rix, order], ids[rix, order]
+
+
+def _grouped_cosine_topk(
+    anchors: DataFrame, cands: DataFrame, key: str, k: int,
+    a_tile: int = 2048, b_tile: int = 16384,
+) -> DataFrame:
+    """Per-group exact-cosine top-k via ONE cogrouped Arrow matmul per
+    group (LSH bucket / IVF cell), replacing the per-pair row explosion.
+
+    The naive plan joins anchors×candidates into pair rows each carrying
+    BOTH full vectors — at 8k vectors / 4 probes that is ~8M Arrow rows
+    × ~1 KB of duplicated vector payload (~9 GB serialized to Python)
+    just to compute a dot product per row. Here each vector crosses the
+    Arrow boundary once per side per group: anchors ship n×probe rows,
+    candidates n rows, the group's scores come from a tiled numpy
+    matmul, and only per-anchor partial top-k (ties kept, so the global
+    `_rank_topk` result is IDENTICAL to full enumeration) leaves Python
+    — n×probe×~k skinny rows into the final window instead of the full
+    candidate blowup.
+
+    Scores round to 6dp BEFORE the partial cut, matching the ranking
+    contract of every SQL-replayed ANN oracle. Tiles bound the sims
+    matrix at a_tile×b_tile doubles regardless of group skew.
+
+    anchors: (anchor, va, na, `key`) — one row per anchor×probe;
+    cands:   (neighbor, vb, nb, `key`) — one row per vector."""
+
+    def cell_topk(adf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"anchor": pd.Series([], dtype="int64"),
+                              "neighbor": pd.Series([], dtype="int64"),
+                              "score": pd.Series([], dtype="float64")})
+        if len(adf) == 0 or len(bdf) == 0:
+            return empty
+        aid = adf["anchor"].to_numpy(dtype=np.int64)
+        A = np.asarray(adf["va"].tolist(), dtype=np.float64)
+        na = adf["na"].to_numpy(dtype=np.float64)
+        bid = bdf["neighbor"].to_numpy(dtype=np.int64)
+        B = np.asarray(bdf["vb"].tolist(), dtype=np.float64)
+        nb = bdf["nb"].to_numpy(dtype=np.float64)
+        out_a, out_n, out_s = [], [], []
+        for i0 in range(0, len(A), a_tile):
+            At, at_ids = A[i0:i0 + a_tile], aid[i0:i0 + a_tile]
+            nat = na[i0:i0 + a_tile]
+            run_s = run_i = None
+            for j0 in range(0, len(B), b_tile):
+                Bt, bt_ids = B[j0:j0 + b_tile], bid[j0:j0 + b_tile]
+                nbt = nb[j0:j0 + b_tile]
+                # raw dot / norm-product, the exact formula every SQL
+                # oracle replays (division AFTER the dot, not row
+                # pre-normalization — keeps 6dp boundary behavior)
+                sims = np.round((At @ Bt.T) / (nat[:, None] * nbt[None, :]), 6)
+                sims[at_ids[:, None] == bt_ids[None, :]] = -np.inf
+                tile_i = np.broadcast_to(bt_ids, sims.shape)
+                if run_s is None:
+                    run_s, run_i = sims, tile_i
+                else:
+                    run_s = np.concatenate([run_s, sims], axis=1)
+                    run_i = np.concatenate([run_i, tile_i], axis=1)
+                run_s, run_i = _topk_with_ties(run_s, run_i, k)
+            fin = np.isfinite(run_s)
+            n_per_row = fin.sum(axis=1)
+            out_a.append(np.repeat(at_ids, n_per_row))
+            out_n.append(run_i[fin])
+            out_s.append(run_s[fin])
+        return pd.DataFrame({
+            "anchor": np.concatenate(out_a),
+            "neighbor": np.concatenate(out_n),
+            "score": np.concatenate(out_s),
+        })
+
+    scored = (
+        anchors.groupBy(key)
+        .cogroup(cands.groupBy(key))
+        .applyInPandas(
+            lambda left, right: cell_topk(left, right),
+            schema="anchor long, neighbor long, score double",
+        )
+    )
+    return _rank_topk(scored, k)
 
 
 # Absolute ceiling on the auto-sized hash-medoid centroid count: the

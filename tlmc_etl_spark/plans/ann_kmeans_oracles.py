@@ -33,7 +33,7 @@ Serving semantics replayed (all raw-float, matching round_assign=False):
    tie-break; ties are measure-zero for real-valued corpora;
  - PQ encode: argmin over |c|^2 - 2 x.c per subspace, index tie-break;
  - final scores round(., 6) with neighbor-asc tie-break — identical to
-   _exact_cosine_topk / _adc_serve / _ivf_pq_serve.
+   _grouped_cosine_topk / _adc_serve / _ivf_pq_serve.
 
 Reference parity: faiss_index_builder.py:10-23 (OPQ64,IVF16384,PQ64x8).
 """
