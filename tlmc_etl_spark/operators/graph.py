@@ -94,7 +94,25 @@ def connected_components(
     tests/test_ext_operators.py).
     """
     e = edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct().persist()
+    # Symmetrize in ONE pass over the edge subtree: explode each edge into
+    # both directions. The union-of-two-selects form put the (expensive)
+    # pair-generation subtree into the plan twice — ReuseExchange does not
+    # reliably dedupe the branches under AQE replanning, so pair mining ran
+    # per branch (measured: the r15 job trace showed the LSH estimate
+    # stages materializing twice per CC consumer).
+    sym = (
+        e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("a"), F.col("b")),
+                    F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+                )
+            ).alias("__s")
+        )
+        .select("__s.a", "__s.b")
+        .distinct()
+        .persist()
+    )
     all_ids = nodes.select(F.col(id_col).alias("a"))
 
     # One job decides the path AND materializes the persisted edge table,

@@ -19,6 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tlmc_etl_spark.functions.text import (
@@ -85,15 +86,23 @@ def resolve_disc_numbers(classified: DataFrame) -> DataFrame:
         order_cols=["rel_dir"],
         out_col="disc_number",
     ).drop("has_parsed", "parsed_or_zero")
-    # contiguity audit: resolved numbers must be exactly 1..N
-    audit = with_number.groupBy("circle_dir", "album_dir").agg(
-        (
-            (F.min("disc_number") == 1)
-            & (F.max("disc_number") == F.count(F.lit(1)))
-            & (F.countDistinct("disc_number") == F.count(F.lit(1)))
-        ).alias("discs_contiguous")
+    # contiguity audit: resolved numbers must be exactly 1..N. As a window
+    # over the SAME group keys, not a groupBy + join-back: the join form
+    # put the whole gap-fill subtree into the plan twice (once as the
+    # audit's input, once as the join's left side) and paid an extra
+    # aggregation exchange; the window computes the identical per-group
+    # booleans in one pass. collect_set stands in for countDistinct
+    # (disallowed in windows); its state is bounded by discs-per-album.
+    w_album = W.partitionBy("circle_dir", "album_dir")
+    return with_number.withColumn(
+        "discs_contiguous",
+        (F.min("disc_number").over(w_album) == 1)
+        & (F.max("disc_number").over(w_album) == F.count(F.lit(1)).over(w_album))
+        & (
+            F.size(F.collect_set("disc_number").over(w_album))
+            == F.count(F.lit(1)).over(w_album)
+        ),
     )
-    return with_number.join(audit, ["circle_dir", "album_dir"], "left")
 
 
 # --------------------------------------------------------------------------
