@@ -92,7 +92,16 @@ def heal_enrich(
     cache = cache.select("cache_key", "healed_text").filter(
         F.col("cache_key").isNotNull() & F.col("healed_text").isNotNull()
     )
-    keyed = bronze.withColumn("cache_key", portable_hash60(F.col(raw_col)))
+    # persist: the keyed bronze table feeds FOUR consumers (the NULL-raw
+    # branch, the cache-hit branch, the miss join's left side, and the
+    # distinct-missed subtree materialized by the checkpoint below).
+    # Without it each consumer re-evaluates the whole bronze subtree —
+    # for the lyrics path that includes the pandas refusal parser, so the
+    # corpus-scan + parse ran 4x (the r15 plan audit counted 13
+    # ArrowEvalPython nodes / 30 input scans in lyrics_heal_join's plan).
+    # Bronze is the refused subset — the contractually small side —
+    # and the persist is LRU-evictable (repo-standard reuse-table rule).
+    keyed = bronze.withColumn("cache_key", portable_hash60(F.col(raw_col))).persist()
     # healed_by stays NULL here — no healer ran on a NULL raw row, and
     # provenance accounting must not count these as healer output
     null_raw = keyed.filter(F.col(raw_col).isNull()).select(
