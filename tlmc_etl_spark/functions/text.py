@@ -69,8 +69,16 @@ def remove_brackets(s: str | None) -> str:
     return "".join(keep).strip()
 
 
-extract_brackets_udf = F.udf(extract_brackets, T.ArrayType(T.StringType()))
-remove_brackets_udf = F.udf(remove_brackets, T.StringType())
+# useArrow=True EXPLICITLY: these UDF objects are created at module
+# import, which happens before any SparkSession exists, so the
+# session-wide spark.sql.execution.pythonUDF.arrow.enabled fallback is
+# resolved (to false) at creation time and the UDFs planned as pickled
+# BatchEvalPython — the r15 plan audit caught the catalog plans still
+# carrying BatchEvalPython nodes despite the session config. Factory-
+# style UDFs (created at plan-build time, session live) pick the config
+# up and need no flag.
+extract_brackets_udf = F.udf(extract_brackets, T.ArrayType(T.StringType()), useArrow=True)
+remove_brackets_udf = F.udf(remove_brackets, T.StringType(), useArrow=True)
 
 
 def extract_brackets_pandas():
@@ -111,7 +119,7 @@ def match_key(s: str | None) -> str:
     return "".join(ch for ch in s if ch.isalnum())
 
 
-match_key_udf = F.udf(match_key, T.StringType())
+match_key_udf = F.udf(match_key, T.StringType(), useArrow=True)
 
 
 # ---------------------------------------------------------------------------
