@@ -185,12 +185,17 @@ def calibrate_pair_gamma(
     sampled = pairs.orderBy(F.xxhash64("group_a", "group_b")).limit(sample_pairs)
 
     def dists(batches):
+        # zip over columns, not iterrows (per-row Series construction cost)
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                A = _unit(np.stack([np.asarray(v) for v in row["vecs_a"]]))
-                B = _unit(np.stack([np.asarray(v) for v in row["vecs_b"]]))
-                out.append(pd.DataFrame({"d": (1.0 - (A @ B.T)).ravel()}))
+            out = [
+                pd.DataFrame({
+                    "d": (1.0 - (
+                        _unit(np.stack([np.asarray(v) for v in va]))
+                        @ _unit(np.stack([np.asarray(v) for v in vb])).T
+                    )).ravel()
+                })
+                for va, vb in zip(pdf["vecs_a"], pdf["vecs_b"])
+            ]
             yield pd.concat(out) if out else pd.DataFrame({"d": []})
 
     med_row = (
@@ -236,14 +241,18 @@ def three_score_group_similarity(
     g = float(gamma)
 
     def score(batches):
+        # zip over columns, not iterrows (per-row Series construction cost)
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                A = np.stack([np.asarray(v) for v in row["vecs_a"]])
-                B = np.stack([np.asarray(v) for v in row["vecs_b"]])
-                out.append(
-                    (row["group_a"], row["group_b"], *three_scores_numpy(A, B, dup_thresh, g))
+            out = [
+                (ga, gb, *three_scores_numpy(
+                    np.stack([np.asarray(v) for v in va]),
+                    np.stack([np.asarray(v) for v in vb]),
+                    dup_thresh, g,
+                ))
+                for ga, gb, va, vb in zip(
+                    pdf["group_a"], pdf["group_b"], pdf["vecs_a"], pdf["vecs_b"]
                 )
+            ]
             yield pd.DataFrame(
                 out, columns=["group_a", "group_b", "score_raw", "score_style", "score_kde"]
             )

@@ -100,12 +100,18 @@ def chamfer_group_scores(
         pairs = candidates.join(a, "group_a").join(b, "group_b")
 
     def score(batches):
+        # zip over columns, not iterrows: iterrows materializes a Series
+        # per row; the per-row work is already one bounded matmul
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                A = np.stack([np.asarray(v, dtype=np.float64) for v in row["vecs_a"]])
-                B = np.stack([np.asarray(v, dtype=np.float64) for v in row["vecs_b"]])
-                out.append((row["group_a"], row["group_b"], round(chamfer_numpy(A, B), 6)))
+            out = [
+                (ga, gb, round(chamfer_numpy(
+                    np.stack([np.asarray(v, dtype=np.float64) for v in va]),
+                    np.stack([np.asarray(v, dtype=np.float64) for v in vb]),
+                ), 6))
+                for ga, gb, va, vb in zip(
+                    pdf["group_a"], pdf["group_b"], pdf["vecs_a"], pdf["vecs_b"]
+                )
+            ]
             yield pd.DataFrame(out, columns=["group_a", "group_b", "chamfer"])
 
     # Per-pair cap²·dim matmuls in Python over byte-tiny rows: AQE-exempt

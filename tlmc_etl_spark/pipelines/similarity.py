@@ -247,12 +247,19 @@ def chamfer_rerank(recall: DataFrame, chunk_sets: DataFrame, k_final: int) -> Da
     pairs = recall.join(a_side, "anchor").join(b_side, "neighbor")
 
     def score(batches):
+        # zip over columns, not iterrows: iterrows builds a pandas Series
+        # per row (measured ~10x the per-row overhead of tuple iteration)
+        # and the scorer's per-row work is one bounded cap²·dim matmul.
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                A = np.stack([np.asarray(v, dtype=np.float64) for v in row["ca"]])
-                B = np.stack([np.asarray(v, dtype=np.float64) for v in row["cb"]])
-                out.append((row["anchor"], row["neighbor"], round(chamfer_numpy(A, B), 6)))
+            out = [
+                (a, n, round(chamfer_numpy(
+                    np.stack([np.asarray(v, dtype=np.float64) for v in ca]),
+                    np.stack([np.asarray(v, dtype=np.float64) for v in cb]),
+                ), 6))
+                for a, n, ca, cb in zip(
+                    pdf["anchor"], pdf["neighbor"], pdf["ca"], pdf["cb"]
+                )
+            ]
             yield pd.DataFrame(out, columns=["anchor", "neighbor", "score"])
 
     # Each pair costs a cap²·dim matmul in Python; the joined pairs table
@@ -326,15 +333,19 @@ def weighted_chamfer_rerank(
     pairs = recall.join(a_side, "anchor").join(b_side, "neighbor")
 
     def score(batches):
+        # zip over columns, not iterrows (see chamfer_rerank.score)
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                A = np.stack([np.asarray(v, dtype=np.float64) for v in row["ca"]])
-                B = np.stack([np.asarray(v, dtype=np.float64) for v in row["cb"]])
-                s = weighted_chamfer_numpy(
-                    A, B, np.asarray(row["wa"]), np.asarray(row["wb"])
+            out = [
+                (a, n, round(weighted_chamfer_numpy(
+                    np.stack([np.asarray(v, dtype=np.float64) for v in ca]),
+                    np.stack([np.asarray(v, dtype=np.float64) for v in cb]),
+                    np.asarray(wa), np.asarray(wb),
+                ), 6))
+                for a, n, ca, cb, wa, wb in zip(
+                    pdf["anchor"], pdf["neighbor"], pdf["ca"], pdf["cb"],
+                    pdf["wa"], pdf["wb"],
                 )
-                out.append((row["anchor"], row["neighbor"], round(s, 6)))
+            ]
             yield pd.DataFrame(out, columns=["anchor", "neighbor", "score"])
 
     scored = fanout(pairs).mapInPandas(
