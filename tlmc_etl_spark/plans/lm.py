@@ -254,11 +254,30 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     rare-pair noise regime AND bounds the scored pair set.
     """
     docs = load_table(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.split("text", " ").alias("ws"))
+    words = docs.select(F.split("text", " ").alias("ws"))
+    # Both scalar totals in ONE map-side pass over the token arrays:
+    # n_uni = total tokens (== sum of uni counts), n_bg = total bigram
+    # slots (== sum of c2 BEFORE the support floor). The previous form
+    # derived n_uni by re-aggregating the uni subtree (a second
+    # tokenize+explode pass over the corpus) and n_bg from a third
+    # documents scan; this aggregate touches no exploded rows at all.
+    totals = words.agg(
+        F.sum(F.size("ws")).cast("double").alias("n_uni"),
+        F.sum(
+            F.when(F.size("ws") >= 2, F.size("ws") - 1).otherwise(0)
+        ).cast("double").alias("n_bg"),
+    )
+    # uni feeds the scoring join twice (w1 side, w2 side); persist — the
+    # repo's convention for vocabulary-bounded multi-consumer reuse
+    # tables (minhash sigs) — guarantees the tokenize+aggregate corpus
+    # pass runs once even if AQE stage reuse misses the twin exchange.
+    # (An eager localCheckpoint here measured SLOWER at sf0.1: the extra
+    # blocking materialization job costs more than the saved pass.)
     uni = (
         words.select(F.explode("ws").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
     )
     bg = (
         words.filter(F.size("ws") >= 2)
@@ -275,18 +294,12 @@ def collocation_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("c2"))
         .filter(F.col("c2") >= 10)
     )
-    nu = uni.agg(F.sum("c").cast("double").alias("n_uni"))
-    nb_words = words.filter(F.size("ws") >= 2).select(
-        (F.size("ws") - 1).alias("k")
-    )
-    nb = nb_words.agg(F.sum("k").cast("double").alias("n_bg"))
     u1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c_a"))
     u2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c_b"))
     scored = (
         bg.join(u1, "w1")
         .join(u2, "w2")
-        .join(F.broadcast(nu))
-        .join(F.broadcast(nb))
+        .join(F.broadcast(totals))
         .withColumn(
             "score",
             F.col("c2").cast("double")

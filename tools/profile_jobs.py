@@ -41,7 +41,9 @@ DEFAULT = [
 
 
 def main() -> None:
-    names = sys.argv[1:] or DEFAULT
+    argv = sys.argv[1:]
+    verbose = "-v" in argv
+    names = [a for a in argv if a != "-v"] or DEFAULT
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     warm_dir = "/root/testdata/sf0.001"
     spark = get_spark("profile-jobs")
@@ -62,6 +64,22 @@ def main() -> None:
         sc.setJobGroup(None, None)
         jobs = tracker.getJobIdsForGroup(group)
         print(f"{name:35s} wall={wall:6.2f}s jobs={len(jobs)}")
+        if verbose:
+            # per-job stage breakdown: which operator each scheduler round
+            # materialized (stage name = first line of the call site) and
+            # how many tasks it ran — locates WHERE the job count goes.
+            for jid in sorted(jobs):
+                ji = tracker.getJobInfo(jid)
+                if ji is None:
+                    continue
+                parts = []
+                for sid in sorted(ji.stageIds):
+                    si = tracker.getStageInfo(sid)
+                    if si is None:
+                        continue
+                    nm = si.name.splitlines()[0][:60]
+                    parts.append(f"{nm} x{si.numTasks}")
+                print(f"    job {jid}: " + " | ".join(parts))
     spark.catalog.clearCache()
 
 
