@@ -36,72 +36,62 @@ def gap_fill_numbers(
     per-group arrays are bounded by domain.
     """
     data_cols = [c for c in df.columns if c not in group_cols]
-    g = [F.col(c) for c in group_cols]
     number_type = df.schema[number_col].dataType
-    base = df.select(
-        *g, F.struct(*[F.col(c) for c in data_cols]).alias("__row")
+    # selectExpr strings, not per-column F.col(): each Column object is a
+    # py4j round-trip and this operator is nested inside plan-construction
+    # hot paths (the catalog builds it twice per delta batch)
+    q = lambda c: f"`{c}`"
+    base = df.selectExpr(
+        *[q(c) for c in group_cols],
+        "struct(" + ", ".join(q(c) for c in data_cols) + ") AS __row",
     )
-    grouped = base.groupBy(*g).agg(F.collect_list("__row").alias("__rows"))
-
-    def cmp_rows(a, b):
-        # multi-column asc, nulls first — W.orderBy's default collation
-        expr = F.lit(0)
-        for c in reversed(order_cols):
-            ac, bc = a[c], b[c]
-            expr = (
-                F.when(ac.isNull() & bc.isNull(), expr)
-                .when(ac.isNull(), F.lit(-1))
-                .when(bc.isNull(), F.lit(1))
-                .when(ac < bc, F.lit(-1))
-                .when(ac > bc, F.lit(1))
-                .otherwise(expr)
-            )
-        return expr
-
-    assembled = (
-        grouped.withColumn("__valid", F.filter("__rows", lambda r: r[valid_col]))
-        .withColumn("__taken", F.expr(f"transform(__valid, r -> r.{number_col})"))
-        .withColumn(
-            "__needy",
-            F.array_sort(F.filter("__rows", lambda r: ~r[valid_col]), cmp_rows),
-        )
-        .withColumn(
-            "__free",
-            F.array_except(
-                F.sequence(
-                    F.lit(1).cast(number_type),
-                    (
-                        F.size("__rows") + F.coalesce(F.array_max("__taken"), F.lit(0))
-                    ).cast(number_type),
-                ),
-                F.col("__taken"),
-            ),
-        )
-        .withColumn(
-            "__out",
-            F.concat(
-                F.transform(
-                    "__valid",
-                    lambda r: F.struct(
-                        r.alias("__r"), r[number_col].alias("__n")
-                    ),
-                ),
-                F.transform(
-                    "__needy",
-                    lambda r, i: F.struct(
-                        r.alias("__r"),
-                        F.get("__free", i).cast(number_type).alias("__n"),
-                    ),
-                ),
-            ),
-        )
+    grouped = base.groupBy(*[q(c) for c in group_cols]).agg(
+        F.collect_list("__row").alias("__rows")
     )
-    exploded = assembled.select(*g, F.explode("__out").alias("__e"))
-    final_cols = [
-        F.col(c) if c in group_cols else F.col(f"__e.__r.{c}").alias(c)
-        for c in df.columns
-    ]
-    return exploded.select(*final_cols, F.col("__e.__n").alias(out_col))
+
+    # The whole gap-fill as ONE F.expr SQL string, one projection: the
+    # previous form (5 chained withColumns of Column-API higher-order
+    # lambdas) cost ~0.3 s of DRIVER time per call at any data scale —
+    # each withColumn re-analyzes the growing upstream plan and every
+    # F.transform/F.filter lambda is several py4j round-trips, and the
+    # catalog nests this operator twice. The parser builds the identical
+    # expressions in one call; the optimizer's CollapseProject produced
+    # this inlined projection from the chained form anyway, so the
+    # executed plan is unchanged.
+    t = number_type.simpleString()
+    cmp = "0"  # multi-column asc, nulls first — W.orderBy's default collation
+    for c in reversed(order_cols):
+        cmp = (
+            f"CASE WHEN a.`{c}` IS NULL AND b.`{c}` IS NULL THEN ({cmp}) "
+            f"WHEN a.`{c}` IS NULL THEN -1 WHEN b.`{c}` IS NULL THEN 1 "
+            f"WHEN a.`{c}` < b.`{c}` THEN -1 WHEN a.`{c}` > b.`{c}` THEN 1 "
+            f"ELSE ({cmp}) END"
+        )
+    valid = f"filter(__rows, r -> r.`{valid_col}`)"
+    taken = f"transform({valid}, r -> r.`{number_col}`)"
+    needy = f"array_sort(filter(__rows, r -> NOT r.`{valid_col}`), (a, b) -> {cmp})"
+    free = (
+        f"array_except(sequence(CAST(1 AS {t}), "
+        f"CAST(size(__rows) + coalesce(array_max({taken}), 0) AS {t})), {taken})"
+    )
+    out = (
+        f"concat("
+        f"transform({valid}, r -> struct(r AS __r, r.`{number_col}` AS __n)), "
+        f"transform({needy}, (r, i) -> struct(r AS __r, CAST(get({free}, i) AS {t}) AS __n)))"
+    )
+    assembled = grouped.selectExpr(
+        *[q(c) for c in group_cols], f"{out} AS __out"
+    )
+    exploded = assembled.selectExpr(
+        *[q(c) for c in group_cols], "explode(__out) AS __e"
+    )
+    return exploded.selectExpr(
+        *[
+            q(c) if c in group_cols else f"__e.__r.{q(c)} AS {q(c)}"
+            for c in df.columns
+        ],
+        f"__e.__n AS {q(out_col)}",
+    )
 
 
 def topk_per_group(

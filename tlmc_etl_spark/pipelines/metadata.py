@@ -77,8 +77,12 @@ def resolve_disc_numbers(classified: DataFrame) -> DataFrame:
         F.col("dir_class").isin("main", "disc_index", "bare_index", "bonus", "unknown")
     )
     with_number = gap_fill_numbers(
-        audio_dirs.withColumn("has_parsed", F.col("parsed_disc_no").isNotNull()).withColumn(
-            "parsed_or_zero", F.coalesce("parsed_disc_no", F.lit(0))
+        # one select, not chained withColumns: each withColumn re-analyzes
+        # the upstream plan (driver cost ∝ plan size per call)
+        audio_dirs.select(
+            "*",
+            F.col("parsed_disc_no").isNotNull().alias("has_parsed"),
+            F.coalesce("parsed_disc_no", F.lit(0)).alias("parsed_or_zero"),
         ),
         group_cols=["circle_dir", "album_dir"],
         number_col="parsed_or_zero",
@@ -235,9 +239,13 @@ def build_catalog(
 
     # gap-fill track numbers per disc, basename order
     numbered = gap_fill_numbers(
-        t_discs.withColumn(
-            "valid_no", F.col("track_no_raw").isNotNull() & (F.col("track_no_raw") > 0)
-        ).withColumn("no_or_zero", F.coalesce("track_no_raw", F.lit(0))),
+        t_discs.select(
+            "*",
+            (F.col("track_no_raw").isNotNull() & (F.col("track_no_raw") > 0)).alias(
+                "valid_no"
+            ),
+            F.coalesce("track_no_raw", F.lit(0)).alias("no_or_zero"),
+        ),
         group_cols=["circle_dir", "album_dir", "disc_number"],
         number_col="no_or_zero",
         valid_col="valid_no",
