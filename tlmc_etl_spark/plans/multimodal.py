@@ -2736,7 +2736,16 @@ def cue_split_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     write_shards_resumable(
         worklist, "album_id", out_dir, n_shards=4, fmt="csv", portable=True
     )
-    back = spark.read.option("header", True).csv(out_dir)
+    # explicit schema = no header-probe job; types identical to the
+    # schemaless read (strings + path-inferred int shard)
+    back = (
+        spark.read.option("header", True)
+        .schema(
+            "album_id string, track_number string, n_samples string, "
+            "s_sum string, gain_db string, shard int"
+        )
+        .csv(out_dir)
+    )
     return (
         back.groupBy(F.col("shard").cast("int").alias("shard"))
         .agg(

@@ -107,7 +107,19 @@ def write_similar_track_shards(
 
 
 def read_similar_track_shards(spark: SparkSession, out_dir: str) -> DataFrame:
-    return spark.read.option("header", True).csv(out_dir)
+    # Explicit schema: the loader contract pins the columns, so the
+    # header-probe pass a schemaless csv read schedules is pure waste.
+    # Types match the schemaless read exactly (data columns arrive as
+    # strings with inferSchema off; the shard partition column was
+    # path-inferred int) — consumers' casts are unchanged.
+    return (
+        spark.read.option("header", True)
+        .schema(
+            "anchor_id string, neighbor_id string, rank string, "
+            "score string, shard int"
+        )
+        .csv(out_dir)
+    )
 
 
 def atomic_overwrite_parquet(df: DataFrame, out_dir: str) -> None:
