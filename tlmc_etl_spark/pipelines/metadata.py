@@ -50,22 +50,30 @@ def classify_dirs(manifest: DataFrame) -> DataFrame:
     measured 97.65% on this rule order — veto > asset > disc-index >
     bonus > bare-index > unknown)."""
     dirs = manifest.select("circle_dir", "album_dir", "rel_dir").distinct()
-    d = F.coalesce(F.col("rel_dir"), F.lit(""))
-    return dirs.select(
+    # selectExpr SQL, one parse call instead of ~30 py4j round-trips of
+    # when-chain construction per catalog build. Safe here because none
+    # of these five regexes contain backslashes or quotes (SQL string
+    # literal escaping would otherwise mangle them — the date regexes in
+    # vote_albums stay on the Column API for exactly that reason).
+    for pat in (VETO_RE, ASSET_DIR_RE, DISC_INDEX_RE, BONUS_RE, BARE_INDEX_RE):
+        assert "\\" not in pat and "'" not in pat, pat
+    d = "coalesce(rel_dir, '')"
+    return dirs.selectExpr(
         "circle_dir",
         "album_dir",
         "rel_dir",
-        F.when(d == "", "main")
-        .when(d.rlike(VETO_RE), "veto")
-        .when(d.rlike(ASSET_DIR_RE), "asset_dir")
-        .when(d.rlike(DISC_INDEX_RE), "disc_index")
-        .when(d.rlike(BONUS_RE), "bonus")
-        .when(d.rlike(BARE_INDEX_RE), "bare_index")
-        .otherwise("unknown")
-        .alias("dir_class"),
-        F.when(d.rlike(DISC_INDEX_RE), F.regexp_extract(d, DISC_INDEX_RE, 1).cast("int"))
-        .when(d.rlike(BARE_INDEX_RE), F.regexp_extract(d, BARE_INDEX_RE, 1).cast("int"))
-        .alias("parsed_disc_no"),
+        f"CASE WHEN {d} = '' THEN 'main' "
+        f"WHEN {d} RLIKE '{VETO_RE}' THEN 'veto' "
+        f"WHEN {d} RLIKE '{ASSET_DIR_RE}' THEN 'asset_dir' "
+        f"WHEN {d} RLIKE '{DISC_INDEX_RE}' THEN 'disc_index' "
+        f"WHEN {d} RLIKE '{BONUS_RE}' THEN 'bonus' "
+        f"WHEN {d} RLIKE '{BARE_INDEX_RE}' THEN 'bare_index' "
+        f"ELSE 'unknown' END AS dir_class",
+        f"CASE WHEN {d} RLIKE '{DISC_INDEX_RE}' "
+        f"THEN CAST(regexp_extract({d}, '{DISC_INDEX_RE}', 1) AS INT) "
+        f"WHEN {d} RLIKE '{BARE_INDEX_RE}' "
+        f"THEN CAST(regexp_extract({d}, '{BARE_INDEX_RE}', 1) AS INT) "
+        f"END AS parsed_disc_no",
     )
 
 
@@ -97,15 +105,18 @@ def resolve_disc_numbers(classified: DataFrame) -> DataFrame:
     # aggregation exchange; the window computes the identical per-group
     # booleans in one pass. collect_set stands in for countDistinct
     # (disallowed in windows); its state is bounded by discs-per-album.
-    w_album = W.partitionBy("circle_dir", "album_dir")
-    return with_number.withColumn(
-        "discs_contiguous",
-        (F.min("disc_number").over(w_album) == 1)
-        & (F.max("disc_number").over(w_album) == F.count(F.lit(1)).over(w_album))
-        & (
-            F.size(F.collect_set("disc_number").over(w_album))
-            == F.count(F.lit(1)).over(w_album)
-        ),
+    # one F.expr for the whole audit (4 window functions): the Column-API
+    # form was ~40 py4j round-trips of plan-construction per catalog
+    # build; the SQL string parses JVM-side in one. Same default
+    # whole-partition frame (no ORDER BY), same booleans.
+    p = "PARTITION BY circle_dir, album_dir"
+    return with_number.select(
+        "*",
+        F.expr(
+            f"(min(disc_number) OVER ({p}) = 1) AND "
+            f"(max(disc_number) OVER ({p}) = count(1) OVER ({p})) AND "
+            f"(size(collect_set(disc_number) OVER ({p})) = count(1) OVER ({p}))"
+        ).alias("discs_contiguous"),
     )
 
 
