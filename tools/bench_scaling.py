@@ -227,7 +227,7 @@ def main() -> int:
     if os.path.exists(args.out):
         try:
             prior = json.load(open(args.out))
-            for k in ("outlier_recheck_isolated", "normalized_cost"):
+            for k in ("outlier_recheck_isolated", "normalized_cost", "sf10_families"):
                 if k in prior:
                     out[k] = prior[k]
             out["notes"] = {**prior.get("notes", {}), **NOTES}
