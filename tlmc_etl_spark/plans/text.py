@@ -254,9 +254,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jacc = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # No broadcast hint on the sizes joins: sizes is one row PER DOCUMENT
+    # (corpus-proportional — the hinted broadcast was an executor/driver
+    # OOM shape at corpus scale). AQE's runtime join selection broadcasts
+    # it whenever the actual built size fits (it does at every tested sf,
+    # so the executed plan keeps the same BroadcastHashJoins), and falls
+    # back to a shuffled join when the corpus outgrows the threshold.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jacc >= 0.12)
         .select("doc_a", "doc_b", "n_common", F.round(jacc, 4).alias("jaccard"))
     )
@@ -375,9 +381,12 @@ def ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
     jacc = F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    # Unhinted sizes joins for the same reason as ngram_jaccard_pairs:
+    # sizes is per-document, so a forced broadcast grows with the corpus;
+    # AQE still broadcasts it at runtime wherever it actually fits.
     return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .filter(jacc >= 0.12)
         .select("doc_a", "doc_b", "n_common", F.round(jacc, 4).alias("jaccard"))
     )
