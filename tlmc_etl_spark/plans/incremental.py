@@ -33,14 +33,18 @@ def journal_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Reference: every resumable stage drops items already in its append-only
     completed journal before doing work (extract.py:47-67,
-    normalizer_pass1.py:153-164, hls_runner.py:152-166). Left-anti join —
-    at 100 TB the journal side is orders of magnitude smaller and broadcasts.
+    normalizer_pass1.py:153-164, hls_runner.py:152-166). Left-anti join,
+    UNHINTED: when the journal side is small (a fresh run's journal) AQE
+    broadcasts it at runtime; when a long-lived journal approaches the
+    worklist's size — as this stand-in's does, ~44% of events — a forced
+    broadcast would ship the whole journal to every executor, so the
+    shuffled anti-join fallback must stay reachable.
     """
     events = load_table(spark, sf_dir, "events")
     completed = events.filter(
         F.col("event_type").isin("view", "click") & (F.col("event_id") % 3 != 0)
     ).select("event_id")
-    return events.join(F.broadcast(completed), "event_id", "left_anti").select(
+    return events.join(completed, "event_id", "left_anti").select(
         "event_id", "event_type", F.round("value", 4).alias("value")
     )
 
