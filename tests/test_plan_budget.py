@@ -82,7 +82,12 @@ SHUFFLE_BUDGET = {
     "mp3_tag_scan": 0,  # id3 parse in one map; coalesce is row-local JVM exprs
     "ogg_tag_scan": 0,  # comment-packet parse in one map; coalesce row-local
     "cosine_topk": 1,
-    "two_stage_similarity": 3,
+    # r15 rerank cogroup: +1 counted exchange (the scorer fanout is now
+    # KEYED on anchor so the anchor-side chunk matrix cogroups in once
+    # per anchor). The +1 replaces an uncounted ROUND-ROBIN exchange that
+    # moved BOTH cap×dim matrices on every pair row — shuffled payload
+    # bytes fall ~2x while the counted total rises by one.
+    "two_stage_similarity": 4,
     "kde_bandwidth_calibration": 2,
     "int8_quant_audit": 0,  # pure higher-order array map; sort is range-part
     # round-8 additions: the round-7 registry surface folded into the
@@ -170,7 +175,9 @@ def _live_shuffles(df) -> int:
 
 # Split budgets for the composed lifecycle: the mid-DAG sink boundary
 # separates two independently-inspectable plans.
-LIFECYCLE_PRE_SINK_BUDGET = 3   # two-stage similarity's contract
+LIFECYCLE_PRE_SINK_BUDGET = 4   # two-stage similarity's contract (r15: +1
+# counted keyed-fanout exchange replacing the uncounted round-robin that
+# shuffled both chunk matrices per pair — see SHUFFLE_BUDGET note)
 LIFECYCLE_POST_SINK_BUDGET = 2  # grouping-set agg over the CSV read-back
 
 

@@ -241,31 +241,52 @@ def gather_chunks(
 
 def chamfer_rerank(recall: DataFrame, chunk_sets: DataFrame, k_final: int) -> DataFrame:
     """Score recall pairs with symmetric chamfer over chunk sets, keep the
-    per-anchor top k_final with dense 1-based ranks."""
-    a_side = chunk_sets.select(F.col("track").alias("anchor"), F.col("chunk_set").alias("ca"))
+    per-anchor top k_final with dense 1-based ranks.
+
+    Data movement (the §8 rule: shuffles should move lightweight proxies,
+    payloads once): only the NEIGHBOR-side chunk matrix is attached to
+    pair rows; the anchor-side matrix meets its pairs through a cogroup
+    on `anchor`, so each anchor's cap×dim matrix crosses the shuffle and
+    the Arrow boundary once per ANCHOR instead of once per pair — a
+    k_recall× cut of the anchor half of the payload. (The previous shape
+    joined BOTH matrices onto every pair and round-robined the doubled
+    payload to the scorer; the plan showed pair rows carrying `ca` and
+    `cb` through two joins plus the fanout exchange.) Per-pair arithmetic
+    is unchanged, so scores are bit-identical.
+    """
     b_side = chunk_sets.select(F.col("track").alias("neighbor"), F.col("chunk_set").alias("cb"))
-    pairs = recall.join(a_side, "anchor").join(b_side, "neighbor")
+    a_side = chunk_sets.select(F.col("track").alias("anchor"), F.col("chunk_set").alias("ca"))
+    # fanout pins the scorer's parallelism (AQE's byte-based coalescing
+    # would fold the small-in-bytes pair table into too few tasks for
+    # CPU-heavy work); keyed on anchor so the cogroup below reuses this
+    # exchange instead of adding one.
+    pairs = fanout(recall.join(b_side, "neighbor"), "anchor")
 
-    def score(batches):
-        # zip over columns, not iterrows: iterrows builds a pandas Series
-        # per row (measured ~10x the per-row overhead of tuple iteration)
-        # and the scorer's per-row work is one bounded cap²·dim matmul.
-        for pdf in batches:
-            out = [
-                (a, n, round(chamfer_numpy(
-                    np.stack([np.asarray(v, dtype=np.float64) for v in ca]),
-                    np.stack([np.asarray(v, dtype=np.float64) for v in cb]),
-                ), 6))
-                for a, n, ca, cb in zip(
-                    pdf["anchor"], pdf["neighbor"], pdf["ca"], pdf["cb"]
-                )
-            ]
-            yield pd.DataFrame(out, columns=["anchor", "neighbor", "score"])
+    def score_group(pairs_pdf, a_pdf):
+        # inner-join semantics on both sides, matching the previous joins:
+        # a pair whose anchor has no chunk set drops; an anchor with no
+        # pairs emits nothing.
+        if len(pairs_pdf) == 0 or len(a_pdf) == 0:
+            return pd.DataFrame({"anchor": pd.Series(dtype="int64"),
+                                 "neighbor": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["ca"].iloc[0]])
+        out = [
+            (a, n, round(chamfer_numpy(
+                A,
+                np.stack([np.asarray(v, dtype=np.float64) for v in cb]),
+            ), 6))
+            for a, n, cb in zip(
+                pairs_pdf["anchor"], pairs_pdf["neighbor"], pairs_pdf["cb"]
+            )
+        ]
+        return pd.DataFrame(out, columns=["anchor", "neighbor", "score"])
 
-    # Each pair costs a cap²·dim matmul in Python; the joined pairs table
-    # is small in bytes, so pin full parallelism with an AQE-exempt
-    # round-robin before the scorer.
-    scored = fanout(pairs).mapInPandas(score, schema="anchor long, neighbor long, score double")
+    scored = (
+        pairs.groupBy("anchor")
+        .cogroup(a_side.groupBy("anchor"))
+        .applyInPandas(score_group, schema="anchor long, neighbor long, score double")
+    )
     w = W.partitionBy("anchor").orderBy(F.col("score").desc(), F.col("neighbor").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -330,26 +351,35 @@ def weighted_chamfer_rerank(
         F.col("chunk_set").alias("cb"),
         F.col("chunk_weights").alias("wb"),
     )
-    pairs = recall.join(a_side, "anchor").join(b_side, "neighbor")
+    # same cogroup shape as chamfer_rerank: the anchor-side (matrix,
+    # weights) crosses the shuffle/Arrow boundary once per anchor, the
+    # neighbor payload rides its pair row.
+    pairs = fanout(recall.join(b_side, "neighbor"), "anchor")
 
-    def score(batches):
-        # zip over columns, not iterrows (see chamfer_rerank.score)
-        for pdf in batches:
-            out = [
-                (a, n, round(weighted_chamfer_numpy(
-                    np.stack([np.asarray(v, dtype=np.float64) for v in ca]),
-                    np.stack([np.asarray(v, dtype=np.float64) for v in cb]),
-                    np.asarray(wa), np.asarray(wb),
-                ), 6))
-                for a, n, ca, cb, wa, wb in zip(
-                    pdf["anchor"], pdf["neighbor"], pdf["ca"], pdf["cb"],
-                    pdf["wa"], pdf["wb"],
-                )
-            ]
-            yield pd.DataFrame(out, columns=["anchor", "neighbor", "score"])
+    def score_group(pairs_pdf, a_pdf):
+        if len(pairs_pdf) == 0 or len(a_pdf) == 0:
+            return pd.DataFrame({"anchor": pd.Series(dtype="int64"),
+                                 "neighbor": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        A = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["ca"].iloc[0]])
+        wa = np.asarray(a_pdf["wa"].iloc[0])
+        out = [
+            (a, n, round(weighted_chamfer_numpy(
+                A,
+                np.stack([np.asarray(v, dtype=np.float64) for v in cb]),
+                wa, np.asarray(wb),
+            ), 6))
+            for a, n, cb, wb in zip(
+                pairs_pdf["anchor"], pairs_pdf["neighbor"],
+                pairs_pdf["cb"], pairs_pdf["wb"],
+            )
+        ]
+        return pd.DataFrame(out, columns=["anchor", "neighbor", "score"])
 
-    scored = fanout(pairs).mapInPandas(
-        score, schema="anchor long, neighbor long, score double"
+    scored = (
+        pairs.groupBy("anchor")
+        .cogroup(a_side.groupBy("anchor"))
+        .applyInPandas(score_group, schema="anchor long, neighbor long, score double")
     )
     w = W.partitionBy("anchor").orderBy(F.col("score").desc(), F.col("neighbor").asc())
     return (
