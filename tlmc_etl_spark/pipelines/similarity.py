@@ -234,8 +234,15 @@ def gather_chunks(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+    # No cast to array<double> here: the chunk matrix is the similarity
+    # pipeline's heaviest payload, and float->double widening is EXACT, so
+    # the scorers' np.asarray(..., dtype=np.float64) produces bit-identical
+    # matrices from the float32 columns while the gather shuffle, the pair
+    # rows and the Arrow transfer all ship HALF the bytes (the
+    # _with_unit_norm idiom, operators/vectors.py). An already-double
+    # input stays double — same values either way.
     return capped.groupBy(F.col(track_col).alias("track")).agg(
-        F.collect_list(F.col(vec_col).cast("array<double>")).alias("chunk_set")
+        F.collect_list(F.col(vec_col)).alias("chunk_set")
     )
 
 
@@ -315,12 +322,14 @@ def gather_weighted_chunks(
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= cap)
     )
+    # vector stays in its source width through the gather/shuffle (see
+    # gather_chunks — widening happens exactly in the float64 scorer)
     gathered = capped.groupBy(F.col(track_col).alias("track")).agg(
         F.array_sort(
             F.collect_list(
                 F.struct(
                     F.col("__rn").alias("o"),
-                    F.col(vec_col).cast("array<double>").alias("v"),
+                    F.col(vec_col).alias("v"),
                     F.col("weight").alias("w"),
                 )
             )
