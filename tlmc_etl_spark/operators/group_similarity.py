@@ -147,11 +147,15 @@ def gather_group_members(
         .withColumn("__cnt", F.count(F.lit(1)).over(cnt_w))
         .filter((F.col("__cnt") <= pad) | F.array_contains(picks, F.col("__rn")))
     )
+    # Vectors keep their source width through the gather shuffle and the
+    # all-pairs join (float32 inputs ship half the bytes); the consumers
+    # pin np.float64 at the numpy boundary, and float->double widening is
+    # exact, so scores are bit-identical either way.
     return (
         capped.groupBy(F.col(group_col).alias("group"))
         .agg(
             F.array_sort(
-                F.collect_list(F.struct(F.col("__rn").alias("o"), F.col(vec_col).cast("array<double>").alias("v")))
+                F.collect_list(F.struct(F.col("__rn").alias("o"), F.col(vec_col).alias("v")))
             ).alias("ov")
         )
         .select("group", F.expr("transform(ov, s -> s.v)").alias("vecs"))
@@ -190,8 +194,8 @@ def calibrate_pair_gamma(
             out = [
                 pd.DataFrame({
                     "d": (1.0 - (
-                        _unit(np.stack([np.asarray(v) for v in va]))
-                        @ _unit(np.stack([np.asarray(v) for v in vb])).T
+                        _unit(np.stack([np.asarray(v, dtype=np.float64) for v in va]))
+                        @ _unit(np.stack([np.asarray(v, dtype=np.float64) for v in vb])).T
                     )).ravel()
                 })
                 for va, vb in zip(pdf["vecs_a"], pdf["vecs_b"])
@@ -245,8 +249,8 @@ def three_score_group_similarity(
         for pdf in batches:
             out = [
                 (ga, gb, *three_scores_numpy(
-                    np.stack([np.asarray(v) for v in va]),
-                    np.stack([np.asarray(v) for v in vb]),
+                    np.stack([np.asarray(v, dtype=np.float64) for v in va]),
+                    np.stack([np.asarray(v, dtype=np.float64) for v in vb]),
                     dup_thresh, g,
                 ))
                 for ga, gb, va, vb in zip(
