@@ -228,7 +228,14 @@ def three_score_group_similarity(
     precompute_similar_groups.py:238-256). If `gamma` is None it is
     calibrated from the scored pairs via the median heuristic.
     """
-    gathered = gather_group_members(members, group_col, vec_col, order_col, pad)
+    # persist the gathered matrices: both join sides read this table, and
+    # unpersisted the whole gather subtree (member scan + window exchange
+    # + padded collect) compiled into the plan TWICE (the r15 plan audit
+    # showed two independent hashpartitioning(label) exchanges carrying
+    # raw embeddings — ReuseExchange does not reliably dedupe the copies
+    # under AQE, the same failure mode as the CC symmetrization fix).
+    # Bounded by the K-groups × pad × dim contract; LRU-evictable.
+    gathered = gather_group_members(members, group_col, vec_col, order_col, pad).persist()
     a = gathered.select(F.col("group").alias("group_a"), F.col("vecs").alias("vecs_a"))
     b = gathered.select(F.col("group").alias("group_b"), F.col("vecs").alias("vecs_b"))
     # persist, not checkpoint: pairs feeds gamma calibration AND the

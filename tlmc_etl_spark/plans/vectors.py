@@ -596,10 +596,16 @@ def kde_bandwidth_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     cw = W.partitionBy("label").orderBy("vec_id")
+    # persist: BOTH self-join sides read the capped table; unpersisted,
+    # the member scan + window exchange compiled into the plan twice
+    # (two independent hashpartitioning(label) exchanges carrying the
+    # embeddings — the r15 duplicated-subtree audit). ≤96 rows per label
+    # by construction; LRU-evictable.
     capped = (
         emb.withColumn("__rn", F.row_number().over(cw))
         .filter(F.col("__rn") <= 96)
         .drop("__rn")
+        .persist()
     )
     a = capped.select(F.col("vec_id").alias("id_a"), "label", F.col("embedding").alias("va"))
     b = capped.select(F.col("vec_id").alias("id_b"), F.col("label").alias("label_b"), F.col("embedding").alias("vb"))
