@@ -145,6 +145,90 @@ HEADLINE = [
 # design-regime 0.9 forms (embedding_near_dup_lsh{,_hi}) are graded.
 STRESS = ("doc_dedup_clusters_distributed", "embedding_near_dup_lsh_lowthr")
 
+# Stdout-line key aliases (round 16). The driver grades the LAST 2,000
+# bytes of stdout; 79 graded full names alone are 1,455 bytes, so a map
+# carrying 1dp walls for every query is >2,100 bytes — mathematically
+# over budget no matter which context fields drop. Rounds 14-15 solved
+# that by coarsening every wall to integer seconds, which corrupted the
+# driver's comparator (3 phantom "dropped" queries at walls <0.5 s,
+# phantom 1<->2 s regressions, an all-1.0 scaling block). This map
+# restores 1dp for EVERY timed query: names the driver's round-15
+# comparator is actively tracking (stdout wall >= 1 s in round 15) keep
+# their full names; the remaining entries — all reported as 0 in the
+# round-15 line, which the comparator already treats as absent — are
+# carried under these short committed aliases instead. Every full name
+# still appears at 3dp in the committed BENCH_FULL.json (which also
+# embeds this map under "aliases"), and aliases are frozen here so
+# future rounds track each query under a stable key.
+ALIASES = {
+    "adts_chunk_plan": "adts",
+    "corpus_mix_sample": "cmix",
+    "cosine_topk": "cotk",
+    "dataset_split_assign": "dspl",
+    "dedup_keep_winner": "dkw",
+    "doc_chunking": "dchk",
+    "doc_exact_dedup": "dxd",
+    "embedding_near_dup": "endp",
+    "event_resample_ffill": "erf",
+    "flac_cue_seek_plan": "fcsp",
+    "flac_decode_features": "fdf",
+    "frame_sample_plan": "fsmp",
+    "h264_chunk_plan": "h264",
+    "hierarchy_rollup_totals": "hrt",
+    "hll_user_rollup": "hll",
+    "hls_ladder_worklist": "hlw",
+    "int8_quant_audit": "i8q",
+    "kde_bandwidth_calibration": "kde",
+    "m4a_chunk_plan": "m4a",
+    "mode_vote": "mdv",
+    "mp3_chunk_plan": "mp3c",
+    "mp3_tag_scan": "mp3t",
+    "multimodal_features": "mmf",
+    "nation_balance_moments": "nbm",
+    "ogg_chunk_plan": "oggc",
+    "ogg_tag_scan": "oggt",
+    "order_value_percentiles": "ovp",
+    "pca_scatter_projection": "pca",
+    "per_source_quota_sample": "psqs",
+    "pq_reconstruction_audit": "pqra",
+    "pricing_summary": "psum",
+    "q13_order_count_distribution": "q13",
+    "q15_top_supplier": "q15",
+    "q17_small_qty_revenue": "q17",
+    "q19_disjunctive_revenue": "q19",
+    "q22_idle_customers": "q22",
+    "q4_priority_exists": "q4",
+    "quality_resample": "qres",
+    "rate_limit_schedule": "rls",
+    "semi_join_gather": "sjg",
+    "sequence_packing": "spk",
+    "sessionize_events": "sse",
+    "substring_span_dedup": "ssd",
+    "three_way_enrich": "twe",
+    "wv_chunk_plan": "wvc",
+    "zorder_curve_assign": "zca",
+    # stress entries (outside the graded ratio; shed entirely from the
+    # r14/r15 lines) rejoin the map under aliases so the line reports
+    # every timed query
+    "doc_dedup_clusters_distributed": "dddx",
+    "embedding_near_dup_lsh_lowthr": "endl",
+}
+# self-check: aliases unique, and no alias shadows a real query name
+assert len(set(ALIASES.values())) == len(ALIASES)
+assert not set(ALIASES.values()) & set(HEADLINE)
+
+
+def wall_1dp(t: float):
+    """Stdout-line wall encoding: 1dp, clamped so no measured query ever
+    serializes as 0 (the driver's comparator treats 0 as absent — the
+    round-15 phantom-drop artifact), int-collapsed when whole (same
+    value, 2 bytes shorter)."""
+    v = round(t, 1)
+    if v < 0.1:
+        v = 0.1
+    return int(v) if float(v).is_integer() else v
+
+
 LOAD_THRESHOLD = 4.0  # 1-min loadavg above this => the walls are suspect
 WAIT_POLL_SEC = 15
 
@@ -250,19 +334,22 @@ _DROP_ORDER = (
 # (below) rather than ever letting a contended run present as clean.
 
 
-def headline_line(out: dict, limit: int = 2000) -> str:
+def headline_line(out: dict, limit: int = 1999) -> str:
     """Serialize the headline artifact to a single JSON line of at most
     `limit` bytes. The driver records only the LAST 2,000 bytes of
-    stdout; a longer line means the graded artifact stores
-    "parsed": null (it did, in rounds 5-6, hiding two rounds of scale
-    evidence). Truncation is staged: ungraded context fields drop first
-    (_DROP_ORDER, which deliberately EXCLUDES loadavg_override — the
-    contended-run stamp never drops), then per-query walls coarsen to
-    1dp (every query keeps its entry), and only a pathological artifact
-    ever halves the queries map. Compact
-    separators throughout: at 59 queries the default ", "/": " padding
-    alone (~150 bytes) was the difference between a worst-case line
-    that keeps its per-query map and one that halves it."""
+    stdout (one byte of which the trailing newline takes); a longer
+    line means the graded artifact stores "parsed": null (it did, in
+    rounds 5-6, hiding two rounds of scale evidence). Since round 16
+    the queries map arrives already 1dp-encoded under ALIASES (~1,800
+    bytes fully stamped), so the staged truncation below is a safety
+    net rather than the steady state: ungraded context fields drop
+    first (_DROP_ORDER, which deliberately EXCLUDES loadavg_override —
+    the contended-run stamp never drops), then per-query walls coarsen
+    (never to 0: the driver's comparator reads 0 as absent), and only a
+    pathological artifact ever sheds map entries. Compact separators
+    throughout: at 59 queries the default ", "/": " padding alone
+    (~150 bytes) was the difference between a worst-case line that
+    keeps its per-query map and one that halves it."""
     compact = {"separators": (",", ":")}
     line = json.dumps(out, **compact)
     for field in _DROP_ORDER:
@@ -296,10 +383,16 @@ def headline_line(out: dict, limit: int = 2000) -> str:
     if len(line) > limit and "fields_dropped" in out:
         del out["fields_dropped"]
         line = json.dumps(out, **compact)
-    # only past ALL of that do walls coarsen to integers, and the unit
-    # tag goes (the metric name already says "wall"; "sec" is implied)
+    # only past ALL of that do walls >= 0.95s coarsen to integers —
+    # NEVER to 0: a 0-valued entry reads as absent to the driver's
+    # comparator (the round-15 phantom-drop artifact), so sub-second
+    # walls keep their decimal — and the unit tag goes (the metric name
+    # already says "wall"; "sec" is implied)
     if len(line) > limit and out.get("queries"):
-        out["queries"] = {n: int(round(t)) for n, t in out["queries"].items()}
+        out["queries"] = {
+            n: int(round(t)) if t >= 0.95 else wall_1dp(t)
+            for n, t in out["queries"].items()
+        }
         line = json.dumps(out, **compact)
     if len(line) > limit and "unit" in out:
         del out["unit"]
@@ -407,11 +500,16 @@ def main() -> None:
         "metric": "headline_suite_wall",
         "value": total,
         "unit": "sec",
-        # 2dp in the artifact: the 55-query map must fit the driver's
-        # 2,000-byte stdout tail; full-resolution walls feed the ratio
-        # sums and SCALING.json
-        "queries": {n: round(t, 2) for n, t in times.items()},
+        # 1dp for EVERY timed query, comparator-tracked names kept in
+        # full, byte-heavy cold names under the committed ALIASES —
+        # see the ALIASES comment; full-name 3dp walls live in
+        # BENCH_FULL.json
+        "queries": {ALIASES.get(n, n): wall_1dp(t) for n, t in times.items()},
         "sf": sf,
+        # core count the session actually ran with (session.py builds
+        # local[$SPARK_GRAFT_CPUS]) — stamps scaling runs as
+        # self-describing
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
         "loadavg_start": [round(x, 1) for x in load_start],
         "loadavg_end": [round(x, 1) for x in loadavg()],
     }
@@ -464,6 +562,7 @@ def main() -> None:
     try:
         full = dict(out)
         full["queries"] = {n: round(t, 3) for n, t in times.items()}
+        full["aliases"] = ALIASES  # stdout-line key -> committed here
         full_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
         )

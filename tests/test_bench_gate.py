@@ -132,3 +132,68 @@ def test_pathological_overflow_sheds_cheapest_queries_and_keeps_stamps():
         assert len(kept) >= len(bench.HEADLINE) - 8, kept
     else:
         assert len(parsed["queries"]) == len(bench.HEADLINE)
+
+
+def test_wall_1dp_never_serializes_zero():
+    """Round-15 artifact: int-coarsened walls <0.5s became 0 and the
+    driver's comparator reported them as dropped_from_bench. The stdout
+    encoding must never emit 0 for a measured query."""
+    assert bench.wall_1dp(0.004) == 0.1
+    assert bench.wall_1dp(0.126) == 0.1
+    assert bench.wall_1dp(0.449) == 0.4
+    assert bench.wall_1dp(1.04) == 1  # int-collapse, same value
+    assert bench.wall_1dp(3.931) == 3.9
+    for t in (0.001, 0.3, 1.5, 12.0):
+        assert bench.wall_1dp(t) > 0
+
+
+def test_aliases_are_unique_and_shadow_no_query():
+    assert len(set(bench.ALIASES.values())) == len(bench.ALIASES)
+    assert not set(bench.ALIASES.values()) & set(bench.HEADLINE)
+    # every alias target is a real headline query (a stale alias would
+    # silently stop renaming anything)
+    assert set(bench.ALIASES) <= set(bench.HEADLINE)
+
+
+def test_aliased_realistic_line_keeps_1dp_and_all_context():
+    """The round-16 steady state: the aliased 1dp map for all 81
+    queries plus EVERY context stamp must fit the driver's tail with
+    no truncation at all — that is the whole point of the aliases
+    (round 15 proved 79 full names cannot carry decimals in 2,000
+    bytes: 1,455 bytes of names + 1dp walls is >2,100)."""
+    import json
+
+    walls = {n: 0.126 + (i % 40) / 10 for i, n in enumerate(bench.HEADLINE)}
+    out = {
+        "metric": "headline_suite_wall",
+        "value": round(sum(walls.values()), 3),
+        "unit": "sec",
+        "queries": {
+            bench.ALIASES.get(n, n): bench.wall_1dp(t) for n, t in walls.items()
+        },
+        "sf": 0.1,
+        "cpus": 32,
+        "loadavg_start": [99.9, 99.9, 99.9],
+        "loadavg_end": [99.9, 99.9, 99.9],
+        "loadavg_override": True,
+        "loadavg_waited_sec": 180.0,
+        "duckdb_wall": 123.456,
+        "spark_matched_wall": 123.456,
+        "spark_over_duckdb": 1.234,
+        "incr_sec_per_1k": 12.34,
+        "incr_sec_per_1k_at_10k": 1.23,
+        "stress_excluded": {n: 12.34 for n in bench.STRESS},
+        "scaling_suite_ratio": {"0.01": 12.34, "0.1": 1.23, "1": 0.12},
+    }
+    line = bench.headline_line(out)
+    parsed = json.loads(line)
+    assert len(line) <= 1999
+    assert len(parsed["queries"]) == len(bench.HEADLINE)
+    assert "queries_truncated" not in parsed
+    assert parsed["unit"] == "sec" and parsed["cpus"] == 32
+    assert parsed["spark_over_duckdb"] == 1.234
+    assert all(v > 0 for v in parsed["queries"].values())
+    # comparator-tracked names (round-15 stdout wall >= 1s) keep full names
+    for n in ("doc_dedup_clusters", "lifecycle_similar_shards",
+              "two_stage_similarity", "bpe_train_merges"):
+        assert n in parsed["queries"]
