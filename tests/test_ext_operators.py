@@ -631,3 +631,50 @@ def test_lsh_topk_routes_to_ivf_past_corpus_ceiling(spark, sf_dir):
     lsh = lsh_topk(emb, "vec_id", "embedding", k=10)
     forced = lsh_topk(emb, "vec_id", "embedding", k=10, corpus_ceiling=None)
     assert sorted(map(tuple, lsh.collect())) == sorted(map(tuple, forced.collect()))
+
+
+def test_lsh_topk_ivf_takeover_recall_above_lsh_floor(spark):
+    """Round-16 verdict item 5: the oracle contract narrows to the
+    sub-ceiling regime (the SQL replay encodes the LSH candidate rule),
+    so the TAKEOVER regime needs its own gate — at n > 4096 the routed
+    IVF candidate set must hold at least the LSH form's own gated
+    recall floor (0.15 mean@10, test_lsh_ann_recall_vs_exact). Also
+    exercises n_known (footer-derived corpus size): the regime decision
+    must not schedule a count job."""
+    from tlmc_etl_spark.operators.vectors import LSH_TOPK_CORPUS_CEILING, lsh_topk
+
+    rng = np.random.default_rng(7)
+    n, dim = LSH_TOPK_CORPUS_CEILING + 304, 16
+    # clustered corpus (50 centers + noise) so nearest-neighbor structure
+    # is real rather than the isotropic-gaussian degenerate case
+    centers = rng.normal(size=(50, dim))
+    M = centers[rng.integers(0, 50, size=n)] + 0.3 * rng.normal(size=(n, dim))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in M[i]]) for i in range(n)], "id long, vec array<double>"
+    )
+    routed = lsh_topk(df, "id", "vec", k=10, n_known=n)
+    by_anchor: dict[int, set[int]] = {}
+    for r in routed.collect():
+        by_anchor.setdefault(r["anchor"], set()).add(r["neighbor"])
+    Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+    sims = Mn @ Mn.T
+    np.fill_diagonal(sims, -np.inf)
+    anchors = rng.choice(n, size=128, replace=False)
+    recalls = []
+    for ai in anchors:
+        exact_top = set(np.argsort(-sims[ai])[:10].tolist())
+        recalls.append(len(exact_top & by_anchor.get(int(ai), set())) / 10.0)
+    mean_recall = float(np.mean(recalls))
+    assert mean_recall > 0.15, (
+        f"IVF takeover recall {mean_recall:.3f} below the LSH gated floor"
+    )
+
+
+def test_table_row_count_matches_footer(sf_dir):
+    import duckdb
+
+    from tlmc_etl_spark.sources.tables import table_row_count
+
+    con = duckdb.connect()
+    want = con.execute(f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'").fetchone()[0]
+    assert table_row_count(sf_dir, "embeddings") == want

@@ -171,14 +171,32 @@ def connected_components(
         if changed == 0:
             labels = merged
             break
-        # path halving: label := label(label) — the label is itself an
-        # active node id, so the self-join resolves every pointer one hop.
-        # Lazy checkpoint again: next round's convergence count (or the
-        # caller's action) materializes it.
+        # path halving, BATCHED two jumps per round: label :=
+        # label(label(label(a))). Each round costs one scheduled job
+        # (the convergence count materializes everything lazy), so the
+        # per-round scheduler floor — what actually bounds this loop at
+        # small active sets — is paid per ROUND, not per jump; composing
+        # both pointer-resolution joins into the same lazy plan cuts the
+        # round count for chain-shaped components at zero extra jobs
+        # (round-16 verdict item 6). Both joins read lbl_of, whose
+        # parent `new` is the round's (materialized-by-the-count)
+        # checkpoint — no subtree compiles twice; a jumped⋈jumped
+        # self-join would have compiled the first join in both branches.
+        # Correctness: min-label pointer jumping is monotone (labels
+        # only decrease, always to the label of a node in the same
+        # component), so extra jumps per round cannot overshoot the
+        # min-id fixpoint. One lineage cut after both jumps keeps the
+        # plan bounded.
         lbl_of = merged.select(F.col("a").alias("l_a"), F.col("label").alias("l_label"))
+        jumped = merged.join(lbl_of, merged["label"] == lbl_of["l_a"]).select(
+            "a", F.col("l_label").alias("label")
+        )
+        # fresh projection (new attribute ids) of the same checkpointed
+        # `new` — avoids the ambiguous-self-join trap of reusing lbl_of
+        hop2 = merged.select(F.col("a").alias("h_a"), F.col("label").alias("h_label"))
         labels = (
-            merged.join(lbl_of, merged["label"] == lbl_of["l_a"])
-            .select("a", F.col("l_label").alias("label"))
+            jumped.join(hop2, jumped["label"] == hop2["h_a"])
+            .select("a", F.col("h_label").alias("label"))
             .localCheckpoint(eager=False)
         )
     singletons = all_ids.join(endpoints, "a", "left_anti").select(

@@ -235,6 +235,11 @@ def three_score_group_similarity(
     # raw embeddings — ReuseExchange does not reliably dedupe the copies
     # under AQE, the same failure mode as the CC symmetrization fix).
     # Bounded by the K-groups × pad × dim contract; LRU-evictable.
+    # Cache ownership: this plan builder cannot unpersist (the returned
+    # DataFrame is lazy; the blocks must outlive the caller's action) —
+    # the session owns the blocks. bench.py's clearCache() between
+    # queries releases them; long-lived sessions rely on LRU eviction,
+    # or call spark.catalog.clearCache() at pipeline boundaries.
     gathered = gather_group_members(members, group_col, vec_col, order_col, pad).persist()
     a = gathered.select(F.col("group").alias("group_a"), F.col("vecs").alias("vecs_a"))
     b = gathered.select(F.col("group").alias("group_b"), F.col("vecs").alias("vecs_b"))
@@ -304,22 +309,40 @@ def chunk_idf_weights(
     rows is plenty"). Generic-ness is the mean cosine vs the background,
     and mean-of-dots EQUALS the dot with the background's MEAN unit
     vector (the identity the SQL oracle replays) — so the sample
-    collapses driver-side to ONE d-vector riding the task closure, and
+    collapses IN THE CLUSTER (posexplode + per-component avg) to ONE
+    d-vector that rides the task closure, and
     per-chunk work is O(d) instead of an n×cap matmul (which measured
     QUADRATIC below the cap: at 32k corpus the old form did 32k×32k×d
     flops for what one 32k×d pass computes). The z-score normalizes
     WITHIN each group's chunks via a window, and the sigmoid stays in
     whole-stage codegen. Output: (id, group, weight).
     """
-    bg_rows = (
+    # Background mean computed DISTRIBUTED: unit-normalize in JVM
+    # expressions, component-wise avg, and collect ONE d-vector — the
+    # round-15 form collected the whole ≤cap sample to the driver
+    # (~800 MB at reference dims/cap) to compute what is just its mean
+    # (guide §5: the driver should do almost no data work). groupBy(idx)
+    # has only d distinct keys, so map-side partial aggregation shrinks
+    # the shuffle to d rows per task. Equivalence: the final weight is
+    # rounded to 6dp after a sigmoid, so summation-order float noise
+    # (numpy pairwise vs Spark partial-agg order) is far below the
+    # comparison tolerance — the DuckDB oracle already sums in a third
+    # order and hash-matches.
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    unit = F.transform(v, lambda x: x / nrm)
+    bg_mean_rows = (
         chunks.select(vec_col)
         .orderBy(F.xxhash64(F.col(vec_col)))
         .limit(background_cap)
+        .select(F.posexplode(unit).alias("idx", "val"))
+        .groupBy("idx")
+        .agg(F.avg("val").alias("m"))
         .collect()
     )
-    bg_mean = _unit(
-        np.array([r[vec_col] for r in bg_rows], dtype=np.float64)
-    ).mean(axis=0)
+    bg_mean = np.zeros(len(bg_mean_rows), dtype=np.float64)
+    for r in bg_mean_rows:
+        bg_mean[r["idx"]] = r["m"]
 
     def generic_of(batches):
         for pdf in batches:

@@ -177,6 +177,7 @@ def lsh_topk(
     seed: int = 42,
     multi_probe: bool = True,
     corpus_ceiling: int = LSH_TOPK_CORPUS_CEILING,
+    n_known: int | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: candidates restricted to the same LSH
     bucket (plus one-bit-flip probe buckets), then exact cosine + a
@@ -194,10 +195,25 @@ def lsh_topk(
     occupancy-sized quantizer (cells ≈ n/256, so candidate work stays
     ~n·probe·256) — same output contract (anchor, neighbor, score, rank;
     exact cosine scores, approximate candidate set), IVF recall gates in
-    tests/test_pq.py. Pass corpus_ceiling=None to force the LSH form.
+    tests/test_pq.py and the takeover-regime gate in
+    tests/test_ext_operators.py. Pass corpus_ceiling=None to force the
+    LSH form.
+
+    `n_known`: corpus size the caller already knows (e.g. from parquet
+    footer metadata — plans/ext.py's lsh_ann_topk) — passing it makes
+    the regime decision free; without it the operator pays one eager
+    count job per call (round-16 verdict item 5).
+
+    ORACLE REGIME NOTE: the declared output is an approximate candidate
+    set. The SQL replay oracle (plans/ext.py `_lsh_ann_oracle`) encodes
+    the fixed-plane LSH candidate rule, i.e. the sub-ceiling regime
+    only; above the ceiling the candidate set is the IVF quantizer's
+    (recall property-gated, not SQL-replayed). The driver's oracle sfs
+    all sit below the ceiling, so the SQL check pins the regime it
+    replays.
     """
     if corpus_ceiling is not None:
-        n = emb.count()
+        n = n_known if n_known is not None else emb.count()
         if n > corpus_ceiling:
             n_centroids = min(max(16, n // 256), SEMDEDUP_CENTROID_CEILING)
             return ivf_topk(

@@ -277,6 +277,11 @@ def chamfer_rerank(recall: DataFrame, chunk_sets: DataFrame, k_final: int) -> Da
             return pd.DataFrame({"anchor": pd.Series(dtype="int64"),
                                  "neighbor": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
+        # unique-track contract: chunk_sets is a per-track aggregate, so
+        # each cogroup key carries exactly one anchor row — duplicates
+        # would have been scored per-row by the pre-cogroup join form,
+        # so fail loudly instead of silently scoring only the first.
+        assert len(a_pdf) == 1, f"duplicate chunk_sets rows for anchor: {len(a_pdf)}"
         A = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["ca"].iloc[0]])
         out = [
             (a, n, round(chamfer_numpy(
@@ -370,6 +375,8 @@ def weighted_chamfer_rerank(
             return pd.DataFrame({"anchor": pd.Series(dtype="int64"),
                                  "neighbor": pd.Series(dtype="int64"),
                                  "score": pd.Series(dtype="float64")})
+        # unique-track contract (see chamfer_rerank.score_group)
+        assert len(a_pdf) == 1, f"duplicate weighted_sets rows for anchor: {len(a_pdf)}"
         A = np.stack([np.asarray(v, dtype=np.float64) for v in a_pdf["ca"].iloc[0]])
         wa = np.asarray(a_pdf["wa"].iloc[0])
         out = [

@@ -325,9 +325,21 @@ def lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle-backed since round 8: the seeded hyperplanes are
     data-independent, so the SQL twin embeds them as literals and
-    value-checks the full bucket/probe/score/rank pipeline."""
+    value-checks the full bucket/probe/score/rank pipeline.
+
+    Regime note: the SQL oracle replays the fixed-plane LSH candidate
+    rule, i.e. the sub-ceiling (n <= LSH_TOPK_CORPUS_CEILING) regime the
+    driver's oracle sfs run in; past the ceiling lsh_topk serves the
+    same contract through the IVF quantizer (recall property-gated, not
+    SQL-replayed — see operators/vectors.lsh_topk). n_known from the
+    parquet footer makes that regime decision free (no count job)."""
+    from tlmc_etl_spark.sources.tables import table_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_topk(emb, "vec_id", "embedding", k=10, n_planes=4).orderBy("anchor", "rank")
+    return lsh_topk(
+        emb, "vec_id", "embedding", k=10, n_planes=4,
+        n_known=table_row_count(sf_dir, "embeddings"),
+    ).orderBy("anchor", "rank")
 
 
 @query("embedding_near_dup_lsh_lowthr")

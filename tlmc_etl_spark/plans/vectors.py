@@ -600,7 +600,9 @@ def kde_bandwidth_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the member scan + window exchange compiled into the plan twice
     # (two independent hashpartitioning(label) exchanges carrying the
     # embeddings — the r15 duplicated-subtree audit). ≤96 rows per label
-    # by construction; LRU-evictable.
+    # by construction; LRU-evictable. Cache ownership: the session —
+    # plan builders cannot unpersist blocks their lazy result still
+    # needs; bench.py clearCache() between queries releases them.
     capped = (
         emb.withColumn("__rn", F.row_number().over(cw))
         .filter(F.col("__rn") <= 96)

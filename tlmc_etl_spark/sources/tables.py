@@ -54,3 +54,25 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view for the SQL-first plans."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def table_row_count(sf_dir: str, name: str) -> int:
+    """Row count from parquet FOOTER metadata — no Spark job.
+
+    Regime-routing operators (lsh_topk's IVF takeover) need the corpus
+    size before building the plan; counting through Spark schedules an
+    eager job per call. The footer already stores the exact count (per
+    file, summed over part files for a directory table)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = f"{sf_dir}/{name}.parquet"
+    if os.path.isdir(path):
+        return sum(
+            pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+            for root, _, files in os.walk(path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+    return pq.ParquetFile(path).metadata.num_rows

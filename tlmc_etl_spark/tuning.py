@@ -29,8 +29,17 @@ def fanout(df: DataFrame, *cols: str, parts: int | None = None) -> DataFrame:
     small in bytes but expensive per row. With `cols`, hash-partitions on
     them (a following groupBy on the same keys adds no exchange); without,
     round-robins rows across tasks.
+
+    The default count is the session's `spark.sql.shuffle.partitions`,
+    NOT defaultParallelism: a keyed fanout often feeds one side of a
+    groupBy/cogroup whose other side hash-partitions at
+    shuffle.partitions, and when the two counts differ EnsureRequirements
+    inserts an extra aligning exchange (breaking the pinned-parallelism
+    point of the fanout and the plans' shuffle budgets). In this repo's
+    session the two are the same number (session.py sizes both to
+    $SPARK_GRAFT_CPUS), but the alignment must not depend on that.
     """
-    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    n = parts or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return df.repartition(n, *cols) if cols else df.repartition(n)
 
 
