@@ -171,32 +171,25 @@ def connected_components(
         if changed == 0:
             labels = merged
             break
-        # path halving, BATCHED two jumps per round: label :=
-        # label(label(label(a))). Each round costs one scheduled job
-        # (the convergence count materializes everything lazy), so the
-        # per-round scheduler floor — what actually bounds this loop at
-        # small active sets — is paid per ROUND, not per jump; composing
-        # both pointer-resolution joins into the same lazy plan cuts the
-        # round count for chain-shaped components at zero extra jobs
-        # (round-16 verdict item 6). Both joins read lbl_of, whose
-        # parent `new` is the round's (materialized-by-the-count)
-        # checkpoint — no subtree compiles twice; a jumped⋈jumped
-        # self-join would have compiled the first join in both branches.
-        # Correctness: min-label pointer jumping is monotone (labels
-        # only decrease, always to the label of a node in the same
-        # component), so extra jumps per round cannot overshoot the
-        # min-id fixpoint. One lineage cut after both jumps keeps the
-        # plan bounded.
+        # path halving: label := label(label) — the label is itself an
+        # active node id, so the self-join resolves every pointer one hop.
+        # Lazy checkpoint again: next round's convergence count (or the
+        # caller's action) materializes it.
+        #
+        # MEASURED AND REJECTED (round 16): batching a second pointer
+        # jump into the same lazy plan (label(label(label(a))) per
+        # round) was expected to halve the round count. A/B on the
+        # forced-distributed stress twin: jobs 57 -> 63, wall flat —
+        # rounds did NOT drop (3 either way) because on dense dedup
+        # graphs the MIN-LABEL propagation step bounds convergence, not
+        # pointer depth, so the extra join only added its own AQE
+        # stage-materialization jobs every round. Chain-diameter graphs
+        # would benefit, but this operator's production graphs are
+        # near-duplicate blobs.
         lbl_of = merged.select(F.col("a").alias("l_a"), F.col("label").alias("l_label"))
-        jumped = merged.join(lbl_of, merged["label"] == lbl_of["l_a"]).select(
-            "a", F.col("l_label").alias("label")
-        )
-        # fresh projection (new attribute ids) of the same checkpointed
-        # `new` — avoids the ambiguous-self-join trap of reusing lbl_of
-        hop2 = merged.select(F.col("a").alias("h_a"), F.col("label").alias("h_label"))
         labels = (
-            jumped.join(hop2, jumped["label"] == hop2["h_a"])
-            .select("a", F.col("h_label").alias("label"))
+            merged.join(lbl_of, merged["label"] == lbl_of["l_a"])
+            .select("a", F.col("l_label").alias("label"))
             .localCheckpoint(eager=False)
         )
     singletons = all_ids.join(endpoints, "a", "left_anti").select(
