@@ -28,7 +28,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from tlmc_etl_spark.pipelines.similarity import two_stage_similar_tracks
-from tlmc_etl_spark.tuning import bounded_one_partition
+from tlmc_etl_spark.tuning import bounded_one_partition, dimension_exec
 from tlmc_etl_spark.sinks.shards import (
     read_similar_track_shards,
     write_similar_track_shards,
@@ -43,37 +43,58 @@ def lifecycle_pre_sink(
     vec_col: str = "vec",
     k_recall: int = 15,
     k_final: int = 5,
+    catalog_rows_hint: int | None = None,
 ):
     """Stages 1-2 (catalog gate → similarity): returns (rel, ranked,
     n_rel) WITHOUT writing the sink — `ranked` is the complete pre-sink
     plan, exposed so the shuffle-budget gate can inspect this half of
     the lifecycle on its own (the mid-DAG sink materialization otherwise
     defeats a static exchange count over the composed query)."""
-    rel = (
-        release.select(
-            F.col("album_name"),
-            # 24-row dimension: the global sort is a broadcast-sized no-op; at
-            # real scale the release key would ride the track table instead.
-            # bounded_one_partition: real (one-group) partitionSpec so the
-            # fixed-dimension rank stops tripping WindowExec's warning.
-            F.row_number()
-            .over(
-                W.partitionBy(bounded_one_partition(F.length("circle_dir"))).orderBy(
-                    "circle_dir", "album_dir"
+    def _mk_rel() -> DataFrame:
+        return (
+            release.select(
+                F.col("album_name"),
+                # 24-row dimension: the global sort is a broadcast-sized
+                # no-op; at real scale the release key would ride the track
+                # table instead. bounded_one_partition: real (one-group)
+                # partitionSpec so the fixed-dimension rank stops tripping
+                # WindowExec's warning.
+                F.row_number()
+                .over(
+                    W.partitionBy(
+                        bounded_one_partition(F.length("circle_dir"))
+                    ).orderBy("circle_dir", "album_dir")
                 )
+                .alias("rn"),
+                (F.col("needs_review_reasons") == "").alias("clean"),
             )
-            .alias("rn"),
-            (F.col("needs_review_reasons") == "").alias("clean"),
+            .withColumn("release_idx", F.col("rn") - 1)
+            # Two consumers on opposite sides of the sink boundary (the
+            # clean gate before similarity, hydration after read-back):
+            # persist so the whole catalog subtree — manifest scans, vote
+            # joins — runs once, not once per consumer. LRU-evictable,
+            # repo-standard for tiny multi-scan reuse tables.
+            .persist()
         )
-        .withColumn("release_idx", F.col("rn") - 1)
-        # Two consumers on opposite sides of the sink boundary (the clean
-        # gate before similarity, hydration after read-back): persist so the
-        # whole catalog subtree — manifest scans, vote joins — runs once,
-        # not once per consumer. LRU-evictable, repo-standard for tiny
-        # multi-scan reuse tables.
-        .persist()
-    )
-    n_rel = rel.count()
+
+    # The catalog materialization is a DIMENSION subtree (manifest rows
+    # in, |releases| rows out): planned normally it pays ~14 sequential
+    # one-task jobs — mostly BroadcastExchange builds, one per dimension
+    # join, plus AQE stage materializations (the round-15 "AQE
+    # dimension-floor"). With a caller-supplied row estimate — the
+    # manifest's parquet footer count, no job — the whole subtree
+    # compiles (persist() freezes the physical plan at call time, so the
+    # context must wrap it) and runs as ONE statically planned job with
+    # size-derived partitions (measured 15 jobs -> 1 job / 16 chained
+    # one-task stages), and the persisted catalog caches in that compact
+    # layout. Without a hint, behavior is unchanged.
+    if catalog_rows_hint is not None:
+        with dimension_exec(spark, catalog_rows_hint):
+            rel = _mk_rel()
+            n_rel = rel.count()
+    else:
+        rel = _mk_rel()
+        n_rel = rel.count()
     clean_idx = rel.filter("clean").select("release_idx")
     gated = chunks.join(
         F.broadcast(clean_idx),
@@ -122,6 +143,7 @@ def similar_track_lifecycle(
     k_final: int = 5,
     n_shards: int = 8,
     portable_shards: bool = False,
+    catalog_rows_hint: int | None = None,
 ) -> DataFrame:
     """Run catalog-gate → similarity → shard sink; return per-shard stats.
 
@@ -131,7 +153,8 @@ def similar_track_lifecycle(
     synthetic keying the test tables use throughout.
     """
     rel, ranked, n_rel = lifecycle_pre_sink(
-        spark, release, chunks, track_col, vec_col, k_recall, k_final
+        spark, release, chunks, track_col, vec_col, k_recall, k_final,
+        catalog_rows_hint=catalog_rows_hint,
     )
     write_similar_track_shards(
         ranked, out_dir, n_shards=n_shards, portable=portable_shards

@@ -521,8 +521,14 @@ def lifecycle_shards_xengine(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 50).alias("track"), "vec_id", F.col("embedding").alias("vec")
     )
     out_dir = scratch_dir(spark, "lifecycle_shards_portable", sf_dir)
+    import pyarrow.parquet as pq
+
+    manifest_rows = pq.ParquetFile(
+        os.path.join(_FIXTURE_DIR, "manifest.parquet")
+    ).metadata.num_rows
     return similar_track_lifecycle(
-        spark, release, chunks, out_dir, portable_shards=True
+        spark, release, chunks, out_dir, portable_shards=True,
+        catalog_rows_hint=manifest_rows,
     )
 
 

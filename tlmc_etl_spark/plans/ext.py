@@ -1839,7 +1839,17 @@ def lifecycle_similar_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") % 50).alias("track"), "vec_id", F.col("embedding").alias("vec")
     )
     out_dir = scratch_dir(spark, "lifecycle_shards", sf_dir)
-    return similar_track_lifecycle(spark, release, chunks, out_dir)
+    # catalog size hint from the manifest footer (no job): the release
+    # dimension has at most |manifest| rows, which sizes the catalog
+    # materialization's static plan (tuning.dimension_exec)
+    import pyarrow.parquet as pq
+
+    manifest_rows = pq.ParquetFile(
+        os.path.join(_FIXTURE_DIR, "manifest.parquet")
+    ).metadata.num_rows
+    return similar_track_lifecycle(
+        spark, release, chunks, out_dir, catalog_rows_hint=manifest_rows
+    )
 
 
 _MINHASH_XENGINE_ORACLE = """
