@@ -75,56 +75,50 @@ def bounded_one_partition(numeric_col) -> "Column":  # noqa: F821
 
 
 @contextmanager
-def dimension_exec(spark, est_rows: int, rows_per_task: int = 65_536):
+def dimension_exec(spark, est_rows: int, one_task_rows: int = 4096):
     """Scoped execution context for materializing a DIMENSION-sized
-    subtree (catalog/release tables, top-k results, month domains):
-    static shuffle partitions sized from the caller's row estimate, AQE
-    off for the duration.
+    subtree (catalog/release tables, top-k results, month domains).
 
-    Why: AQE materializes every Exchange as its own one-task stage-JOB
-    on dimension data, and the catalog subtree pays ~14 sequential
-    scheduler round-trips per materialization (round-15 measurement:
-    AQE off alone cut lifecycle jobs 43->17 but left the wall flat,
-    because the then-static 32-partition stages ran 32 tasks over
-    24 rows — the scheduling saved per stage came back as task
-    overhead). The fix needs BOTH halves: one static plan (no
-    per-exchange stage jobs) AND a partition count derived from the
-    dimension's size (1 task per ~64k rows, capped at the session's
-    shuffle.partitions so a genuinely large "dimension" still spreads).
-    Parameterized by the caller's row estimate — typically a parquet
-    footer count (sources.tables.table_row_count) — never a local[32]
-    constant.
+    When the caller's row estimate says the WHOLE subtree fits one task
+    (<= `one_task_rows`), the materialization runs as ONE statically
+    planned single-partition job with broadcast builds disabled; above
+    that, the context is a PASSTHROUGH and the adaptive machinery keeps
+    the query.
 
-    Measured (round 16, lifecycle catalog count): the cascade is mostly
-    BroadcastExchange BUILD jobs — every dimension-dimension join spawns
-    a sequential broadcast-build job regardless of AQE — so when the
-    size estimate says the whole subtree fits ONE task, broadcasts are
-    disabled too and every join runs as a single-partition sort-merge:
-    the materialization collapses to ONE job whose stages chain without
-    scheduler round-trips (15 jobs -> 1 job / 16 one-task stages). With
-    more than one derived partition the broadcast threshold is left
-    alone (a genuinely wide dimension still wants hash-join builds).
+    Why the one-task regime exists: each dimension-dimension join in
+    such a subtree spawns a sequential BroadcastExchange-build job, and
+    AQE adds a stage-materialization job per exchange — ~14 one-task
+    scheduler round-trips for the lifecycle's release catalog (the
+    round-15 "AQE dimension-floor"). With a single static partition and
+    broadcasts off, every join degenerates to a one-partition sort-merge
+    and the whole materialization collapses to ONE job of chained
+    one-task stages (measured: 15 jobs -> 1 job / 16 stages).
+
+    Why the passthrough regime exists: the same static treatment applied
+    to a 292k-row per-batch catalog rebuild (the 10k-album catch-up
+    drain) measured 0.67 -> 1.49 s/1k albums — at real batch sizes AQE's
+    runtime broadcasts and coalescing beat any static guess, so the
+    context must never engage there. est_rows comes from the caller —
+    typically a parquet footer count (sources.tables.table_row_count),
+    never a local[32] constant.
 
     MUST wrap the plan-compilation points, not just the action:
     `persist()` compiles the physical plan eagerly when called, so a
     persist outside the context freezes the default-conf plan no matter
     what the later count runs under.
-
-    Use ONLY around actions whose whole subtree is dimension-scale:
-    corpus-sized inputs must keep AQE (skew handling, runtime
-    coalescing, runtime broadcast selection).
     """
-    cur = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = max(1, min(est_rows // rows_per_task + 1, cur))
+    if est_rows > one_task_rows:
+        yield
+        return
+    cur = spark.conf.get("spark.sql.shuffle.partitions")
     old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
     old_bcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    if parts == 1:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(cur))
+        spark.conf.set("spark.sql.shuffle.partitions", cur)
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_bcast)
