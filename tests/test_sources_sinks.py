@@ -477,3 +477,32 @@ class TestBinvecCommitCrashWindows:
             for f in part.files
         ]
         assert sorted(resolved) == sorted(old)
+
+
+class TestShardFileOrdering:
+    def test_similar_track_shard_files_are_ordered(self, spark, tmp_path):
+        """Loader contract: rows within each shard file arrive ordered by
+        (anchor_id, rank). Round 16 caught the sink sorting BEFORE the
+        shard repartition — the shuffle scrambled it and every shard
+        file was emitted unordered while still paying the sort."""
+        import csv
+        import glob
+
+        from pyspark.sql import functions as F
+
+        from tlmc_etl_spark.sinks.shards import write_similar_track_shards
+
+        df = spark.range(500).select(
+            (F.col("id") % 50).alias("anchor"),
+            (F.col("id") % 7).alias("neighbor"),
+            (F.col("id") % 5 + 1).cast("int").alias("rank"),
+            F.rand(1).alias("score"),
+        )
+        out = str(tmp_path / "shards")
+        write_similar_track_shards(df, out, n_shards=4)
+        files = sorted(glob.glob(out + "/shard=*/*.csv"))
+        assert files
+        for f in files:
+            rows = list(csv.reader(open(f)))[1:]
+            keys = [(r[0], int(r[2])) for r in rows]
+            assert keys == sorted(keys), f"unordered shard file {f}"

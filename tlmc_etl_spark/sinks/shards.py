@@ -66,6 +66,7 @@ def write_shards_resumable(
     n_shards: int,
     fmt: str = "csv",
     portable: bool = False,
+    sort_cols: list[str] | None = None,
 ) -> list[int]:
     """Write df as `shard=K/` partitions, skipping shards already present.
 
@@ -73,6 +74,12 @@ def write_shards_resumable(
     reference's per-shard resume: a rerun after a partial failure emits
     only the missing shards. Each shard directory appears atomically
     (job-commit rename), so 'present' implies 'complete'.
+
+    `sort_cols` orders rows WITHIN each shard file. The sort must sit
+    here, after the shard repartition: a sort applied upstream of the
+    exchange is scrambled by the shuffle — round 16 caught the similar
+    track sink paying a full pre-shuffle sort of the output and still
+    emitting unordered shard files (the loader contract says ordered).
     """
     sharded = assign_shard(df, key_col, n_shards, portable=portable)
     done = existing_shards(out_dir)
@@ -80,7 +87,12 @@ def write_shards_resumable(
     if not todo:
         return []
     pending = sharded.filter(F.col("shard").isin([int(s) for s in todo]))
-    writer = pending.repartition("shard").write.partitionBy("shard").mode("append")
+    placed = pending.repartition("shard")
+    if sort_cols:
+        # shard leads the sort so two shards hashed into one partition
+        # still produce internally ordered files under partitionBy
+        placed = placed.sortWithinPartitions("shard", *sort_cols)
+    writer = placed.write.partitionBy("shard").mode("append")
     if fmt == "csv":
         writer.option("header", True).csv(out_dir)
     else:
@@ -100,9 +112,13 @@ def write_similar_track_shards(
         F.col("rank").cast("int").alias("rank"),
         F.col("score").cast("double").alias("score"),
     )
-    ordered = cols.sortWithinPartitions("anchor_id", "rank")
+    # ordering is applied INSIDE the sink after the shard exchange
+    # (write_shards_resumable.sort_cols) — the previous pre-shuffle
+    # sortWithinPartitions was a full wasted pass: the shard repartition
+    # scrambled it and the emitted files were unordered
     return write_shards_resumable(
-        ordered, "anchor_id", out_dir, n_shards, fmt="csv", portable=portable
+        cols, "anchor_id", out_dir, n_shards, fmt="csv", portable=portable,
+        sort_cols=["anchor_id", "rank"],
     )
 
 
