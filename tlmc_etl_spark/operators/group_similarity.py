@@ -331,10 +331,19 @@ def chunk_idf_weights(
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     unit = F.transform(v, lambda x: x / nrm)
-    bg_mean_rows = (
+    sample = (
         chunks.select(vec_col)
         .orderBy(F.xxhash64(F.col(vec_col)))
         .limit(background_cap)
+    )
+    bg_mean_rows = (
+        # the sorted limit lands on ONE partition — without re-spreading,
+        # the cap×d explode+agg below would run serially (measured at
+        # sf1: 0.64 s -> 2.37 s for the whole weight table). fanout
+        # round-robins the ≤cap sample rows (bounded bytes) back across
+        # the session's partitions so the per-component partial
+        # aggregation parallelizes; the final shuffle is d×parts rows.
+        fanout(sample)
         .select(F.posexplode(unit).alias("idx", "val"))
         .groupBy("idx")
         .agg(F.avg("val").alias("m"))
